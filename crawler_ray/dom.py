@@ -1,0 +1,327 @@
+"""Stdlib HTML → DOM tree + the reference's DOM-path / XPath semantics.
+
+From-scratch reimplementation (stdlib ``html.parser`` only — no lxml in
+this environment) of the extraction semantics of the reference's
+``src/crawler/dom.clj``:
+
+  * parse page, prune ``script``/``style``, omit comments (dom.clj:19-25)
+  * ``format-attr``: normalize a class token — strip trailing digits,
+    take the prefix before the first ``-``/``_``       (dom.clj:101-108)
+  * ``tag-id-class``: node → (tag, first normalized class,
+    position among same tag+class siblings)            (dom.clj:110-179)
+  * ``path->xpath`` / ``path->xpath-no-position``: DOM path →
+    generalized XPath ``tag[contains(@class,'c')]([pos])``
+    — the no-position variant defines pagelet identity (dom.clj:378-410)
+  * link extractor ``page-nodes-hrefs-text`` filter chain
+    (require href / nofollow / javascript / unescape / resolve /
+    defragment / same-host / blacklist)                (dom.clj:304-376)
+  * anchor-xpath histogram (dom.clj:264-286)
+
+plus interleaved **span extraction** (text / link / media spans with
+char offsets into the serialized page) per the driver input_hint — the
+media-extension regex the reference defines but never uses
+(dom.clj:302) classifies spans of kind "media".
+
+Everything here is pure per-page Python invoked from vectorized
+``map_batches`` stages (one call per row, batched at the Arrow level);
+no Ray imports.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from .functions.urlnorm import (
+    MEDIA_EXT_RE,
+    canonicalize,
+    is_media_url,
+    same_host,
+    url_host,
+)
+
+_SKIP_TAGS = frozenset({"script", "style"})           # pruned, dom.clj:21-24
+_VOID_TAGS = frozenset(
+    {"img", "br", "hr", "meta", "link", "input", "source", "area", "base", "col", "embed", "track", "wbr"}
+)
+_MEDIA_TAGS = frozenset({"img", "video", "audio", "embed", "source"})
+
+_TRAILING_DIGITS_RE = re.compile(r"\d+$")
+
+
+@dataclass
+class Node:
+    tag: str
+    attrs: dict
+    parent: "Node | None" = None
+    children: list = field(default_factory=list)
+    # (kind, payload, offset) children interleaved with element children:
+    # kind "text" payload is the raw text run
+    content: list = field(default_factory=list)
+    offset: int = 0  # char offset of the start tag in the raw page
+
+    def attr(self, name: str) -> str | None:
+        return self.attrs.get(name)
+
+    def iter_text(self):
+        for kind, payload, _off in self.content:
+            if kind == "text":
+                yield payload
+            elif kind == "node":
+                yield from payload.iter_text()
+
+    def text(self) -> str:
+        return "".join(self.iter_text())
+
+
+class _TreeBuilder(HTMLParser):
+    """Builds a Node tree with absolute char offsets (via line starts)."""
+
+    def __init__(self, raw: str):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document", {})
+        self.stack = [self.root]
+        self.skip_depth = 0
+        # line start offsets so getpos() → absolute offset
+        self.line_starts = [0]
+        for i, ch in enumerate(raw):
+            if ch == "\n":
+                self.line_starts.append(i + 1)
+
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self.line_starts[line - 1] + col
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        node = Node(tag, dict(attrs), parent=self.stack[-1], offset=self._abs())
+        self.stack[-1].children.append(node)
+        self.stack[-1].content.append(("node", node, node.offset))
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if self.skip_depth or tag in _SKIP_TAGS:
+            return
+        node = Node(tag, dict(attrs), parent=self.stack[-1], offset=self._abs())
+        self.stack[-1].children.append(node)
+        self.stack[-1].content.append(("node", node, node.offset))
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
+            return
+        # tolerant close: pop to nearest matching open tag
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self.skip_depth:
+            return
+        if data:
+            self.stack[-1].content.append(("text", data, self._abs()))
+
+    # comments omitted (dom.clj:23 omit-comments)
+    def handle_comment(self, data):
+        pass
+
+
+def parse_page(raw_html: str) -> Node:
+    """``process-page`` (dom.clj:19-25): parse, prune script/style."""
+    tb = _TreeBuilder(raw_html)
+    tb.feed(raw_html)
+    return tb.root
+
+
+# ------------------------------------------------------------------ paths
+
+
+def format_attr(token: str) -> str:
+    """Class-token normalization (dom.clj:101-108): strip trailing
+    digits, then keep the prefix before the first ``-`` or ``_``."""
+    if not token:
+        return ""
+    t = _TRAILING_DIGITS_RE.sub("", token)
+    for i, ch in enumerate(t):
+        if ch in "-_":
+            return t[:i]
+    return t
+
+
+def node_class(node: Node) -> str:
+    """First normalized class token ('' when classless)."""
+    cls = node.attrs.get("class") or ""
+    toks = cls.split()
+    return format_attr(toks[0]) if toks else ""
+
+
+def child_position(node: Node) -> int:
+    """1-based position among siblings with the same (tag, class)
+    (dom.clj:124-179)."""
+    if node.parent is None:
+        return 1
+    key = (node.tag, node_class(node))
+    pos = 0
+    for sib in node.parent.children:
+        if (sib.tag, node_class(sib)) == key:
+            pos += 1
+            if sib is node:
+                return pos
+    return max(pos, 1)
+
+
+def tag_id_class(node: Node) -> tuple[str, str, int]:
+    return node.tag, node_class(node), child_position(node)
+
+
+def path_root_seq(node: Node) -> list[Node]:
+    """Node → root path, root first (dom.clj:52-99), excluding #document."""
+    path = []
+    cur = node
+    while cur is not None and cur.tag != "#document":
+        path.append(cur)
+        cur = cur.parent
+    path.reverse()
+    return path
+
+
+def _xpath_component(node: Node, with_position: bool) -> str:
+    tag, cls, pos = tag_id_class(node)
+    comp = tag
+    if cls:
+        comp += f"[contains(@class,'{cls}')]"
+    if with_position:
+        comp += f"[{pos}]"
+    return comp
+
+
+def path_to_xpath(node: Node, with_position: bool = True) -> str:
+    """``path->xpath`` / ``path->xpath-no-position`` (dom.clj:378-410).
+
+    The no-position variant is the pagelet identity used for grouping
+    links, scoring and the learned model."""
+    return "//" + "/".join(_xpath_component(n, with_position) for n in path_root_seq(node))
+
+
+# ------------------------------------------------------------------ links
+
+
+def anchor_tags(root: Node) -> list[Node]:
+    """All ``<a>`` nodes in document order (dom.clj:27-31)."""
+    out = []
+
+    def walk(n: Node):
+        for c in n.children:
+            if c.tag == "a":
+                out.append(c)
+            walk(c)
+
+    walk(root)
+    return out
+
+
+def extract_links(
+    root: Node,
+    page_url: str,
+    blacklist: frozenset[str] | set[str] = frozenset(),
+    keep_offsite: bool = False,
+) -> list[dict]:
+    """THE link extractor — ``page-nodes-hrefs-text`` (dom.clj:304-376).
+
+    Per anchor: require href (:315); drop rel=nofollow (:321-327); drop
+    javascript:/mailto: (:329-335); unescape + resolve + strip fragment
+    (:347-368); drop off-host (:353, utils.clj:23-33) and blacklisted
+    hosts/urls (:337-345).  Emits dicts
+    ``{url, text, xpath, xpath_pos, offset}`` in document order.
+    """
+    out = []
+    for a in anchor_tags(root):
+        href = a.attrs.get("href")
+        if href is None:
+            continue
+        rel = (a.attrs.get("rel") or "").lower()
+        if "nofollow" in rel:
+            continue
+        url = canonicalize(href, page_url)
+        if not url:
+            continue  # javascript:/mailto:/empty
+        if not keep_offsite and not same_host(url, page_url):
+            continue
+        if url in blacklist or url_host(url) in blacklist:
+            continue
+        out.append(
+            {
+                "url": url,
+                "text": a.text(),
+                "xpath": path_to_xpath(a, with_position=False),
+                "xpath_pos": path_to_xpath(a, with_position=True),
+                "offset": a.offset,
+            }
+        )
+    return out
+
+
+def anchor_xpath_histogram(root: Node) -> dict[str, int]:
+    """Generalized xpath → anchor count (dom.clj:264-286)."""
+    hist: dict[str, int] = {}
+    for a in anchor_tags(root):
+        xp = path_to_xpath(a, with_position=False)
+        hist[xp] = hist.get(xp, 0) + 1
+    return hist
+
+
+# ------------------------------------------------------------------ spans
+
+
+def extract_spans(raw_html: str, page_url: str = "") -> list[dict]:
+    """Serialize a page into interleaved (kind, text, media_ref, offset)
+    spans — the driver input_hint document representation.
+
+    kind="link"  : every <a href> anchor (text = anchor text,
+                   media_ref = canonical target)
+    kind="media" : media tags (img/video/audio/embed/source src) or
+                   anchors whose target matches the media-extension
+                   regex (dom.clj:302)
+    kind="text"  : non-whitespace text runs outside anchors
+
+    Spans appear in document order; offset = absolute char offset of
+    the element start tag (link/media) or of the text run.
+    """
+    root = parse_page(raw_html)
+    spans: list[dict] = []
+
+    def walk(n: Node):
+        if n.tag == "a":
+            href = n.attrs.get("href")
+            if href is not None:
+                url = canonicalize(href, page_url)
+                if url and is_media_url(url):
+                    spans.append({"kind": "media", "text": n.text(), "media_ref": url, "offset": n.offset})
+                else:
+                    spans.append({"kind": "link", "text": n.text(), "media_ref": url, "offset": n.offset})
+            return  # anchor text lives on the link span, not a text span
+        if n.tag in _MEDIA_TAGS:
+            src = n.attrs.get("src") or n.attrs.get("data-src") or ""
+            url = canonicalize(src, page_url)
+            spans.append({"kind": "media", "text": n.attrs.get("alt") or "", "media_ref": url, "offset": n.offset})
+            return
+        for kind, payload, off in n.content:
+            if kind == "text":
+                stripped = payload.strip()
+                if stripped:
+                    # offset points at the first non-ws char of the run
+                    lead = len(payload) - len(payload.lstrip())
+                    spans.append({"kind": "text", "text": stripped, "media_ref": "", "offset": off + lead})
+            else:
+                walk(payload)
+
+    walk(root)
+    return spans
