@@ -1,0 +1,137 @@
+"""Shingling / MinHash / LSH / SimHash kernels.
+
+Reference semantics reproduced:
+  * ``utils/tokenize`` — lowercase whitespace tokenizer (utils.clj:179-189)
+  * ``shingles/html-doc-4-grams`` — lowercase, strip punctuation,
+    collapse whitespace → set of token 4-grams       (shingles.clj:5-26)
+  * 4-gram Jaccard near-duplicate test, threshold 0.9 (shingles.clj:28-43)
+
+The reference's ``seen?`` scans the whole old corpus per page
+(crawl.clj:237-244 — O(corpus) per doc); here the scale path is a
+MinHash signature column + banded-LSH groupby that generates candidate
+pairs, then exact-Jaccard verification (SURVEY.md §2.8).
+
+All hashes are process-stable (blake2b), never Python's salted
+``hash()`` — signatures must agree across Ray workers.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_PUNCT_RE = re.compile(r"[^\w\s]+", re.U)
+_WS_RE = re.compile(r"\s+")
+
+# 31-bit Mersenne prime: (a*x+b) with a,x < 2^31 fits in uint64, so the
+# whole (num_perm × n_shingles) permutation grid stays vectorized numpy.
+_MERSENNE = (1 << 31) - 1
+
+
+def tokenize(text: str) -> list[str]:
+    """``utils/tokenize`` (utils.clj:179-189): lowercase + whitespace split."""
+    return text.lower().split()
+
+
+def normalize_text(text: str) -> str:
+    """shingles.clj:5-14 normalization: lowercase, strip punctuation,
+    collapse whitespace."""
+    return _WS_RE.sub(" ", _PUNCT_RE.sub("", text.lower())).strip()
+
+
+def token_ngrams(text: str, n: int = 4) -> set[str]:
+    """``html-doc-4-grams`` (shingles.clj:16-26): set of space-joined
+    token n-grams of the normalized text."""
+    toks = normalize_text(text).split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    """shingles.clj:28-36."""
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Stable 31-bit shingle hashes (uint64 dtype for overflow-free math)."""
+    grams = token_ngrams(text, n)
+    if not grams:
+        return np.zeros(1, dtype=np.uint64)
+    return np.fromiter(
+        (stable_hash64(g) & _MERSENNE for g in grams), dtype=np.uint64, count=len(grams)
+    )
+
+
+def minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a_i*x + b_i) mod p."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_perm: int = 64, ngram: int = 4, params=None) -> np.ndarray:
+    """MinHash signature over token n-gram shingles (vectorized: one
+    (num_perm × n_shingles) broadcast-min per doc, pure uint64)."""
+    a, b = params if params is not None else minhash_params(num_perm)
+    h = _shingle_hashes(text, ngram)
+    sig = ((a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)).min(axis=1)
+    return sig.astype(np.uint64)
+
+
+def minhash_signatures_batch(
+    texts: list[str], num_perm: int = 64, ngram: int = 4, seed: int = 1
+) -> np.ndarray:
+    """(len(texts), num_perm) uint64 signature matrix."""
+    params = minhash_params(num_perm, seed)
+    return np.vstack([minhash_signature(t, num_perm, ngram, params) for t in texts])
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """Banded LSH: split the signature into ``bands`` rows-per-band
+    groups; key = stable hash of (band_id, band values).  Docs sharing
+    any band key are candidate near-dup pairs."""
+    num_perm = len(sig)
+    rows = num_perm // bands
+    keys = []
+    for bidx in range(bands):
+        chunk = sig[bidx * rows : (bidx + 1) * rows]
+        payload = bidx.to_bytes(4, "little") + chunk.tobytes()
+        keys.append(
+            int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        )
+    return keys
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(text: str, ngram: int = 2) -> int:
+    """64-bit SimHash over token n-grams (weight = 1 per distinct gram)."""
+    grams = token_ngrams(text, ngram)
+    if not grams:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for g in grams:
+        h = stable_hash64(g)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

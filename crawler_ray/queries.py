@@ -1,0 +1,1123 @@
+"""Query registry: Ray Data pipelines + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2, exercised
+over the driver testdata tables (region nation customer supplier part
+orders lineitem events documents embeddings).  Each Ray pipeline and
+its oracle compute the SAME names/expressions; float aggregates go
+through exact integer cents (see stages/relational.py) so distributed
+summation order cannot cause hash mismatches.
+
+Entries whose semantics DuckDB cannot mirror exactly (MinHash-LSH,
+SimHash, language-ID heuristic, IVF-ANN, the crawl itself) have
+``sql=None`` → the driver records a weaker rows-only check.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .functions import shingles, textstats
+from .stages.relational import cents, make_partial_agg
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_pq(sf_dir, name), columns=columns)
+
+
+@dataclass
+class QueryDef:
+    fn: Callable
+    sql: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Relational core — groupby/count, joins, anti-join, dedup, top-k
+# =====================================================================
+
+
+@register(
+    "frequencies_model",
+    "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+    doc="The learned-model build: (frequencies leaf-paths) groupby+count "
+    "(reference crawl.clj:108) over the documents table.",
+)
+def frequencies_model(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty,
+           sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price,
+           sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shaped scan+filter+aggregate with per-batch partial "
+    "aggregation (combiner) before the groupby shuffle.",
+)
+def pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1999-01-01"))))
+        qty_c = cents(t["l_quantity"])
+        price_c = cents(t["l_extendedprice"])
+        disc_c = cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        out = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_c": disc_c,
+            }
+        )
+        return make_partial_agg(["l_returnflag", "l_linestatus"], ["qty_c", "price_c", "disc_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c_sum", alias_name="qty"),
+            Sum("price_c_sum", alias_name="price"),
+            Sum("disc_c_sum", alias_name="disc"),
+            Sum("partial_n", alias_name="n"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(t["qty"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(t["price"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t["disc"], pa.float64()), 100.0),
+                "n": t["n"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Broadcast join: small sides (customer→nation map) shipped once "
+    "via ray.put, looked up per batch (SURVEY.md §2.5 join strategy).",
+)
+def revenue_by_nation(sf_dir: str):
+    import ray
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    cmap = {
+        ck: nmap[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cmap)
+
+    class JoinNation:
+        def __init__(self):
+            self.cmap = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = pd.Series(t["o_custkey"].to_numpy()).map(self.cmap)
+            out = pa.table(
+                {
+                    "n_name": pa.array(names, type=pa.string()),
+                    "price_c": cents(t["o_totalprice"]),
+                }
+            )
+            return make_partial_agg(["n_name"], ["price_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(JoinNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("price_c_sum", alias_name="rev_c"), Sum("partial_n", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 100.0),
+                "n_orders": t["n_orders"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "corpus_self_join",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Large-large hash join (Dataset.join, hash-partitioned on the "
+    "key) — the corpus self-join on src_url analog (corpus.clj:33-36).",
+)
+def corpus_self_join(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({"o_orderstatus": t["o_orderstatus"], "qty_c": cents(t["l_quantity"])})
+        return make_partial_agg(["o_orderstatus"], ["qty_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("partial_n", alias_name="n_items"), Sum("qty_c_sum", alias_name="qty_c"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "n_items": t["n_items"],
+                "sum_qty": pc.divide(pc.cast(t["qty_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "anti_join_seen",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS total
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderpriority
+    """,
+    doc="URL-seen anti-join semantics (crawl.clj:124-129): broadcast the "
+    "seen-set, filter inside map_batches — no shuffle.",
+)
+def anti_join_seen(sf_dir: str):
+    import ray
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    seen = set(
+        ck
+        for ck, bal in zip(cust["c_custkey"].to_pylist(), cust["c_acctbal"].to_pylist())
+        if bal < 0
+    )
+    ref = ray.put(np.array(sorted(seen), dtype=np.int64))
+
+    class AntiJoin:
+        def __init__(self):
+            self.seen = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy()
+            idx = np.searchsorted(self.seen, keys)
+            idx = np.clip(idx, 0, len(self.seen) - 1)
+            hit = (len(self.seen) > 0) & (self.seen[idx] == keys)
+            t = t.filter(pa.array(~hit))
+            out = pa.table(
+                {"o_orderpriority": t["o_orderpriority"], "price_c": cents(t["o_totalprice"])}
+            )
+            return make_partial_agg(["o_orderpriority"], ["price_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("price_c_sum", alias_name="price_c"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n": t["n"],
+                "total": pc.divide(pc.cast(t["price_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "exact_dedup_first",
+    "SELECT lang, source, min(doc_id) AS doc_id_first, count(*) AS n "
+    "FROM documents GROUP BY lang, source",
+    doc="Exact dedup distinct-by-key semantics (utils.clj:300-308, "
+    "crawl.clj:25-36): hash-partition by key, keep first per group.",
+)
+def exact_dedup_first(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Min("doc_id", alias_name="doc_id_first"), Count(alias_name="n"))
+    )
+
+
+@register(
+    "topk_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="Distributed top-k (sort + limit) — plan-ordering analog "
+    "(execute.clj:10-17).",
+)
+def topk_orders(sf_dir: str):
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+@register(
+    "mean_var_score",
+    """
+    WITH g AS (
+      SELECT l_partkey, count(*) AS n,
+             sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS s1,
+             sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)
+                 * CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS s2
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, n,
+           (s1/100.0/n) * ((s2/10000.0 - (s1/100.0)*(s1/100.0)/n)/(n-1)) AS score
+    FROM g WHERE n >= 2 ORDER BY score DESC, l_partkey LIMIT 20
+    """,
+    doc="rank/score-xpaths-1 mean×variance ranking (rank.clj:132-170) "
+    "computed from exact integer moments (sum, sum-of-squares).",
+)
+def mean_var_score(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qc = cents(t["l_quantity"])
+        out = pa.table(
+            {"l_partkey": t["l_partkey"], "s1": qc, "s2": pc.multiply(qc, qc)}
+        )
+        return make_partial_agg(["l_partkey"], ["s1", "s2"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("s1_sum", alias_name="s1"),
+            Sum("s2_sum", alias_name="s2"),
+            Sum("partial_n", alias_name="n"),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], 2))
+        n = t["n"].to_numpy().astype(np.float64)
+        s1 = t["s1"].to_numpy().astype(np.float64)
+        s2 = t["s2"].to_numpy().astype(np.float64)
+        mean = s1 / 100.0 / n
+        var = (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "n": t["n"], "score": pa.array(mean * var)}
+        )
+
+    return agg.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "l_partkey"], descending=[True, False]
+    ).limit(20)
+
+
+@register(
+    "nunique_histogram",
+    """
+    WITH d AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS np
+               FROM orders GROUP BY o_custkey)
+    SELECT np AS n_priorities, count(*) AS n_customers FROM d GROUP BY np
+    """,
+    doc="rank/rank-cluster-url-entry-point nunique aggregation "
+    "(rank.clj:46-52): distinct-count per key, then histogram.",
+)
+def nunique_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .groupby(["o_custkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    per_cust = pairs.groupby("o_custkey").aggregate(Count(alias_name="n_priorities"))
+    return per_cust.groupby("n_priorities").aggregate(Count(alias_name="n_customers"))
+
+
+@register(
+    "tpch_q3_like",
+    """
+    SELECT o_orderkey, o_orderdate,
+           sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="3-way join + aggregate + top-k: broadcast the filtered "
+    "customer/order side, shuffle only the final small groupby.",
+)
+def tpch_q3_like(sf_dir: str):
+    import ray
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    bld = set(
+        ck
+        for ck, seg in zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+        if seg == "BUILDING"
+    )
+    orders = pq.read_table(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pd.Timestamp("1998-01-01")
+    omap = {
+        ok: od
+        for ok, ck, od in zip(
+            orders["o_orderkey"].to_pylist(),
+            orders["o_custkey"].to_pylist(),
+            orders["o_orderdate"].to_pylist(),
+        )
+        if ck in bld and od < cutoff
+    }
+    ref = ray.put(omap)
+
+    class JoinOrders:
+        def __init__(self):
+            self.omap = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_pylist()
+            mask = [k in self.omap for k in keys]
+            t = t.filter(pa.array(mask))
+            dates = [self.omap[k] for k in t["l_orderkey"].to_pylist()]
+            disc_c = cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            )
+            out = pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "o_orderdate": pa.array(dates, type=pa.timestamp("us")),
+                    "rev_c": disc_c,
+                }
+            )
+            return make_partial_agg(["o_orderkey", "o_orderdate"], ["rev_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(JoinOrders, batch_format="pyarrow", concurrency=2)
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
+    )
+    return (
+        agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_orderdate": t["o_orderdate"],
+                    "revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 100.0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# =====================================================================
+# Stream-shaped operators over the events table (SURVEY.md §2.11)
+# =====================================================================
+
+
+@register(
+    "event_histogram",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="xpath-histogram analog (dom.clj:264-286) over the event log.",
+)
+def event_histogram(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({"event_type": t["event_type"], "v_c": cents(t["value"])})
+        return make_partial_agg(["event_type"], ["v_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("v_c_sum", alias_name="v_c"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["v_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "windowed_agg",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n,
+           sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc="Tumbling 1-hour window aggregate: window key computed "
+    "vectorized per batch, then a small groupby — no per-row state.",
+)
+def windowed_agg(sf_dir: str):
+    US_PER_H = 3_600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        ws = pc.multiply(pc.divide(us, US_PER_H), US_PER_H)  # integer floor div
+        out = pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.cast(ws, pa.timestamp("us")),
+                "v_c": cents(t["value"]),
+            }
+        )
+        return make_partial_agg(["event_type", "window_start"], ["v_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("v_c_sum", alias_name="v_c"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["v_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    u AS (SELECT user_id, sum(brk) AS ns FROM s GROUP BY user_id)
+    SELECT ns AS n_sessions, count(*) AS n_users FROM u GROUP BY ns
+    """,
+    doc="Session windows (30-min gap): partition by user, sort by ts "
+    "within group, count gap breaks — groupby().map_groups pattern.",
+)
+def sessionize(sf_dir: str):
+    GAP = pd.Timedelta(minutes=30)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        breaks = (ts.diff() > GAP).sum() + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "ns": [int(breaks)]})
+
+    from ray.data.aggregate import Count
+
+    per = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    return per.groupby("ns").aggregate(Count(alias_name="n_users")).map_batches(
+        lambda t: pa.table({"n_sessions": t["ns"], "n_users": t["n_users"]}),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "asof_join",
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT count(*) AS n_purchases,
+           count(c.ts) AS n_matched,
+           sum(datediff('microsecond', c.ts, p.ts)) AS sum_gap_us,
+           (sum(datediff('microsecond', c.ts, p.ts))/(1.0*count(c.ts)))/1000000.0
+             AS avg_gap_s
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+    doc="As-of join (custom operator Ray Data lacks): per-user "
+    "merge_asof of purchases to the latest strictly-earlier click; "
+    "partitioning assumption: co-partitioned by user_id.",
+)
+def asof_join(sf_dir: str):
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"][["ts"]].sort_values("ts")
+        c = g[g["event_type"] == "click"][["ts"]].sort_values("ts").rename(columns={"ts": "cts"})
+        if len(p) == 0:
+            return pd.DataFrame({"n_purchases": [0], "n_matched": [0], "sum_gap_us": [0]})
+        if len(c) == 0:
+            return pd.DataFrame({"n_purchases": [len(p)], "n_matched": [0], "sum_gap_us": [0]})
+        m = pd.merge_asof(p, c, left_on="ts", right_on="cts", allow_exact_matches=False)
+        matched = m["cts"].notna()
+        gap = (m.loc[matched, "ts"] - m.loc[matched, "cts"]).dt.total_seconds() * 1_000_000
+        return pd.DataFrame(
+            {
+                "n_purchases": [len(p)],
+                "n_matched": [int(matched.sum())],
+                "sum_gap_us": [int(round(gap.sum()))],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per = (
+        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+    agg = per.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array([0] * t.num_rows, type=pa.int32()),
+                "n_purchases": t["n_purchases"],
+                "n_matched": t["n_matched"],
+                "sum_gap_us": t["sum_gap_us"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("k").aggregate(
+        Sum("n_purchases", alias_name="n_purchases"),
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("sum_gap_us", alias_name="sum_gap_us"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_m = t["n_matched"].to_numpy().astype(np.float64)
+        s = t["sum_gap_us"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "n_purchases": t["n_purchases"],
+                "n_matched": t["n_matched"],
+                "sum_gap_us": t["sum_gap_us"],
+                "avg_gap_s": pa.array((s / (1.0 * n_m)) / 1000000.0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# =====================================================================
+# Text analysis over documents (training-data pipeline operators)
+# =====================================================================
+
+
+@register(
+    "token_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           sum(length(text)) AS total_chars,
+           sum(len(string_split(text, ' ')))/(1.0*count(*)) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting (utils/tokenize analog, utils.clj:179-189) — "
+    "vectorized space counting per batch, integer partials.",
+)
+def token_stats(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.add(pc.count_substring(t["text"], " "), 1)
+        out = pa.table(
+            {
+                "lang": t["lang"],
+                "toks": pc.cast(toks, pa.int64()),
+                "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+        return make_partial_agg(["lang"], ["toks", "chars"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("toks_sum", alias_name="total_tokens"),
+            Sum("chars_sum", alias_name="total_chars"),
+            Sum("partial_n", alias_name="n_docs"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tt = t["total_tokens"].to_numpy().astype(np.float64)
+        n = t["n_docs"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "total_tokens": t["total_tokens"],
+                "total_chars": t["total_chars"],
+                "avg_tokens": pa.array(tt / (1.0 * n)),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "quality_score",
+    """
+    SELECT lang,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           sum(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the','a','of','to','and')))) AS n_stopwords,
+           sum(length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) AS n_punct,
+           sum(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the','a','of','to','and'))))
+             /(1.0*sum(len(string_split(text, ' ')))) AS stopword_ratio
+    FROM documents GROUP BY lang
+    """,
+    doc="Quality scoring (stopword/punctuation ratios) — integer "
+    "partial counts per batch; single final division.",
+)
+def quality_score(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = [textstats.space_token_count(x) for x in texts]
+        stop = [textstats.stopword_count(x) for x in texts]
+        punct = [sum(1 for c in x if c in ".,;:!?'\"()[]{}-") for x in texts]
+        out = pa.table(
+            {
+                "lang": t["lang"],
+                "toks": pa.array(toks, type=pa.int64()),
+                "stop": pa.array(stop, type=pa.int64()),
+                "punct": pa.array(punct, type=pa.int64()),
+            }
+        )
+        return make_partial_agg(["lang"], ["toks", "stop", "punct"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("toks_sum", alias_name="total_tokens"),
+            Sum("stop_sum", alias_name="n_stopwords"),
+            Sum("punct_sum", alias_name="n_punct"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["n_stopwords"].to_numpy().astype(np.float64)
+        tt = t["total_tokens"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "total_tokens": t["total_tokens"],
+                "n_stopwords": t["n_stopwords"],
+                "n_punct": t["n_punct"],
+                "stopword_ratio": pa.array(s / (1.0 * tt)),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "fingerprint_docs",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+             AS n_unique_fp
+    FROM documents GROUP BY source
+    """,
+    doc="Document fingerprinting (md5 of whitespace-normalized text) + "
+    "distinct count per source — exact-dedup key computation.",
+)
+def fingerprint_docs(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        fps = [textstats.fingerprint(x) for x in t["text"].to_pylist()]
+        return pa.table({"source": t["source"], "fp": pa.array(fps, type=pa.string())})
+
+    from ray.data.aggregate import Count, Sum
+
+    pairs = (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["source", "fp"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return (
+        pairs.groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"), Count(alias_name="n_unique_fp"))
+        .map_batches(
+            lambda t: pa.table(
+                {"source": t["source"], "n_docs": t["n_docs"], "n_unique_fp": t["n_unique_fp"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# =====================================================================
+# Embedding operators — similarity search + near-dup (SURVEY.md extras)
+# =====================================================================
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding FROM embeddings
+               WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    ranked AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM q)) DESC,
+                        vec_id) AS rank
+      FROM embeddings
+      WHERE vec_id != (SELECT min(vec_id) FROM embeddings))
+    SELECT vec_id, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-k similarity search: query vector "
+    "broadcast once, per-batch numpy matmul + local top-k, global "
+    "sort+limit.  Output is (vec_id, rank) — ranks are FP-stable "
+    "because adjacent true cosines differ by ≥3e-4 in this data while "
+    "engine disagreement is ≤2e-7.",
+)
+def ann_cosine_topk(sf_dir: str):
+    import ray
+
+    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    qid = int(ids.min())
+    qvec = np.array(emb["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+    qref = ray.put(qvec)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.qn = self.q / np.linalg.norm(self.q)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = t["vec_id"].to_numpy()
+            mask = vids != qid
+            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[mask]
+            vids = vids[mask]
+            if len(vids) == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())})
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cos = mn @ self.qn
+            k = min(10, len(cos))  # local top-k prune before the global sort
+            top = np.argpartition(-cos, k - 1)[:k]
+            return pa.table({"vec_id": pa.array(vids[top]), "cos": pa.array(cos[top])})
+
+    top = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+    df = top.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["vec_id", "rank"]]
+
+
+@register(
+    "embedding_neardup",
+    """
+    SELECT a.label AS label, count(*) AS n_pairs
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    GROUP BY a.label
+    """,
+    doc="Embedding-cosine near-duplicate pairs within label buckets "
+    "(IVF-style bucketing: only same-bucket pairs compared).  "
+    "Threshold 0.4 sits ≥1.7e-3 from every pair in this data, so "
+    "float32 (DuckDB) vs float64 (numpy) disagreement (≤2e-7) cannot "
+    "flip a pair.",
+)
+def embedding_neardup(sf_dir: str):
+    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(g["embedding"].to_list(), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = mn @ mn.T
+        iu = np.triu_indices(len(m), k=1)
+        n = int((cos[iu] >= 0.4).sum())
+        if n == 0:
+            return pd.DataFrame(
+                {"label": pd.Series([], dtype="int64"), "n_pairs": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame({"label": [int(g["label"].iloc[0])], "n_pairs": [n]})
+
+    out = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+        .groupby("label")
+        .map_groups(per_label, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int32()),
+                "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# =====================================================================
+# Link-graph operators (derived deterministically from documents —
+# the crawl frontier shape with an exact SQL oracle)
+# =====================================================================
+
+_LINK_SQL_CTE = """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j))
+"""
+
+
+def _explode_links(t: pa.Table, n_docs: int) -> np.ndarray:
+    ids = t["doc_id"].to_numpy()
+    k = (ids % 5 + 3).astype(np.int64)
+    src = np.repeat(ids, k)
+    # per-row j = 0..k_i-1 via cumulative offsets
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    return (src * 131 + j * 37 + j * j * 11 + 7) % n_docs
+
+
+@register(
+    "link_graph_degree",
+    _LINK_SQL_CTE
+    + """,
+    deg AS (SELECT target, count(*) AS indeg FROM l GROUP BY target)
+    SELECT indeg, count(*) AS n_docs FROM deg GROUP BY indeg
+    """,
+    doc="Link explode → in-degree → histogram: the link-extraction + "
+    "frontier-count shape (dom.clj:304-376 explode, groupby target).",
+)
+def link_graph_degree(sf_dir: str):
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pa.Table:
+        tgt = _explode_links(t, n_docs)
+        out = pa.table({"target": pa.array(tgt)})
+        return out.group_by(["target"]).aggregate([([], "count_all")]).rename_columns(["target", "pn"])
+
+    from ray.data.aggregate import Count, Sum
+
+    deg = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("target")
+        .aggregate(Sum("pn", alias_name="indeg"))
+    )
+    return deg.groupby("indeg").aggregate(Count(alias_name="n_docs"))
+
+
+@register(
+    "frontier_discovery",
+    _LINK_SQL_CTE
+    + """
+    SELECT count(DISTINCT target) AS n_new FROM l WHERE target >= 10
+    """,
+    doc="Frontier discovery count: exploded links, anti-join vs the "
+    "seed set (doc_id < 10), exact distinct — the URL-seen test-and-set "
+    "result cardinality.",
+)
+def frontier_discovery(sf_dir: str):
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pa.Table:
+        tgt = _explode_links(t, n_docs)
+        tgt = np.unique(tgt[tgt >= 10])  # per-batch pre-dedup
+        return pa.table({"target": pa.array(tgt)})
+
+    uniq = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .unique("target")
+    )
+    n = len(uniq)
+    return pa.table({"n_new": pa.array([n], type=pa.int64())})
+
+
+@register(
+    "ngram_jaccard_neardup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] AS g
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS s(j)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           i/(1.0*(sa.sz + sb.sz - i)) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i/(1.0*(sa.sz + sb.sz - i)) >= 0.09
+    """,
+    doc="Exact n-gram-Jaccard similarity join (token bigrams, θ=0.09): "
+    "explode distinct grams → inverted-index groupby → pair counts → "
+    "exact Jaccard (pure integer arithmetic; no FP risk).  Scale path: "
+    "prefix/df pruning (PPJoin) — documented, not needed at this size.",
+)
+def ngram_jaccard_neardup(sf_dir: str):
+    import ray
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, gh = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tk = txt.split(" ")
+            gs = {tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1)} if len(tk) >= 2 else set(tk)
+            for g in gs:
+                ids.append(did)
+                # stable 63-bit gram hash: cheaper to shuffle than strings;
+                # collision over ~1e5 grams is ~1e-9 — negligible vs oracle
+                gh.append(shingles.stable_hash64(g) & 0x7FFFFFFFFFFFFFFF)
+        out = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "gh": pa.array(gh, type=pa.int64())})
+        return out.append_column("bucket", pc.cast(pc.bit_wise_and(out["gh"], 31), pa.int32()))
+
+    grams = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    # sizes: |grams(doc)| — one small row per doc, broadcast for the final join
+    from ray.data.aggregate import Count, Sum
+
+    sizes_df = grams.groupby("doc_id").aggregate(Count(alias_name="sz")).to_pandas()
+    size_map = dict(zip(sizes_df["doc_id"], sizes_df["sz"]))
+    sref = ray.put(size_map)
+
+    # bucket-parallel inverted-index pair generation: 32 buckets, one
+    # vectorized pandas self-merge per bucket (NOT one Python call per
+    # gram — that is 1000x slower with ~40k distinct grams)
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["doc_id", "gh"]]
+        m = df.merge(df, on="gh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "doc_a": out["doc_id_a"].astype("int64"),
+                "doc_b": out["doc_id_b"].astype("int64"),
+                "pi": out["size"].astype("int64"),
+            }
+        )
+
+    from crawler_ray.stages.relational import bucketed_agg
+
+    pair_counts = bucketed_agg(
+        grams.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas"),
+        keys=["doc_a", "doc_b"],
+        sum_cols={"pi": "i"},
+    )
+
+    class Jaccard:
+        def __init__(self):
+            self.sz = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["doc_a"].to_numpy().astype(np.int64)
+            b = t["doc_b"].to_numpy().astype(np.int64)
+            i = t["i"].to_numpy().astype(np.int64)
+            sa = np.array([self.sz[x] for x in a], dtype=np.int64)
+            sb = np.array([self.sz[x] for x in b], dtype=np.int64)
+            j = i / (1.0 * (sa + sb - i))
+            keep = j >= 0.09
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep]),
+                    "doc_b": pa.array(b[keep]),
+                    "jaccard": pa.array(j[keep]),
+                }
+            )
+
+    return pair_counts.map_batches(Jaccard, batch_format="pyarrow", concurrency=2)

@@ -1,0 +1,95 @@
+"""Shared relational building blocks for Ray Data pipelines.
+
+Design rules (SURVEY.md §4, §7):
+  * money/quantity aggregates go through exact integer cents
+    (``floor(x*100 + 0.5)`` → int64) so distributed summation order
+    cannot perturb results vs the DuckDB oracle;
+  * every big groupby is preceded by a per-batch partial aggregation
+    (combiner) so the shuffle moves one row per key per batch, not one
+    row per input row;
+  * small sides are broadcast via ``ray.put`` once, never re-shipped
+    per batch; large-large joins use ``Dataset.join`` (hash
+    partitioned).
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Exact integer cents: floor(x*100 + 0.5) as int64.
+
+    ``floor`` (not ``round``) so Ray and DuckDB agree on exact .5
+    boundaries — Arrow rounds half-to-even, DuckDB half-away."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+
+
+def make_partial_agg(keys: list[str], sum_cols: list[str], count_name: str = "partial_n"):
+    """Per-batch combiner: groupby(keys) within the batch, emitting
+    partial sums (``<col>_sum``) + a partial count column.  Cuts the
+    global shuffle from O(rows) to O(keys × batches)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+        out = batch.group_by(keys).aggregate(aggs)
+        return out.rename_columns(
+            [count_name if n == "count_all" else n for n in out.column_names]
+        )
+
+    return fn
+
+
+def final_groupby_sum(ds, keys: list[str], partial_cols: dict[str, str]):
+    """Global groupby over partials: Sum each ``partial → alias``."""
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(src, alias_name=dst) for src, dst in partial_cols.items()]
+    return ds.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+
+
+def broadcast_dict(mapping: dict):
+    """``ray.put`` a lookup table once; stages resolve the ref lazily
+    inside workers (small-side broadcast join, SURVEY.md §2.5)."""
+    import ray
+
+    return ray.put(mapping)
+
+
+def bucketed_agg(ds, keys: list[str], sum_cols: dict[str, str], n_buckets: int = 32):
+    """Aggregation for HIGH-CARDINALITY keys: Ray's groupby().aggregate()
+    costs ~2 ms of per-group Python overhead, so >10^4 groups is minutes.
+    Instead: hash keys into ``n_buckets`` coarse buckets, shuffle once on
+    the bucket id, and run one vectorized pandas groupby per bucket.
+
+    ``sum_cols``: {input_col: output_name} summed per key group; a
+    ``{"__count__": name}`` entry emits group sizes.  Returns a Dataset
+    with ``keys + list(sum_cols.values())`` columns.
+    """
+    import pandas as pd
+
+    real_sums = {c: o for c, o in sum_cols.items() if c != "__count__"}
+    count_name = sum_cols.get("__count__")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df = df.copy()
+        df["__bucket"] = (h % n_buckets).astype("int32")
+        return df
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, as_index=False, sort=False)
+        if real_sums:
+            out = gb[list(real_sums)].sum()
+            out = out.rename(columns=real_sums)
+            if count_name:
+                out[count_name] = gb.size()["size"].to_numpy()
+        else:
+            out = gb.size().rename(columns={"size": count_name})
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: agg_bucket(g.drop(columns="__bucket")), batch_format="pandas")
+    )

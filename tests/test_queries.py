@@ -1,0 +1,50 @@
+"""Fast sample of the queries-vs-DuckDB oracle gate (full sweep lives in
+tools/check_queries.py; the driver runs the whole registry at sf0.01)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SF = "/root/testdata/sf0.001"
+SAMPLE = ["frequencies_model", "pricing_summary", "topk_orders", "token_stats", "windowed_agg"]
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_sampled_queries_match_oracle(ray_session):
+    from crawler_ray.queries import REGISTRY
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = os.path.join(SF, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    for name in SAMPLE:
+        qd = REGISTRY[name]
+        got = qd.fn(SF)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        want = con.sql(qd.sql).df()
+        assert len(got) == len(want), name
+        ca, cb = _canon(got), _canon(want)
+        for c in ca.columns:
+            va, vb = ca[c].to_numpy(), cb[c].to_numpy()
+            if va.dtype.kind == "f":
+                assert np.allclose(va.astype(np.float64), vb.astype(np.float64), rtol=0, atol=0), (name, c)
+            else:
+                assert (va == vb).all(), (name, c)
+
+
+def test_registry_complete(ray_session):
+    from crawler_ray.queries import REGISTRY
+
+    assert len(REGISTRY) >= 22
+    for name, qd in REGISTRY.items():
+        assert callable(qd.fn), name
