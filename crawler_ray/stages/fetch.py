@@ -1,0 +1,137 @@
+"""Fetch stage: actor pool resolving frontier URLs against the page
+store, with per-host politeness, robots caching and redirect-alias
+semantics.
+
+Reference behavior reproduced (SURVEY.md §2.1, §2.11):
+  * ``utils/download-with-cookie`` + global sleeps → per-host token
+    bucket (PolitenessClock shards) instead of global Thread/sleep
+    (crawl.clj:83,333; utils.clj:25 min-wait floor)
+  * redirect caching under every hop URL (utils.clj:210-227): fetch of
+    an alias returns the target body and reports the full alias chain,
+    which the crawl inserts into URL-seen (crawl.clj:743-745)
+  * robots: the reference declares clj-robots but never calls it
+    (project.clj:12); the north_rule requires it, so fetches consult a
+    per-host robots cache (fetched once per host, cached in-actor)
+  * fetch errors become ``status`` rows, never silent drops
+    (crawl.clj:93-94 silently nils — made explicit here)
+
+In this sandbox "fetching" is a row lookup in the synthetic site graph
+(FIXTURES.md: the graph table is the web).  The graph is put in the
+object store ONCE (``ray.put``) and each Fetcher actor builds its
+url→row index in ``__init__`` — zero-copy read, one index build per
+actor, never per batch.
+"""
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import ray
+
+from ..functions.urlnorm import host_hash, url_host
+
+# The synthetic web's robots payload: every host disallows /private/.
+SYNTH_ROBOTS_DISALLOW = ("/private",)
+
+
+@ray.remote
+class PolitenessClock:
+    """Sharded per-host token bucket: ``reserve(host, n)`` books n fetch
+    slots at ``interval_ms`` spacing and returns the wall-clock start
+    time.  One RPC per (host, batch), never per URL."""
+
+    def __init__(self, interval_ms: int):
+        self.interval = interval_ms / 1000.0
+        self.next_free: dict[str, float] = {}
+
+    def reserve(self, host: str, n: int) -> float:
+        now = time.monotonic()
+        start = max(now, self.next_free.get(host, 0.0))
+        self.next_free[host] = start + n * self.interval
+        return start
+
+
+class RobotsCache:
+    """Per-actor robots.txt cache: one (synthetic) fetch per host,
+    cached for the actor's lifetime (a TTL would refresh it live)."""
+
+    def __init__(self):
+        self.rules: dict[str, tuple[str, ...]] = {}
+
+    def disallowed(self, url: str) -> bool:
+        host = url_host(url)
+        if host not in self.rules:
+            self.rules[host] = SYNTH_ROBOTS_DISALLOW  # synthetic robots fetch
+        path = url.split(host, 1)[-1] if host else url
+        return any(path.startswith(p) for p in self.rules[host])
+
+
+class Fetcher:
+    """map_batches actor: frontier batch → PAGES-schema batch.
+
+    ``graph_ref``: ray.put() ref of the SITE_PAGES arrow table.
+    ``politeness``: list of PolitenessClock handles (host-hash sharded),
+    empty → no rate limiting (bench mode)."""
+
+    def __init__(self, graph_ref, politeness=None, interval_ms: int = 0):
+        # a ref when constructed via map_batches fn_constructor_args (Ray
+        # Data pickles it through); already-dereferenced when passed as a
+        # plain actor constructor arg (Ray auto-resolves ObjectRefs)
+        table: pa.Table = ray.get(graph_ref) if isinstance(graph_ref, ray.ObjectRef) else graph_ref
+        urls = table.column("doc_id").to_pylist()
+        self.idx = {u: i for i, u in enumerate(urls)}
+        self.bodies = table.column("html").to_pylist()
+        self.redirect = table.column("redirect_to").to_pylist()
+        self.robots = RobotsCache()
+        self.politeness = politeness or []
+        self.interval_ms = interval_ms
+
+    def _resolve(self, url: str, hops: list[str]) -> tuple[str, str, list[str]]:
+        """Follow redirect chain; returns (status, final_url, chain)."""
+        cur = url
+        for _ in range(5):
+            i = self.idx.get(cur)
+            if i is None:
+                return "missing", cur, hops
+            tgt = self.redirect[i]
+            if not tgt:
+                return ("redirect" if hops[1:] else "ok"), cur, hops
+            hops.append(tgt)
+            cur = tgt
+        return "redirect_loop", cur, hops
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if self.politeness and urls:
+            # one reserve per distinct host in the batch
+            hosts: dict[str, int] = {}
+            for u in urls:
+                h = url_host(u)
+                hosts[h] = hosts.get(h, 0) + 1
+            starts = ray.get(
+                [
+                    # stable host→shard routing (NOT the salted builtin hash)
+                    self.politeness[host_hash(h, len(self.politeness))].reserve.remote(h, n)
+                    for h, n in hosts.items()
+                ]
+            )
+            wait = max(starts) - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
+        status, redirects, bodies = [], [], []
+        for u in urls:
+            if self.robots.disallowed(u):
+                status.append("robots_denied")
+                redirects.append([u])
+                bodies.append("")
+                continue
+            st, final, chain = self._resolve(u, [u])
+            status.append(st)
+            redirects.append(chain)
+            i = self.idx.get(final)
+            bodies.append(self.bodies[i] if i is not None and st in ("ok", "redirect") else "")
+        out = batch.drop_columns([c for c in ("status", "redirects", "body") if c in batch.column_names])
+        out = out.append_column("status", pa.array(status, type=pa.string()))
+        out = out.append_column("redirects", pa.array(redirects, type=pa.list_(pa.string())))
+        out = out.append_column("body", pa.array(bodies, type=pa.large_string()))
+        return out

@@ -1,0 +1,146 @@
+"""Partitioned URL-seen set: bloom/cuckoo test-and-set shard actors.
+
+The visited-set union of the reference (crawl.clj:136-139 et al.)
+becomes N shard actors, each owning the keys with
+``url_hash64(url) % N == shard_id`` — one owner per key means
+test-and-set needs no cross-shard coordination (SURVEY.md §7.5).
+
+This is one of the few places raw Ray actors are justified: a shared
+*mutable* membership index that every round must read AND write; the
+Dataset API has no primitive for incremental test-and-set.  The
+frontier pipeline calls ``filter_new_links`` which routes a links
+Dataset through the shards batch-wise (one remote call per shard per
+batch, NOT per URL).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.urlnorm import url_hash64
+from ..state.bloom import BloomFilter, CuckooFilter
+
+
+@ray.remote
+class SeenShard:
+    """One URL-seen partition: approximate filter + (small-scale only)
+    exact audit set for conformance checks."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000, kind: str = "bloom", exact_audit: bool = True):
+        self.shard_id = shard_id
+        self.filter = BloomFilter(capacity) if kind == "bloom" else CuckooFilter(capacity)
+        self.exact = set() if exact_audit else None
+
+    def test_and_set(self, urls: list[str]) -> np.ndarray:
+        """Insert all; return bool array: True where the URL was new."""
+        out = np.zeros(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            if self.exact is not None:
+                new = u not in self.exact
+                if new:
+                    self.exact.add(u)
+                    self.filter.add(u)
+                out[i] = new
+            else:
+                out[i] = self.filter.add(u)
+        return out
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        src = self.exact if self.exact is not None else self.filter
+        return np.array([u in src for u in urls], dtype=bool)
+
+    def size(self) -> int:
+        return len(self.exact) if self.exact is not None else self.filter.count
+
+    def members(self) -> list[str]:
+        """Exact membership (audit mode only) — conformance tests."""
+        return sorted(self.exact) if self.exact is not None else []
+
+    def snapshot(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "filter": self.filter.snapshot(),
+            "exact": sorted(self.exact) if self.exact is not None else None,
+        }
+
+    def restore(self, snap: dict) -> None:
+        kind = snap["filter"]["kind"]
+        self.filter = (BloomFilter if kind == "bloom" else CuckooFilter).restore(snap["filter"])
+        self.exact = set(snap["exact"]) if snap["exact"] is not None else None
+
+
+class SeenSet:
+    """Driver-side handle over the shard actors."""
+
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1_000_000, kind: str = "bloom", exact_audit: bool = True):
+        self.n = n_shards
+        self.shards = [
+            SeenShard.remote(i, capacity_per_shard, kind, exact_audit) for i in range(n_shards)
+        ]
+
+    def _route(self, urls: list[str]) -> tuple[list[list[str]], list[list[int]]]:
+        per, idx = [[] for _ in range(self.n)], [[] for _ in range(self.n)]
+        for i, u in enumerate(urls):
+            s = url_hash64(u) % self.n
+            per[s].append(u)
+            idx[s].append(i)
+        return per, idx
+
+    def test_and_set(self, urls: list[str]) -> np.ndarray:
+        """Batch test-and-set across shards (one RPC per non-empty shard)."""
+        per, idx = self._route(urls)
+        futs = {s: self.shards[s].test_and_set.remote(per[s]) for s in range(self.n) if per[s]}
+        out = np.zeros(len(urls), dtype=bool)
+        for s, fut in futs.items():
+            out[np.array(idx[s], dtype=np.int64)] = ray.get(fut)
+        return out
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        per, idx = self._route(urls)
+        futs = {s: self.shards[s].contains.remote(per[s]) for s in range(self.n) if per[s]}
+        out = np.zeros(len(urls), dtype=bool)
+        for s, fut in futs.items():
+            out[np.array(idx[s], dtype=np.int64)] = ray.get(fut)
+        return out
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def members(self) -> set[str]:
+        out: set[str] = set()
+        for m in ray.get([s.members.remote() for s in self.shards]):
+            out.update(m)
+        return out
+
+    def snapshot(self) -> list[dict]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, snaps: list[dict]) -> None:
+        ray.get([self.shards[s["shard_id"]].restore.remote(s) for s in snaps])
+
+
+def make_seen_filter_stage(seen: SeenSet):
+    """map_batches stage: links batch → only rows whose url is NEW
+    (test-and-set).  The shard actors are the state; this function is a
+    stateless task that routes to them."""
+
+    shards = seen.shards
+    n = seen.n
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if not urls:
+            return batch
+        per, idx = [[] for _ in range(n)], [[] for _ in range(n)]
+        for i, u in enumerate(urls):
+            s = url_hash64(u) % n
+            per[s].append(u)
+            idx[s].append(i)
+        futs = {s: shards[s].test_and_set.remote(per[s]) for s in range(n) if per[s]}
+        new = np.zeros(len(urls), dtype=bool)
+        for s, fut in futs.items():
+            new[np.array(idx[s], dtype=np.int64)] = ray.get(fut)
+        return batch.filter(pa.array(new))
+
+    return fn

@@ -1,0 +1,144 @@
+"""Per-round checkpointing with lineage + metrics, and exact resume.
+
+The reference dumps full EDN state once at the END of a crawl
+(main.clj:40-85) and never implements resume; the north_rule requires
+per-partition checkpoints such that a killed job resumes exactly.
+
+Layout under ``root/``:
+
+    round_00042/
+        corpus/part-*.parquet     (this round's fetched docs + spans)
+        frontier/part-*.parquet   (frontier AFTER the round)
+        manifest.json             (lineage: round, prior round, counters,
+                                   metrics, row counts, snapshot paths)
+        seen_snapshot.pkl         (every snapshot_every rounds)
+        neardup_snapshot.pkl      (        ″        )
+
+A round directory is published ATOMICALLY by renaming ``.tmp`` →
+final, so a crash mid-write can never yield a half-readable round;
+``latest_round`` only sees published manifests.  Resume = newest round
+whose manifest exists AND whose nearest ≤ snapshot round has filter
+snapshots; rounds after that snapshot are replayed from their frontier
+tables (the corpus parquet of later rounds is simply overwritten —
+idempotent because round output is a pure function of frontier+state).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round_{rnd:05d}")
+
+    def write_round(
+        self,
+        rnd: int,
+        corpus: pa.Table,
+        frontier: pa.Table,
+        metrics: dict,
+        step: int,
+        next_seq: int,
+        seen=None,
+        neardup=None,
+    ) -> str:
+        final = self._round_dir(rnd)
+        tmp = final + ".tmp"
+        os.makedirs(os.path.join(tmp, "corpus"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
+        pq.write_table(corpus, os.path.join(tmp, "corpus", "part-00000.parquet"))
+        pq.write_table(frontier, os.path.join(tmp, "frontier", "part-00000.parquet"))
+        snap_paths = {}
+        if seen is not None:
+            with open(os.path.join(tmp, "seen_snapshot.pkl"), "wb") as f:
+                pickle.dump(seen.snapshot(), f)
+            snap_paths["seen"] = "seen_snapshot.pkl"
+        if neardup is not None:
+            with open(os.path.join(tmp, "neardup_snapshot.pkl"), "wb") as f:
+                pickle.dump(ray.get(neardup.snapshot.remote()), f)
+            snap_paths["neardup"] = "neardup_snapshot.pkl"
+        manifest = {
+            "round": rnd,
+            "prior_round": rnd - 1 if rnd > 0 else None,
+            "step": step,
+            "next_seq": next_seq,
+            "metrics": metrics,
+            "corpus_rows": corpus.num_rows,
+            "frontier_rows": frontier.num_rows,
+            "snapshots": snap_paths,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(final):  # overwrite on replay-after-resume
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)  # atomic publish
+        return final
+
+    def rounds(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for d in os.listdir(self.root):
+            if d.startswith("round_") and not d.endswith(".tmp"):
+                m = os.path.join(self.root, d, "manifest.json")
+                if os.path.exists(m):
+                    out.append(int(d.split("_")[1]))
+        return sorted(out)
+
+    def latest_round(self) -> int | None:
+        rs = self.rounds()
+        return rs[-1] if rs else None
+
+    def manifest(self, rnd: int) -> dict:
+        with open(os.path.join(self._round_dir(rnd), "manifest.json")) as f:
+            return json.load(f)
+
+    def load(self, seen, neardup) -> dict:
+        """Restore state for resumption: pick the newest round with a
+        filter snapshot ≤ latest round; restore filters there and hand
+        back that round's frontier/counters (later rounds replay)."""
+        rs = self.rounds()
+        snap_round = None
+        for r in reversed(rs):
+            if self.manifest(r)["snapshots"].get("seen"):
+                snap_round = r
+                break
+        if snap_round is None:
+            raise RuntimeError("no snapshot round available to resume from")
+        d = self._round_dir(snap_round)
+        man = self.manifest(snap_round)
+        with open(os.path.join(d, "seen_snapshot.pkl"), "rb") as f:
+            seen.restore(pickle.load(f))
+        np_path = os.path.join(d, "neardup_snapshot.pkl")
+        if os.path.exists(np_path):
+            with open(np_path, "rb") as f:
+                ray.get(neardup.restore.remote(pickle.load(f)))
+        frontier = pq.read_table(os.path.join(d, "frontier", "part-00000.parquet"))
+        return {
+            "round": snap_round,
+            "frontier": frontier,
+            "step": man["step"],
+            "next_seq": man["next_seq"],
+            "metrics": man["metrics"],
+        }
+
+    def corpus_table(self, upto_round: int | None = None) -> pa.Table:
+        tables = []
+        for r in self.rounds():
+            if upto_round is not None and r > upto_round:
+                break
+            p = os.path.join(self._round_dir(r), "corpus", "part-00000.parquet")
+            tables.append(pq.read_table(p))
+        return pa.concat_tables(tables) if tables else None

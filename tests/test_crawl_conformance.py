@@ -1,0 +1,119 @@
+"""Conformance: the Ray BSP crawl must reproduce the sequential
+reference-semantics oracle — exact total crawl order and URL-seen
+membership in wave=1 mode, identical URL-seen set and corpus in
+wave-parallel (BFS-level) mode, and exact state after kill+resume."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from crawler_ray import synth
+from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+from crawler_ray.pipelines.oracle import crawl_bfs_oracle
+
+
+@pytest.fixture(scope="module")
+def graph():
+    pages = synth.generate_site_graph(num_hosts=3, base_pages=30, seed=42)
+    seeds = synth.seeds_for(pages)
+    return pages, seeds
+
+
+def test_conformance_exact_order(ray_session, graph):
+    pages, seeds = graph
+    oracle = crawl_bfs_oracle(pages, seeds)
+    cfg = CrawlConfig(wave_size=1, n_seen_shards=3)
+    from crawler_ray.stages.seen import SeenSet  # noqa: F401
+
+    res = crawl(pages, seeds, cfg)
+    got = [(t["step"], t["url"]) for t in res.trace]
+    want = [(t["step"], t["url"]) for t in oracle.trace]
+    assert got == want
+    # full per-row trace equality (status, leaf, near-dup, link counts)
+    for g, w in zip(res.trace, oracle.trace):
+        assert g == w, (g, w)
+
+
+def test_conformance_seen_set_wave_parallel(ray_session, graph):
+    pages, seeds = graph
+    oracle = crawl_bfs_oracle(pages, seeds)
+    cfg = CrawlConfig(wave_size=None, n_seen_shards=4, fetch_concurrency=2)
+    res = crawl(pages, seeds, cfg)
+    # URL-seen membership identical (north_rule conformance target)
+    import ray
+
+    # the crawl() helper does not return its SeenSet; recompute from trace:
+    got_urls = {t["url"] for t in res.trace}
+    want_urls = {t["url"] for t in oracle.trace}
+    assert got_urls == want_urls
+    # same fetch count and leaf count
+    assert len(res.trace) == len(oracle.trace)
+    assert sum(t["is_leaf"] for t in res.trace) == sum(t["is_leaf"] for t in oracle.trace)
+    assert sum(t["near_dup"] for t in res.trace) == sum(t["near_dup"] for t in oracle.trace)
+    # per-depth-level sets identical (BFS level = wave)
+    from collections import defaultdict
+
+    gd, wd = defaultdict(set), defaultdict(set)
+    for t in res.trace:
+        gd[t["depth"]].add(t["url"])
+    for t in oracle.trace:
+        wd[t["depth"]].add(t["url"])
+    assert gd == wd
+
+
+def test_budget_and_leaf_stop(ray_session, graph):
+    pages, seeds = graph
+    oracle = crawl_bfs_oracle(pages, seeds, budget=20)
+    res = crawl(pages, seeds, CrawlConfig(wave_size=1, budget=20))
+    assert [t["url"] for t in res.trace] == [t["url"] for t in oracle.trace]
+    assert len(res.trace) == 20
+
+    o2 = crawl_bfs_oracle(pages, seeds, num_leaves=5)
+    r2 = crawl(pages, seeds, CrawlConfig(wave_size=1, num_leaves=5))
+    assert [t["url"] for t in r2.trace] == [t["url"] for t in o2.trace]
+
+
+def test_kill_and_resume(ray_session, graph):
+    pages, seeds = graph
+    tmp = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        base_cfg = dict(wave_size=None, snapshot_every=1)
+        # uninterrupted reference run
+        full = crawl(pages, seeds, CrawlConfig(**base_cfg))
+        # killed after 2 rounds
+        part = crawl(pages, seeds, CrawlConfig(**base_cfg, checkpoint_dir=tmp, max_rounds=2))
+        assert part.metrics["rounds"] == 2
+        # resume and finish
+        cont = crawl(pages, seeds, CrawlConfig(**base_cfg, checkpoint_dir=tmp), resume=True)
+        # combined trace = full trace (same urls per step after the seam)
+        combined = [t["url"] for t in part.trace] + [t["url"] for t in cont.trace]
+        assert combined == [t["url"] for t in full.trace]
+        # resumed metrics are cumulative (restored from the checkpoint)
+        assert cont.metrics["leaves"] == full.metrics["leaves"]
+        # corpus parquet covers every fetched url exactly once
+        from crawler_ray.state.checkpoint import CheckpointStore
+
+        corpus = CheckpointStore(tmp).corpus_table()
+        assert sorted(corpus.column("url").to_pylist()) == sorted(
+            t["url"] for t in full.trace
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_redirects_and_robots_in_seen(ray_session, graph):
+    pages, seeds = graph
+    oracle = crawl_bfs_oracle(pages, seeds)
+    # alias fetches resolve to targets; robots-denied pages appear in the
+    # trace with their status and contribute no links
+    statuses = {t["url"]: t["status"] for t in oracle.trace}
+    assert any(s == "redirect" for s in statuses.values())
+    assert any(s == "robots_denied" for s in statuses.values())
+    denied = [u for u, s in statuses.items() if s == "robots_denied"]
+    res = crawl(pages, seeds, CrawlConfig(wave_size=1))
+    got_status = {t["url"]: t["status"] for t in res.trace}
+    assert got_status == statuses
+    for t in res.trace:
+        if t["url"] in denied:
+            assert t["n_links"] == 0
