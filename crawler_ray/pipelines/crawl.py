@@ -37,13 +37,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .. import dom, schemas
 from ..extractor import leaf_by_richness, state_action
 from ..functions import shingles
 from ..functions.urlnorm import url_host
-from ..stages.dedup import NearDupIndex
+from ..stages.dedup import NearDupShards
 from ..stages.fetch import Fetcher, PolitenessClock
 from ..stages.seen import SeenSet
 from ..state.checkpoint import CheckpointStore
@@ -64,20 +65,35 @@ class CrawlConfig:
     minhash_perms: int = 64
     lsh_bands: int = 16
     neardup_threshold: float = 0.9
+    n_neardup_shards: int = 4
     blacklist: frozenset = frozenset()
     checkpoint_dir: str | None = None
     snapshot_every: int = 5
     max_rounds: int = 10**6
 
 
-@dataclass
 class CrawlResult:
-    trace: list[dict] = field(default_factory=list)
-    metrics: dict = field(default_factory=dict)
-    corpus_paths: list[str] = field(default_factory=list)
+    """Crawl output: trace kept as per-round Arrow tables (zero per-row
+    Python on the driver); ``.trace`` materializes lazily for tests."""
+
+    def __init__(self):
+        self.trace_tables: list[pa.Table] = []
+        self.metrics: dict = {}
+        self.corpus_paths: list[str] = []
+        self._trace_cache: list[dict] | None = None
 
     def trace_table(self) -> pa.Table:
-        return pa.Table.from_pylist(self.trace)
+        if not self.trace_tables:
+            return pa.Table.from_pylist([])
+        return pa.concat_tables(self.trace_tables)
+
+    @property
+    def trace(self) -> list[dict]:
+        if self._trace_cache is None:
+            self._trace_cache = (
+                self.trace_table().to_pylist() if self.trace_tables else []
+            )
+        return self._trace_cache
 
     def visited(self, seen: SeenSet) -> set[str]:
         return seen.members()
@@ -88,9 +104,12 @@ LINKS_ITEM = pa.struct(
 )
 
 
-def make_enrich(minhash_perms: int, blacklist: frozenset):
+def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = True):
     """One DOM parse per page → spans, links, leaf flag, shingles, LSH
-    keys.  Pure function of the page → safe at any wave parallelism."""
+    keys.  Pure function of the page → safe at any wave parallelism.
+    Drops ``body`` from the output (downstream uses spans/links only);
+    span extraction itself is skipped when ``keep_spans`` is False
+    (no corpus checkpoint → nobody reads them)."""
     params = shingles.minhash_params(minhash_perms)
 
     def enrich(batch: pa.Table) -> pa.Table:
@@ -110,7 +129,7 @@ def make_enrich(minhash_perms: int, blacklist: frozenset):
                 continue
             base = chain[-1] if st == "redirect" else u
             root = dom.parse_page(b)
-            spans_col.append(dom.extract_spans(b, base))
+            spans_col.append(dom.extract_spans(b, base) if keep_spans else [])
             links = dom.extract_links(root, base, blacklist=blacklist)
             sa = state_action(links)
             is_leaf = leaf_by_richness(sa)
@@ -119,18 +138,21 @@ def make_enrich(minhash_perms: int, blacklist: frozenset):
             links_col.append([{"url": l["url"], "text": l["text"], "xpath": l["xpath"]} for l in links])
             if is_leaf:
                 text = " ".join(root.text().split())
-                grams = sorted(shingles.token_ngrams(text, 4))
-                sig = shingles.minhash_signature(text, num_perm=minhash_perms, params=params)
-                grams_col.append(grams)
+                # hashed shingles: 4x smaller on the wire, vectorized
+                # exact-Jaccard downstream (shingles.shingle_hash_set)
+                h = shingles.shingle_hash_set(text, 4)
+                sig = shingles.minhash_from_hashes(h, num_perm=minhash_perms, params=params)
+                grams_col.append(h)
                 keys_col.append(shingles.lsh_band_keys(sig, bands=16))
             else:
                 grams_col.append([])
                 keys_col.append([])
-        out = batch.append_column("spans", pa.array(spans_col, type=schemas.SPANS_TYPE))
+        out = batch.drop_columns(["body"])
+        out = out.append_column("spans", pa.array(spans_col, type=schemas.SPANS_TYPE))
         out = out.append_column("links", pa.array(links_col, type=pa.list_(LINKS_ITEM)))
         out = out.append_column("is_leaf", pa.array(leaf_col, type=pa.bool_()))
         out = out.append_column("n_links", pa.array(nlinks_col, type=pa.int32()))
-        out = out.append_column("grams", pa.array(grams_col, type=pa.list_(pa.string())))
+        out = out.append_column("grams", pa.array([list(map(int, g)) for g in grams_col], type=pa.list_(pa.uint64())))
         out = out.append_column("band_keys", pa.array(keys_col, type=pa.list_(pa.uint64())))
         return out
 
@@ -146,12 +168,24 @@ class FetchEnrichWorker:
     wall-time when rounds are small.  Offline/corpus-wide operators
     stay Ray Data Datasets (see stages/, queries.py)."""
 
-    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist):
+    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True):
         self.fetcher = Fetcher(graph_ref, politeness, interval_ms)
-        self.enrich = make_enrich(minhash_perms, blacklist)
+        self.enrich = make_enrich(minhash_perms, blacklist, keep_spans)
 
     def process(self, tbl: pa.Table) -> pa.Table:
         return self.enrich(self.fetcher(tbl))
+
+
+def make_workers(graph_ref, cfg: CrawlConfig, politeness=None):
+    """Create the persistent fetch+enrich pool (separable so benchmarks
+    can warm the pool before timing the crawl proper)."""
+    return [
+        FetchEnrichWorker.remote(
+            graph_ref, politeness or [], cfg.politeness_ms, cfg.minhash_perms,
+            cfg.blacklist, cfg.checkpoint_dir is not None,
+        )
+        for _ in range(cfg.fetch_concurrency)
+    ]
 
 
 def crawl(
@@ -159,27 +193,26 @@ def crawl(
     seeds: list[str],
     cfg: CrawlConfig = CrawlConfig(),
     resume: bool = False,
+    graph_ref=None,
+    workers=None,
 ) -> CrawlResult:
     """Run the BSP crawl over the synthetic site graph ``pages``.
 
     Ray must already be initialised (library code never owns the
     session).  Returns the trace + metrics; corpus parquet lands under
     ``cfg.checkpoint_dir`` (or a temp dir) one directory per round."""
-    graph_ref = ray.put(pages)
+    if graph_ref is None:
+        graph_ref = ray.put(pages)
     seen = SeenSet(cfg.n_seen_shards, kind=cfg.seen_kind, exact_audit=cfg.exact_audit)
-    neardup = NearDupIndex.remote(cfg.neardup_threshold, cfg.lsh_bands)
+    neardup = NearDupShards(cfg.n_neardup_shards, cfg.neardup_threshold, cfg.lsh_bands)
     politeness = (
-        [PolitenessClock.remote(cfg.politeness_ms) for _ in range(cfg.n_politeness_shards)]
+        [PolitenessClock.options(num_cpus=0).remote(cfg.politeness_ms) for _ in range(cfg.n_politeness_shards)]
         if cfg.politeness_ms > 0
         else []
     )
     ckpt = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
-    workers = [
-        FetchEnrichWorker.remote(
-            graph_ref, politeness, cfg.politeness_ms, cfg.minhash_perms, cfg.blacklist
-        )
-        for _ in range(cfg.fetch_concurrency)
-    ]
+    if workers is None:
+        workers = make_workers(graph_ref, cfg, politeness)
 
     res = CrawlResult()
     metrics = {
@@ -211,12 +244,15 @@ def crawl(
         step = 0
         start_round = 0
 
+    pending_nd: list = []
     for rnd in range(start_round, cfg.max_rounds):
         if frontier.num_rows == 0:
             break
         if metrics["leaves"] >= cfg.num_leaves or step >= cfg.budget:
             break
 
+        _prof = os.environ.get("CRAWL_PROFILE")
+        _t = time.time()
         # ---- wave selection: (depth, discovery_seq) priority ----------
         order = np.lexsort(
             (frontier.column("discovery_seq").to_numpy(), frontier.column("depth").to_numpy())
@@ -227,102 +263,152 @@ def crawl(
         rest = frontier.take(pa.array(order[wave_n:]))
 
         # ---- fetch + enrich (the distributed part of the round) -------
-        chunks = [
-            wave.slice(o, cfg.fetch_batch_size)
-            for o in range(0, wave.num_rows, cfg.fetch_batch_size)
-        ]
+        # adaptive chunking: ~3 chunks per worker for load balance, but
+        # never tiny chunks (RPC overhead) nor giant ones (stragglers)
+        chunk_n = int(np.clip(wave.num_rows // (3 * len(workers)) + 1, 8, 512))
+        chunks = [wave.slice(o, chunk_n) for o in range(0, wave.num_rows, chunk_n)]
         futs = [workers[i % len(workers)].process.remote(c) for i, c in enumerate(chunks)]
         wave_tbl = pa.concat_tables(ray.get(futs), promote_options="default")
-        # order wave results by priority for trace/near-dup sequencing
-        wsort = np.lexsort(
-            (wave_tbl.column("discovery_seq").to_numpy(), wave_tbl.column("depth").to_numpy())
-        )
-        wave_tbl = wave_tbl.take(pa.array(wsort))
+        if _prof: print(f"[prof r{rnd}] fetch+enrich {time.time()-_t:.2f}s rows={wave_tbl.num_rows}"); _t=time.time()
+        # fold in near-dup verdicts from PREVIOUS rounds (they ran
+        # concurrently with the fetch we just finished)
+        if pending_nd:
+            _resolve_pending(pending_nd, res, metrics)
+        if _prof: print(f"[prof r{rnd}] nd-resolve {time.time()-_t:.2f}s"); _t=time.time()
+        # wave_tbl is already in (depth, discovery_seq) priority order:
+        # the wave was sorted before chunking, chunks are ordered
+        # slices, ray.get preserves future order, workers preserve row
+        # order — no re-sort needed.
 
         # ---- near-dup marking in crawl order --------------------------
+        # Arrow handoff: the leaf sub-table goes to the band shards as
+        # one object; shards flatten/split in parallel.  Submission is
+        # ASYNC when not checkpointing — the flags never gate frontier
+        # construction, so verification overlaps the next round's fetch
+        # (actor mailboxes are FIFO per caller → crawl order preserved);
+        # flags are folded into trace/metrics when they arrive.
         leaf_mask = wave_tbl.column("is_leaf").to_numpy(zero_copy_only=False)
-        entries = [
-            (wave_tbl.column("url")[i].as_py(), wave_tbl.column("grams")[i].as_py(),
-             wave_tbl.column("band_keys")[i].as_py())
-            for i in np.where(leaf_mask)[0]
-        ]
-        dup_flags = ray.get(neardup.process.remote(entries)) if entries else []
-        near_dup = np.zeros(wave_tbl.num_rows, dtype=bool)
-        near_dup[np.where(leaf_mask)[0]] = dup_flags
+        n_leaves_wave = int(leaf_mask.sum())
+        if _prof: print(f"[prof r{rnd}] extract {time.time()-_t:.2f}s leaves={n_leaves_wave}"); _t=time.time()
+        # full column handoff (NO take(): slicing a many-chunked list
+        # column costs seconds; non-leaf rows carry empty gram lists and
+        # fall straight through the shards)
+        nd_futs = (
+            neardup.submit(wave_tbl.select(["grams", "band_keys"]))
+            if n_leaves_wave
+            else []
+        )
+        if ckpt is not None:
+            # checkpointed runs resolve synchronously: the round's
+            # manifest must carry final near_dup values
+            dup_flags = neardup.resolve(nd_futs) if nd_futs else np.zeros(wave_tbl.num_rows, dtype=bool)
+            nd_futs = []
+        else:
+            dup_flags = None  # resolved later
+        if _prof: print(f"[prof r{rnd}] neardup {time.time()-_t:.2f}s"); _t=time.time()
+        near_dup = (
+            dup_flags if dup_flags is not None else np.zeros(wave_tbl.num_rows, dtype=bool)
+        )
         wave_tbl = wave_tbl.append_column("near_dup", pa.array(near_dup))
 
         # ---- redirect hops into URL-seen (utils.clj:218-223) ----------
-        hop_urls = []
-        for chain in wave_tbl.column("redirects").to_pylist():
-            hop_urls.extend(chain)
-        if hop_urls:
+        red = wave_tbl.column("redirects").combine_chunks()
+        multi = np.where(pc.list_value_length(red).to_numpy(zero_copy_only=False) > 1)[0]
+        if len(multi):
+            hop_urls = pc.list_flatten(red.take(pa.array(multi))).to_pylist()
             seen.test_and_set(list(dict.fromkeys(hop_urls)))
 
-        # ---- trace + metrics ------------------------------------------
-        statuses = wave_tbl.column("status").to_pylist()
-        for i in range(wave_tbl.num_rows):
-            step += 1
-            st = statuses[i]
-            metrics["fetched"] += 1
-            metrics[st] = metrics.get(st, 0) + 1
-            if leaf_mask[i]:
-                metrics["leaves"] += 1
-                if near_dup[i]:
-                    metrics["near_dups"] += 1
-                    metrics["consecutive_dups"] += 1
-                else:
-                    metrics["consecutive_dups"] = 0
-            res.trace.append(
+        # ---- trace + metrics (vectorized, trace stays Arrow) ----------
+        statuses_arr = wave_tbl.column("status").combine_chunks()
+        vc = pc.value_counts(statuses_arr)
+        for st, cnt in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+            metrics[st] = metrics.get(st, 0) + cnt
+        n_rows = wave_tbl.num_rows
+        metrics["fetched"] += n_rows
+        metrics["leaves"] += int(leaf_mask.sum())
+        max_run = metrics["consecutive_dups"]
+        if dup_flags is not None:
+            metrics["near_dups"] += int(near_dup.sum())
+            # consecutive-near-dup run across waves (leaf rows only —
+            # non-leaf pages never touch the counter)
+            cur = metrics["consecutive_dups"]
+            for f in dup_flags[leaf_mask]:
+                cur = cur + 1 if f else 0
+                max_run = max(max_run, cur)
+            metrics["consecutive_dups"] = cur
+        else:
+            pending_nd.append((len(res.trace_tables), nd_futs))
+        res.trace_tables.append(
+            pa.table(
                 {
-                    "step": step,
-                    "url": wave_tbl.column("url")[i].as_py(),
-                    "depth": wave_tbl.column("depth")[i].as_py(),
-                    "src_url": wave_tbl.column("src_url")[i].as_py(),
-                    "status": st,
-                    "is_leaf": bool(leaf_mask[i]),
-                    "near_dup": bool(near_dup[i]),
-                    "n_links": wave_tbl.column("n_links")[i].as_py(),
+                    "step": pa.array(np.arange(step + 1, step + n_rows + 1), type=pa.int64()),
+                    "url": wave_tbl.column("url"),
+                    "depth": wave_tbl.column("depth"),
+                    "src_url": wave_tbl.column("src_url"),
+                    "status": wave_tbl.column("status"),
+                    "is_leaf": wave_tbl.column("is_leaf"),
+                    "near_dup": wave_tbl.column("near_dup"),
+                    "n_links": wave_tbl.column("n_links"),
                 }
             )
-
+        )
+        step += n_rows
+        if _prof: print(f"[prof r{rnd}] hops+trace {time.time()-_t:.2f}s"); _t=time.time()
         # dup-stop heuristic (crawl.clj:346-349): ≥1000 corpus ∧ 30
-        # consecutive near-dups
-        stop_dups = metrics["fetched"] >= 1000 and metrics["consecutive_dups"] >= 30
+        # consecutive near-dups (one-round lag in async mode)
+        max_run = max(max_run, metrics.pop("_max_dup_run", 0))
+        stop_dups = metrics["fetched"] >= 1000 and max_run >= 30
 
-        # ---- explode links, wave-level first-wins dedup ---------------
-        cand: list[dict] = []
-        cand_seen: set[str] = set()
-        for i in range(wave_tbl.num_rows):
-            if statuses[i] not in ("ok", "redirect"):
-                continue
-            src_url = wave_tbl.column("url")[i].as_py()
-            depth = wave_tbl.column("depth")[i].as_py()
-            page_seen: set[str] = set()
-            for l in wave_tbl.column("links")[i].as_py():
-                u = l["url"]
-                metrics["links_seen"] += 1
-                if u in page_seen or u in cand_seen:
-                    continue
-                page_seen.add(u)
-                cand_seen.add(u)
-                cand.append(
-                    {"url": u, "host": url_host(u), "depth": depth + 1,
-                     "src_url": src_url, "src_xpath": [l["xpath"]]}
+        # ---- explode links, wave-level first-wins dedup (vectorized):
+        # flatten the list column, map each link to its source row, and
+        # drop_duplicates(keep first) — row order = wave priority order ×
+        # document link order, so first-wins matches the sequential
+        # semantics exactly without a Python loop over links.
+        import pandas as pd
+
+        ok_mask = pc.is_in(
+            statuses_arr, value_set=pa.array(["ok", "redirect"])
+        ).to_numpy(zero_copy_only=False)
+        links_col = wave_tbl.column("links").combine_chunks()
+        n_per_row = pc.list_value_length(links_col).fill_null(0).to_numpy(zero_copy_only=False)
+        n_per_row = np.where(ok_mask, n_per_row, 0)
+        metrics["links_seen"] += int(n_per_row.sum())
+        fresh_tbl = _empty_frontier()
+        if n_per_row.sum() > 0:
+            keep_rows = np.where(n_per_row > 0)[0]
+            sub = links_col.take(pa.array(keep_rows))
+            flat = pc.list_flatten(sub)
+            src_idx = np.repeat(keep_rows, n_per_row[keep_rows])
+            lf = pd.DataFrame(
+                {
+                    "url": flat.field("url").to_pylist(),
+                    "xpath": flat.field("xpath").to_pylist(),
+                    "src_idx": src_idx,
+                }
+            ).drop_duplicates("url", keep="first")
+            new_mask = seen.test_and_set(lf["url"].tolist())
+            lf = lf[new_mask]
+            metrics["links_new"] += len(lf)
+            if len(lf):
+                urls_new = lf["url"].tolist()
+                si = pa.array(lf["src_idx"].to_numpy())
+                depth_np = wave_tbl.column("depth").to_numpy(zero_copy_only=False)
+                fresh_tbl = pa.table(
+                    {
+                        "url": pa.array(urls_new, type=pa.string()),
+                        "host": pa.array([url_host(u) for u in urls_new], type=pa.string()),
+                        "depth": pa.array(depth_np[lf["src_idx"].to_numpy()] + 1, type=pa.int32()),
+                        "discovery_seq": pa.array(
+                            np.arange(next_seq, next_seq + len(lf)), type=pa.int64()
+                        ),
+                        "src_url": wave_tbl.column("url").take(si).combine_chunks(),
+                        "src_xpath": pa.array([[x] for x in lf["xpath"]], type=pa.list_(pa.string())),
+                    }
                 )
+                next_seq += len(lf)
 
-        # ---- sharded seen filter (test-and-set) -----------------------
-        fresh: list[dict] = []
-        if cand:
-            new_mask = seen.test_and_set([c["url"] for c in cand])
-            for c, new in zip(cand, new_mask):
-                if new:
-                    c["discovery_seq"] = next_seq
-                    next_seq += 1
-                    fresh.append(c)
-        metrics["links_new"] += len(fresh)
-
-        new_rows = pa.Table.from_pylist(fresh, schema=_frontier_schema()) if fresh else _empty_frontier()
-        frontier = pa.concat_tables([rest, new_rows]) if new_rows.num_rows else rest
+        frontier = pa.concat_tables([rest, fresh_tbl]) if fresh_tbl.num_rows else rest
+        if _prof: print(f"[prof r{rnd}] links+seen {time.time()-_t:.2f}s"); _t=time.time()
         metrics["rounds"] += 1
 
         # ---- checkpoint -----------------------------------------------
@@ -341,10 +427,39 @@ def crawl(
         if stop_dups:
             break
 
+    if pending_nd:
+        _resolve_pending(pending_nd, res, metrics)
+    metrics.pop("_max_dup_run", None)
     res.metrics = metrics
     res.metrics["next_seq"] = next_seq
     res.metrics["steps"] = step
     return res
+
+
+def _resolve_pending(pending_nd: list, res: CrawlResult, metrics: dict) -> None:
+    """Fold async near-dup verdicts into the trace tables + metrics
+    (patches the placeholder near_dup column written at wave time)."""
+    for tidx, futs in pending_nd:
+        tbl = res.trace_tables[tidx]
+        nd = (
+            NearDupShards.resolve(futs)
+            if futs
+            else np.zeros(tbl.num_rows, dtype=bool)
+        )
+        col_i = tbl.schema.get_field_index("near_dup")
+        res.trace_tables[tidx] = tbl.set_column(col_i, "near_dup", pa.array(nd))
+        metrics["near_dups"] += int(nd.sum())
+        leaf_mask = tbl.column("is_leaf").to_numpy(zero_copy_only=False)
+        cur = metrics["consecutive_dups"]
+        mr = cur
+        for f in nd[leaf_mask]:
+            cur = cur + 1 if f else 0
+            mr = max(mr, cur)
+        metrics["consecutive_dups"] = cur
+        metrics["_max_dup_run"] = max(metrics.get("_max_dup_run", 0), mr)
+    pending_nd.clear()
+    res._trace_cache = None
+    return
 
 
 def _frontier_schema() -> pa.Schema:

@@ -122,14 +122,16 @@ def crawl_bfs_oracle(
                 # (shingles.clj:31-36 threshold; LSH replaces the
                 # reference's O(corpus) seen? scan, crawl.clj:237-244)
                 text = body_text(body)
-                grams = shingles.token_ngrams(text, 4)
-                sig = shingles.minhash_signature(text, params=mh_params, num_perm=minhash_perms)
+                grams = shingles.shingle_hash_set(text, 4)
+                sig = shingles.minhash_from_hashes(grams, num_perm=minhash_perms, params=mh_params)
                 keys = shingles.lsh_band_keys(sig, bands=lsh_bands)
                 cand: dict[str, object] = {}
                 for k in keys:
                     for u2, g2 in band_index.get(k, []):
                         cand[u2] = g2
-                near_dup = any(shingles.jaccard(grams, g2) >= 0.9 for g2 in cand.values())
+                near_dup = any(
+                    shingles.jaccard_hashes(grams, g2) >= 0.9 for g2 in cand.values()
+                )
                 for k in keys:
                     band_index.setdefault(k, []).append((url, grams))
 

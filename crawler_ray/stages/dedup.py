@@ -52,18 +52,22 @@ class NearDupIndex:
         self.bands = bands
         self.index: dict[int, list[tuple[str, frozenset]]] = {}
 
-    def process(self, entries: list[tuple[str, list[str], list[int]]]) -> list[bool]:
-        """entries: [(url, shingle_list, band_keys)] in crawl order →
-        near_dup flag per entry."""
+    def process(self, entries) -> list[bool]:
+        """entries: [(url, sorted-unique uint64 shingle hashes,
+        band_keys)] in crawl order → near_dup flag per entry.  Exact
+        Jaccard via vectorized np.intersect1d on the hash arrays."""
+        import numpy as np
+
         out = []
-        for url, grams_list, keys in entries:
-            grams = frozenset(grams_list)
-            cand: dict[str, frozenset] = {}
+        for url, grams, keys in entries:
+            grams = np.asarray(grams, dtype=np.uint64)
+            cand: dict[str, np.ndarray] = {}
             for k in keys:
                 for u2, g2 in self.index.get(k, []):
                     cand[u2] = g2
             dup = any(
-                shingles.jaccard(grams, g2) >= self.threshold for g2 in cand.values()
+                shingles.jaccard_hashes(grams, g2) >= self.threshold
+                for g2 in cand.values()
             )
             out.append(dup)
             for k in keys:
@@ -74,14 +78,17 @@ class NearDupIndex:
         return {
             "threshold": self.threshold,
             "bands": self.bands,
-            "index": {k: [(u, sorted(g)) for u, g in v] for k, v in self.index.items()},
+            "index": {k: [(u, g.tolist()) for u, g in v] for k, v in self.index.items()},
         }
 
     def restore(self, snap: dict) -> None:
         self.threshold = snap["threshold"]
         self.bands = snap["bands"]
+        import numpy as np
+
         self.index = {
-            int(k): [(u, frozenset(g)) for u, g in v] for k, v in snap["index"].items()
+            int(k): [(u, np.asarray(g, dtype=np.uint64)) for u, g in v]
+            for k, v in snap["index"].items()
         }
 
 
@@ -97,3 +104,149 @@ def simhash_stage(ngram: int = 2, text_col: str = "text", out_col: str = "simhas
         return batch.append_column(out_col, pa.array(hs, type=pa.int64()))
 
     return fn
+
+
+@ray.remote
+class NearDupShardActor:
+    """One band-key partition of the incremental LSH index: owns the
+    band keys with ``key % n_shards == shard_id``.
+
+    Sequential-equivalence: a near-dup pair (A, B) is LSH-detectable iff
+    they share ≥1 band key; that key lives in exactly ONE shard, which
+    processes its entries in global crawl order — so sharding changes
+    nothing about which documents get flagged, only who does the work.
+
+    Scale note: each shard stores the shingle-hash arrays of the entries
+    that touch its bands (≈ full duplication across shards).  At 10^10
+    scale the grams move to a url-sharded store and band shards keep
+    url refs only (one extra hop per verify) — documented trade, not
+    needed at sandbox sizes."""
+
+    def __init__(self, shard_id: int, n_shards: int, threshold: float = 0.9):
+        self.sid = shard_id
+        self.n = n_shards
+        self.threshold = threshold
+        self.index: dict[int, list[np.ndarray]] = {}
+
+    def process_table(self, tbl: pa.Table) -> np.ndarray:
+        """Arrow handoff: tbl(grams:list<u64>, band_keys:list<u64>) in
+        crawl order → bool array (dup detected via a band THIS shard
+        owns).  Flatten/split happens here, in parallel across shards,
+        not on the driver."""
+        import pyarrow.compute as pc
+
+        n_rows = tbl.num_rows
+        gcol = tbl.column("grams").combine_chunks()
+        gflat = pc.list_flatten(gcol).to_numpy(zero_copy_only=False)
+        glens = pc.list_value_length(gcol).fill_null(0).to_numpy(zero_copy_only=False)
+        grams_list = np.split(gflat, np.cumsum(glens)[:-1]) if len(glens) else []
+        kcol = tbl.column("band_keys").combine_chunks()
+        kflat = pc.list_flatten(kcol).to_numpy(zero_copy_only=False)
+        klens = pc.list_value_length(kcol).fill_null(0).to_numpy(zero_copy_only=False)
+        # vectorized ownership filter: keep only the band keys this
+        # shard owns, split back per entry
+        mask = (kflat % np.uint64(self.n)) == np.uint64(self.sid)
+        rows = np.repeat(np.arange(n_rows), klens)
+        own_lens = np.bincount(rows[mask], minlength=n_rows)
+        own_keys = np.split(kflat[mask], np.cumsum(own_lens)[:-1]) if n_rows else []
+
+        out = np.zeros(n_rows, dtype=bool)
+        for i in range(n_rows):
+            if own_lens[i] == 0:
+                continue
+            grams = grams_list[i]
+            mine = own_keys[i].tolist()
+            dup = False
+            checked = set()
+            for k in mine:
+                for g2 in self.index.get(k, []):
+                    gid = id(g2)
+                    if gid in checked:
+                        continue
+                    checked.add(gid)
+                    if shingles.jaccard_hashes(grams, g2) >= self.threshold:
+                        dup = True
+                        break
+                if dup:
+                    break
+            out[i] = dup
+            for k in mine:
+                self.index.setdefault(k, []).append(grams)
+        return out
+
+    def process(self, entries) -> np.ndarray:
+        """List-of-tuples variant (tests): [(grams, keys)] in crawl
+        order → bool array."""
+        if not entries:
+            return np.zeros(0, dtype=bool)
+        tbl = pa.table(
+            {
+                "grams": pa.array([np.asarray(g, dtype=np.uint64).tolist() for g, _ in entries], type=pa.list_(pa.uint64())),
+                "band_keys": pa.array([list(map(int, k)) for _, k in entries], type=pa.list_(pa.uint64())),
+            }
+        )
+        return self.process_table(tbl)
+
+    def snapshot(self) -> dict:
+        return {
+            "sid": self.sid,
+            "n": self.n,
+            "threshold": self.threshold,
+            "index": {k: [g.tolist() for g in v] for k, v in self.index.items()},
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.sid, self.n, self.threshold = snap["sid"], snap["n"], snap["threshold"]
+        self.index = {
+            int(k): [np.asarray(g, dtype=np.uint64) for g in v]
+            for k, v in snap["index"].items()
+        }
+
+
+class NearDupShards:
+    """Driver-side handle: fan a wave's (ordered) entries to every band
+    shard in parallel, OR the per-shard verdicts."""
+
+    def __init__(self, n_shards: int = 4, threshold: float = 0.9, bands: int = 16):
+        self.n = n_shards
+        self.bands = bands
+        self.shards = [
+            NearDupShardActor.options(num_cpus=0).remote(i, n_shards, threshold)
+            for i in range(n_shards)
+        ]
+
+    def process(self, entries) -> list[bool]:
+        """entries: [(url, grams, keys)] in crawl order."""
+        if not entries:
+            return []
+        block = ray.put([(g, k) for _, g, k in entries])
+        flags = ray.get([s.process.remote(block) for s in self.shards])
+        return list(np.logical_or.reduce(flags))
+
+    def submit(self, tbl) -> list:
+        """Async variant: enqueue the block on every shard (actor
+        mailboxes are FIFO per caller, so crawl order is preserved
+        across rounds) and return the futures."""
+        if tbl.num_rows == 0:
+            return []
+        ref = ray.put(tbl)
+        return [s.process_table.remote(ref) for s in self.shards]
+
+    @staticmethod
+    def resolve(futs) -> np.ndarray:
+        if not futs:
+            return np.zeros(0, dtype=bool)
+        return np.logical_or.reduce(ray.get(futs))
+
+    def process_table(self, tbl) -> np.ndarray:
+        """Arrow handoff variant: one plasma object, shards parse in
+        parallel."""
+        if tbl.num_rows == 0:
+            return np.zeros(0, dtype=bool)
+        return self.resolve(self.submit(tbl))
+
+    def snapshot(self) -> list[dict]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, snaps: list[dict]) -> None:
+        ray.get([self.shards[s["sid"]].restore.remote(s) for s in snaps])

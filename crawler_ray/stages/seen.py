@@ -75,16 +75,27 @@ class SeenSet:
 
     def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1_000_000, kind: str = "bloom", exact_audit: bool = True):
         self.n = n_shards
+        # zero CPU reservation: shards are light index holders; a
+        # fractional reservation can deadlock actor creation when the
+        # session's num_cpus budget is small (scaling runs at N=2)
         self.shards = [
-            SeenShard.remote(i, capacity_per_shard, kind, exact_audit) for i in range(n_shards)
+            SeenShard.options(num_cpus=0).remote(i, capacity_per_shard, kind, exact_audit)
+            for i in range(n_shards)
         ]
 
     def _route(self, urls: list[str]) -> tuple[list[list[str]], list[list[int]]]:
-        per, idx = [[] for _ in range(self.n)], [[] for _ in range(self.n)]
-        for i, u in enumerate(urls):
-            s = url_hash64(u) % self.n
-            per[s].append(u)
-            idx[s].append(i)
+        """Vectorized shard routing (pandas siphash — stable across
+        processes, so resume keeps the same shard ownership)."""
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(pd.Series(urls, dtype=object), index=False).to_numpy()
+        shard = (h % self.n).astype(np.int64)
+        per, idx = [], []
+        arr = np.asarray(urls, dtype=object)
+        for s in range(self.n):
+            sel = np.where(shard == s)[0]
+            per.append(arr[sel].tolist())
+            idx.append(sel)
         return per, idx
 
     def test_and_set(self, urls: list[str]) -> np.ndarray:

@@ -65,7 +65,7 @@ class CheckpointStore:
             snap_paths["seen"] = "seen_snapshot.pkl"
         if neardup is not None:
             with open(os.path.join(tmp, "neardup_snapshot.pkl"), "wb") as f:
-                pickle.dump(ray.get(neardup.snapshot.remote()), f)
+                pickle.dump(neardup.snapshot(), f)
             snap_paths["neardup"] = "neardup_snapshot.pkl"
         manifest = {
             "round": rnd,
@@ -124,7 +124,7 @@ class CheckpointStore:
         np_path = os.path.join(d, "neardup_snapshot.pkl")
         if os.path.exists(np_path):
             with open(np_path, "rb") as f:
-                ray.get(neardup.restore.remote(pickle.load(f)))
+                neardup.restore(pickle.load(f))
         frontier = pq.read_table(os.path.join(d, "frontier", "part-00000.parquet"))
         return {
             "round": snap_round,

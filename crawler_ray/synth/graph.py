@@ -95,9 +95,11 @@ def generate_site_graph(
     seed: int = 42,
     zipf: float = 0.7,
     leaf_text_words: int = 120,
+    leaves_per_index: int = 6,
     neardup_pairs_per_host: int = 1,
     redirects_per_host: int = 1,
     private_per_host: int = 1,
+    flat_index_hub: bool = False,
 ) -> pa.Table:
     """Build the full site graph → Arrow table with schema
     ``schemas.SITE_PAGES``.  Deterministic for a given arg tuple."""
@@ -107,7 +109,7 @@ def generate_site_graph(
         base_url = f"http://{host}"
         rng = random.Random(seed * 1_000_003 + h)  # platform-stable seeding
         n_pages = max(8, int(base_pages / (h + 1) ** zipf))
-        n_index = max(2, n_pages // 6)
+        n_index = max(2, n_pages // leaves_per_index)
         n_leaf = n_pages - n_index
 
         leaf_urls = [f"{base_url}/leaf/{i}" for i in range(n_leaf)]
@@ -161,7 +163,16 @@ def generate_site_graph(
                     b.link(f"/alias/{r}", f"shortcut {r}", cls="alias-link")
             b.img(f"/media/banner{p}.png")
             b.line("</div>")
-            if p + 1 < n_index:
+            if flat_index_hub:
+                # hub topology (bench): page 1 pager links to EVERY other
+                # index page -> BFS depth ~3 instead of an O(n_index)
+                # pagination chain; numeric anchors preserved
+                if p == 0 and n_index > 1:
+                    b.line('<div class="pager">')
+                    for q in range(1, n_index):
+                        b.link(f"/index?page={q + 1}", str(q + 1), cls="page-next")
+                    b.line("</div>")
+            elif p + 1 < n_index:
                 b.line('<div class="pager">')
                 b.link(f"/index?page={p + 2}", str(p + 2), cls="page-next")
                 b.line("</div>")
