@@ -1,0 +1,166 @@
+"""Unit tests: similarity kernels, leaf features/scorer, clustering,
+rank kernels, sampling, template removal, state-action extractor."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from crawler_ray import cluster, dom, extractor, synth
+from crawler_ray.functions import features, rank, sampling, similarity
+
+P1 = """<html>
+<body>
+<div class="nav">
+<a class="x" href="/a">aaa</a>
+</div>
+<div class="content">
+<p>some long body text goes here, with punctuation!</p>
+<p>another paragraph of text.</p>
+</div>
+</body>
+</html>"""
+
+P2 = P1.replace("some long body", "some very long body")  # same structure
+P3 = """<html>
+<body>
+<table class="grid">
+<tr><td><a href="/1">one</a></td></tr>
+<tr><td><a href="/2">two</a></td></tr>
+</table>
+</body>
+</html>"""
+
+
+def test_rtdm_similarity():
+    assert similarity.rtdm_similarity(P1, P1) == 1.0
+    s_close = similarity.rtdm_similarity(P1, P2)
+    s_far = similarity.rtdm_similarity(P1, P3)
+    assert s_close > 0.95  # identical tree, different text
+    assert s_far < s_close
+    # the reference's pagination threshold (rich_extractor.clj:213-215)
+    assert s_close > 0.8 > s_far
+
+
+def test_page_signature_sims():
+    a = {"//x/a": 3, "//y/a": 1}
+    b = {"//x/a": 3, "//y/a": 1}
+    c = {"//z/a": 5}
+    assert similarity.cosine_sim(a, b) > 0.999
+    assert similarity.cosine_sim(a, c) == 0.0
+    assert similarity.cardinality_sim(a, b) == 1.0
+    assert similarity.cardinality_sim(a, c) == 0.0
+    assert similarity.manhattan_distance(a, c) == 9.0
+    assert similarity.weighted_cosine_sim(a, b, {"//x/a": 2.0}) > 0.999
+
+
+def test_structural_similarity():
+    assert similarity.structural_similarity(P1, P1) > 0.999
+    assert similarity.structurally_similar(P1, P2, 0.8)
+    assert not similarity.structurally_similar(P1, P3, 0.8)
+
+
+def test_leaf_features_and_scorer():
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=24, seed=5)
+    rows = pages.to_pylist()
+    leaf = next(r for r in rows if r["is_leaf"])
+    index = next(r for r in rows if not r["is_leaf"] and r["html"] and "/index" in r["doc_id"])
+    fl = features.leaf_features(leaf["html"])
+    fi = features.leaf_features(index["html"])
+    assert fl.shape == (10,) and fi.shape == (10,)
+    # leaves: fewer anchor xpaths (D), lower anchor-text share (J)
+    assert fl[3] <= fi[3]
+    assert fl[9] < fi[9]
+    assert features.leaf_score(fl) > features.leaf_score(fi)
+
+    from crawler_ray.stages.leaf import LeafScorer, featurize_batch
+
+    batch = pa.table({"html": [leaf["html"], index["html"]]})
+    scored = LeafScorer()(featurize_batch(batch))
+    s = scored.column("leaf_score").to_pylist()
+    assert s[0] > s[1]
+
+
+def test_single_linkage_cluster():
+    similar = lambda a, b: abs(a - b) <= 1
+    cs = cluster.single_linkage([1, 2, 3, 10, 11, 20], similar)
+    assert sorted(sorted(c) for c in cs) == [[1, 2, 3], [10, 11], [20]]
+    cs2 = cluster.single_linkage_n_iters([1, 2, 3, 10, 11, 20], similar, 3)
+    assert sorted(sorted(c) for c in cs2) == [[1, 2, 3], [10, 11], [20]]
+    inc = cluster.incremental_assign([[1, 2]], 3, similar)
+    assert inc == [[1, 2, 3]]
+    inc = cluster.incremental_assign([[1, 2, 3]], 9, similar)
+    assert inc == [[1, 2, 3], [9]]
+    assert cluster.cluster_urls([[1], [2, 3], [4, 5, 6]])[0] == [4, 5, 6]
+
+
+def test_cluster_within_buckets(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"bucket": int(x // 100), "val": int(x)}
+        for x in [1, 2, 3, 101, 102, 150, 201]
+    ]
+    ds = rd.from_items(rows)
+    out = cluster.cluster_within_buckets(
+        ds, "bucket", ["val"], lambda a, b: abs(a[0] - b[0]) <= 1
+    ).to_pandas()
+    g = out.groupby(["bucket", "cluster_id"])["val"].apply(sorted).tolist()
+    assert sorted(map(tuple, g)) == [(1, 2, 3), (101, 102), (150,), (201,)]
+
+
+def test_rank_kernels():
+    groups = {
+        "//a": [{"url": "http://h/x-1", "text": "one two"}, {"url": "http://h/y-2", "text": "three"}],
+        "//b": [{"url": "http://h/z", "text": "z"}],
+    }
+    s = rank.score_xpaths_1(groups)
+    assert s["//b"] == 0.0  # single link → zero variance
+    assert s["//a"] > 0.0
+    assert rank.rank_by_uniqueness(groups)[0][0] == "//a"
+    assert rank.enum_candidate_score(10, 2) < rank.enum_candidate_score_no_df(10)
+    assert rank.updated_hrefs({"//a": {"u1", "u2"}}, {"//a": {"u2"}}) == 1
+
+
+def test_sampling_seeded():
+    rng = random.Random(7)
+    s1 = sampling.random_take(list(range(100)), 10, random.Random(7))
+    s2 = sampling.random_take(list(range(100)), 10, random.Random(7))
+    assert s1 == s2 and len(s1) == 10
+    assert sampling.sample_proportional([("a", 0.0), ("b", 1.0)], rng) == "b"
+    head, rest = sampling.random_dequeue([1, 2, 3], random.Random(1))
+    assert head in (1, 3) and len(rest) == 2
+    assert len(sampling.exploration_sample(list(range(100)), rng)) == 25  # ceil(100/4)
+
+
+def test_template_removal():
+    from crawler_ray.stages.template import build_template_blacklist
+
+    pages = synth.generate_site_graph(num_hosts=1, base_pages=60, seed=3)
+    # sample from every index page (the reference samples per crawled
+    # page; one seed yields < 5 sampled bodies)
+    index_pages = [
+        r["doc_id"] for r in pages.to_pylist() if "/index?page=" in r["doc_id"]
+    ]
+    bl = build_template_blacklist(pages, index_pages, min_incidence=5)
+    # the host-wide nav links appear on every sampled page
+    assert any(u.endswith("/index?page=1") for u in bl)
+    # content links are unique per page — never blacklisted
+    assert not any("/leaf/" in u and "comment" not in u for u in bl)
+
+
+def test_state_action_semantics():
+    links = [
+        {"url": "http://h/1", "text": "a", "xpath": "//x/a"},
+        {"url": "http://h/1", "text": "a-dup", "xpath": "//x/a"},  # href dedup
+        {"url": "http://h/2", "text": "b", "xpath": "//x/a"},
+        {"url": "http://h/1", "text": "c", "xpath": "//sub/a"},  # subset of //x/a
+        {"url": "http://h/t", "text": "t", "xpath": "//tmpl/a"},
+    ]
+    sa = extractor.state_action(links, template_hrefs=frozenset({"http://h/t"}))
+    xps = [i["xpath"] for i in sa["xpath_nav_info"]]
+    assert xps == ["//x/a"]  # subset removed, template removed
+    assert sa["xpath_nav_info"][0]["score"] == 2  # href-deduped count
+    assert sa["total_nav_info"] == 2
+    assert extractor.leaf_by_richness(sa, max_group_score=3)
+    assert not extractor.leaf_by_richness(sa, max_group_score=1)
