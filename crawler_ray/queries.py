@@ -1121,3 +1121,188 @@ def ngram_jaccard_neardup(sf_dir: str):
             )
 
     return pair_counts.map_batches(Jaccard, batch_format="pyarrow", concurrency=2)
+
+
+# =====================================================================
+# Dedup / ANN / text / crawl pipelines (training-data operators)
+# =====================================================================
+
+_AUG_SQL = """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^[^ ]+', 'dupword') AS text
+      FROM documents)
+"""
+
+
+def _augmented_docs(sf_dir: str):
+    """documents ∪ deterministic near-dup copies (first token replaced)
+    — same construction as the oracle's SQL ``aug`` CTE."""
+    import re
+
+    def dup(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        out_ids = list(ids) + [i + 100000 for i in ids]
+        out_txt = list(txts) + [re.sub(r"^[^ ]+", "dupword", x, count=1) for x in txts]
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()), "text": pa.array(out_txt)}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        dup, batch_format="pyarrow"
+    )
+
+
+@register(
+    "minhash_lsh_neardup",
+    _AUG_SQL
+    + """,
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j]||' '||t[j+1]||' '||t[j+2]||' '||t[j+3] AS g
+      FROM toks, unnest(generate_series(1, len(t)-3)) AS s(j)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, i/(1.0*(sa.sz + sb.sz - i)) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i/(1.0*(sa.sz + sb.sz - i)) >= 0.9
+    """,
+    doc="MinHash+LSH near-duplicate detection (shingle→minhash→band→"
+    "bucket groupby→exact-Jaccard verify) over documents plus "
+    "deterministic near-dup copies.  ORACLE-CHECKED: at J≥0.9 with "
+    "16 bands × 4 rows LSH miss probability is ~1e-25, so the sweep "
+    "equals the oracle's exhaustive similarity join.",
+)
+def minhash_lsh_neardup(sf_dir: str):
+    from crawler_ray.stages.dedup import grams4_raw, lsh_neardup_pairs, verify_jaccard_pairs
+
+    aug = _augmented_docs(sf_dir)
+    pairs = lsh_neardup_pairs(aug, threshold=0.9)
+    # broadcast id→grams for exact verification (corpus-sized broadcast
+    # is fine here; at scale the pairs hash-join back to texts)
+    df = aug.to_pandas()
+    id_to_grams = {i: grams4_raw(t) for i, t in zip(df["doc_id"], df["text"])}
+    return verify_jaccard_pairs(pairs, id_to_grams, threshold=0.9)
+
+
+@register(
+    "simhash_neardup",
+    None,
+    doc="SimHash near-dup sweep (64-bit, token bigrams) with the "
+    "pigeonhole 4×16-bit chunk trick for guaranteed-recall candidate "
+    "generation at hamming ≤ 3 — rows-only (DuckDB cannot mirror "
+    "the hash); correctness asserted in tests against brute force.",
+)
+def simhash_neardup(sf_dir: str):
+    from crawler_ray.stages.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_augmented_docs(sf_dir), max_hamming=3)
+
+
+@register(
+    "langid_heuristic",
+    None,
+    doc="Language-ID heuristic (char-bigram profiles + CJK codepoint "
+    "check) over the text column → predicted-language histogram. "
+    "Rows-only: the heuristic has no SQL mirror.",
+)
+def langid_heuristic(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    def pred(t: pa.Table) -> pa.Table:
+        langs = [textstats.detect_lang(x) for x in t["text"].to_pylist()]
+        return pa.table({"pred_lang": pa.array(langs, type=pa.string())})
+
+    return (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(pred, batch_format="pyarrow")
+        .groupby("pred_lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@register(
+    "rolling_fingerprints",
+    None,
+    doc="Winnowing-style rolling-hash document fingerprints (8-token "
+    "windows) → distinct fingerprint count per source.  Rows-only.",
+)
+def rolling_fingerprints_q(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def fp(t: pa.Table) -> pa.Table:
+        srcs, fps = [], []
+        for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for h in set(textstats.rolling_fingerprints(x, window=8, keep_mod=4)):
+                srcs.append(s)
+                fps.append(h % (1 << 63))
+        return pa.table(
+            {"source": pa.array(srcs), "fp": pa.array(fps, type=pa.int64())}
+        )
+
+    pairs = (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby(["source", "fp"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return pairs.groupby("source").aggregate(Count(alias_name="n_fingerprints"))
+
+
+@register(
+    "ann_ivf_topk",
+    None,
+    doc="IVF approximate nearest neighbour: k-means-lite coarse "
+    "quantizer, vectors bucketed by centroid (one shuffle), queries "
+    "probe nprobe=4 buckets.  Rows-only; recall vs brute force is "
+    "asserted in tests.",
+)
+def ann_ivf_topk(sf_dir: str):
+    import numpy as np
+
+    from crawler_ray.stages.ann import ivf_bucket, ivf_topk, train_centroids
+
+    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    qsel = np.argsort(ids)[:5]
+    queries = mat[qsel]
+    cents = train_centroids(mat[: min(2000, len(mat))], n_centroids=8, seed=0)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bucketed = ivf_bucket(ds, cents)
+    out = ivf_topk(bucketed, cents, queries, k=10, nprobe=4)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+@register(
+    "crawl_bfs",
+    None,
+    doc="The flagship BSP crawl (frontier + sharded URL-seen + "
+    "politeness + robots + near-dup) over the site graph derived "
+    "deterministically from the documents table; returns the crawl "
+    "trace.  Rows-only — conformance vs the sequential oracle is "
+    "asserted exhaustively in tests/test_crawl_conformance.py.",
+)
+def crawl_bfs(sf_dir: str):
+    from crawler_ray import synth
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+
+    docs = pq.read_table(_pq(sf_dir, "documents"))
+    pages = synth.derive_from_documents(docs)
+    # seeds: the first index page of every source host
+    rows = pages.to_pylist()
+    first_per_host: dict[str, str] = {}
+    for r in rows:
+        if not r["is_leaf"] and r["host"] not in first_per_host:
+            first_per_host[r["host"]] = r["doc_id"]
+    seeds = sorted(first_per_host.values())
+    res = crawl(pages, seeds, CrawlConfig(wave_size=None, n_seen_shards=4, fetch_concurrency=4))
+    t = res.trace_table()
+    return t.select(["url", "depth", "status", "is_leaf", "n_links"])

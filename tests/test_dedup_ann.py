@@ -1,0 +1,101 @@
+"""Batch dedup sweeps + ANN: self-verification against brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_sweep_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.stages.dedup import (
+        connected_components,
+        grams4_raw,
+        lsh_neardup_pairs,
+        verify_jaccard_pairs,
+    )
+
+    texts = [
+        "a b c d e f g h i j k l",
+        "a b c d e f g h i j k l",          # exact dup of 0
+        "a b c d e f g h i j k CHANGED",    # near dup of 0
+        "z y x w v u t s r q p o",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()), "text": texts})
+    ds = rd.from_arrow(tbl)
+    pairs = lsh_neardup_pairs(ds, threshold=0.8)
+    grams = {i: grams4_raw(t) for i, t in enumerate(texts)}
+    verified = verify_jaccard_pairs(pairs, grams, threshold=0.8)
+    got = set(zip(verified["doc_a"], verified["doc_b"]))
+    # brute force
+    want = set()
+    for i in range(4):
+        for j in range(i + 1, 4):
+            gi, gj = grams[i], grams[j]
+            inter = len(gi & gj)
+            if inter / (len(gi) + len(gj) - inter) >= 0.8:
+                want.add((i, j))
+    assert got == want and (0, 1) in got and (0, 2) in got
+    comp = connected_components(verified)
+    assert comp[1] == 0 and comp[2] == 0
+
+
+def test_simhash_sweep_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions import shingles
+    from crawler_ray.stages.dedup import simhash_neardup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(150))
+    t2 = base.replace("tok40", "changed")
+    far = " ".join(f"other{i}" for i in range(150))
+    texts = [base, base, t2, far]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()), "text": texts})
+    got = simhash_neardup_pairs(rd.from_arrow(tbl), max_hamming=6)
+    gotset = set(zip(got["doc_a"], got["doc_b"]))
+    want = set()
+    hs = [shingles.simhash64(t, 2) for t in texts]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            if shingles.hamming64(hs[i], hs[j]) <= 6:
+                want.add((i, j))
+    assert gotset == want and (0, 1) in gotset
+
+
+def test_ivf_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.stages.ann import (
+        brute_force_topk,
+        ivf_bucket,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[:3]
+    ds = rd.from_arrow(emb)
+    bf = brute_force_topk(ds, queries, k=10)
+    cents = train_centroids(mat, n_centroids=8, seed=0)
+    ivf = ivf_topk(ivf_bucket(ds, cents), cents, queries, k=10, nprobe=8)
+    # with nprobe = all buckets, IVF must equal brute force exactly
+    for qi in range(3):
+        b = bf[bf["query_id"] == qi]["vec_id"].tolist()
+        v = ivf[ivf["query_id"] == qi]["vec_id"].tolist()
+        assert b == v, (qi, b, v)
+    # with nprobe=4, recall@10 should be high
+    ivf4 = ivf_topk(ivf_bucket(ds, cents), cents, queries, k=10, nprobe=4)
+    rec = np.mean(
+        [
+            len(
+                set(bf[bf["query_id"] == qi]["vec_id"])
+                & set(ivf4[ivf4["query_id"] == qi]["vec_id"])
+            )
+            / 10
+            for qi in range(3)
+        ]
+    )
+    assert rec >= 0.6
