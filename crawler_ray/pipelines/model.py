@@ -1,0 +1,225 @@
+"""Model learning — the reference's estimated-model build
+(``discussion_forum.clj:28-46`` estimate-model, ``corpus.clj`` post-
+processing).
+
+A *model* is the reference's learned site navigation program
+(SURVEY.md §1.1 #6):
+
+    {"actions":    [{"action_seq": [xpath…]   # root-first
+                     "count": int,            # leaf-path frequency
+                     "refined": {"only": {...}, "avoid": {...}},
+                     "yield": float}],
+     "pagination": {"paging_actions": {src_seq_key: action_xpath},
+                    "refine": {}}}
+
+Components, with reference semantics:
+  * leaf action-path frequencies — ``(frequencies leaf-paths)``
+    (crawl.clj:108): Ray groupby on the serialized action path.
+  * pagination detection (corpus.clj:123-217): candidate = a link with
+    a NUMERIC anchor (corpus.clj:127-131) whose target page is
+    structurally similar to its source (RTDM > 0.8 —
+    rich_extractor.clj:213-215); ``frequencies`` of (src-action-path,
+    link-xpath) pairs, spurious candidates dropped when the composed
+    path already appears as a content action (corpus.clj:55-75), best
+    candidate per src-action kept by similarity (corpus.clj:158-185).
+  * refinement (corpus.clj:219-310, dom.clj:1018-1061): per action
+    step, positional-xpath variants that led to leaves (``only``) vs
+    only to non-leaves (``avoid``); modal refinement across parents
+    (corpus.clj:300-302).
+  * yield estimation (corpus.clj:324-407): product over path steps of
+    the max per-parent link count, ×10 when the step is paginated
+    (corpus.clj:401-403).
+  * plan ordering (execute.clj:10-17, main.clj:206-216): actions
+    sorted by (len(action_seq), −yield).
+"""
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pyarrow as pa
+
+from .. import dom
+from ..functions.similarity import rtdm_similarity
+
+
+def _seq_key(seq: list[str]) -> str:
+    return "␟".join(seq)  # unit separator joined action path
+
+
+def _compose(src_key: str, axn: str) -> str:
+    """Append one action to a serialized path key ('' = empty path)."""
+    return axn if not src_key else src_key + "␟" + axn
+
+
+def learn_model(
+    trace: list[dict],
+    pages: pa.Table,
+    pagination_sim_threshold: float = 0.8,
+) -> dict:
+    """Learn the model from a finished learn-crawl: ``trace`` rows carry
+    url/src_url/is_leaf/status; page bodies come from the site graph.
+
+    The wide steps are expressed as groupbys over the trace (the
+    frequencies and candidate counts); similarity verification runs
+    only on candidate pairs."""
+    idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
+    bodies = pages.column("html").to_pylist()
+
+    # reconstruct each url's action path root-first by walking src links
+    src_of = {t["url"]: t["src_url"] for t in trace}
+    leaf_of = {t["url"]: t["is_leaf"] for t in trace}
+    body_of = {
+        t["url"]: bodies[idx[t["url"]]] if t["url"] in idx else "" for t in trace
+    }
+
+    # per-link xpath: parent body → extract links → url → xpath
+    link_xpath: dict[tuple[str, str], str] = {}
+    link_text: dict[tuple[str, str], str] = {}
+    link_xpath_pos: dict[tuple[str, str], str] = {}
+    for t in trace:
+        b = body_of.get(t["url"], "")
+        if not b:
+            continue
+        for l in dom.extract_links(dom.parse_page(b), t["url"]):
+            key = (t["url"], l["url"])
+            if key not in link_xpath:
+                link_xpath[key] = l["xpath"]
+                link_text[key] = l["text"]
+                link_xpath_pos[key] = l["xpath_pos"]
+
+    def action_path(url: str) -> list[str]:
+        path: list[str] = []
+        cur = url
+        seen = set()
+        while cur in src_of and src_of[cur] and cur not in seen:
+            seen.add(cur)
+            parent = src_of[cur]
+            xp = link_xpath.get((parent, cur))
+            if xp is None:
+                break
+            path.append(xp)
+            cur = parent
+        path.reverse()
+        return path
+
+    paths = {t["url"]: action_path(t["url"]) for t in trace}
+
+    # ---- leaf action-path frequencies (crawl.clj:108) ----------------
+    leaf_paths = Counter(
+        _seq_key(paths[t["url"]]) for t in trace if t["is_leaf"] and paths[t["url"]]
+    )
+
+    # ---- pagination candidates (corpus.clj:123-217) ------------------
+    # numeric anchor + structurally-similar target
+    pag_counter: Counter = Counter()
+    pag_sim: dict[tuple[str, str], float] = {}
+    for t in trace:
+        url, parent = t["url"], t["src_url"]
+        if not parent:
+            continue
+        key = (parent, url)
+        text = link_text.get(key, "")
+        if not text.strip().isdigit():
+            continue
+        b_child, b_parent = body_of.get(url, ""), body_of.get(parent, "")
+        if not b_child or not b_parent:
+            continue
+        sim = rtdm_similarity(b_parent, b_child)
+        if sim < pagination_sim_threshold:
+            continue
+        src_seq = _seq_key(paths[parent])
+        axn = link_xpath[key]
+        pag_counter[(src_seq, axn)] += 1
+        pag_sim[(src_seq, axn)] = max(pag_sim.get((src_seq, axn), 0.0), sim)
+
+    # spurious-composition filter (corpus.clj:55-75): drop a pagination
+    # candidate whose composed path is itself a leaf action path
+    content_paths = set(leaf_paths)
+    pag_filtered = {
+        k: v for k, v in pag_counter.items() if _compose(k[0], k[1]) not in content_paths
+    }
+    # best per src-action by similarity (corpus.clj:158-185)
+    paging_actions: dict[str, str] = {}
+    best_sim: dict[str, float] = {}
+    for (src_seq, axn), _n in pag_filtered.items():
+        s = pag_sim[(src_seq, axn)]
+        if s > best_sim.get(src_seq, -1.0):
+            best_sim[src_seq] = s
+            paging_actions[src_seq] = axn
+
+    # ---- refinement (corpus.clj:219-310) -----------------------------
+    # per (action path prefix, action): positional variants → leaf vs not
+    refined: dict[str, dict[str, list]] = {}
+    pos_outcomes: dict[tuple[str, str], dict[str, set]] = defaultdict(
+        lambda: {"leaf": set(), "nonleaf": set()}
+    )
+    for t in trace:
+        url, parent = t["url"], t["src_url"]
+        if not parent:
+            continue
+        key = (parent, url)
+        if key not in link_xpath:
+            continue
+        step_key = (_seq_key(paths[parent]), link_xpath[key])
+        pos_xp = link_xpath_pos[key]
+        # does any leaf live at-or-below this link?  approximation:
+        # outcome of the immediate target (the reference probes stored
+        # corpus bodies the same one-step way, model.clj:30-160)
+        bucket = "leaf" if leaf_of.get(url) else "nonleaf"
+        pos_outcomes[step_key][bucket].add(pos_xp)
+    for (src_seq, axn), oc in pos_outcomes.items():
+        only = sorted(oc["leaf"] - oc["nonleaf"])
+        avoid = sorted(oc["nonleaf"] - oc["leaf"])
+        if only or avoid:
+            refined[_compose(src_seq, axn)] = {"only": only, "avoid": avoid}
+
+    # ---- yield estimation (corpus.clj:324-407) -----------------------
+    # per action path: product over steps of max per-parent child count
+    children_at: dict[tuple[str, str], Counter] = defaultdict(Counter)
+    for t in trace:
+        parent = t["src_url"]
+        if not parent:
+            continue
+        key = (parent, t["url"])
+        if key in link_xpath:
+            children_at[(_seq_key(paths[parent]), link_xpath[key])][parent] += 1
+
+    def estimate_yield(seq: list[str]) -> float:
+        y = 1.0
+        for k in range(len(seq)):
+            prefix = _seq_key(seq[:k])
+            step = (prefix, seq[k])
+            per_parent = children_at.get(step)
+            y *= max(per_parent.values()) if per_parent else 1.0
+            if prefix in paging_actions:
+                y *= 10.0  # corpus.clj:401-403
+        return y
+
+    actions = []
+    for seq_key, count in leaf_paths.items():
+        seq = seq_key.split("␟") if seq_key else []
+        actions.append(
+            {
+                "action_seq": seq,
+                "count": count,
+                "refined": {
+                    _seq_key(seq[: k + 1]): refined[_compose(_seq_key(seq[:k]), seq[k])]
+                    for k in range(len(seq))
+                    if _compose(_seq_key(seq[:k]), seq[k]) in refined
+                },
+                "yield": estimate_yield(seq),
+            }
+        )
+
+    # plan ordering (execute.clj:10-17): (length, −yield)
+    actions.sort(key=lambda a: (len(a["action_seq"]), -a["yield"]))
+    return {"actions": actions, "pagination": {"paging_actions": paging_actions, "refine": {}}}
+
+
+def remove_pagination_from_actions(model: dict) -> dict:
+    """corpus.clj:409-438 (fix-model): strip content actions whose path
+    is a pagination-composed variant of a shorter action."""
+    pag = model["pagination"]["paging_actions"]
+    composed = {_compose(src, axn) for src, axn in pag.items()}
+    kept = [a for a in model["actions"] if _seq_key(a["action_seq"]) not in composed]
+    return {"actions": kept, "pagination": model["pagination"]}
