@@ -1,0 +1,167 @@
+"""CLI — the reference's main.clj modes re-expressed
+(``--structure-driven / --discussion-forum / --execute /
+--execute-budget / --corpus-to-json``, main.clj:17-38, 307-352) plus
+``--bfs`` and ``--seed-replay``.
+
+The synthetic site graph stands in for the live web: pass ``--graph``
+(a parquet file of SITE_PAGES rows, e.g. written by
+``python -m crawler_ray.cli gen-graph``) or let the CLI generate one.
+
+Owns the Ray session (guarded init; the library never calls ray.init).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def _load_graph(args):
+    import pyarrow.parquet as pq
+
+    from crawler_ray import synth
+
+    if args.graph:
+        return pq.read_table(args.graph)
+    return synth.generate_site_graph(
+        num_hosts=args.hosts, base_pages=args.pages_per_host, seed=args.seed
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="crawler_ray", description=__doc__)
+    p.add_argument("mode", choices=[
+        "bfs", "structure-driven", "discussion-forum", "execute",
+        "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
+    ])
+    p.add_argument("--graph", help="SITE_PAGES parquet file")
+    p.add_argument("--hosts", type=int, default=4)
+    p.add_argument("--pages-per-host", type=int, default=40)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--start", help="seed URL (default: every host's index page 1)")
+    p.add_argument("--example", help="example leaf URL (structure-driven)")
+    p.add_argument("--model", help="model JSON path (execute modes)")
+    p.add_argument("--num-leaves", type=int, default=300)   # main.clj:24-28
+    p.add_argument("--budget", type=int, default=1000)      # main.clj:29-33
+    p.add_argument("--out", default="/tmp/crawler_ray_out")
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--num-cpus", type=int, default=8)
+    p.add_argument("--politeness-ms", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from crawler_ray import synth
+
+    if args.mode == "gen-graph":
+        import pyarrow.parquet as pq
+
+        pages = _load_graph(args)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        pq.write_table(pages, args.out)
+        print(json.dumps({"pages": pages.num_rows, "out": args.out}))
+        return 0
+
+    pages = _load_graph(args)
+    seeds = [args.start] if args.start else synth.seeds_for(pages)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.mode == "corpus-to-json":
+        # corpus EDN → JSON analog (corpus.clj:82-90): checkpointed
+        # corpus parquet → JSON lines
+        from crawler_ray.state.checkpoint import CheckpointStore
+
+        corpus = CheckpointStore(args.checkpoint_dir).corpus_table()
+        out = os.path.join(args.out, "corpus.jsonl")
+        with open(out, "w") as f:
+            for row in corpus.select(["url", "depth", "status", "is_leaf"]).to_pylist():
+                f.write(json.dumps(row) + "\n")
+        print(json.dumps({"rows": corpus.num_rows, "out": out}))
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.mode == "seed-replay":
+            from crawler_ray.pipelines.seedlist import replay_seed_list
+
+            ds = replay_seed_list(
+                pages, seeds, out_dir=os.path.join(args.out, "documents"),
+                politeness_ms=args.politeness_ms,
+            )
+            print(json.dumps({"documents": ds.count(), "out": args.out}))
+            return 0
+
+        from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+
+        if args.mode in ("bfs", "structure-driven", "discussion-forum"):
+            leaf_fn = None
+            if args.mode == "structure-driven":
+                if not args.example:
+                    p.error("--structure-driven requires --example")
+                idx = pages.column("doc_id").to_pylist().index(args.example)
+                example_html = pages.column("html")[idx].as_py()
+                from crawler_ray.pipelines.execute import structure_driven_leaf_fn
+
+                leaf_fn = structure_driven_leaf_fn(example_html)
+            cfg = CrawlConfig(
+                num_leaves=args.num_leaves,
+                budget=args.budget,
+                politeness_ms=args.politeness_ms,
+                checkpoint_dir=args.checkpoint_dir,
+                leaf_fn=leaf_fn,
+            )
+            res = crawl(pages, seeds, cfg)
+            summary = {k: v for k, v in res.metrics.items()}
+            if args.mode == "discussion-forum":
+                # learn phase → dump the model (main.clj dump-state-model-corpus)
+                from crawler_ray.pipelines.model import learn_model
+
+                model = learn_model(res.trace, pages)
+                mp = os.path.join(args.out, "model.json")
+                with open(mp, "w") as f:
+                    json.dump(model, f, indent=1)
+                summary["model"] = mp
+                summary["actions"] = len(model["actions"])
+            print(json.dumps(summary))
+            return 0
+
+        if args.mode in ("execute", "execute-budget"):
+            if not args.model:
+                p.error("execute modes require --model")
+            with open(args.model) as f:
+                model = json.load(f)
+            from crawler_ray.pipelines.execute import execute_model
+
+            budget = args.budget if args.mode == "execute-budget" else 10**9
+            res = execute_model(pages, seeds, model, budget=budget)
+            cp = os.path.join(args.out, "harvest.jsonl")
+            with open(cp, "w") as f:
+                for t in res.trace:
+                    f.write(json.dumps(t) + "\n")
+            print(
+                json.dumps(
+                    {"harvested": len(res.harvested), "fetches": len(res.trace), "out": cp}
+                )
+            )
+            return 0
+    finally:
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,6 +67,11 @@ class CrawlConfig:
     neardup_threshold: float = 0.9
     n_neardup_shards: int = 4
     blacklist: frozenset = frozenset()
+    # extension surface (SURVEY.md §2.12): the reference injects leaf?/
+    # extract/stop? closures (crawl.clj:63-66); here they are pickled
+    # into the worker actors / consulted by the driver loop.
+    leaf_fn: object = None    # Callable[[html, url, state_action], bool]
+    stop_fn: object = None    # Callable[[metrics dict], bool]
     checkpoint_dir: str | None = None
     snapshot_every: int = 5
     max_rounds: int = 10**6
@@ -104,7 +109,7 @@ LINKS_ITEM = pa.struct(
 )
 
 
-def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = True):
+def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = True, leaf_fn=None):
     """One DOM parse per page → spans, links, leaf flag, shingles, LSH
     keys.  Pure function of the page → safe at any wave parallelism.
     Drops ``body`` from the output (downstream uses spans/links only);
@@ -132,7 +137,7 @@ def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = Tru
             spans_col.append(dom.extract_spans(b, base) if keep_spans else [])
             links = dom.extract_links(root, base, blacklist=blacklist)
             sa = state_action(links)
-            is_leaf = leaf_by_richness(sa)
+            is_leaf = leaf_fn(b, base, sa) if leaf_fn is not None else leaf_by_richness(sa)
             leaf_col.append(is_leaf)
             nlinks_col.append(len(links))
             links_col.append([{"url": l["url"], "text": l["text"], "xpath": l["xpath"]} for l in links])
@@ -168,9 +173,9 @@ class FetchEnrichWorker:
     wall-time when rounds are small.  Offline/corpus-wide operators
     stay Ray Data Datasets (see stages/, queries.py)."""
 
-    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True):
+    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None):
         self.fetcher = Fetcher(graph_ref, politeness, interval_ms)
-        self.enrich = make_enrich(minhash_perms, blacklist, keep_spans)
+        self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn)
 
     def process(self, tbl: pa.Table) -> pa.Table:
         return self.enrich(self.fetcher(tbl))
@@ -182,7 +187,7 @@ def make_workers(graph_ref, cfg: CrawlConfig, politeness=None):
     return [
         FetchEnrichWorker.remote(
             graph_ref, politeness or [], cfg.politeness_ms, cfg.minhash_perms,
-            cfg.blacklist, cfg.checkpoint_dir is not None,
+            cfg.blacklist, cfg.checkpoint_dir is not None, cfg.leaf_fn,
         )
         for _ in range(cfg.fetch_concurrency)
     ]
@@ -249,6 +254,8 @@ def crawl(
         if frontier.num_rows == 0:
             break
         if metrics["leaves"] >= cfg.num_leaves or step >= cfg.budget:
+            break
+        if cfg.stop_fn is not None and cfg.stop_fn(dict(metrics)):
             break
 
         _prof = os.environ.get("CRAWL_PROFILE")
