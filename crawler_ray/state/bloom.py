@@ -51,16 +51,19 @@ class BloomFilter:
         pos = self._positions(key)
         word, bit = pos >> np.uint64(6), pos & np.uint64(63)
         mask = np.uint64(1) << bit
-        present = bool(np.all(self.bits[word] & mask != 0))
+        present = bool(np.all((self.bits[word] & mask) != 0))
         if not present:
-            self.bits[word] |= mask
+            # unbuffered scatter-OR: two hash positions can land in the
+            # same 64-bit word, and `bits[word] |= mask` silently drops
+            # one of the duplicate-index updates
+            np.bitwise_or.at(self.bits, word, mask)
             self.count += 1
         return not present
 
     def __contains__(self, key: str) -> bool:
         pos = self._positions(key)
         word, bit = pos >> np.uint64(6), pos & np.uint64(63)
-        return bool(np.all(self.bits[word] & (np.uint64(1) << bit) != 0))
+        return bool(np.all((self.bits[word] & (np.uint64(1) << bit)) != 0))
 
     # -- exact snapshot / restore (checkpointing) ----------------------
     def snapshot(self) -> dict:

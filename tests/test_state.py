@@ -1,0 +1,75 @@
+"""URL-seen filters (bloom + cuckoo) incl. exact snapshot/restore, seen
+shard routing, and politeness clock spacing."""
+
+import time
+
+import numpy as np
+
+from crawler_ray.state.bloom import BloomFilter, CuckooFilter
+
+
+def test_bloom_basics_and_snapshot():
+    bf = BloomFilter(capacity=10_000, fp_rate=1e-4)
+    urls = [f"http://h{i % 7}.com/p{i}" for i in range(5000)]
+    for u in urls:
+        assert bf.add(u)  # all new
+    assert all(u in bf for u in urls)
+    assert not bf.add(urls[0])  # duplicate
+    # false-positive rate sanity
+    fps = sum(1 for i in range(10_000) if f"http://other/{i}" in bf)
+    assert fps < 20
+    # snapshot → restore is byte-exact
+    snap = bf.snapshot()
+    bf2 = BloomFilter.restore(snap)
+    assert np.array_equal(bf.bits, bf2.bits) and bf2.count == bf.count
+    assert all(u in bf2 for u in urls)
+
+
+def test_cuckoo_add_delete_snapshot():
+    cf = CuckooFilter(capacity=5000)
+    urls = [f"http://h/{i}" for i in range(3000)]
+    for u in urls:
+        assert cf.add(u)
+    assert all(u in cf for u in urls)
+    assert not cf.add(urls[5])  # already present
+    # delete (the capability blooms lack)
+    assert cf.delete(urls[5])
+    assert urls[5] not in cf
+    snap = cf.snapshot()
+    cf2 = CuckooFilter.restore(snap)
+    assert np.array_equal(cf.table, cf2.table)
+    assert urls[6] in cf2 and urls[5] not in cf2
+
+
+def test_seen_shards_route_and_restore(ray_session):
+    from crawler_ray.stages.seen import SeenSet
+
+    seen = SeenSet(n_shards=3, exact_audit=True)
+    urls = [f"http://h{i % 5}.com/{i}" for i in range(200)]
+    new = seen.test_and_set(urls)
+    assert new.all()
+    again = seen.test_and_set(urls)
+    assert not again.any()
+    assert seen.size() == 200
+    snaps = seen.snapshot()
+    seen2 = SeenSet(n_shards=3, exact_audit=True)
+    seen2.restore(snaps)
+    assert seen2.members() == set(urls)
+    assert not seen2.test_and_set(urls[:10]).any()
+    # cuckoo-backed shards work the same
+    seen3 = SeenSet(n_shards=2, kind="cuckoo", exact_audit=False)
+    assert seen3.test_and_set(urls).all()
+    assert not seen3.test_and_set(urls).any()
+
+
+def test_politeness_clock_spacing(ray_session):
+    from crawler_ray.stages.fetch import PolitenessClock
+
+    clock = PolitenessClock.remote(interval_ms=50)
+    import ray
+
+    t0 = ray.get(clock.reserve.remote("host.a", 3))  # books 3 slots
+    t1 = ray.get(clock.reserve.remote("host.a", 1))  # must wait 150ms
+    t2 = ray.get(clock.reserve.remote("host.b", 1))  # other host: now
+    assert t1 - t0 >= 0.149
+    assert t2 - t0 < 0.05
