@@ -22,19 +22,36 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 def entry() -> Any:
     """Flagship: derive the deterministic site graph from the driver's
-    documents table, run the span-extraction + link-explosion pipeline
-    (the crawl's stateless core) and return the interleaved-span
-    documents dataset (input_hint schema)."""
+    documents table, run the FULL BSP crawl (sharded URL-seen frontier,
+    politeness/robots, redirect aliasing, near-dup marking, per-round
+    checkpoints) and return the crawled corpus as an interleaved-span
+    documents dataset (input_hint schema: doc_id + spans)."""
+    import tempfile
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from crawler_ray import synth
-    from crawler_ray.stages.extract import extract_spans_batch
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.state.checkpoint import CheckpointStore
 
     docs = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
     pages = synth.derive_from_documents(docs)
-    ds = rd.from_arrow(pages.select(["doc_id", "html"]))
-    return ds.map_batches(extract_spans_batch, batch_format="pyarrow")
+    rows = pages.to_pylist()
+    first_per_host: dict[str, str] = {}
+    for r in rows:
+        if not r["is_leaf"] and r["host"] not in first_per_host:
+            first_per_host[r["host"]] = r["doc_id"]
+    seeds = sorted(first_per_host.values())
+
+    ckpt_dir = tempfile.mkdtemp(prefix="entry_crawl_")
+    cfg = CrawlConfig(
+        wave_size=None, n_seen_shards=4, fetch_concurrency=4,
+        checkpoint_dir=ckpt_dir, snapshot_every=5,
+    )
+    crawl(pages, seeds, cfg)
+    corpus = CheckpointStore(ckpt_dir).corpus_table()
+    return rd.from_arrow(corpus.select(["url", "spans"]).rename_columns(["doc_id", "spans"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

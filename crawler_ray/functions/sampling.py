@@ -49,3 +49,11 @@ def exploration_sample(links: list, rng: random.Random, cap: int = 10, frac: int
     group for exploration."""
     n = max(cap, -(-len(links) // frac))
     return random_take(links, n, rng)
+
+
+def sample_some_links(links: list, blacklist: frozenset, rng: random.Random) -> list:
+    """sample/sample-some-links (sample.clj:12-29): up to
+    max(4, ceil(n/10)) distinct non-blacklisted links."""
+    cand = [l for l in dict.fromkeys(links) if l not in blacklist]
+    n = max(4, -(-len(cand) // 10))
+    return random_take(cand, n, rng)

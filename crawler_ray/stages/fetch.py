@@ -33,6 +33,12 @@ from ..functions.urlnorm import host_hash, url_host
 # The synthetic web's robots payload: every host disallows /private/.
 SYNTH_ROBOTS_DISALLOW = ("/private",)
 
+# The reference's politeness budget constants, preserved for
+# conformance-mode runs (BASELINE.md):
+POLITENESS_CRAWL_MS = 1000     # crawl.clj:83, 333, 670, 777
+POLITENESS_SAMPLING_MS = 2000  # crawl.clj:573, template_removal.clj:46
+POLITENESS_MIN_WAIT_MS = 3000  # core.clj:20-21, utils.clj:25, gplus 3s
+
 
 @ray.remote
 class PolitenessClock:
