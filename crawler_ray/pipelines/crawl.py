@@ -271,7 +271,17 @@ def crawl(
 
         # ---- fetch + enrich (the distributed part of the round) -------
         # adaptive chunking: ~3 chunks per worker for load balance, but
-        # never tiny chunks (RPC overhead) nor giant ones (stragglers)
+        # never tiny chunks (RPC overhead) nor giant ones (stragglers).
+        # Under politeness, group the wave by salted host partition first
+        # (state/frontier.py): a host's URLs stay chunk-local (one clock
+        # reserve per chunk) while hot hosts are salted across chunks.
+        host_grouped = cfg.politeness_ms > 0 and wave.num_rows > 1
+        if host_grouped:
+            from ..state.frontier import partition_frontier
+
+            wp = partition_frontier(wave, n_partitions=max(8, len(workers) * 2))
+            order2 = np.argsort(wp.column("partition").to_numpy(), kind="stable")
+            wave = wave.take(pa.array(order2))
         chunk_n = int(np.clip(wave.num_rows // (3 * len(workers)) + 1, 8, 512))
         chunks = [wave.slice(o, chunk_n) for o in range(0, wave.num_rows, chunk_n)]
         futs = [workers[i % len(workers)].process.remote(c) for i, c in enumerate(chunks)]
@@ -282,10 +292,16 @@ def crawl(
         if pending_nd:
             _resolve_pending(pending_nd, res, metrics)
         if _prof: print(f"[prof r{rnd}] nd-resolve {time.time()-_t:.2f}s"); _t=time.time()
-        # wave_tbl is already in (depth, discovery_seq) priority order:
-        # the wave was sorted before chunking, chunks are ordered
-        # slices, ray.get preserves future order, workers preserve row
-        # order — no re-sort needed.
+        # wave_tbl is in (depth, discovery_seq) priority order: the wave
+        # was sorted before chunking, chunks are ordered slices, ray.get
+        # preserves future order, workers preserve row order.  The one
+        # exception is politeness mode's host-grouped chunking — restore
+        # priority order there.
+        if host_grouped:
+            ws = np.lexsort(
+                (wave_tbl.column("discovery_seq").to_numpy(), wave_tbl.column("depth").to_numpy())
+            )
+            wave_tbl = wave_tbl.take(pa.array(ws))
 
         # ---- near-dup marking in crawl order --------------------------
         # Arrow handoff: the leaf sub-table goes to the band shards as
