@@ -117,3 +117,22 @@ def test_redirects_and_robots_in_seen(ray_session, graph):
     for t in res.trace:
         if t["url"] in denied:
             assert t["n_links"] == 0
+
+
+def test_corpus_spans_match_golden(ray_session, graph, tmp_path):
+    """input_hint per-row invariant: the crawled corpus's emitted span
+    sequences equal the generator's golden spans byte-for-byte
+    (kind, text, media_ref, order)."""
+    pages, seeds = graph
+    ck = str(tmp_path / "ck")
+    crawl(pages, seeds, CrawlConfig(checkpoint_dir=ck))
+    from crawler_ray.state.checkpoint import CheckpointStore
+
+    corpus = CheckpointStore(ck).corpus_table()
+    golden = {r["doc_id"]: r["spans"] for r in pages.to_pylist()}
+    checked = 0
+    for row in corpus.to_pylist():
+        if row["status"] == "ok" and row["url"] in golden:
+            assert row["spans"] == golden[row["url"]], row["url"]
+            checked += 1
+    assert checked > 30
