@@ -1065,8 +1065,12 @@ def ngram_jaccard_neardup(sf_dir: str):
         out = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "gh": pa.array(gh, type=pa.int64())})
         return out.append_column("bucket", pc.cast(pc.bit_wise_and(out["gh"], 31), pa.int32()))
 
-    grams = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow"
+    # materialize once: both the sizes aggregate and the pair pipeline
+    # consume the exploded grams (avoids lineage recompute)
+    grams = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()
     )
 
     # sizes: |grams(doc)| — one small row per doc, broadcast for the final join
@@ -1183,7 +1187,7 @@ def _augmented_docs(sf_dir: str):
 def minhash_lsh_neardup(sf_dir: str):
     from crawler_ray.stages.dedup import grams4_raw, lsh_neardup_pairs, verify_jaccard_pairs
 
-    aug = _augmented_docs(sf_dir)
+    aug = _augmented_docs(sf_dir).materialize()  # reused twice below
     pairs = lsh_neardup_pairs(aug, threshold=0.9)
     # broadcast id→grams for exact verification (corpus-sized broadcast
     # is fine here; at scale the pairs hash-join back to texts)
