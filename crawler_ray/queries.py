@@ -1310,3 +1310,69 @@ def crawl_bfs(sf_dir: str):
     res = crawl(pages, seeds, CrawlConfig(wave_size=None, n_seen_shards=4, fetch_concurrency=4))
     t = res.trace_table()
     return t.select(["url", "depth", "status", "is_leaf", "n_links"])
+
+
+@register(
+    "window_rank",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    SELECT o_custkey, o_orderkey, rk FROM r WHERE rk <= 2
+    """,
+    doc="Windowed rank (top-2 orders per customer): high-cardinality "
+    "partition-by via coarse bucket shuffle + vectorized pandas "
+    "rank within buckets (the >10^4-group groupby pattern).",
+)
+def window_rank(sf_dir: str):
+    import pandas as pd
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["o_custkey"], index=False).to_numpy()
+        df = df.copy()
+        df["__b"] = (h % 32).astype("int32")
+        return df
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True])
+        g["rk"] = g.groupby("o_custkey").cumcount() + 1
+        out = g[g["rk"] <= 2][["o_custkey", "o_orderkey", "rk"]]
+        return out.astype({"rk": "int64"})
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda g: rank_bucket(g.drop(columns="__b")), batch_format="pandas")
+    )
+
+
+@register(
+    "union_distinct",
+    """
+    SELECT count(DISTINCT k) AS n
+    FROM (SELECT l_orderkey AS k FROM lineitem
+          UNION ALL
+          SELECT o_orderkey AS k FROM orders)
+    """,
+    doc="Union + global distinct count (ds.union + unique — the "
+    "observed∪crawled set-union metric shape, crawl.clj:736-737).",
+)
+def union_distinct(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow"
+    )
+    # per-batch pre-dedup, then one distinct shuffle
+    import numpy as np
+
+    pre = li.union(orders).map_batches(
+        lambda t: pa.table({"k": pa.array(np.unique(t["k"].to_numpy()))}),
+        batch_format="pyarrow",
+    )
+    n = len(pre.unique("k"))
+    return pa.table({"n": pa.array([n], type=pa.int64())})
