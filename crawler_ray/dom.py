@@ -295,7 +295,12 @@ def extract_spans(raw_html: str, page_url: str = "") -> list[dict]:
     Spans appear in document order; offset = absolute char offset of
     the element start tag (link/media) or of the text run.
     """
-    root = parse_page(raw_html)
+    return extract_spans_from_root(parse_page(raw_html), page_url)
+
+
+def extract_spans_from_root(root: Node, page_url: str = "") -> list[dict]:
+    """Span extraction from an already-parsed tree (hot stages parse
+    ONCE and feed both the link extractor and this)."""
     spans: list[dict] = []
 
     def walk(n: Node):

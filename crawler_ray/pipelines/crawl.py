@@ -133,8 +133,8 @@ def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = Tru
                 nlinks_col.append(0)
                 continue
             base = chain[-1] if st == "redirect" else u
-            root = dom.parse_page(b)
-            spans_col.append(dom.extract_spans(b, base) if keep_spans else [])
+            root = dom.parse_page(b)  # ONE parse feeds spans+links+leaf
+            spans_col.append(dom.extract_spans_from_root(root, base) if keep_spans else [])
             links = dom.extract_links(root, base, blacklist=blacklist)
             sa = state_action(links)
             is_leaf = leaf_fn(b, base, sa) if leaf_fn is not None else leaf_by_richness(sa)
