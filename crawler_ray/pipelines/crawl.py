@@ -66,6 +66,10 @@ class CrawlConfig:
     lsh_bands: int = 16
     neardup_threshold: float = 0.9
     n_neardup_shards: int = 4
+    # dup-stop rule (crawl.clj:346-349): stop at corpus ≥ dup_stop_corpus
+    # AND dup_stop_consecutive consecutive near-dup leaves
+    dup_stop_corpus: int = 1000
+    dup_stop_consecutive: int = 30
     blacklist: frozenset = frozenset()
     # extension surface (SURVEY.md §2.12): the reference injects leaf?/
     # extract/stop? closures (crawl.clj:63-66); here they are pickled
@@ -380,7 +384,10 @@ def crawl(
         # dup-stop heuristic (crawl.clj:346-349): ≥1000 corpus ∧ 30
         # consecutive near-dups (one-round lag in async mode)
         max_run = max(max_run, metrics.pop("_max_dup_run", 0))
-        stop_dups = metrics["fetched"] >= 1000 and max_run >= 30
+        stop_dups = (
+            metrics["fetched"] >= cfg.dup_stop_corpus
+            and max_run >= cfg.dup_stop_consecutive
+        )
 
         # ---- explode links, wave-level first-wins dedup (vectorized):
         # flatten the list column, map each link to its source row, and

@@ -136,3 +136,62 @@ def test_corpus_spans_match_golden(ray_session, graph, tmp_path):
             assert row["spans"] == golden[row["url"]], row["url"]
             checked += 1
     assert checked > 30
+
+
+def test_conformance_under_politeness_budget(ray_session, graph):
+    """north_rule: ordering + URL-seen match 'under the same politeness
+    budget' — wave=1 with an active per-host token bucket must still
+    reproduce the oracle's total order."""
+    pages, seeds = graph
+    oracle = crawl_bfs_oracle(pages, seeds, budget=25)
+    res = crawl(
+        pages, seeds, CrawlConfig(wave_size=1, budget=25, politeness_ms=10)
+    )
+    assert [t["url"] for t in res.trace] == [t["url"] for t in oracle.trace]
+
+
+def test_dup_stop_rule(ray_session):
+    """crawl.clj:346-349 stop heuristic, exercised at lowered
+    thresholds: a host whose leaves are all near-identical triggers the
+    consecutive-near-dup stop before the frontier empties."""
+    import pyarrow as pa
+
+    from crawler_ray import schemas
+    from crawler_ray.synth.graph import _PageBuilder
+
+    words = [f"w{i}" for i in range(150)]
+    rows = []
+    b = _PageBuilder("http://d.test/")
+    b.line("<html>")
+    b.line("<body>")
+    b.line('<div class="list">')
+    for i in range(30):
+        b.link(f"/leaf/{i}", f"item {i}", cls="post-link")
+    b.line("</div>")
+    b.line("</body>")
+    b.line("</html>")
+    rows.append(
+        {"doc_id": "http://d.test/", "host": "d.test", "html": b.html(),
+         "spans": b.spans, "is_leaf": False, "disallowed": False, "redirect_to": ""}
+    )
+    for i in range(30):
+        w = list(words)
+        w[0] = f"v{i}"  # one word differs → Jaccard ≈ 0.97 ≥ 0.9
+        lb = _PageBuilder(f"http://d.test/leaf/{i}")
+        lb.line("<html>")
+        lb.line("<body>")
+        lb.text(" ".join(w))
+        lb.line("</body>")
+        lb.line("</html>")
+        rows.append(
+            {"doc_id": f"http://d.test/leaf/{i}", "host": "d.test", "html": lb.html(),
+             "spans": lb.spans, "is_leaf": True, "disallowed": False, "redirect_to": ""}
+        )
+    pages = pa.Table.from_pylist(rows, schema=schemas.SITE_PAGES)
+    cfg = CrawlConfig(
+        wave_size=1, dup_stop_corpus=5, dup_stop_consecutive=5
+    )
+    res = crawl(pages, ["http://d.test/"], cfg)
+    # stopped early: 1 seed + first unique leaf + 5 consecutive dups ≈ 7
+    assert res.metrics["near_dups"] >= 5
+    assert res.metrics["fetched"] < 31
