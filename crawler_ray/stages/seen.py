@@ -7,10 +7,11 @@ test-and-set needs no cross-shard coordination (SURVEY.md §7.5).
 
 This is one of the few places raw Ray actors are justified: a shared
 *mutable* membership index that every round must read AND write; the
-Dataset API has no primitive for incremental test-and-set.  The
-frontier pipeline calls ``filter_new_links`` which routes a links
-Dataset through the shards batch-wise (one remote call per shard per
-batch, NOT per URL).
+Dataset API has no primitive for incremental test-and-set.  The BSP
+loop uses the driver-side ``SeenSet`` handle; Dataset pipelines use
+``make_seen_filter_stage`` — a map_batches function that routes each
+batch through the shards (one remote call per shard per batch, NOT
+per URL).
 """
 from __future__ import annotations
 
@@ -138,20 +139,18 @@ def make_seen_filter_stage(seen: SeenSet):
 
     shards = seen.shards
     n = seen.n
+    route = seen._route  # SAME routing as the driver-side handle —
+    # mixed routing would send a URL to two different owner shards
 
     def fn(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         if not urls:
             return batch
-        per, idx = [[] for _ in range(n)], [[] for _ in range(n)]
-        for i, u in enumerate(urls):
-            s = url_hash64(u) % n
-            per[s].append(u)
-            idx[s].append(i)
+        per, idx = route(urls)
         futs = {s: shards[s].test_and_set.remote(per[s]) for s in range(n) if per[s]}
         new = np.zeros(len(urls), dtype=bool)
         for s, fut in futs.items():
-            new[np.array(idx[s], dtype=np.int64)] = ray.get(fut)
+            new[np.asarray(idx[s], dtype=np.int64)] = ray.get(fut)
         return batch.filter(pa.array(new))
 
     return fn

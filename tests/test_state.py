@@ -73,3 +73,23 @@ def test_politeness_clock_spacing(ray_session):
     t2 = ray.get(clock.reserve.remote("host.b", 1))  # other host: now
     assert t1 - t0 >= 0.149
     assert t2 - t0 < 0.05
+
+
+def test_seen_filter_stage_in_dataset_pipeline(ray_session):
+    """make_seen_filter_stage: the map_batches form of the sharded
+    test-and-set — a links Dataset keeps only first-seen URLs."""
+    import ray.data as rd
+
+    from crawler_ray.stages.seen import SeenSet, make_seen_filter_stage
+
+    seen = SeenSet(n_shards=2)
+    seen.test_and_set(["http://h/0", "http://h/1"])  # pre-seen
+    links = rd.from_items(
+        [{"url": f"http://h/{i}"} for i in [0, 1, 2, 3, 2]]  # dup 2 across rows
+    )
+    out = links.map_batches(
+        make_seen_filter_stage(seen), batch_format="pyarrow", batch_size=2
+    ).to_pandas()
+    got = sorted(out["url"])
+    # 0,1 filtered (pre-seen); 2 kept once (test-and-set); 3 kept
+    assert got == ["http://h/2", "http://h/3"]
