@@ -444,8 +444,8 @@ def crawl(
         # ---- checkpoint -----------------------------------------------
         if ckpt is not None:
             corpus_tbl = wave_tbl.select(
-                ["url", "host", "depth", "discovery_seq", "src_url", "status",
-                 "is_leaf", "near_dup", "spans"]
+                ["url", "host", "depth", "discovery_seq", "src_url", "src_xpath",
+                 "status", "is_leaf", "near_dup", "spans"]
             )
             path = ckpt.write_round(
                 rnd, corpus_tbl, frontier, metrics, step, next_seq,

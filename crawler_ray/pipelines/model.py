@@ -223,3 +223,118 @@ def remove_pagination_from_actions(model: dict) -> dict:
     composed = {_compose(src, axn) for src, axn in pag.items()}
     kept = [a for a in model["actions"] if _seq_key(a["action_seq"]) not in composed]
     return {"actions": kept, "pagination": model["pagination"]}
+
+
+def learn_leaf_paths_distributed(checkpoint_dir: str, max_depth: int = 6):
+    """The (frequencies leaf-paths) model build (crawl.clj:108) as RAY
+    DATA operations over a checkpointed corpus — the 100 TB-corpus
+    shape of ``learn_model``'s first stage.
+
+    Action paths are reconstructed by an ITERATIVE PARENT JOIN
+    (SURVEY.md §2.5 ":parent-set walk — iterative semi-join per model
+    depth; depths are small"): each round joins the working set to the
+    corpus on (child.src_url = parent.url) to prepend the parent's
+    edge xpath, at most ``max_depth`` times.  The final leaf-path
+    frequencies are one groupby over the serialized paths.
+
+    Returns a pandas DataFrame (action_path_key, count) equal to the
+    driver-side ``learn_model``'s leaf_paths counter (asserted in
+    tests).  Edge xpaths come from the corpus's src_xpath column (the
+    frontier recorded the generalized xpath each URL was discovered
+    through), so no page re-parsing is needed.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..state.checkpoint import CheckpointStore
+
+    corpus = CheckpointStore(checkpoint_dir).corpus_table()
+    # Arrow hash joins reject list-typed payload columns — serialize the
+    # edge xpath to a string up front
+    edge_str = pa.array(
+        ["␟".join(x) if x else "" for x in corpus.column("src_xpath").to_pylist()],
+        type=pa.string(),
+    )
+    base = pa.table(
+        {
+            "url": corpus.column("url"),
+            "src_url": corpus.column("src_url"),
+            "edge": edge_str,
+            "is_leaf": corpus.column("is_leaf"),
+        }
+    )
+
+    # edges: url → (src_url, edge); seeds have src_url "" / empty edge
+    edges = rd.from_arrow(base.select(["url", "src_url", "edge"])).materialize()
+
+    # working set: leaves, path accumulated root-FIRST by prepending
+    leaves_tbl = base.filter(pa.compute.field("is_leaf"))
+    work = rd.from_arrow(
+        pa.table(
+            {
+                "leaf_url": leaves_tbl.column("url"),
+                "cursor": leaves_tbl.column("src_url"),
+                "path": leaves_tbl.column("edge"),
+            }
+        )
+    )
+
+    for _ in range(max_depth):
+        # split: done (cursor is a seed / unknown) vs pending.
+        # (materialize pins the schema — hash-join finalization chokes
+        # on empty schemaless partitions from a lazy map_batches)
+        work = work.materialize()
+        joined = work.join(
+            edges,
+            join_type="left_outer",
+            num_partitions=4,
+            on=("cursor",),
+            right_on=("url",),
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            cursors, paths = [], []
+            for cur_src, edge, path in zip(
+                t["src_url"].to_pylist(),
+                t["edge"].to_pylist(),
+                t["path"].to_pylist(),
+            ):
+                if cur_src is None or cur_src == "":
+                    cursors.append("")          # reached a seed → done
+                    paths.append(path)
+                else:
+                    edge = edge or ""
+                    cursors.append(cur_src)
+                    paths.append(edge + "␟" + path if edge and path else (edge or path))
+            return pa.table(
+                {
+                    "leaf_url": t["leaf_url"],
+                    "cursor": pa.array(cursors, type=pa.string()),
+                    "path": pa.array(paths, type=pa.string()),
+                }
+            )
+
+        nxt = joined.map_batches(step, batch_format="pyarrow").repartition(2).materialize()
+        work = nxt
+        # early exit when every cursor is resolved
+        remaining = nxt.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([int(pa.compute.sum(
+                    pa.compute.cast(pa.compute.not_equal(t["cursor"], ""), pa.int64())
+                ).as_py() or 0)], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["n"].sum()
+        if remaining == 0:
+            break
+
+    freqs = (
+        work.map_batches(
+            lambda t: t.filter(pa.compute.not_equal(t["path"], "")).select(["path"]),
+            batch_format="pyarrow",
+        )
+        .groupby("path")
+        .aggregate(Count(alias_name="count"))
+        .to_pandas()
+    )
+    return freqs.rename(columns={"path": "action_path_key"})

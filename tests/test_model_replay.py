@@ -144,3 +144,21 @@ def test_refinement_learning_and_enforcement():
     assert res.harvested == ["http://h.test/leafA"]
     # the avoided hub position was never fetched
     assert all("/hub" not in t["url"] for t in res.trace)
+
+
+def test_distributed_leaf_paths_match_driver_side(ray_session, tmp_path, learned):
+    """The Ray-Data iterative-parent-join model build equals the
+    driver-side learn_model leaf-path frequencies."""
+    from collections import Counter
+
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.pipelines.model import learn_leaf_paths_distributed, learn_model
+
+    pages, seeds, _ = learned
+    ck = str(tmp_path / "ck")
+    res = crawl(pages, seeds, CrawlConfig(checkpoint_dir=ck))
+    dist = learn_leaf_paths_distributed(ck)
+    got = dict(zip(dist["action_path_key"], dist["count"]))
+    model = learn_model(res.trace, pages)
+    want = {"␟".join(a["action_seq"]): a["count"] for a in model["actions"]}
+    assert got == want, (got, want)
