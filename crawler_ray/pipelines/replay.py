@@ -189,26 +189,106 @@ def replay_sequential(
     return res
 
 
+
+
+def _process_one(idx, bodies, redirect, model, pag_actions, url, path):
+    """Pure per-item fetch + model-driven extraction (shared by the
+    sequential loop, the inline fallback, and ReplayWorker actors).
+    Returns (status, chain, is_leaf, candidates) where candidates are
+    PRE-dedup [{url, path, kind}] in document order — global dedup
+    against queued/visited is driver state."""
+    status, body = "ok", ""
+    chain = [url]
+    if _denied(url):
+        return "robots_denied", chain, False, []
+    cur = url
+    for _ in range(5):
+        i = idx.get(cur)
+        if i is None:
+            status = "missing"
+            break
+        if not redirect[i]:
+            break
+        chain.append(redirect[i])
+        cur = redirect[i]
+    if status == "ok" and len(chain) > 1:
+        status = "redirect"
+    if status in ("ok", "redirect"):
+        body = bodies[idx[cur]]
+    if not body:
+        return status, chain, False, []
+    is_leaf = _is_full_path(model, path)
+    links = dom.extract_links(dom.parse_page(body), url)
+    pag_actions_key = pag_actions.get(_seq_key(path))
+    cands: list[dict] = []
+    if is_leaf:
+        pag = _pick_pagination(links, pag_actions_key)
+        if pag:
+            cands.append({"url": pag["url"], "path": list(path), "kind": "content"})
+    else:
+        for axn in _model_next_actions(model, path):
+            ref = _refinement_for(model, path, axn)
+            for l in links:
+                if l["xpath"] != axn:
+                    continue
+                if ref:
+                    if ref["only"] and l["xpath_pos"] not in ref["only"]:
+                        continue
+                    if l["xpath_pos"] in ref["avoid"]:
+                        continue
+                cands.append({"url": l["url"], "path": path + [axn], "kind": "content"})
+        pag = _pick_pagination(links, pag_actions_key)
+        if pag:
+            cands.append({"url": pag["url"], "path": list(path), "kind": "paging"})
+    return status, chain, is_leaf, cands
+
+
+class _ReplayWorkerImpl:
+    def __init__(self, pages: pa.Table, model: dict):
+        self.idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
+        self.bodies = pages.column("html").to_pylist()
+        self.redirect = pages.column("redirect_to").to_pylist()
+        self.model = model
+        self.pag_actions = model["pagination"]["paging_actions"]
+
+    def process(self, items: list[tuple[str, list[str]]]) -> list[tuple]:
+        return [
+            _process_one(
+                self.idx, self.bodies, self.redirect, self.model, self.pag_actions, u, p
+            )
+            for u, p in items
+        ]
+
+
 def replay_parallel(
     pages: pa.Table,
     seeds: list[str],
     model: dict,
     budget: int = 10**9,
     wave_size: int | None = None,
+    concurrency: int = 4,
 ) -> ReplayResult:
     """BSP replay: waves over the content frontier with LIFO priority
-    (−seq) so wave_size=1 reproduces head-insertion DFS exactly; the
-    paging frontier drains when content empties, deepest path first.
-    Wave-parallel mode relaxes order but harvests the same URL set
-    (enqueue-dedup is order-independent over the same closure)."""
-    idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
-    bodies = pages.column("html").to_pylist()
-    redirect = pages.column("redirect_to").to_pylist()
-    pag_actions = model["pagination"]["paging_actions"]
+    (block LIFO + intra-block FIFO) so wave_size=1 reproduces
+    head-insertion DFS exactly; the paging frontier drains when content
+    empties, deepest path first.  Wave items are fetched+extracted on a
+    persistent Ray actor pool (model + page index loaded once per
+    actor); global enqueue-dedup (queued ∪ visited, first-wins in block
+    order) is driver state, exactly as in the sequential loop.
+    Wave-parallel mode relaxes total order but harvests the identical
+    URL set (asserted in tests)."""
+    import ray
 
+    use_ray = ray.is_initialized() and concurrency > 0
+    if use_ray:
+        Worker = ray.remote(_ReplayWorkerImpl)
+        pages_ref = ray.put(pages)
+        workers = [Worker.remote(pages_ref, model) for _ in range(concurrency)]
+    else:
+        local = _ReplayWorkerImpl(pages, model)
+
+    pag_actions = model["pagination"]["paging_actions"]  # noqa: F841 (doc parity)
     res = ReplayResult()
-    # head-insertion order = block LIFO + intra-block FIFO: each page's
-    # emitted links form one block; priority = (−block_id, idx)
     content: list[dict] = [
         {"url": s, "path": [], "blk": 0, "idx": i} for i, s in enumerate(seeds)
     ]
@@ -228,68 +308,35 @@ def replay_parallel(
             wave, paging = paging[:take], paging[take:]
         wave = wave[: max(0, budget - step)]
 
-        # fetch+extract the wave (parallelizable unit: pure per-row)
-        new_blocks: list[list[dict]] = []
-        for ds in wave:
-            url, path = ds["url"], ds["path"]
+        items = [(d["url"], d["path"]) for d in wave]
+        if use_ray and len(items) > 1:
+            chunk = max(1, len(items) // (3 * len(workers)) + 1)
+            futs = [
+                workers[i % len(workers)].process.remote(items[o : o + chunk])
+                for i, o in enumerate(range(0, len(items), chunk))
+            ]
+            results = [r for part in ray.get(futs) for r in part]
+        elif use_ray:
+            results = ray.get(workers[0].process.remote(items))
+        else:
+            results = local.process(items)
+
+        # driver: trace/visited/harvest + first-wins block construction
+        for d, (status, chain, is_leaf, cands) in zip(wave, results):
+            url, path = d["url"], d["path"]
             step += 1
-            status, body = "ok", ""
-            if _denied(url):
-                status = "robots_denied"
-                res.visited.add(url)
-            else:
-                chain, cur = [url], url
-                for _ in range(5):
-                    i = idx.get(cur)
-                    if i is None:
-                        status = "missing"
-                        break
-                    if not redirect[i]:
-                        break
-                    chain.append(redirect[i])
-                    cur = redirect[i]
-                if status == "ok" and len(chain) > 1:
-                    status = "redirect"
-                res.visited.update(chain)
-                if status in ("ok", "redirect"):
-                    body = bodies[idx[cur]]
-            is_leaf = bool(body) and _is_full_path(model, path)
+            res.visited.update(chain)
             res.trace.append(
                 {"step": step, "url": url, "path": list(path), "status": status, "is_leaf": is_leaf}
             )
-            if not body:
-                continue
-            links = dom.extract_links(dom.parse_page(body), url)
-            block: list[dict] = []
             if is_leaf:
                 res.harvested.append(url)
-                pag = _pick_pagination(links, pag_actions.get(_seq_key(path)))
-                if pag and pag["url"] not in queued and pag["url"] not in res.visited:
-                    queued.add(pag["url"])
-                    block.append({"url": pag["url"], "path": list(path), "kind": "content"})
-            else:
-                for axn in _model_next_actions(model, path):
-                    ref = _refinement_for(model, path, axn)
-                    for l in links:
-                        if l["xpath"] != axn:
-                            continue
-                        if ref:
-                            if ref["only"] and l["xpath_pos"] not in ref["only"]:
-                                continue
-                            if l["xpath_pos"] in ref["avoid"]:
-                                continue
-                        u = l["url"]
-                        if u in queued or u in res.visited:
-                            continue
-                        queued.add(u)
-                        block.append({"url": u, "path": path + [axn], "kind": "content"})
-                pag = _pick_pagination(links, pag_actions.get(_seq_key(path)))
-                if pag and pag["url"] not in queued and pag["url"] not in res.visited:
-                    queued.add(pag["url"])
-                    block.append({"url": pag["url"], "path": list(path), "kind": "paging"})
-            new_blocks.append(block)
-
-        for block in new_blocks:
+            block: list[dict] = []
+            for c in cands:
+                if c["url"] in queued or c["url"] in res.visited:
+                    continue
+                queued.add(c["url"])
+                block.append(dict(c))
             for i, item in enumerate(block):
                 item["blk"] = blk
                 item["idx"] = i
