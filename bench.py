@@ -145,6 +145,16 @@ def main_bench() -> dict:
             fh.read()
 
     queries = {} if os.environ.get("BENCH_CRAWL_ONLY") else run_queries()
+    if queries:
+        # fresh session for the headline crawl: the query sweep leaves
+        # object-store churn that degrades a following crawl ~3x, which
+        # would contaminate the throughput metric
+        ray.shutdown()
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        DataContext.get_current().enable_progress_bars = False
     crawl_stats = run_headline_crawl(NUM_CPUS)
     result = {
         "metric": "seed-list replay crawl (fetch+dedup+extract) wall time",
