@@ -161,3 +161,21 @@ def structural_similarity(html1: str, html2: str) -> float:
 def structurally_similar(html1: str, html2: str, threshold: float = 0.8) -> bool:
     """`similar?` predicate (thresholded; SURVEY.md §2.9)."""
     return structural_similarity(html1, html2) >= threshold
+
+
+def signature_edit_distance(a: dict, b: dict) -> float:
+    """page.clj signature-edit-distance: edit distance over the two
+    signatures' xpath sequences (sorted for determinism), with unit
+    ins/del/sub costs — the 5th page-signature kernel."""
+    ka, kb = sorted(a), sorted(b)
+    m, n = len(ka), len(kb)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        d[i][0] = i
+    for j in range(1, n + 1):
+        d[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            sub = 0 if ka[i - 1] == kb[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + sub)
+    return float(d[m][n])

@@ -338,3 +338,42 @@ def learn_leaf_paths_distributed(checkpoint_dir: str, max_depth: int = 6):
         .to_pandas()
     )
     return freqs.rename(columns={"path": "action_path_key"})
+
+
+def fix_model(model: dict, trace: list[dict], pages: pa.Table) -> dict:
+    """``fix-model`` (main.clj:182-196 → model.clj:30-160
+    fix-model-restrictions + dom.clj:779-815 probe-refinements-onlies):
+    strip pagination-composed actions, then PROBE each refinement
+    against the stored corpus — an ``avoid`` positional xpath whose
+    target turned out to be (or lead to) a leaf is repaired (dropped),
+    and an ``only`` entry whose targets were never leaves is dropped.
+    Marks the model ``fixed``."""
+    model = remove_pagination_from_actions(model)
+    idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
+    bodies = pages.column("html").to_pylist()
+    leaf_of = {t["url"]: t["is_leaf"] for t in trace}
+    src_of = {t["url"]: t["src_url"] for t in trace}
+
+    # positional-xpath → observed leaf outcome, probed from the corpus
+    pos_leaf: dict[str, bool] = {}
+    for t in trace:
+        parent = t["src_url"]
+        if not parent or parent not in idx:
+            continue
+        b = bodies[idx[parent]]
+        if not b:
+            continue
+        for l in dom.extract_links(dom.parse_page(b), parent):
+            if l["url"] == t["url"]:
+                pos_leaf[l["xpath_pos"]] = pos_leaf.get(l["xpath_pos"], False) or t["is_leaf"]
+
+    fixed_actions = []
+    for a in model["actions"]:
+        refined = {}
+        for key, r in a.get("refined", {}).items():
+            only = [p for p in r.get("only", []) if pos_leaf.get(p, True)]
+            avoid = [p for p in r.get("avoid", []) if not pos_leaf.get(p, False)]
+            if only or avoid:
+                refined[key] = {"only": only, "avoid": avoid}
+        fixed_actions.append({**a, "refined": refined})
+    return {"actions": fixed_actions, "pagination": model["pagination"], "fixed": True}

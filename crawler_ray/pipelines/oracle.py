@@ -160,3 +160,69 @@ def body_text(body: str) -> str:
     """Page text for shingling: concatenated text spans (the reference
     shingles rendered page text, shingles.clj:16-26)."""
     return " ".join(dom.parse_page(body).text().split())
+
+
+def crawl_random_oracle(
+    pages: pa.Table,
+    seeds: list[str],
+    seed: int = 0,
+    budget: int = 10**9,
+) -> OracleResult:
+    """``crawl-random`` (crawl.clj:781-801): dequeue head-or-tail by a
+    SEEDED coin flip (utils/random-dequeue, utils.clj:35-43) — the
+    reference's unseeded rand made its ordering irreproducible; the
+    explicit seed is the conformance firming-up (SURVEY.md §7.5)."""
+    import random
+
+    from ..functions.sampling import random_dequeue
+
+    rng = random.Random(seed)
+    idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
+    bodies = pages.column("html").to_pylist()
+    redirect = pages.column("redirect_to").to_pylist()
+
+    res = OracleResult()
+    queue = [{"url": s, "depth": 0, "src_url": ""} for s in seeds]
+    queued = set(seeds)
+    step = 0
+    while queue and step < budget:
+        ds, queue = random_dequeue(queue, rng)
+        queue = list(queue)
+        url = ds["url"]
+        step += 1
+        if _robots_denied(url):
+            res.visited.add(url)
+            res.trace.append({"step": step, "url": url, "depth": ds["depth"],
+                              "src_url": ds["src_url"], "status": "robots_denied",
+                              "is_leaf": False, "near_dup": False, "n_links": 0})
+            continue
+        chain, cur, status = [url], url, "ok"
+        for _ in range(5):
+            i = idx.get(cur)
+            if i is None:
+                status = "missing"
+                break
+            if not redirect[i]:
+                break
+            chain.append(redirect[i])
+            cur = redirect[i]
+        if status == "ok" and len(chain) > 1:
+            status = "redirect"
+        res.visited.update(chain)
+        body = bodies[idx[cur]] if status in ("ok", "redirect") else ""
+        links = []
+        if body:
+            links = dom.extract_links(dom.parse_page(body), cur if status == "redirect" else url)
+        res.trace.append({"step": step, "url": url, "depth": ds["depth"],
+                          "src_url": ds["src_url"], "status": status,
+                          "is_leaf": False, "near_dup": False, "n_links": len(links)})
+        page_seen: set[str] = set()
+        for l in links:
+            u = l["url"]
+            if u in page_seen or u in res.visited or u in queued:
+                continue
+            page_seen.add(u)
+            queue.append({"url": u, "depth": ds["depth"] + 1, "src_url": url})
+            queued.add(u)
+    res.frontier_left = queue
+    return res
