@@ -10,7 +10,7 @@ reference's depth-then-discovery-time policy (crawl.clj FIFO append,
          → map_batches(enrich)                  spans, state-action leaf,
                                                 minhash, links (ONE DOM
                                                 parse per page)
-         → NearDupIndex.process (crawl order)   LSH + exact Jaccard 0.9
+         → NearDupShards (band-sharded, async)  LSH + exact Jaccard 0.9
          → explode links → wave dedup (first-wins by (parent_seq, idx))
          → SeenSet.test_and_set                 sharded bloom/cuckoo
          → next frontier rows (seq assigned in priority order)

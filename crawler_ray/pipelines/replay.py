@@ -19,9 +19,10 @@ restricted by the learned {only, avoid} positional refinement
 budget (execute.clj:50-58).
 
 ``replay_sequential`` is the oracle-grade loop; ``replay_parallel``
-reuses the BSP infrastructure with priority (queue_class, −seq) so
-wave=1 reproduces the sequential head-insertion order exactly, and
-wave-parallel mode harvests the identical URL set (asserted in tests).
+runs waves on a Ray actor pool with block-LIFO + intra-block-FIFO
+priority so wave=1 reproduces the sequential head-insertion order
+exactly, and wave-parallel mode harvests the identical URL set
+(asserted in tests).
 """
 from __future__ import annotations
 
