@@ -1376,3 +1376,38 @@ def union_distinct(sf_dir: str):
     )
     n = len(pre.unique("k"))
     return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events GROUP BY k_bucket
+    """,
+    doc="Semi-structured property extraction: parse the JSON props "
+    "column per batch, bucket the extracted field, aggregate — the "
+    "schema-on-read operator shape (integer outputs, exact oracle).",
+)
+def json_props_stats(sf_dir: str):
+    import json
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [int(json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        out = pa.table(
+            {
+                "k_bucket": pa.array([k // 10 for k in ks], type=pa.int64()),
+                "k": pa.array(ks, type=pa.int64()),
+            }
+        )
+        return make_partial_agg(["k_bucket"], ["k"])(out)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", columns=["props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("k_sum", alias_name="k_sum"))
+    )
