@@ -74,6 +74,7 @@ def run_headline_crawl(num_cpus: int) -> dict:
     cfg = CrawlConfig(
         wave_size=None,
         n_seen_shards=8,
+        exact_audit=False,   # bloom-only URL-seen: the 10^10-scale path
         n_neardup_shards=8,
         fetch_concurrency=max(1, num_cpus - min(4, num_cpus // 2)),
         fetch_batch_size=64,

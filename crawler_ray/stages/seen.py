@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.urlnorm import url_hash64
-from ..state.bloom import BloomFilter, CuckooFilter
+from ..state.bloom import BloomFilter, CuckooFilter, bloom_add_batch
 
 
 @ray.remote
@@ -35,6 +35,8 @@ class SeenShard:
 
     def test_and_set(self, urls: list[str]) -> np.ndarray:
         """Insert all; return bool array: True where the URL was new."""
+        if self.exact is None and isinstance(self.filter, BloomFilter):
+            return bloom_add_batch(self.filter, urls)  # vectorized path
         out = np.zeros(len(urls), dtype=bool)
         for i, u in enumerate(urls):
             if self.exact is not None:

@@ -93,3 +93,16 @@ def test_seen_filter_stage_in_dataset_pipeline(ray_session):
     got = sorted(out["url"])
     # 0,1 filtered (pre-seen); 2 kept once (test-and-set); 3 kept
     assert got == ["http://h/2", "http://h/3"]
+
+
+def test_bloom_batch_add_matches_scalar():
+    from crawler_ray.state.bloom import BloomFilter, bloom_add_batch
+
+    bf1, bf2 = BloomFilter(10_000), BloomFilter(10_000)
+    urls = [f"http://h/{i}" for i in range(2000)] + ["http://h/5", "http://h/5"]
+    scalar = np.array([bf1.add(u) for u in urls])
+    batch = bloom_add_batch(bf2, urls)
+    assert np.array_equal(scalar, batch)
+    assert np.array_equal(bf1.bits, bf2.bits)
+    # second batch: everything seen
+    assert not bloom_add_batch(bf2, urls[:100]).any()
