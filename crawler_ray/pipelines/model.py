@@ -110,23 +110,26 @@ def learn_model(
     )
 
     # ---- pagination candidates (corpus.clj:123-217) ------------------
-    # numeric anchor + structurally-similar target
-    pag_counter: Counter = Counter()
-    pag_sim: dict[tuple[str, str], float] = {}
+    # numeric anchor filter first (cheap), then the RTDM similarity
+    # verification fanned over a Ray actor pool (the expensive kernel)
+    cand_pairs: list[tuple[str, str]] = []
     for t in trace:
         url, parent = t["url"], t["src_url"]
         if not parent:
             continue
         key = (parent, url)
-        text = link_text.get(key, "")
-        if not text.strip().isdigit():
+        if not link_text.get(key, "").strip().isdigit():
             continue
-        b_child, b_parent = body_of.get(url, ""), body_of.get(parent, "")
-        if not b_child or not b_parent:
+        if not body_of.get(url, "") or not body_of.get(parent, ""):
             continue
-        sim = rtdm_similarity(b_parent, b_child)
+        cand_pairs.append((parent, url))
+    sims = verify_pagination_candidates_distributed(cand_pairs, pages)
+    pag_counter: Counter = Counter()
+    pag_sim: dict[tuple[str, str], float] = {}
+    for (parent, url), sim in zip(cand_pairs, sims):
         if sim < pagination_sim_threshold:
             continue
+        key = (parent, url)
         src_seq = _seq_key(paths[parent])
         axn = link_xpath[key]
         pag_counter[(src_seq, axn)] += 1
@@ -377,3 +380,46 @@ def fix_model(model: dict, trace: list[dict], pages: pa.Table) -> dict:
                 refined[key] = {"only": only, "avoid": avoid}
         fixed_actions.append({**a, "refined": refined})
     return {"actions": fixed_actions, "pagination": model["pagination"], "fixed": True}
+
+
+class _PagVerifyImpl:
+    """Worker: page store loaded once; verifies RTDM similarity for
+    candidate (parent, child) pagination pairs — the expensive kernel
+    of pagination detection, distributed (corpus.clj:123-217 does this
+    per pair inline)."""
+
+    def __init__(self, pages: pa.Table):
+        self.idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
+        self.bodies = pages.column("html").to_pylist()
+
+    def verify(self, pairs: list[tuple[str, str]]) -> list[float]:
+        out = []
+        for parent, child in pairs:
+            bi, bj = self.idx.get(parent), self.idx.get(child)
+            if bi is None or bj is None or not self.bodies[bi] or not self.bodies[bj]:
+                out.append(-1.0)
+                continue
+            out.append(rtdm_similarity(self.bodies[bi], self.bodies[bj]))
+        return out
+
+
+def verify_pagination_candidates_distributed(
+    pairs: list[tuple[str, str]], pages: pa.Table, concurrency: int = 4
+) -> list[float]:
+    """Fan the candidate pairs over a Ray actor pool (page store in
+    plasma, one index build per actor); inline fallback without Ray."""
+    import ray
+
+    if not pairs:
+        return []
+    if not ray.is_initialized() or concurrency <= 0 or len(pairs) < 8:
+        return _PagVerifyImpl(pages).verify(pairs)
+    Worker = ray.remote(_PagVerifyImpl)
+    ref = ray.put(pages)
+    workers = [Worker.remote(ref) for _ in range(concurrency)]
+    chunk = max(1, len(pairs) // (3 * concurrency) + 1)
+    futs = [
+        workers[i % concurrency].verify.remote(pairs[o : o + chunk])
+        for i, o in enumerate(range(0, len(pairs), chunk))
+    ]
+    return [s for part in ray.get(futs) for s in part]
