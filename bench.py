@@ -99,11 +99,14 @@ def run_headline_crawl(num_cpus: int) -> dict:
         schema=_frontier_schema(),
     )
     ray.get([w.process.remote(probe) for w in workers])
-    # best-of-2 with warm workers: this box's ambient load varies ±2×
-    # across minutes; the min is the engine's actual capability
+    # best-of-N with warm workers: this box's ambient load varies ±2×
+    # across minutes; the min is the engine's actual capability.
+    # --scaling legs set BENCH_CRAWL_REPEAT=1 (they best-of-2 at the
+    # subprocess level instead, keeping total runtime bounded).
+    repeat = int(os.environ.get("BENCH_CRAWL_REPEAT", "2"))
     dt = float("inf")
     res = None
-    for _ in range(2):
+    for _ in range(repeat):
         t0 = time.time()
         r = crawl(pages, seeds, cfg, graph_ref=graph_ref, workers=workers)
         d = time.time() - t0
@@ -179,7 +182,9 @@ def main_bench() -> dict:
 
 
 def run_at(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
+    env = dict(
+        os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1", BENCH_CRAWL_REPEAT="1"
+    )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
