@@ -7,9 +7,12 @@ its oracle compute the SAME names/expressions; float aggregates go
 through exact integer cents (see stages/relational.py) so distributed
 summation order cannot cause hash mismatches.
 
-Entries whose semantics DuckDB cannot mirror exactly (MinHash-LSH,
-SimHash, language-ID heuristic, IVF-ANN, the crawl itself) have
-``sql=None`` → the driver records a weaker rows-only check.
+Entries whose semantics DuckDB cannot mirror exactly (SimHash,
+language-ID heuristic, rolling fingerprints, IVF-ANN, the crawl
+itself) have ``sql=None`` → the driver records a weaker rows-only
+check.  MinHash-LSH near-dup IS oracle-checked: at J≥0.9 its miss
+probability (~1e-25) makes the sweep equal the exhaustive SQL
+similarity join.
 """
 from __future__ import annotations
 
