@@ -112,6 +112,28 @@ def run_headline_crawl(num_cpus: int) -> dict:
         d = time.time() - t0
         if d < dt:
             dt, res = d, r
+    # secondary metric: model-replay harvest throughput over a
+    # pagination-CHAIN graph (the hub bench graph exposes only one
+    # pagination link per page to the replay's numeric-min pick — the
+    # reference's semantics — so the chain topology is the right
+    # harvest workload)
+    from crawler_ray.pipelines.replay import replay_parallel
+
+    rp_pages = synth.generate_site_graph(
+        num_hosts=64, base_pages=max(8, n_pages // 4 // 50), seed=43,
+        zipf=0.1, leaf_text_words=150, leaves_per_index=40,
+    )
+    rp_seeds = synth.seeds_for(rp_pages)
+    post_xp = "//html/body/div[contains(@class,'content')]/a[contains(@class,'post')]"
+    pager_xp = "//html/body/div[contains(@class,'pager')]/a[contains(@class,'page')]"
+    model = {
+        "actions": [{"action_seq": [post_xp], "count": 1, "refined": {}, "yield": 1.0}],
+        "pagination": {"paging_actions": {"": pager_xp}, "refine": {}},
+    }
+    t0 = time.time()
+    rep = replay_parallel(rp_pages, rp_seeds, model, concurrency=cfg.fetch_concurrency)
+    rep_dt = time.time() - t0
+
     return {
         "seconds": dt,
         "pages_in_graph": pages.num_rows,
@@ -119,6 +141,9 @@ def run_headline_crawl(num_cpus: int) -> dict:
         "links_deduped": res.metrics["links_seen"],
         "urls_per_sec": res.metrics["fetched"] / dt,
         "rounds": res.metrics["rounds"],
+        "replay_harvested": len(rep.harvested),
+        "replay_fetches": len(rep.trace),
+        "replay_urls_per_sec": len(rep.trace) / rep_dt,
     }
 
 

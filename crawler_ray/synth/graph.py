@@ -309,6 +309,13 @@ def derive_from_documents(documents: pa.Table, links_per_index: int = 8) -> pa.T
                     t = (i * 131 + j * 17 + 7) % n
                     b.link(f"/doc/{docs[t][0]}", f"doc {docs[t][0]}", cls="post-link")
                 b.line("</div>")
+                # chain to the next index page (numeric anchor) so every
+                # source's docs are reachable from its first index page
+                nxt = i + 5
+                if nxt < n:
+                    b.line('<div class="pager">')
+                    b.link(f"/doc/{docs[nxt][0]}", str(nxt // 5 + 2), cls="page-next")
+                    b.line("</div>")
             else:
                 b.line('<div class="post-body">')
                 words = txt.split()
