@@ -112,6 +112,8 @@ def run_headline_crawl(num_cpus: int) -> dict:
         d = time.time() - t0
         if d < dt:
             dt, res = d, r
+        if dt < 20:
+            break  # fast window already measured; bound total runtime
     # secondary metric: model-replay harvest throughput over a
     # pagination-CHAIN graph (the hub bench graph exposes only one
     # pagination link per page to the replay's numeric-min pick — the

@@ -311,7 +311,7 @@ def replay_parallel(
 
         items = [(d["url"], d["path"]) for d in wave]
         if use_ray and len(items) > 1:
-            chunk = max(1, len(items) // (3 * len(workers)) + 1)
+            chunk = max(8, len(items) // (3 * len(workers)) + 1)  # bound RPC count on small waves
             futs = [
                 workers[i % len(workers)].process.remote(items[o : o + chunk])
                 for i, o in enumerate(range(0, len(items), chunk))
