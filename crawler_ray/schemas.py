@@ -63,7 +63,7 @@ FRONTIER = pa.schema(
         pa.field("depth", pa.int32()),
         pa.field("discovery_seq", pa.int64()),
         pa.field("src_url", pa.string()),
-        pa.field("src_xpath", pa.list_(pa.string())),  # action path
+        pa.field("src_xpath", pa.list_(pa.string())),  # discovery edge xpath(s)
         pa.field("src_text", pa.string()),             # anchor text
         pa.field("is_pagination", pa.bool_()),
     ]
