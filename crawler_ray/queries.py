@@ -1414,3 +1414,107 @@ def json_props_stats(sf_dir: str):
         .groupby("k_bucket")
         .aggregate(Sum("partial_n", alias_name="n"), Sum("k_sum", alias_name="k_sum"))
     )
+
+
+@register(
+    "filter_sum_scan",
+    """
+    SELECT count(*) AS n,
+           sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT))/100.0
+             AS discount_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H-Q6-shaped predicate scan + global sum: column-pruned "
+    "read, vectorized Arrow filter, integer-cents reduction.",
+)
+def filter_sum_scan(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev_c = cents(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table(
+            {
+                "k": pa.array([0] * t.num_rows, type=pa.int32()),
+                "rev_c": rev_c,
+                "one": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        ).group_by(["k"]).aggregate([("rev_c", "sum"), ("one", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("rev_c_sum", alias_name="rev_c"), Sum("one_sum", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n": t["n"],
+                "discount_revenue": pc.divide(pc.cast(t["rev_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "semi_join_exists",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderstatus
+    """,
+    doc="Semi-join (EXISTS): distinct qualifying keys pre-aggregated "
+    "per batch, broadcast as a sorted array, searchsorted membership "
+    "filter — no row-level shuffle.",
+)
+def semi_join_exists(sf_dir: str):
+    import ray
+
+    li = pq.read_table(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    keys = np.unique(
+        li.filter(pc.greater(li["l_quantity"], pa.scalar(45.0))).column("l_orderkey").to_numpy()
+    )
+    ref = ray.put(keys)
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = t["o_orderkey"].to_numpy()
+            idx = np.clip(np.searchsorted(self.keys, ok), 0, max(len(self.keys) - 1, 0))
+            hit = (len(self.keys) > 0) & (self.keys[idx] == ok)
+            t = t.filter(pa.array(hit))
+            return pa.table({"o_orderstatus": t["o_orderstatus"]}).group_by(
+                ["o_orderstatus"]
+            ).aggregate([([], "count_all")]).rename_columns(["o_orderstatus", "pn"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+        .map_batches(Semi, batch_format="pyarrow", concurrency=2)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
