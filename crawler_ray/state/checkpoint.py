@@ -142,3 +142,18 @@ class CheckpointStore:
             p = os.path.join(self._round_dir(r), "corpus", "part-00000.parquet")
             tables.append(pq.read_table(p))
         return pa.concat_tables(tables) if tables else None
+
+
+    def export_corpus_partitioned(self, out_dir: str, n_partitions: int = 16) -> list[str]:
+        """Export the accumulated corpus as host-partitioned parquet
+        (salted for hot hosts) — the consumable documents layout: one
+        atomic file per partition so downstream reruns skip finished
+        partitions."""
+        from .frontier import partition_frontier, write_partitioned
+
+        corpus = self.corpus_table()
+        if corpus is None:
+            return []
+        return write_partitioned(
+            partition_frontier(corpus, n_partitions=n_partitions), out_dir
+        )

@@ -76,3 +76,46 @@ def test_seed_replay(ray_session, tmp_path):
     assert files
     t = pq.read_table(files[0])
     assert "doc_id" in t.column_names and "spans" in t.column_names
+
+
+def test_seed_replay_spans_match_golden(ray_session, tmp_path):
+    """Seed-list replay emits the golden span sequences (input_hint
+    invariant on the streaming pipeline too)."""
+    from crawler_ray.pipelines.seedlist import replay_seed_list
+
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=24, seed=13)
+    rows = {r["doc_id"]: r for r in pages.to_pylist()}
+    urls = [u for u, r in rows.items() if r["html"]][:20]
+    ds = replay_seed_list(pages, urls)
+    for rec in ds.take_all():
+        assert rec["spans"] == rows[rec["doc_id"]]["spans"], rec["doc_id"]
+
+
+def test_seeded_ray_sampling_deterministic(ray_session):
+    """Seeded Ray-native sampling (the random-take analog at Dataset
+    level, SURVEY.md §2.7): same seed → same sample/shuffle."""
+    import ray.data as rd
+
+    ds = rd.range(1000)
+    a = sorted(r["id"] for r in ds.random_sample(0.05, seed=7).take_all())
+    b = sorted(r["id"] for r in rd.range(1000).random_sample(0.05, seed=7).take_all())
+    assert a == b and 20 <= len(a) <= 90
+    s1 = [r["id"] for r in rd.range(50).random_shuffle(seed=3).take_all()]
+    s2 = [r["id"] for r in rd.range(50).random_shuffle(seed=3).take_all()]
+    assert s1 == s2 and s1 != list(range(50))
+
+
+def test_export_corpus_partitioned(ray_session, tmp_path):
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.state.checkpoint import CheckpointStore
+
+    pages = synth.generate_site_graph(num_hosts=3, base_pages=24, seed=9)
+    seeds = synth.seeds_for(pages)
+    ck = str(tmp_path / "ck")
+    res = crawl(pages, seeds, CrawlConfig(checkpoint_dir=ck))
+    out = str(tmp_path / "corpus_by_host")
+    paths = CheckpointStore(ck).export_corpus_partitioned(out, n_partitions=8)
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_metadata(p).num_rows for p in paths)
+    assert total == len(res.trace)
