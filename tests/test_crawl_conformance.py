@@ -195,3 +195,42 @@ def test_dup_stop_rule(ray_session):
     # stopped early: 1 seed + first unique leaf + 5 consecutive dups ≈ 7
     assert res.metrics["near_dups"] >= 5
     assert res.metrics["fetched"] < 31
+
+
+def test_resume_from_older_snapshot(ray_session, graph, tmp_path):
+    """Resume when the newest filter snapshot is OLDER than the newest
+    round: restore at the snapshot round and replay the gap (idempotent
+    round overwrite) — final trace equals the uninterrupted run."""
+    pages, seeds = graph
+    ck = str(tmp_path / "ck")
+    full = crawl(pages, seeds, CrawlConfig(wave_size=None, snapshot_every=1))
+    # snapshots only at rounds 0 and 3; kill after round 4 (snapshot at 3)
+    part = crawl(
+        pages, seeds,
+        CrawlConfig(wave_size=None, snapshot_every=3, checkpoint_dir=ck, max_rounds=5),
+    )
+    from crawler_ray.state.checkpoint import CheckpointStore
+
+    cs = CheckpointStore(ck)
+    assert cs.latest_round() == 4
+    assert cs.manifest(3)["snapshots"].get("seen")
+    assert not cs.manifest(4)["snapshots"].get("seen")
+    cont = crawl(
+        pages, seeds,
+        CrawlConfig(wave_size=None, snapshot_every=3, checkpoint_dir=ck),
+        resume=True,
+    )
+    # resumed from round 3's snapshot → round 4 replayed; combined trace
+    # equality: rounds 0-3 from part + rounds 4.. from cont
+    part_urls = [t["url"] for t in part.trace]
+    # step count at the snapshot round = rounds 0..3 prefix length
+    man3 = cs.manifest(3)
+    prefix = man3["step"]
+    combined = part_urls[:prefix] + [t["url"] for t in cont.trace]
+    assert combined == [t["url"] for t in full.trace]
+    assert cont.metrics["fetched"] == full.metrics["fetched"]
+    # corpus rows on disk cover every fetched url exactly once
+    corpus = cs.corpus_table()
+    assert sorted(corpus.column("url").to_pylist()) == sorted(
+        t["url"] for t in full.trace
+    )
