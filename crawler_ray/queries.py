@@ -588,7 +588,7 @@ def windowed_agg(sf_dir: str):
                           > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events),
-    u AS (SELECT user_id, sum(brk) AS ns FROM s GROUP BY user_id)
+    u AS (SELECT user_id, CAST(sum(brk) AS BIGINT) AS ns FROM s GROUP BY user_id)
     SELECT ns AS n_sessions, count(*) AS n_users FROM u GROUP BY ns
     """,
     doc="Session windows (30-min gap): partition by user, sort by ts "
@@ -622,7 +622,7 @@ def sessionize(sf_dir: str):
          c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
     SELECT count(*) AS n_purchases,
            count(c.ts) AS n_matched,
-           sum(datediff('microsecond', c.ts, p.ts)) AS sum_gap_us,
+           CAST(sum(datediff('microsecond', c.ts, p.ts)) AS BIGINT) AS sum_gap_us,
            (sum(datediff('microsecond', c.ts, p.ts))/(1.0*count(c.ts)))/1000000.0
              AS avg_gap_s
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
@@ -697,8 +697,8 @@ def asof_join(sf_dir: str):
     "token_stats",
     """
     SELECT lang, count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
-           sum(length(text)) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            sum(len(string_split(text, ' ')))/(1.0*count(*)) AS avg_tokens
     FROM documents GROUP BY lang
     """,
@@ -750,11 +750,12 @@ def token_stats(sf_dir: str):
     "quality_score",
     """
     SELECT lang,
-           sum(len(string_split(text, ' '))) AS total_tokens,
-           sum(len(list_filter(string_split(text, ' '),
-                               x -> x IN ('the','a','of','to','and')))) AS n_stopwords,
-           sum(length(text) - length(regexp_replace(text,
-               '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) AS n_punct,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the','a','of','to','and')))) AS BIGINT)
+             AS n_stopwords,
+           CAST(sum(length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) AS BIGINT) AS n_punct,
            sum(len(list_filter(string_split(text, ' '),
                                x -> x IN ('the','a','of','to','and'))))
              /(1.0*sum(len(string_split(text, ' ')))) AS stopword_ratio
@@ -1386,7 +1387,7 @@ def union_distinct(sf_dir: str):
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
     FROM events GROUP BY k_bucket
     """,
     doc="Semi-structured property extraction: parse the JSON props "

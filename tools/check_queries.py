@@ -48,6 +48,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    # The driver's value-hash is dtype-sensitive (r1: 5 queries matched
+    # value-exact but hashed red because DuckDB returned HUGEINT->float64
+    # where Ray returned int64).  Mirror that: require kind-identical dtypes.
+    for c in sorted(a.columns):
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            return f"col {c} dtype kind {a[c].dtype} vs {b[c].dtype}"
     ca, cb = canon(a), canon(b)
     for c in ca.columns:
         va, vb = ca[c].to_numpy(), cb[c].to_numpy()
