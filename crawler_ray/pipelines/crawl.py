@@ -175,14 +175,127 @@ class FetchEnrichWorker:
     reuses one pool across every round; Ray Data's map_batches would
     rebuild the actor pool per round-execution, which dominates
     wall-time when rounds are small.  Offline/corpus-wide operators
-    stay Ray Data Datasets (see stages/, queries.py)."""
+    stay Ray Data Datasets (see stages/, queries.py).
+
+    Scale topology (round 2): the heavy per-page payloads never reach
+    the driver.  Each worker
+      * offers its chunk's exploded links DIRECTLY to the URL-seen
+        shards (stages/seen.py offer/commit — first-wins made
+        deterministic by a global priority key, so RPC arrival order
+        doesn't matter),
+      * puts its (grams, band_keys) table in plasma and hands only the
+        ObjectRef back (the near-dup band shards pull it),
+      * caches its corpus rows (spans included) and writes them to the
+        checkpoint's parquet as its OWN part file on request.
+    The driver sees just a small meta table (url/status/counters) per
+    chunk plus the frontier winners."""
 
     def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None):
         self.fetcher = Fetcher(graph_ref, politeness, interval_ms)
         self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn)
+        self._corpus_cache: dict[tuple[int, int], pa.Table] = {}
 
-    def process(self, tbl: pa.Table) -> pa.Table:
-        return self.enrich(self.fetcher(tbl))
+    def process(self, tbl: pa.Table, ctx: dict | None = None):
+        full = self.enrich(self.fetcher(tbl))
+        if ctx is None:
+            return full  # bare fetch+enrich (bench warmup, tests)
+
+        acks, links_seen = self._offer_links(full, ctx)
+        leaf_np = full.column("is_leaf").to_numpy(zero_copy_only=False)
+        nd_ref = ray.put(full.select(["grams", "band_keys"]))
+        rnd = ctx.get("round")
+        if rnd is not None:
+            # keep only this round's cached chunks (an aborted round's
+            # leftovers would pin span memory forever)
+            for k in [k for k in self._corpus_cache if k[0] != rnd]:
+                del self._corpus_cache[k]
+            self._corpus_cache[(rnd, ctx["chunk_idx"])] = full.select(
+                ["url", "host", "depth", "discovery_seq", "src_url",
+                 "src_xpath", "status", "is_leaf", "spans"]
+            )
+        meta = full.select(
+            ["url", "host", "depth", "discovery_seq", "src_url",
+             "status", "redirects", "is_leaf", "n_links"]
+        )
+        return {
+            "meta": meta,
+            "acks": acks,
+            "nd_ref": nd_ref,
+            "links_seen": links_seen,
+            "n_leaves": int(leaf_np.sum()),
+        }
+
+    def _offer_links(self, full: pa.Table, ctx: dict):
+        """Explode the chunk's link lists (vectorized), key each link
+        with the global first-wins priority (wave_rank × doc link
+        order), chunk-local dedup, and offer per-owner-shard tables to
+        the URL-seen shards.  Returns (ack futures, raw link count)."""
+        from ..stages.seen import LINK_CANDIDATE_SCHEMA, shard_route
+
+        statuses = full.column("status").combine_chunks()
+        ok_mask = pc.is_in(
+            statuses, value_set=pa.array(["ok", "redirect"])
+        ).to_numpy(zero_copy_only=False)
+        links_col = full.column("links").combine_chunks()
+        n_per_row = pc.list_value_length(links_col).fill_null(0).to_numpy(zero_copy_only=False)
+        n_per_row = np.where(ok_mask, n_per_row, 0)
+        links_seen = int(n_per_row.sum())
+        if links_seen == 0:
+            return [], 0
+        keep_rows = np.where(n_per_row > 0)[0]
+        sub = links_col.take(pa.array(keep_rows))
+        flat = pc.list_flatten(sub)
+        counts = n_per_row[keep_rows]
+        src_idx = np.repeat(keep_rows, counts)
+        starts = np.cumsum(counts) - counts
+        within = np.arange(len(src_idx)) - np.repeat(starts, counts)
+        rank = full.column("wave_rank").to_numpy(zero_copy_only=False)[src_idx]
+        prio = rank.astype(np.int64) * (1 << 24) + within
+        cand = pa.table(
+            {
+                "url": flat.field("url"),
+                "xpath": flat.field("xpath"),
+                "src_url": pc.take(full.column("url"), pa.array(src_idx)),
+                "depth": pa.array(
+                    (full.column("depth").to_numpy(zero_copy_only=False)[src_idx] + 1).astype(np.int32)
+                ),
+                "prio": pa.array(prio, type=pa.int64()),
+            },
+            schema=LINK_CANDIDATE_SCHEMA,
+        )
+        order = np.argsort(prio, kind="stable")
+        cand = cand.take(pa.array(order))
+        import pandas as pd
+
+        urls = cand.column("url").to_pylist()
+        first = ~pd.Series(urls, dtype=object).duplicated(keep="first").to_numpy()
+        if not first.all():
+            cand = cand.filter(pa.array(first))
+            urls = [u for u, f in zip(urls, first) if f]
+        shards = ctx["seen_shards"]
+        sid = shard_route(urls, len(shards))
+        acks = []
+        for s in range(len(shards)):
+            sel = np.where(sid == s)[0]
+            if len(sel):
+                acks.append(shards[s].offer.remote(cand.take(pa.array(sel))))
+        return acks, links_seen
+
+    def write_corpus(self, rnd: int, corpus_dir: str, flags_by_chunk: dict) -> int:
+        """Write this worker's cached corpus chunks for ``rnd`` as
+        parquet part files (near-dup flags patched in), then drop the
+        cache.  Spans go disk-direct — never through the driver."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for ci, flags in flags_by_chunk.items():
+            tbl = self._corpus_cache.pop((rnd, ci))
+            tbl = tbl.append_column(
+                "near_dup", pa.array(np.asarray(flags, dtype=bool))
+            )
+            pq.write_table(tbl, os.path.join(corpus_dir, f"part-{ci:05d}.parquet"))
+            total += tbl.num_rows
+        return total
 
 
 def make_workers(graph_ref, cfg: CrawlConfig, politeness=None):
@@ -272,6 +385,12 @@ def crawl(
         wave_n = min(wave_n, cfg.budget - step)
         wave = frontier.take(pa.array(order[:wave_n]))
         rest = frontier.take(pa.array(order[wave_n:]))
+        # global first-wins rank: the row's position in wave priority
+        # order — workers key every exploded link with it, so the seen
+        # shards' commit is deterministic no matter how chunk RPCs race.
+        wave = wave.append_column(
+            "wave_rank", pa.array(np.arange(wave.num_rows), type=pa.int64())
+        )
 
         # ---- fetch + enrich (the distributed part of the round) -------
         # adaptive chunking: ~3 chunks per worker for load balance, but
@@ -288,69 +407,80 @@ def crawl(
             wave = wave.take(pa.array(order2))
         chunk_n = int(np.clip(wave.num_rows // (3 * len(workers)) + 1, 8, 512))
         chunks = [wave.slice(o, chunk_n) for o in range(0, wave.num_rows, chunk_n)]
-        futs = [workers[i % len(workers)].process.remote(c) for i, c in enumerate(chunks)]
-        wave_tbl = pa.concat_tables(ray.get(futs), promote_options="default")
-        if _prof: print(f"[prof r{rnd}] fetch+enrich {time.time()-_t:.2f}s rows={wave_tbl.num_rows}"); _t=time.time()
+        ctx_base = {"seen_shards": seen.shards, "round": rnd if ckpt is not None else None}
+        futs = [
+            workers[i % len(workers)].process.remote(c, {**ctx_base, "chunk_idx": i})
+            for i, c in enumerate(chunks)
+        ]
+        outs = ray.get(futs)
+        wave_meta = pa.concat_tables([o["meta"] for o in outs], promote_options="default")
+        chunk_rows = [o["meta"].num_rows for o in outs]
+        n_leaves_wave = sum(o["n_leaves"] for o in outs)
+        links_seen_wave = sum(o["links_seen"] for o in outs)
+        offer_acks = [a for o in outs for a in o["acks"]]
+        nd_refs = [o["nd_ref"] for o in outs]
+        if _prof: print(f"[prof r{rnd}] fetch+enrich {time.time()-_t:.2f}s rows={wave_meta.num_rows}"); _t=time.time()
         # fold in near-dup verdicts from PREVIOUS rounds (they ran
         # concurrently with the fetch we just finished)
         if pending_nd:
             _resolve_pending(pending_nd, res, metrics)
         if _prof: print(f"[prof r{rnd}] nd-resolve {time.time()-_t:.2f}s"); _t=time.time()
-        # wave_tbl is in (depth, discovery_seq) priority order: the wave
-        # was sorted before chunking, chunks are ordered slices, ray.get
-        # preserves future order, workers preserve row order.  The one
-        # exception is politeness mode's host-grouped chunking — restore
-        # priority order there.
+        # wave_meta is in (depth, discovery_seq) priority order: the
+        # wave was sorted before chunking, chunks are ordered slices,
+        # ray.get preserves future order, workers preserve row order.
+        # The one exception is politeness mode's host-grouped chunking —
+        # perm restores priority order there (identity otherwise).
         if host_grouped:
-            ws = np.lexsort(
-                (wave_tbl.column("discovery_seq").to_numpy(), wave_tbl.column("depth").to_numpy())
+            perm = np.lexsort(
+                (wave_meta.column("discovery_seq").to_numpy(), wave_meta.column("depth").to_numpy())
             )
-            wave_tbl = wave_tbl.take(pa.array(ws))
+            trace_meta = wave_meta.take(pa.array(perm))
+        else:
+            perm = None
+            trace_meta = wave_meta
 
         # ---- near-dup marking in crawl order --------------------------
-        # Arrow handoff: the leaf sub-table goes to the band shards as
-        # one object; shards flatten/split in parallel.  Submission is
-        # ASYNC when not checkpointing — the flags never gate frontier
-        # construction, so verification overlaps the next round's fetch
-        # (actor mailboxes are FIFO per caller → crawl order preserved);
-        # flags are folded into trace/metrics when they arrive.
-        leaf_mask = wave_tbl.column("is_leaf").to_numpy(zero_copy_only=False)
-        n_leaves_wave = int(leaf_mask.sum())
-        if _prof: print(f"[prof r{rnd}] extract {time.time()-_t:.2f}s leaves={n_leaves_wave}"); _t=time.time()
-        # full column handoff (NO take(): slicing a many-chunked list
-        # column costs seconds; non-leaf rows carry empty gram lists and
-        # fall straight through the shards)
+        # Worker-plasma handoff: each chunk's (grams, band_keys) table
+        # was ray.put BY ITS WORKER; the band shards pull the refs and
+        # concat in chunk order (+ perm → priority order), so the grams
+        # never materialize on the driver.  Submission is ASYNC when not
+        # checkpointing — the flags never gate frontier construction, so
+        # verification overlaps the next round's fetch (actor mailboxes
+        # are FIFO per caller → crawl order preserved); flags are folded
+        # into trace/metrics when they arrive.
+        leaf_mask = trace_meta.column("is_leaf").to_numpy(zero_copy_only=False)
         nd_futs = (
-            neardup.submit(wave_tbl.select(["grams", "band_keys"]))
+            [s.process_table_refs.remote(nd_refs, perm) for s in neardup.shards]
             if n_leaves_wave
             else []
         )
         if ckpt is not None:
             # checkpointed runs resolve synchronously: the round's
             # manifest must carry final near_dup values
-            dup_flags = neardup.resolve(nd_futs) if nd_futs else np.zeros(wave_tbl.num_rows, dtype=bool)
+            dup_flags = neardup.resolve(nd_futs) if nd_futs else np.zeros(wave_meta.num_rows, dtype=bool)
             nd_futs = []
         else:
             dup_flags = None  # resolved later
-        if _prof: print(f"[prof r{rnd}] neardup {time.time()-_t:.2f}s"); _t=time.time()
+        if _prof: print(f"[prof r{rnd}] neardup {time.time()-_t:.2f}s leaves={n_leaves_wave}"); _t=time.time()
         near_dup = (
-            dup_flags if dup_flags is not None else np.zeros(wave_tbl.num_rows, dtype=bool)
+            dup_flags if dup_flags is not None else np.zeros(wave_meta.num_rows, dtype=bool)
         )
-        wave_tbl = wave_tbl.append_column("near_dup", pa.array(near_dup))
 
         # ---- redirect hops into URL-seen (utils.clj:218-223) ----------
-        red = wave_tbl.column("redirects").combine_chunks()
+        # Inserted BEFORE the link commit, matching the sequential
+        # semantics (a link to an intermediate hop URL is not new).
+        red = wave_meta.column("redirects").combine_chunks()
         multi = np.where(pc.list_value_length(red).to_numpy(zero_copy_only=False) > 1)[0]
         if len(multi):
             hop_urls = pc.list_flatten(red.take(pa.array(multi))).to_pylist()
             seen.test_and_set(list(dict.fromkeys(hop_urls)))
 
         # ---- trace + metrics (vectorized, trace stays Arrow) ----------
-        statuses_arr = wave_tbl.column("status").combine_chunks()
+        statuses_arr = trace_meta.column("status").combine_chunks()
         vc = pc.value_counts(statuses_arr)
         for st, cnt in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
             metrics[st] = metrics.get(st, 0) + cnt
-        n_rows = wave_tbl.num_rows
+        n_rows = trace_meta.num_rows
         metrics["fetched"] += n_rows
         metrics["leaves"] += int(leaf_mask.sum())
         max_run = metrics["consecutive_dups"]
@@ -369,13 +499,13 @@ def crawl(
             pa.table(
                 {
                     "step": pa.array(np.arange(step + 1, step + n_rows + 1), type=pa.int64()),
-                    "url": wave_tbl.column("url"),
-                    "depth": wave_tbl.column("depth"),
-                    "src_url": wave_tbl.column("src_url"),
-                    "status": wave_tbl.column("status"),
-                    "is_leaf": wave_tbl.column("is_leaf"),
-                    "near_dup": wave_tbl.column("near_dup"),
-                    "n_links": wave_tbl.column("n_links"),
+                    "url": trace_meta.column("url"),
+                    "depth": trace_meta.column("depth"),
+                    "src_url": trace_meta.column("src_url"),
+                    "status": trace_meta.column("status"),
+                    "is_leaf": trace_meta.column("is_leaf"),
+                    "near_dup": pa.array(near_dup),
+                    "n_links": trace_meta.column("n_links"),
                 }
             )
         )
@@ -389,68 +519,63 @@ def crawl(
             and max_run >= cfg.dup_stop_consecutive
         )
 
-        # ---- explode links, wave-level first-wins dedup (vectorized):
-        # flatten the list column, map each link to its source row, and
-        # drop_duplicates(keep first) — row order = wave priority order ×
-        # document link order, so first-wins matches the sequential
-        # semantics exactly without a Python loop over links.
-        import pandas as pd
-
-        ok_mask = pc.is_in(
-            statuses_arr, value_set=pa.array(["ok", "redirect"])
-        ).to_numpy(zero_copy_only=False)
-        links_col = wave_tbl.column("links").combine_chunks()
-        n_per_row = pc.list_value_length(links_col).fill_null(0).to_numpy(zero_copy_only=False)
-        n_per_row = np.where(ok_mask, n_per_row, 0)
-        metrics["links_seen"] += int(n_per_row.sum())
+        # ---- frontier from the shards' link commit --------------------
+        # The workers already offered every candidate link (with its
+        # global priority) straight to the owner seen shards; the ack
+        # barrier guarantees the buffers are complete, then commit runs
+        # first-wins dedup + test-and-set IN the shards, in parallel.
+        # The driver only ever touches the winners (new URLs).
+        metrics["links_seen"] += links_seen_wave
         fresh_tbl = _empty_frontier()
-        if n_per_row.sum() > 0:
-            keep_rows = np.where(n_per_row > 0)[0]
-            sub = links_col.take(pa.array(keep_rows))
-            flat = pc.list_flatten(sub)
-            src_idx = np.repeat(keep_rows, n_per_row[keep_rows])
-            lf = pd.DataFrame(
-                {
-                    "url": flat.field("url").to_pylist(),
-                    "xpath": flat.field("xpath").to_pylist(),
-                    "src_idx": src_idx,
-                }
-            ).drop_duplicates("url", keep="first")
-            new_mask = seen.test_and_set(lf["url"].tolist())
-            lf = lf[new_mask]
-            metrics["links_new"] += len(lf)
-            if len(lf):
-                urls_new = lf["url"].tolist()
-                si = pa.array(lf["src_idx"].to_numpy())
-                depth_np = wave_tbl.column("depth").to_numpy(zero_copy_only=False)
+        if links_seen_wave:
+            ray.get(offer_acks)
+            winners = seen.commit_offers()
+            metrics["links_new"] += winners.num_rows
+            if winners.num_rows:
+                urls_new = winners.column("url").to_pylist()
                 fresh_tbl = pa.table(
                     {
-                        "url": pa.array(urls_new, type=pa.string()),
+                        "url": winners.column("url"),
                         "host": pa.array([url_host(u) for u in urls_new], type=pa.string()),
-                        "depth": pa.array(depth_np[lf["src_idx"].to_numpy()] + 1, type=pa.int32()),
+                        "depth": winners.column("depth"),
                         "discovery_seq": pa.array(
-                            np.arange(next_seq, next_seq + len(lf)), type=pa.int64()
+                            np.arange(next_seq, next_seq + winners.num_rows), type=pa.int64()
                         ),
-                        "src_url": wave_tbl.column("url").take(si).combine_chunks(),
-                        "src_xpath": pa.array([[x] for x in lf["xpath"]], type=pa.list_(pa.string())),
+                        "src_url": winners.column("src_url"),
+                        "src_xpath": pa.array(
+                            [[x] for x in winners.column("xpath").to_pylist()],
+                            type=pa.list_(pa.string()),
+                        ),
                     }
                 )
-                next_seq += len(lf)
+                next_seq += winners.num_rows
 
         frontier = pa.concat_tables([rest, fresh_tbl]) if fresh_tbl.num_rows else rest
         if _prof: print(f"[prof r{rnd}] links+seen {time.time()-_t:.2f}s"); _t=time.time()
         metrics["rounds"] += 1
 
-        # ---- checkpoint -----------------------------------------------
+        # ---- checkpoint (workers write their own corpus parts) --------
         if ckpt is not None:
-            corpus_tbl = wave_tbl.select(
-                ["url", "host", "depth", "discovery_seq", "src_url", "src_xpath",
-                 "status", "is_leaf", "near_dup", "spans"]
+            tmp = ckpt.begin_round(rnd)
+            corpus_dir = os.path.join(tmp, "corpus")
+            # flags per chunk, in chunk-concat order (invert perm first)
+            if perm is not None:
+                flags_chunk = np.empty_like(near_dup)
+                flags_chunk[perm] = near_dup
+            else:
+                flags_chunk = near_dup
+            offs = np.cumsum([0] + chunk_rows)
+            by_worker: dict[int, dict[int, np.ndarray]] = {}
+            for ci in range(len(chunks)):
+                by_worker.setdefault(ci % len(workers), {})[ci] = flags_chunk[offs[ci]:offs[ci + 1]]
+            wrote = ray.get(
+                [workers[w].write_corpus.remote(rnd, corpus_dir, fb) for w, fb in by_worker.items()]
             )
-            path = ckpt.write_round(
-                rnd, corpus_tbl, frontier, metrics, step, next_seq,
+            path = ckpt.finish_round(
+                rnd, frontier, metrics, step, next_seq,
                 seen=seen if (rnd % cfg.snapshot_every == 0) else None,
                 neardup=neardup if (rnd % cfg.snapshot_every == 0) else None,
+                corpus_rows=int(sum(wrote)),
             )
             res.corpus_paths.append(path)
 

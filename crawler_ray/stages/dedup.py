@@ -174,6 +174,24 @@ class NearDupShardActor:
                 self.index.setdefault(k, []).append(grams)
         return out
 
+    def process_table_refs(self, refs: list, perm=None) -> np.ndarray:
+        """Chunked-wave variant: ``refs`` are ObjectRefs of per-chunk
+        (grams, band_keys) tables put in plasma BY THE FETCH WORKERS —
+        the grams never pass through the driver.  Concatenated in chunk
+        order; ``perm`` (politeness mode) restores wave priority order
+        so flag assignment is identical to a single-table submission."""
+        to_get = [r for r in refs if not isinstance(r, pa.Table)]
+        got = iter(ray.get(to_get)) if to_get else iter(())  # ONE batched get:
+        # per-ref gets pay an owner-lookup RPC each (refs are owned by
+        # many different fetch workers), which dominates at 100+ chunks
+        tables = [r if isinstance(r, pa.Table) else next(got) for r in refs]
+        if not tables:
+            return np.zeros(0, dtype=bool)
+        tbl = pa.concat_tables(tables, promote_options="default")
+        if perm is not None:
+            tbl = tbl.take(pa.array(np.asarray(perm)))
+        return self.process_table(tbl)
+
     def process(self, entries) -> np.ndarray:
         """List-of-tuples variant (tests): [(grams, keys)] in crawl
         order → bool array."""
@@ -231,6 +249,13 @@ class NearDupShards:
             return []
         ref = ray.put(tbl)
         return [s.process_table.remote(ref) for s in self.shards]
+
+    def submit_refs(self, refs: list) -> list:
+        """Async variant over worker-plasma chunk refs (grams stay off
+        the driver); refs must be in wave priority order."""
+        if not refs:
+            return []
+        return [s.process_table_refs.remote(refs) for s in self.shards]
 
     @staticmethod
     def resolve(futs) -> np.ndarray:

@@ -23,6 +23,29 @@ from ..functions.urlnorm import url_hash64
 from ..state.bloom import BloomFilter, CuckooFilter, bloom_add_batch
 
 
+def shard_route(urls: list[str], n: int) -> np.ndarray:
+    """Stable url → shard-id routing (pandas siphash — identical across
+    processes, so workers and the driver handle agree on key ownership
+    and resume keeps the same shard assignment)."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(pd.Series(urls, dtype=object), index=False).to_numpy()
+    return (h % n).astype(np.int64)
+
+
+# Candidate-link tables offered to a shard carry these columns; prio is
+# the global first-wins key (wave priority order × document link order).
+LINK_CANDIDATE_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("xpath", pa.string()),
+        pa.field("src_url", pa.string()),
+        pa.field("depth", pa.int32()),
+        pa.field("prio", pa.int64()),
+    ]
+)
+
+
 @ray.remote
 class SeenShard:
     """One URL-seen partition: approximate filter + (small-scale only)
@@ -32,6 +55,40 @@ class SeenShard:
         self.shard_id = shard_id
         self.filter = BloomFilter(capacity) if kind == "bloom" else CuckooFilter(capacity)
         self.exact = set() if exact_audit else None
+        self._offers: list[pa.Table] = []
+
+    # ---- distributed link path (BSP round offer/commit) --------------
+    # Workers offer their chunk's candidate links directly (no driver
+    # hop); commit() makes the round's first-wins winner deterministic
+    # regardless of RPC arrival order by sorting on the global priority
+    # key before test-and-set.
+
+    def offer(self, tbl: pa.Table) -> int:
+        """Buffer a candidate-link table (LINK_CANDIDATE_SCHEMA) for the
+        current round.  Returns rows buffered (ack)."""
+        if tbl.num_rows:
+            self._offers.append(tbl)
+        return tbl.num_rows
+
+    def commit(self) -> pa.Table:
+        """Apply all buffered candidates in global priority order:
+        first-wins dedup on url, then test-and-set against the filter;
+        returns the winning NEW rows (still priority-sorted)."""
+        if not self._offers:
+            return pa.Table.from_pylist([], schema=LINK_CANDIDATE_SCHEMA)
+        t = pa.concat_tables(self._offers, promote_options="default")
+        self._offers = []
+        order = np.argsort(t.column("prio").to_numpy(), kind="stable")
+        t = t.take(pa.array(order))
+        import pandas as pd
+
+        urls = t.column("url").to_pylist()
+        first = ~pd.Series(urls, dtype=object).duplicated(keep="first").to_numpy()
+        if not first.all():
+            t = t.filter(pa.array(first))
+            urls = [u for u, f in zip(urls, first) if f]
+        new = self.test_and_set(urls)
+        return t.filter(pa.array(new))
 
     def test_and_set(self, urls: list[str]) -> np.ndarray:
         """Insert all; return bool array: True where the URL was new."""
@@ -87,12 +144,9 @@ class SeenSet:
         ]
 
     def _route(self, urls: list[str]) -> tuple[list[list[str]], list[list[int]]]:
-        """Vectorized shard routing (pandas siphash — stable across
+        """Vectorized shard routing (shard_route — stable across
         processes, so resume keeps the same shard ownership)."""
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(pd.Series(urls, dtype=object), index=False).to_numpy()
-        shard = (h % self.n).astype(np.int64)
+        shard = shard_route(urls, self.n)
         per, idx = [], []
         arr = np.asarray(urls, dtype=object)
         for s in range(self.n):
@@ -126,6 +180,17 @@ class SeenSet:
         for m in ray.get([s.members.remote() for s in self.shards]):
             out.update(m)
         return out
+
+    def commit_offers(self) -> pa.Table:
+        """Commit every shard's buffered candidate links (one RPC per
+        shard, in parallel) and return the union of winners sorted by
+        the global priority key — deterministic first-wins."""
+        tables = ray.get([s.commit.remote() for s in self.shards])
+        t = pa.concat_tables(tables, promote_options="default")
+        if t.num_rows:
+            order = np.argsort(t.column("prio").to_numpy(), kind="stable")
+            t = t.take(pa.array(order))
+        return t
 
     def snapshot(self) -> list[dict]:
         return ray.get([s.snapshot.remote() for s in self.shards])

@@ -41,22 +41,35 @@ class CheckpointStore:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"round_{rnd:05d}")
 
-    def write_round(
+    def begin_round(self, rnd: int) -> str:
+        """Create (wiping any stale leftover) the round's .tmp staging
+        dir and return it — fetch workers write their corpus part files
+        straight into ``<tmp>/corpus/`` so the driver never holds span
+        data; ``finish_round`` publishes atomically."""
+        tmp = self._round_dir(rnd) + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(os.path.join(tmp, "corpus"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
+        return tmp
+
+    def finish_round(
         self,
         rnd: int,
-        corpus: pa.Table,
         frontier: pa.Table,
         metrics: dict,
         step: int,
         next_seq: int,
         seen=None,
         neardup=None,
+        corpus_rows: int | None = None,
     ) -> str:
+        """Write frontier/manifest/snapshots into the staged tmp dir
+        (corpus parts already written by the workers) and publish."""
         final = self._round_dir(rnd)
         tmp = final + ".tmp"
-        os.makedirs(os.path.join(tmp, "corpus"), exist_ok=True)
-        os.makedirs(os.path.join(tmp, "frontier"), exist_ok=True)
-        pq.write_table(corpus, os.path.join(tmp, "corpus", "part-00000.parquet"))
         pq.write_table(frontier, os.path.join(tmp, "frontier", "part-00000.parquet"))
         snap_paths = {}
         if seen is not None:
@@ -73,7 +86,7 @@ class CheckpointStore:
             "step": step,
             "next_seq": next_seq,
             "metrics": metrics,
-            "corpus_rows": corpus.num_rows,
+            "corpus_rows": corpus_rows,
             "frontier_rows": frontier.num_rows,
             "snapshots": snap_paths,
         }
@@ -85,6 +98,26 @@ class CheckpointStore:
             shutil.rmtree(final)
         os.replace(tmp, final)  # atomic publish
         return final
+
+    def write_round(
+        self,
+        rnd: int,
+        corpus: pa.Table,
+        frontier: pa.Table,
+        metrics: dict,
+        step: int,
+        next_seq: int,
+        seen=None,
+        neardup=None,
+    ) -> str:
+        """Single-writer convenience (tests / external callers): stage,
+        write the corpus as one part, publish."""
+        tmp = self.begin_round(rnd)
+        pq.write_table(corpus, os.path.join(tmp, "corpus", "part-00000.parquet"))
+        return self.finish_round(
+            rnd, frontier, metrics, step, next_seq,
+            seen=seen, neardup=neardup, corpus_rows=corpus.num_rows,
+        )
 
     def rounds(self) -> list[int]:
         out = []
@@ -139,8 +172,10 @@ class CheckpointStore:
         for r in self.rounds():
             if upto_round is not None and r > upto_round:
                 break
-            p = os.path.join(self._round_dir(r), "corpus", "part-00000.parquet")
-            tables.append(pq.read_table(p))
+            d = os.path.join(self._round_dir(r), "corpus")
+            for part in sorted(os.listdir(d)):
+                if part.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(d, part)))
         return pa.concat_tables(tables) if tables else None
 
 
