@@ -1189,15 +1189,14 @@ def _augmented_docs(sf_dir: str):
     "equals the oracle's exhaustive similarity join.",
 )
 def minhash_lsh_neardup(sf_dir: str):
-    from crawler_ray.stages.dedup import grams4_raw, lsh_neardup_pairs, verify_jaccard_pairs
+    from crawler_ray.stages.dedup import doc_grams_table, lsh_neardup_pairs, verify_pairs_joined
 
     aug = _augmented_docs(sf_dir).materialize()  # reused twice below
-    pairs = lsh_neardup_pairs(aug, threshold=0.9)
-    # broadcast id→grams for exact verification (corpus-sized broadcast
-    # is fine here; at scale the pairs hash-join back to texts)
-    df = aug.to_pandas()
-    id_to_grams = {i: grams4_raw(t) for i, t in zip(df["doc_id"], df["text"])}
-    return verify_jaccard_pairs(pairs, id_to_grams, threshold=0.9)
+    pairs = lsh_neardup_pairs(aug, threshold=0.9)  # Dataset, stays distributed
+    # distributed verify: candidate pairs hash-join back to the grams
+    # table (semi-filtered to candidate ids) — no corpus-sized driver
+    # materialization anywhere in the plan
+    return verify_pairs_joined(pairs, doc_grams_table(aug), threshold=0.9)
 
 
 @register(

@@ -300,18 +300,16 @@ def lsh_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """Corpus-wide MinHash-LSH near-dup sweep:
+    """Corpus-wide MinHash-LSH candidate generation:
 
         minhash per batch → explode (band_key, id) → groupby(band) →
-        candidate pairs → exact-Jaccard verify → verified pairs
+        candidate pairs → distinct
 
     LSH recall at J=0.9 with 16 bands × 4 rows: miss ≈ (1−0.9⁴)¹⁶ ≈
     4e-8 — the sweep is exact for practical purposes (the oracle-checked
-    query relies on this).  Verification looks gram sets up in a
-    broadcast id→grams map (corpus-sized broadcast is fine at sandbox
-    scale; at 100 TB the candidate pairs hash-join back to the text
-    table instead — same topology, one extra shuffle).
-    """
+    query relies on this).  Returns a DATASET of distinct (doc_a, doc_b)
+    rows — the pairs never materialize on the driver; verify them with
+    ``verify_pairs_joined`` (hash-join back to the grams table)."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -319,7 +317,6 @@ def lsh_neardup_pairs(
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids, keys = [], []
-        gram_map = {}
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             h = np.unique(
                 np.fromiter(
@@ -347,20 +344,147 @@ def lsh_neardup_pairs(
         iu = np.triu_indices(len(vals), k=1)
         return pd.DataFrame({"doc_a": vals[iu[0]], "doc_b": vals[iu[1]]})
 
-    pairs = (
+    from ray.data.aggregate import Count
+
+    return (
         band_tbl.groupby("band")
         .map_groups(pairs_in_band, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["doc_a", "doc_b"])  # distributed distinct
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
     )
-    return pairs
+
+
+def doc_grams_table(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, gb, sz) Dataset: gb = the doc's sorted unique 63-bit
+    gram hashes serialized to bytes (Arrow joins reject list columns),
+    sz = gram-set cardinality.  The join-side payload for distributed
+    pair verification."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, gbs, szs = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = np.unique(
+                np.fromiter(
+                    (shingles.stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams4_raw(txt)),
+                    dtype=np.uint64,
+                )
+            ) if txt else np.zeros(0, dtype=np.uint64)
+            ids.append(did)
+            gbs.append(h.tobytes())
+            szs.append(len(h))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "gb": pa.array(gbs, type=pa.binary()),
+                "sz": pa.array(szs, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int = 8):
+    """Distributed exact-Jaccard verification: hash-join the candidate
+    pairs back to the grams table (both sides Datasets — no driver
+    materialization of grams).  The corpus-side grams are first
+    semi-filtered to candidate ids (a broadcast of the SMALL candidate
+    id set), so each join shuffles only candidate-doc rows.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard ≥ threshold)."""
+    import ray
+
+    pairs = pairs.materialize()  # join finalize chokes on schemaless empties
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    # candidate id set: tiny relative to the corpus — safe to reduce on
+    # the driver and broadcast
+    id_parts = pairs.map_batches(
+        lambda t: pa.table(
+            {"id": np.unique(np.concatenate([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()]))}
+        ),
+        batch_format="pyarrow",
+    )
+    cand_ids = np.unique(id_parts.to_pandas()["id"].to_numpy())
+    ref = ray.put(cand_ids)
+
+    class SemiFilter:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["doc_id"].to_numpy()
+            idx = np.clip(np.searchsorted(self.ids, keys), 0, len(self.ids) - 1)
+            return t.filter(pa.array(self.ids[idx] == keys))
+
+    cand_grams = grams_ds.map_batches(
+        SemiFilter, batch_format="pyarrow", concurrency=2
+    ).materialize()
+
+    j1 = pairs.join(
+        cand_grams, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "gb_a": t["gb"], "sz_a": t["sz"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        cand_grams, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        sa = t["sz_a"].to_numpy()
+        sb = t["sz"].to_numpy()
+        ga = t["gb_a"].to_pylist()
+        gbv = t["gb"].to_pylist()
+        js = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            inter = len(
+                np.intersect1d(
+                    np.frombuffer(ga[i], dtype=np.uint64),
+                    np.frombuffer(gbv[i], dtype=np.uint64),
+                    assume_unique=True,
+                )
+            )
+            denom = int(sa[i]) + int(sb[i]) - inter
+            js[i] = inter / (1.0 * denom) if denom else 1.0
+        keep = js >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard": pa.array(js[keep]),
+            }
+        )
+
+    return j2.map_batches(jaccard, batch_format="pyarrow")
 
 
 def verify_jaccard_pairs(pairs, id_to_grams: dict, threshold: float):
-    """Exact-Jaccard verification of candidate pairs (pure ints — safe
-    against any FP/oracle divergence)."""
+    """Small-scale exact-Jaccard verification against an in-memory
+    id→gram-set map (tests / driver-side spot checks; the scale path is
+    ``verify_pairs_joined``).  Accepts a pandas frame or a Dataset."""
     import pandas as pd
 
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
     rows = []
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         ga, gb = id_to_grams[a], id_to_grams[b]
