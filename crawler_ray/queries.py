@@ -362,16 +362,16 @@ def mean_var_score(sf_dir: str):
         )
         return make_partial_agg(["l_partkey"], ["s1", "s2"])(out)
 
-    from ray.data.aggregate import Sum
+    from crawler_ray.stages.relational import bucketed_agg
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(
-            Sum("s1_sum", alias_name="s1"),
-            Sum("s2_sum", alias_name="s2"),
-            Sum("partial_n", alias_name="n"),
-        )
+    # l_partkey is high-cardinality (~20k groups at sf0.1): Ray's
+    # groupby().aggregate() pays ~2 ms/group of per-group overhead, so
+    # the final aggregate goes through the bucketed pandas path instead
+    # (one shuffle on 32 coarse buckets, vectorized groupby per bucket)
+    agg = bucketed_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        sum_cols={"s1_sum": "s1", "s2_sum": "s2", "partial_n": "n"},
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -381,9 +381,13 @@ def mean_var_score(sf_dir: str):
         s2 = t["s2"].to_numpy().astype(np.float64)
         mean = s1 / 100.0 / n
         var = (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)
-        return pa.table(
+        out = pa.table(
             {"l_partkey": t["l_partkey"], "n": t["n"], "score": pa.array(mean * var)}
         )
+        # local top-k prune: only ≤20 rows per block reach the global
+        # sort, so the all-to-all sorts ~20×blocks rows, not 20k keys
+        order = np.lexsort((out["l_partkey"].to_numpy(), -out["score"].to_numpy()))[:20]
+        return out.take(pa.array(np.sort(order)))
 
     return agg.map_batches(score, batch_format="pyarrow").sort(
         ["score", "l_partkey"], descending=[True, False]
@@ -429,34 +433,33 @@ def nunique_histogram(sf_dir: str):
 def tpch_q3_like(sf_dir: str):
     import ray
 
+    # small-side build is fully vectorized: BUILDING customers →
+    # searchsorted semi-filter of orders → sorted (key, date) arrays
     cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    bld = set(
-        ck
-        for ck, seg in zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-        if seg == "BUILDING"
+    bld = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy()
     )
     orders = pq.read_table(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    cutoff = pd.Timestamp("1998-01-01")
-    omap = {
-        ok: od
-        for ok, ck, od in zip(
-            orders["o_orderkey"].to_pylist(),
-            orders["o_custkey"].to_pylist(),
-            orders["o_orderdate"].to_pylist(),
-        )
-        if ck in bld and od < cutoff
-    }
-    ref = ray.put(omap)
+    ck = orders["o_custkey"].to_numpy()
+    idx = np.clip(np.searchsorted(bld, ck), 0, max(len(bld) - 1, 0))
+    keep = (len(bld) > 0) & (bld[idx] == ck)
+    keep &= orders["o_orderdate"].to_numpy(zero_copy_only=False) < np.datetime64("1998-01-01")
+    okeys = orders["o_orderkey"].to_numpy()[keep]
+    odates = orders["o_orderdate"].to_numpy(zero_copy_only=False)[keep]
+    osort = np.argsort(okeys)
+    ref = ray.put((okeys[osort], odates[osort]))
 
     class JoinOrders:
         def __init__(self):
-            self.omap = ray.get(ref)
+            self.okeys, self.odates = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_orderkey"].to_pylist()
-            mask = [k in self.omap for k in keys]
-            t = t.filter(pa.array(mask))
-            dates = [self.omap[k] for k in t["l_orderkey"].to_pylist()]
+            k = t["l_orderkey"].to_numpy()
+            idx = np.clip(np.searchsorted(self.okeys, k), 0, max(len(self.okeys) - 1, 0))
+            hit = (len(self.okeys) > 0) & (self.okeys[idx] == k)
+            t = t.filter(pa.array(hit))
+            k2 = t["l_orderkey"].to_numpy()
+            dates = self.odates[np.searchsorted(self.okeys, k2)]
             disc_c = cents(
                 pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
             )
@@ -766,16 +769,29 @@ def token_stats(sf_dir: str):
 )
 def quality_score(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        toks = [textstats.space_token_count(x) for x in texts]
-        stop = [textstats.stopword_count(x) for x in texts]
-        punct = [sum(1 for c in x if c in ".,;:!?'\"()[]{}-") for x in texts]
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        # tokens: single-space field count, same as the SQL string_split
+        toks = pc.cast(pc.add(pc.count_substring(txt, " "), 1), pa.int64())
+        # stopwords: split → flatten → is_in → per-row segment sum
+        tok_list = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(tok_list)
+        isstop = pc.is_in(
+            flat, value_set=pa.array(list(textstats.STOPWORDS))
+        ).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        stop = np.bincount(rows, weights=isstop, minlength=len(lens)).astype(np.int64)
+        # punctuation: chars removed by the same regex as the oracle
+        stripped = pc.replace_substring_regex(txt, r"[.,;:!?'\"()\[\]{}-]", "")
+        punct = pc.cast(
+            pc.subtract(pc.utf8_length(txt), pc.utf8_length(stripped)), pa.int64()
+        )
         out = pa.table(
             {
                 "lang": t["lang"],
-                "toks": pa.array(toks, type=pa.int64()),
+                "toks": toks,
                 "stop": pa.array(stop, type=pa.int64()),
-                "punct": pa.array(punct, type=pa.int64()),
+                "punct": punct,
             }
         )
         return make_partial_agg(["lang"], ["toks", "stop", "punct"])(out)
@@ -1049,85 +1065,157 @@ def frontier_discovery(sf_dir: str):
     WHERE i/(1.0*(sa.sz + sb.sz - i)) >= 0.09
     """,
     doc="Exact n-gram-Jaccard similarity join (token bigrams, θ=0.09): "
-    "explode distinct grams → inverted-index groupby → pair counts → "
-    "exact Jaccard (pure integer arithmetic; no FP risk).  Scale path: "
-    "prefix/df pruning (PPJoin) — documented, not needed at this size.",
+    "explode distinct grams → bucketed inverted-index self-merge → "
+    "packed-rank pair keys (a<<32|b, one int64 per pair) → bucketed "
+    "count aggregation → exact Jaccard from integer counts.  At θ=0.09 "
+    "prefix/df pruning is powerless on dense vocabularies (the prefix "
+    "budget is ⌈θ·n⌉−1 grams/doc — measured here: candidates ≈ "
+    "all-pairs either way), so the exact count pipeline is the honest "
+    "shape; the packed keys keep every kernel a single numpy/pandas "
+    "op and the pair shuffle at 8 bytes/key.",
 )
-def ngram_jaccard_neardup(sf_dir: str):
+def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
     import ray
 
-    def explode(t: pa.Table) -> pa.Table:
-        ids, gh = [], []
-        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            tk = txt.split(" ")
-            gs = {tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1)} if len(tk) >= 2 else set(tk)
-            for g in gs:
-                ids.append(did)
-                # stable 63-bit gram hash: cheaper to shuffle than strings;
-                # collision over ~1e5 grams is ~1e-9 — negligible vs oracle
-                gh.append(shingles.stable_hash64(g) & 0x7FFFFFFFFFFFFFFF)
-        out = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "gh": pa.array(gh, type=pa.int64())})
-        return out.append_column("bucket", pc.cast(pc.bit_wise_and(out["gh"], 31), pa.int32()))
+    THETA = 0.09
 
-    # materialize once: both the sizes aggregate and the pair pipeline
-    # consume the exploded grams (avoids lineage recompute)
-    grams = (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .materialize()
-    )
+    def bigram_hashes(txt: str) -> np.ndarray:
+        tk = txt.split(" ")
+        gs = {tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1)} if len(tk) >= 2 else set(tk)
+        # stable 63-bit gram hash: cheaper to shuffle than strings;
+        # collision over ~1e5 grams is ~1e-9 — negligible vs oracle
+        return np.fromiter(
+            (shingles.stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in gs),
+            dtype=np.int64, count=len(gs),
+        )
 
-    # sizes: |grams(doc)| — one small row per doc, broadcast for the final join
-    from ray.data.aggregate import Count, Sum
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
-    sizes_df = grams.groupby("doc_id").aggregate(Count(alias_name="sz")).to_pandas()
-    size_map = dict(zip(sizes_df["doc_id"], sizes_df["sz"]))
-    sref = ray.put(size_map)
-
-    # bucket-parallel inverted-index pair generation: 32 buckets, one
-    # vectorized pandas self-merge per bucket (NOT one Python call per
-    # gram — that is 1000x slower with ~40k distinct grams)
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        df = g[["doc_id", "gh"]]
-        m = df.merge(df, on="gh", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        out = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
-        return pd.DataFrame(
+    # per-doc gram-set sizes: documents are never split across batches,
+    # so this is a shuffle-FREE scan emitting one row per doc; the
+    # (sorted ids, sizes) pair is a small broadcast and doubles as the
+    # id→dense-rank map that lets a pair pack into one int64
+    def sizes_kernel(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_a": out["doc_id_a"].astype("int64"),
-                "doc_b": out["doc_id_b"].astype("int64"),
-                "pi": out["size"].astype("int64"),
+                "doc_id": t["doc_id"],
+                "sz": pa.array(
+                    [len(bigram_hashes(x)) for x in t["text"].to_pylist()], type=pa.int64()
+                ),
             }
         )
 
-    from crawler_ray.stages.relational import bucketed_agg
+    sizes_df = docs.map_batches(sizes_kernel, batch_format="pyarrow").to_pandas()
+    sizes_df = sizes_df.sort_values("doc_id")
+    ids_sorted = sizes_df["doc_id"].to_numpy(dtype=np.int64)
+    sz_sorted = sizes_df["sz"].to_numpy(dtype=np.int64)
+    assert len(ids_sorted) < (1 << 31), "packed pair keys need rank < 2^31"
+    sref = ray.put((ids_sorted, sz_sorted))
 
-    pair_counts = bucketed_agg(
-        grams.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas"),
-        keys=["doc_a", "doc_b"],
-        sum_cols={"pi": "i"},
+    N_GH_BUCKETS = 64
+    N_AGG_BUCKETS = 32
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_s, _ = ray.get(sref)
+        rks, ghs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = bigram_hashes(txt)
+            rks.append(np.full(len(h), np.searchsorted(ids_s, did), dtype=np.int64))
+            ghs.append(h)
+        rk = np.concatenate(rks) if rks else np.zeros(0, dtype=np.int64)
+        gh = np.concatenate(ghs) if ghs else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "rk": pa.array(rk),
+                "gh": pa.array(gh),
+                "bucket": pa.array((gh % N_GH_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    grams = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # regime dispatch: measure the distinct-gram vocabulary from cheap
+    # per-batch uniques.  A DENSE corpus (vocabulary fits a broadcast)
+    # makes candidate pairs ≈ all pairs, so the inverted index's Σdf²
+    # pair-row shuffle is pure overhead — blocked bitset tiles (BLAS
+    # intersection counts) are exact and output-bound there.  Sparse
+    # vocabularies take the inverted-index path below.
+    uniq = grams.map_batches(
+        lambda t: pa.table({"gh": pa.array(np.unique(t["gh"].to_numpy()))}),
+        batch_format="pyarrow",
+    ).materialize()
+    if dense_vocab_limit and uniq.count() <= max(262_144, dense_vocab_limit * 16):
+        vocab = np.unique(uniq.to_pandas()["gh"].to_numpy())
+        if len(vocab) <= dense_vocab_limit:
+            from crawler_ray.stages.dedup import dense_bitset_jaccard_pairs
+
+            return dense_bitset_jaccard_pairs(
+                grams, vocab, ids_sorted, sz_sorted, THETA
+            )
+
+    # bucket-parallel inverted-index pair generation: one vectorized
+    # pandas self-merge per gh bucket; pairs packed to int64,
+    # pre-counted with np.unique, and tagged with their aggregation
+    # bucket before leaving — the downstream shuffle needs no extra scan
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["rk", "gh"]]
+        m = df.merge(df, on="gh", suffixes=("_a", "_b"))
+        a = m["rk_a"].to_numpy()
+        b = m["rk_b"].to_numpy()
+        keep = a < b
+        packed = (a[keep] << 32) | b[keep]
+        pk, pi = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pk": pk.astype("int64"),
+                "pi": pi.astype("int64"),
+                "abkt": ((pk >> 32) % N_AGG_BUCKETS).astype("int32"),
+            }
+        )
+
+    partials = grams.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    # global pair-count aggregation: sort+reduceat per agg bucket (the
+    # keys are already ints; np beats a pandas groupby here)
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy()
+        pi = g["pi"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, pi = pk[order], pi[order]
+        first = np.ones(len(pk), dtype=bool)
+        first[1:] = pk[1:] != pk[:-1]
+        starts = np.where(first)[0]
+        return pd.DataFrame(
+            {"pk": pk[starts], "i": np.add.reduceat(pi, starts) if len(starts) else pi[:0]}
+        )
+
+    pair_counts = partials.groupby("abkt").map_groups(
+        lambda g: agg_bucket(g), batch_format="pandas"
     )
 
     class Jaccard:
         def __init__(self):
-            self.sz = ray.get(sref)
+            self.ids, self.sz = ray.get(sref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["doc_a"].to_numpy().astype(np.int64)
-            b = t["doc_b"].to_numpy().astype(np.int64)
+            pk = t["pk"].to_numpy().astype(np.int64)
             i = t["i"].to_numpy().astype(np.int64)
-            sa = np.array([self.sz[x] for x in a], dtype=np.int64)
-            sb = np.array([self.sz[x] for x in b], dtype=np.int64)
+            ra = pk >> 32
+            rb = pk & 0x7FFFFFFF
+            sa = self.sz[ra]
+            sb = self.sz[rb]
             j = i / (1.0 * (sa + sb - i))
-            keep = j >= 0.09
+            keep = j >= THETA
             return pa.table(
                 {
-                    "doc_a": pa.array(a[keep]),
-                    "doc_b": pa.array(b[keep]),
+                    "doc_a": pa.array(self.ids[ra[keep]]),
+                    "doc_b": pa.array(self.ids[rb[keep]]),
                     "jaccard": pa.array(j[keep]),
                 }
             )
 
+    # concurrency=2: an actor pool ≥ session CPUs would starve the
+    # upstream sort tasks and deadlock small sessions
     return pair_counts.map_batches(Jaccard, batch_format="pyarrow", concurrency=2)
 
 

@@ -95,27 +95,53 @@ def ivf_bucket(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
 
 def ivf_topk(bucketed_ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int = 10, nprobe: int = 3, vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Probe only the ``nprobe`` nearest buckets per query."""
+    """Probe only the ``nprobe`` nearest buckets per query.
+
+    Scale topology: per-bucket local top-k runs IN the bucket groups
+    (groupby(bucket).map_groups — each group scores only the queries
+    probing it), and the driver merges just q × nprobe × k candidate
+    rows.  The probed vectors themselves never materialize centrally."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+    import ray
+
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     cn = _normalize(centroids)
     probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # (q, nprobe)
     wanted = sorted({int(b) for row in probes for b in row})
-    import pyarrow.compute as pc_
+    qref = ray.put((qn, probes))
 
     sub = bucketed_ds.map_batches(
         lambda t: t.filter(pc_.is_in(t["bucket"], value_set=pa.array(wanted, type=pa.int32()))),
         batch_format="pyarrow",
     )
-    df = sub.to_pandas()
-    out_rows = []
-    for qi in range(len(qn)):
-        mask = df["bucket"].isin(probes[qi]).to_numpy()
-        cand = df[mask]
-        m = _normalize(np.array(cand[vec_col].to_list(), dtype=np.float64))
-        cos = m @ qn[qi]
-        order = np.lexsort((cand[id_col].to_numpy(), -cos))[:k]
-        for r, idx in enumerate(order):
-            out_rows.append((qi, int(cand[id_col].iloc[idx]), r + 1, float(cos[idx])))
-    import pandas as pd
 
-    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "rank", "cos"])
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qn_l, probes_l = ray.get(qref)
+        b = int(g["bucket"].iloc[0])
+        qids = np.where((probes_l == b).any(axis=1))[0]
+        if len(qids) == 0 or len(g) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        m = _normalize(np.array(g[vec_col].to_list(), dtype=np.float64))
+        ids = g[id_col].to_numpy()
+        cos = qn_l[qids] @ m.T  # (nq, n_bucket)
+        kk = min(k, cos.shape[1])
+        out_q, out_id, out_cos = [], [], []
+        for row, qi in enumerate(qids):
+            top = np.argpartition(-cos[row], kk - 1)[:kk]
+            out_q.extend([int(qi)] * kk)
+            out_id.extend(ids[top])
+            out_cos.extend(cos[row][top])
+        return pd.DataFrame(
+            {"query_id": pd.array(out_q, dtype="int64"),
+             "vec_id": pd.array(out_id, dtype="int64"),
+             "cos": pd.array(out_cos, dtype="float64")}
+        )
+
+    local = sub.groupby("bucket").map_groups(local_topk, batch_format="pandas").to_pandas()
+    local = local.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    top = local.groupby("query_id").head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "vec_id", "rank", "cos"]].reset_index(drop=True)

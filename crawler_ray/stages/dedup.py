@@ -545,6 +545,106 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text
     )
 
 
+def dense_bitset_jaccard_pairs(
+    grams_ds,
+    vocab: np.ndarray,
+    ids_sorted: np.ndarray,
+    sz_sorted: np.ndarray,
+    threshold: float,
+    n_blocks: int = 8,
+):
+    """Exact Jaccard pair join for the DENSE-VOCABULARY regime: when the
+    distinct-gram vocabulary fits a broadcast (≤ ~2^14), every doc
+    becomes a packed bitset row and pairwise intersection counts come
+    from blocked int8 matmul tiles (BLAS) instead of an inverted-index
+    shuffle — in this regime candidate pairs ≈ all pairs, so the
+    Σdf² pair-row materialization the index pays is pure overhead.
+
+    ``grams_ds``: Dataset of (rk, gh) rows, whole docs per batch.
+    Tiles are raw Ray tasks over the bitset Dataset's BLOCK REFS — the
+    Dataset API has no block cross-product; blocks stay in plasma and
+    each tile reads exactly two of them (documented partitioning
+    assumption: tile count = P(P+1)/2 for P blocks).
+
+    Returns a Dataset of (doc_a, doc_b, jaccard ≥ threshold)."""
+    import ray
+    import ray.data as rd
+
+    vref = ray.put((vocab, ids_sorted, sz_sorted))
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        vocab_l, _, _ = ray.get(vref)
+        rk = t["rk"].to_numpy()
+        gh = t["gh"].to_numpy()
+        order = np.argsort(rk, kind="stable")
+        rk, gh = rk[order], gh[order]
+        uids, first = np.unique(rk, return_index=True)
+        nbytes = (len(vocab_l) + 7) // 8
+        rows = []
+        for i, start in enumerate(first):
+            end = first[i + 1] if i + 1 < len(first) else len(rk)
+            bits = np.zeros(len(vocab_l), dtype=np.uint8)
+            bits[np.searchsorted(vocab_l, gh[start:end])] = 1
+            rows.append(np.packbits(bits).tobytes())
+        return pa.table(
+            {
+                "rk": pa.array(uids, type=pa.int64()),
+                "bits": pa.array(rows, type=pa.binary()),
+            }
+        )
+
+    # batch_size=None → whole blocks: a doc's gram rows are contiguous
+    # within a block, so each doc folds into exactly one bitset row
+    bits_ds = grams_ds.map_batches(
+        to_bits, batch_format="pyarrow", batch_size=None
+    ).repartition(n_blocks).materialize()
+    block_refs = bits_ds.to_arrow_refs()
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        vocab_l, ids_l, sz_l = ray.get(vref)
+        nv = len(vocab_l)
+
+        def unpack(t):
+            rk = t["rk"].to_numpy()
+            raw = np.frombuffer(b"".join(t["bits"].to_pylist()), dtype=np.uint8).reshape(len(rk), -1)
+            return rk, np.unpackbits(raw, axis=1, count=nv).astype(np.float32)
+
+        ra, ma = unpack(ta)
+        rb, mb = unpack(tb)
+        if not len(ra) or not len(rb):
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        inter = np.rint(ma @ mb.T).astype(np.int64)  # exact: counts < 2^24
+        sa = sz_l[ra][:, None]
+        sb = sz_l[rb][None, :]
+        j = inter / (1.0 * (sa + sb - inter))
+        mask = j >= threshold
+        if same:  # keep each unordered pair once
+            mask &= ra[:, None] < rb[None, :]
+        ia, ib = np.nonzero(mask)
+        jv = j[ia, ib]
+        aa, bb = ra[ia], rb[ib]
+        if not same:  # blocks are rk-disjoint; emit smaller rank first
+            flip = aa > bb
+            aa, bb = np.where(flip, bb, aa), np.where(flip, aa, bb)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids_l[aa]),
+                "doc_b": pa.array(ids_l[bb]),
+                "jaccard": pa.array(jv),
+            }
+        )
+
+    futs = []
+    for i in range(len(block_refs)):
+        for jj in range(i, len(block_refs)):
+            futs.append(tile.remote(block_refs[i], block_refs[jj], i == jj))
+    return rd.from_arrow_refs(futs)
+
+
 def connected_components(pairs) -> dict:
     """Union-find over verified pairs → id → component representative.
     Driver-side because the verified-pair set is tiny relative to the

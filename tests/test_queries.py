@@ -48,3 +48,21 @@ def test_registry_complete(ray_session):
     assert len(REGISTRY) >= 22
     for name, qd in REGISTRY.items():
         assert callable(qd.fn), name
+
+
+def test_ngram_jaccard_dense_and_sparse_paths_agree(ray_session):
+    """The dense-vocabulary bitset path and the sparse inverted-index
+    path are alternative executions of the same exact join — force each
+    via the dispatch limit and compare pair-for-pair."""
+    from crawler_ray.queries import ngram_jaccard_neardup
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    dense = norm(ngram_jaccard_neardup(SF))                        # dense fires (tiny vocab)
+    sparse = norm(ngram_jaccard_neardup(SF, dense_vocab_limit=0))  # forced inverted index
+    assert len(dense) == len(sparse) and len(dense) > 0
+    assert (dense["doc_a"].to_numpy() == sparse["doc_a"].to_numpy()).all()
+    assert (dense["doc_b"].to_numpy() == sparse["doc_b"].to_numpy()).all()
+    assert np.allclose(dense["jaccard"], sparse["jaccard"], rtol=0, atol=0)
