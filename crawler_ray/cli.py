@@ -47,6 +47,7 @@ def main(argv=None):
     p.add_argument("mode", choices=[
         "bfs", "structure-driven", "discussion-forum", "execute",
         "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
+        "fix-model",
     ])
     p.add_argument("--graph", help="SITE_PAGES parquet file")
     p.add_argument("--hosts", type=int, default=4)
@@ -89,6 +90,26 @@ def main(argv=None):
             for row in corpus.select(["url", "depth", "status", "is_leaf"]).to_pylist():
                 f.write(json.dumps(row) + "\n")
         print(json.dumps({"rows": corpus.num_rows, "out": out}))
+        return 0
+
+    if args.mode == "fix-model":
+        # main.clj:347-349 --fix-model: load a learned model + the
+        # crawl's checkpointed corpus (url/src_url/is_leaf stand in for
+        # the trace) and repair refinements against observed outcomes
+        if not args.model or not args.checkpoint_dir:
+            p.error("fix-model requires --model and --checkpoint-dir")
+        from crawler_ray.pipelines.model import fix_model
+        from crawler_ray.state.checkpoint import CheckpointStore
+
+        with open(args.model) as f:
+            model = json.load(f)
+        corpus = CheckpointStore(args.checkpoint_dir).corpus_table()
+        trace = corpus.select(["url", "src_url", "is_leaf"]).to_pylist()
+        fixed = fix_model(model, trace, pages)
+        mp = os.path.join(args.out, "model_fixed.json")
+        with open(mp, "w") as f:
+            json.dump(fixed, f, indent=1)
+        print(json.dumps({"fixed": True, "actions": len(fixed["actions"]), "out": mp}))
         return 0
 
     _init_ray(args.num_cpus)

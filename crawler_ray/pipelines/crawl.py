@@ -75,6 +75,7 @@ class CrawlConfig:
     # extract/stop? closures (crawl.clj:63-66); here they are pickled
     # into the worker actors / consulted by the driver loop.
     leaf_fn: object = None    # Callable[[html, url, state_action], bool]
+    extract_fn: object = None  # Callable[[html, url, links], state-action list]
     stop_fn: object = None    # Callable[[metrics dict], bool]
     checkpoint_dir: str | None = None
     snapshot_every: int = 5
@@ -113,12 +114,17 @@ LINKS_ITEM = pa.struct(
 )
 
 
-def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = True, leaf_fn=None):
+def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = True, leaf_fn=None, extract_fn=None):
     """One DOM parse per page → spans, links, leaf flag, shingles, LSH
     keys.  Pure function of the page → safe at any wave parallelism.
     Drops ``body`` from the output (downstream uses spans/links only);
     span extraction itself is skipped when ``keep_spans`` is False
-    (no corpus checkpoint → nobody reads them)."""
+    (no corpus checkpoint → nobody reads them).
+
+    ``extract_fn`` is the reference's injected ``extract`` closure
+    (crawl.clj:63-66): (body, url, links) → state-action groups; the
+    default is the rich extractor's ``state_action``.  ``leaf_fn``
+    consumes whatever the extractor produced."""
     params = shingles.minhash_params(minhash_perms)
 
     def enrich(batch: pa.Table) -> pa.Table:
@@ -140,7 +146,7 @@ def make_enrich(minhash_perms: int, blacklist: frozenset, keep_spans: bool = Tru
             root = dom.parse_page(b)  # ONE parse feeds spans+links+leaf
             spans_col.append(dom.extract_spans_from_root(root, base) if keep_spans else [])
             links = dom.extract_links(root, base, blacklist=blacklist)
-            sa = state_action(links)
+            sa = extract_fn(b, base, links) if extract_fn is not None else state_action(links)
             is_leaf = leaf_fn(b, base, sa) if leaf_fn is not None else leaf_by_richness(sa)
             leaf_col.append(is_leaf)
             nlinks_col.append(len(links))
@@ -190,9 +196,9 @@ class FetchEnrichWorker:
     The driver sees just a small meta table (url/status/counters) per
     chunk plus the frontier winners."""
 
-    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None):
+    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None):
         self.fetcher = Fetcher(graph_ref, politeness, interval_ms)
-        self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn)
+        self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn, extract_fn)
         self._corpus_cache: dict[tuple[int, int], pa.Table] = {}
 
     def process(self, tbl: pa.Table, ctx: dict | None = None):
@@ -304,7 +310,7 @@ def make_workers(graph_ref, cfg: CrawlConfig, politeness=None):
     return [
         FetchEnrichWorker.remote(
             graph_ref, politeness or [], cfg.politeness_ms, cfg.minhash_perms,
-            cfg.blacklist, cfg.checkpoint_dir is not None, cfg.leaf_fn,
+            cfg.blacklist, cfg.checkpoint_dir is not None, cfg.leaf_fn, cfg.extract_fn,
         )
         for _ in range(cfg.fetch_concurrency)
     ]

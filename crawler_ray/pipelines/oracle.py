@@ -58,6 +58,8 @@ def crawl_bfs_oracle(
     blacklist: frozenset = frozenset(),
     minhash_perms: int = 64,
     lsh_bands: int = 16,
+    leaf_fn=None,
+    extract_fn=None,
 ) -> OracleResult:
     idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
     bodies = pages.column("html").to_pylist()
@@ -112,9 +114,10 @@ def crawl_bfs_oracle(
         links, is_leaf, near_dup, n_links = [], False, False, 0
         if body:
             root = dom.parse_page(body)
-            links = dom.extract_links(root, cur if status == "redirect" else url, blacklist=blacklist)
-            sa = state_action(links)
-            is_leaf = leaf_by_richness(sa)
+            base = cur if status == "redirect" else url
+            links = dom.extract_links(root, base, blacklist=blacklist)
+            sa = extract_fn(body, base, links) if extract_fn is not None else state_action(links)
+            is_leaf = leaf_fn(body, base, sa) if leaf_fn is not None else leaf_by_richness(sa)
             n_links = len(links)
             if is_leaf:
                 leaves += 1

@@ -48,3 +48,33 @@ def test_cli_bfs_subprocess(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["fetched"] > 10 and summary["leaves"] > 0
+
+
+def test_fix_model_cli(tmp_path, ray_session):
+    """fix-model mode round-trips a learned model through the CLI using
+    the checkpointed corpus as the observed trace (main.clj:347-349)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray import synth
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.pipelines.model import learn_model
+
+    graph = str(tmp_path / "graph.parquet")
+    rc = cli.main(["gen-graph", "--hosts", "2", "--pages-per-host", "20", "--out", graph])
+    assert rc == 0
+    pages = pq.read_table(graph)
+    ck = str(tmp_path / "ck")
+    res = crawl(pages, synth.seeds_for(pages), CrawlConfig(checkpoint_dir=ck))
+    model = learn_model(res.trace, pages)
+    mp = str(tmp_path / "model.json")
+    with open(mp, "w") as f:
+        json.dump(model, f)
+
+    out = str(tmp_path / "fixed")
+    os.makedirs(out, exist_ok=True)
+    rc = cli.main(["fix-model", "--graph", graph, "--model", mp,
+                   "--checkpoint-dir", ck, "--out", out])
+    assert rc == 0
+    fixed = json.load(open(os.path.join(out, "model_fixed.json")))
+    assert fixed["fixed"] is True
+    assert "actions" in fixed and "pagination" in fixed

@@ -234,3 +234,35 @@ def test_resume_from_older_snapshot(ray_session, graph, tmp_path):
     assert sorted(corpus.column("url").to_pylist()) == sorted(
         t["url"] for t in full.trace
     )
+
+
+def test_custom_extract_fn_injected(ray_session, graph):
+    """SURVEY §2.12 extension surface: a user-injected ``extract``
+    closure (crawl.clj:63-66) replaces the rich extractor inside the
+    enrich kernel; the Ray crawl must match the oracle running the SAME
+    closure, and differ from the default extractor's trace."""
+    from crawler_ray.extractor import state_action
+
+    pages, seeds = graph
+
+    def sparse_extract(body, url, links):
+        # keep only links whose anchor text mentions 'item' — a custom
+        # state-action grouping
+        return state_action([l for l in links if "item" in (l.get("text") or "")])
+
+    def leaf_if_no_groups(body, url, sa):
+        return len(sa) == 0
+
+    oracle = crawl_bfs_oracle(
+        pages, seeds, extract_fn=sparse_extract, leaf_fn=leaf_if_no_groups
+    )
+    res = crawl(
+        pages, seeds,
+        CrawlConfig(wave_size=1, extract_fn=sparse_extract, leaf_fn=leaf_if_no_groups),
+    )
+    got = [(t["url"], t["is_leaf"]) for t in res.trace]
+    want = [(t["url"], t["is_leaf"]) for t in oracle.trace]
+    assert got == want
+    # and the injected extractor actually changed behavior vs default
+    default = crawl_bfs_oracle(pages, seeds)
+    assert [t["is_leaf"] for t in default.trace] != [t["is_leaf"] for t in oracle.trace]
