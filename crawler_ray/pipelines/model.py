@@ -51,17 +51,118 @@ def _compose(src_key: str, axn: str) -> str:
     return axn if not src_key else src_key + "␟" + axn
 
 
+def trace_link_maps(
+    trace_urls: list[str],
+    pages: pa.Table,
+    body_of: dict,
+    distributed: bool | None = None,
+    graph_ref=None,
+):
+    """(parent, link-url) → xpath / text / positional-xpath maps for
+    every traced page — the model learner's DOM-parse fan-out.
+
+    ``distributed=None`` auto-selects: traces past a few hundred pages
+    parse in a Ray actor pool (page store loaded once per actor from a
+    single ``ray.put``, one map_batches over the url list) and only the
+    extracted LINK STRINGS return to the driver; small fixtures stay on
+    the serial loop (actor startup would dominate)."""
+    import ray
+
+    if distributed is None:
+        distributed = ray.is_initialized() and len(trace_urls) >= 256
+
+    link_xpath: dict[tuple[str, str], str] = {}
+    link_text: dict[tuple[str, str], str] = {}
+    link_xpath_pos: dict[tuple[str, str], str] = {}
+
+    if not distributed:
+        for u in trace_urls:
+            b = body_of.get(u, "")
+            if not b:
+                continue
+            for l in dom.extract_links(dom.parse_page(b), u):
+                key = (u, l["url"])
+                if key not in link_xpath:
+                    link_xpath[key] = l["xpath"]
+                    link_text[key] = l["text"]
+                    link_xpath_pos[key] = l["xpath_pos"]
+        return link_xpath, link_text, link_xpath_pos
+
+    import ray.data as rd
+
+    if graph_ref is None:
+        graph_ref = ray.put(pages)
+
+    class LinkExtract:
+        def __init__(self, ref):
+            tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.idx = {u: i for i, u in enumerate(tbl.column("doc_id").to_pylist())}
+            self.bodies = tbl.column("html").to_pylist()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            srcs, urls, xps, txts, poss = [], [], [], [], []
+            for u in t["url"].to_pylist():
+                i = self.idx.get(u)
+                b = self.bodies[i] if i is not None else ""
+                if not b:
+                    continue
+                seen: set[str] = set()
+                for l in dom.extract_links(dom.parse_page(b), u):
+                    if l["url"] in seen:  # first wins, as in the serial loop
+                        continue
+                    seen.add(l["url"])
+                    srcs.append(u)
+                    urls.append(l["url"])
+                    xps.append(l["xpath"])
+                    txts.append(l["text"])
+                    poss.append(l["xpath_pos"])
+            return pa.table(
+                {
+                    "src": pa.array(srcs, type=pa.string()),
+                    "url": pa.array(urls, type=pa.string()),
+                    "xpath": pa.array(xps, type=pa.string()),
+                    "text": pa.array(txts, type=pa.string()),
+                    "xpath_pos": pa.array(poss, type=pa.string()),
+                }
+            )
+
+    # pages WITH bodies only (body_of already resolved redirects/misses)
+    with_body = [u for u in trace_urls if body_of.get(u)]
+    ds = rd.from_arrow(
+        pa.table({"url": pa.array(with_body, type=pa.string())})
+    ).map_batches(
+        LinkExtract,
+        fn_constructor_args=(graph_ref,),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=2,
+    )
+    for row in ds.to_arrow_refs():
+        tbl = ray.get(row)
+        for s, u, xp, tx, ps in zip(
+            tbl["src"].to_pylist(), tbl["url"].to_pylist(), tbl["xpath"].to_pylist(),
+            tbl["text"].to_pylist(), tbl["xpath_pos"].to_pylist(),
+        ):
+            link_xpath[(s, u)] = xp
+            link_text[(s, u)] = tx
+            link_xpath_pos[(s, u)] = ps
+    return link_xpath, link_text, link_xpath_pos
+
+
 def learn_model(
     trace: list[dict],
     pages: pa.Table,
     pagination_sim_threshold: float = 0.8,
+    distributed: bool | None = None,
 ) -> dict:
     """Learn the model from a finished learn-crawl: ``trace`` rows carry
     url/src_url/is_leaf/status; page bodies come from the site graph.
 
     The wide steps are expressed as groupbys over the trace (the
     frequencies and candidate counts); similarity verification runs
-    only on candidate pairs."""
+    only on candidate pairs.  The per-page DOM parse fan-out
+    (link-xpath extraction) runs distributed for big traces
+    (``trace_link_maps``), as does pagination-candidate verification."""
     idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
     bodies = pages.column("html").to_pylist()
 
@@ -73,19 +174,9 @@ def learn_model(
     }
 
     # per-link xpath: parent body → extract links → url → xpath
-    link_xpath: dict[tuple[str, str], str] = {}
-    link_text: dict[tuple[str, str], str] = {}
-    link_xpath_pos: dict[tuple[str, str], str] = {}
-    for t in trace:
-        b = body_of.get(t["url"], "")
-        if not b:
-            continue
-        for l in dom.extract_links(dom.parse_page(b), t["url"]):
-            key = (t["url"], l["url"])
-            if key not in link_xpath:
-                link_xpath[key] = l["xpath"]
-                link_text[key] = l["text"]
-                link_xpath_pos[key] = l["xpath_pos"]
+    link_xpath, link_text, link_xpath_pos = trace_link_maps(
+        [t["url"] for t in trace], pages, body_of, distributed=distributed
+    )
 
     def action_path(url: str) -> list[str]:
         path: list[str] = []

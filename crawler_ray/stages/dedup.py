@@ -116,11 +116,15 @@ class NearDupShardActor:
     processes its entries in global crawl order — so sharding changes
     nothing about which documents get flagged, only who does the work.
 
-    Scale note: each shard stores the shingle-hash arrays of the entries
-    that touch its bands (≈ full duplication across shards).  At 10^10
-    scale the grams move to a url-sharded store and band shards keep
-    url refs only (one extra hop per verify) — documented trade, not
-    needed at sandbox sizes."""
+    Memory model: when a wave arrives as worker-plasma chunk refs
+    (``process_table_refs``), each chunk is processed WITHOUT
+    concat/combine — the retained gram arrays are then zero-copy numpy
+    views into the single plasma buffer, so all N shards share ONE
+    copy of every wave's grams (object-store memory, not N× actor
+    heap).  This supersedes the earlier url-sharded-gram-store plan:
+    same single-copy property, no two-hop verify RPC.  The driver-side
+    ``process_table`` path (one concatenated table) still copies once
+    per shard and remains for tests/small runs."""
 
     def __init__(self, shard_id: int, n_shards: int, threshold: float = 0.9):
         self.sid = shard_id
@@ -132,14 +136,33 @@ class NearDupShardActor:
         """Arrow handoff: tbl(grams:list<u64>, band_keys:list<u64>) in
         crawl order → bool array (dup detected via a band THIS shard
         owns).  Flatten/split happens here, in parallel across shards,
-        not on the driver."""
+        not on the driver.
+
+        Zero-copy discipline: for a single-chunk table (the plasma
+        chunk objects the fetch workers put), the gram views retained
+        in the index alias the SHARED plasma buffer via
+        ``ListArray.values`` — pc.list_flatten would materialize a
+        private copy per shard, multiplying wave memory by n_shards."""
         import pyarrow.compute as pc
 
         n_rows = tbl.num_rows
-        gcol = tbl.column("grams").combine_chunks()
-        gflat = pc.list_flatten(gcol).to_numpy(zero_copy_only=False)
-        glens = pc.list_value_length(gcol).fill_null(0).to_numpy(zero_copy_only=False)
-        grams_list = np.split(gflat, np.cumsum(glens)[:-1]) if len(glens) else []
+        gcol = tbl.column("grams")
+        if gcol.num_chunks == 1:
+            ch = gcol.chunk(0)
+            try:
+                gflat = ch.values.to_numpy(zero_copy_only=True)
+                goffs = ch.offsets.to_numpy(zero_copy_only=False)
+                grams_list = [gflat[goffs[i]:goffs[i + 1]] for i in range(n_rows)]
+                glens = np.diff(goffs)
+            except pa.ArrowInvalid:  # nulls etc. — fall back to copy path
+                gcol = None
+        else:
+            gcol = None
+        if gcol is None:
+            gcol = tbl.column("grams").combine_chunks()
+            gflat = pc.list_flatten(gcol).to_numpy(zero_copy_only=False)
+            glens = pc.list_value_length(gcol).fill_null(0).to_numpy(zero_copy_only=False)
+            grams_list = np.split(gflat, np.cumsum(glens)[:-1]) if len(glens) else []
         kcol = tbl.column("band_keys").combine_chunks()
         kflat = pc.list_flatten(kcol).to_numpy(zero_copy_only=False)
         klens = pc.list_value_length(kcol).fill_null(0).to_numpy(zero_copy_only=False)
@@ -177,9 +200,13 @@ class NearDupShardActor:
     def process_table_refs(self, refs: list, perm=None) -> np.ndarray:
         """Chunked-wave variant: ``refs`` are ObjectRefs of per-chunk
         (grams, band_keys) tables put in plasma BY THE FETCH WORKERS —
-        the grams never pass through the driver.  Concatenated in chunk
-        order; ``perm`` (politeness mode) restores wave priority order
-        so flag assignment is identical to a single-table submission."""
+        the grams never pass through the driver.  Chunks are processed
+        in order WITHOUT concatenation: single-chunk plasma tables
+        flatten to zero-copy views, so the index entries of every shard
+        alias ONE shared-memory copy of the wave's grams (see class
+        docstring).  ``perm`` (politeness mode) restores wave priority
+        order — that path concatenates (ordering needs a gather) and is
+        only taken for small polite waves."""
         to_get = [r for r in refs if not isinstance(r, pa.Table)]
         got = iter(ray.get(to_get)) if to_get else iter(())  # ONE batched get:
         # per-ref gets pay an owner-lookup RPC each (refs are owned by
@@ -187,10 +214,10 @@ class NearDupShardActor:
         tables = [r if isinstance(r, pa.Table) else next(got) for r in refs]
         if not tables:
             return np.zeros(0, dtype=bool)
-        tbl = pa.concat_tables(tables, promote_options="default")
         if perm is not None:
-            tbl = tbl.take(pa.array(np.asarray(perm)))
-        return self.process_table(tbl)
+            tbl = pa.concat_tables(tables, promote_options="default")
+            return self.process_table(tbl.take(pa.array(np.asarray(perm))))
+        return np.concatenate([self.process_table(t) for t in tables])
 
     def process(self, entries) -> np.ndarray:
         """List-of-tuples variant (tests): [(grams, keys)] in crawl
@@ -523,17 +550,64 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text
 
     rows = ds.map_batches(sim_rows, batch_format="pyarrow")
 
+    POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        return POP8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1).astype(np.int64)
+
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs within one (chunk_id, chunk_value) bucket.
+
+        Skew-safe: identical full hashes are grouped FIRST (a 16-bit
+        chunk value shared by millions of near-empty docs is typically
+        one or few distinct 64-bit hashes — their all-pairs emission is
+        output, not wasted comparisons), then hamming runs vectorized
+        over the DISTINCT hash values in 512-wide XOR/popcount tiles
+        instead of a per-doc-pair Python loop."""
         d = g.drop_duplicates(id_col)
-        vals = d[[id_col, "simhash"]].sort_values(id_col).to_numpy()
-        out = []
-        for i in range(len(vals)):
-            for j in range(i + 1, len(vals)):
-                ham = bin((int(vals[i][1]) ^ int(vals[j][1])) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    out.append((int(vals[i][0]), int(vals[j][0]), ham))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        ids = d[id_col].to_numpy().astype(np.int64)
+        hs = d["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(hs, kind="stable")
+        ids, hs = ids[order], hs[order]
+        uvals, first, counts = np.unique(hs, return_index=True, return_counts=True)
+        groups = [np.sort(ids[f:f + c]) for f, c in zip(first, counts)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        # pairs inside identical-hash groups: hamming 0, all qualify
+        for mem in groups:
+            if len(mem) > 1:
+                iu = np.triu_indices(len(mem), k=1)
+                out_a.append(mem[iu[0]])
+                out_b.append(mem[iu[1]])
+                out_h.append(np.zeros(len(iu[0]), dtype=np.int64))
+        # distinct-value pairwise hamming, tiled
+        m = len(uvals)
+        for i0 in range(0, m, 512):
+            tile = uvals[i0:i0 + 512]
+            ham = popcount64(tile[:, None] ^ uvals[None, :])
+            sel_i, sel_j = np.nonzero(ham <= max_hamming)
+            keep = (sel_i + i0) < sel_j  # strict upper triangle, globally
+            for ti, tj in zip(sel_i[keep], sel_j[keep]):
+                ga, gb = groups[ti + i0], groups[tj]
+                aa = np.repeat(ga, len(gb))
+                bb = np.tile(gb, len(ga))
+                lo = np.minimum(aa, bb)
+                hi = np.maximum(aa, bb)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(np.full(len(aa), ham[ti, tj], dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
         )
 
     return (

@@ -162,3 +162,27 @@ def test_distributed_leaf_paths_match_driver_side(ray_session, tmp_path, learned
     model = learn_model(res.trace, pages)
     want = {"␟".join(a["action_seq"]): a["count"] for a in model["actions"]}
     assert got == want, (got, want)
+
+
+def test_distributed_link_extraction_matches_serial(ray_session, learned):
+    """trace_link_maps: the actor-pool DOM-parse fan-out produces the
+    exact (parent, url) → xpath/text/pos maps of the serial loop, and a
+    full learn_model run is identical either way."""
+    from crawler_ray.pipelines.model import learn_model, trace_link_maps
+    from crawler_ray.pipelines.oracle import crawl_bfs_oracle
+
+    pages, seeds, _ = learned
+    oracle = crawl_bfs_oracle(pages, seeds)
+    idx = {u: i for i, u in enumerate(pages.column("doc_id").to_pylist())}
+    bodies = pages.column("html").to_pylist()
+    body_of = {
+        t["url"]: bodies[idx[t["url"]]] if t["url"] in idx else ""
+        for t in oracle.trace
+    }
+    urls = [t["url"] for t in oracle.trace]
+    ser = trace_link_maps(urls, pages, body_of, distributed=False)
+    dist = trace_link_maps(urls, pages, body_of, distributed=True)
+    assert ser == dist
+    m_ser = learn_model(oracle.trace, pages, distributed=False)
+    m_dist = learn_model(oracle.trace, pages, distributed=True)
+    assert m_ser == m_dist
