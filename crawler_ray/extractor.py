@@ -75,6 +75,19 @@ def state_action(links: list[dict], template_hrefs: frozenset = frozenset()) -> 
     }
 
 
+def extract_above_average_richest(sa: dict) -> list[dict]:
+    """``extract-above-average-richest`` (rich_extractor.clj:133-202):
+    the exploration selection — keep every xpath group whose score is
+    strictly above the MEAN group score (vs ``rank_content_xpaths``'s
+    single argmax used for extraction).  Returns the kept groups in the
+    state-action's score-descending order."""
+    infos = sa["xpath_nav_info"]
+    if not infos:
+        return []
+    mean = sum(x["score"] for x in infos) / len(infos)
+    return [x for x in infos if x["score"] > mean]
+
+
 def leaf_by_richness(sa: dict, max_group_score: int = 3) -> bool:
     """Stateless leaf predicate: a page is a leaf when its richest
     pagelet holds ≤ ``max_group_score`` distinct links.

@@ -60,6 +60,7 @@ class CrawlConfig:
     exact_audit: bool = True              # False at 10^10 scale
     fetch_concurrency: int = 2
     fetch_batch_size: int = 64
+    fetch_cache_size: int = 0   # per-actor document LRU (0 = off)
     politeness_ms: int = 0
     n_politeness_shards: int = 2
     minhash_perms: int = 64
@@ -196,10 +197,13 @@ class FetchEnrichWorker:
     The driver sees just a small meta table (url/status/counters) per
     chunk plus the frontier winners."""
 
-    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None):
-        self.fetcher = Fetcher(graph_ref, politeness, interval_ms)
+    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None, cache_size=0):
+        self.fetcher = Fetcher(graph_ref, politeness, interval_ms, cache_size=cache_size)
         self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn, extract_fn)
         self._corpus_cache: dict[tuple[int, int], pa.Table] = {}
+
+    def cache_info(self) -> dict:
+        return self.fetcher.cache_info()
 
     def process(self, tbl: pa.Table, ctx: dict | None = None):
         full = self.enrich(self.fetcher(tbl))
@@ -311,6 +315,7 @@ def make_workers(graph_ref, cfg: CrawlConfig, politeness=None):
         FetchEnrichWorker.remote(
             graph_ref, politeness or [], cfg.politeness_ms, cfg.minhash_perms,
             cfg.blacklist, cfg.checkpoint_dir is not None, cfg.leaf_fn, cfg.extract_fn,
+            cfg.fetch_cache_size,
         )
         for _ in range(cfg.fetch_concurrency)
     ]

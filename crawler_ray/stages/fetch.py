@@ -79,7 +79,7 @@ class Fetcher:
     ``politeness``: list of PolitenessClock handles (host-hash sharded),
     empty → no rate limiting (bench mode)."""
 
-    def __init__(self, graph_ref, politeness=None, interval_ms: int = 0):
+    def __init__(self, graph_ref, politeness=None, interval_ms: int = 0, cache_size: int = 0):
         # a ref when constructed via map_batches fn_constructor_args (Ray
         # Data pickles it through); already-dereferenced when passed as a
         # plain actor constructor arg (Ray auto-resolves ObjectRefs)
@@ -91,6 +91,47 @@ class Fetcher:
         self.robots = RobotsCache()
         self.politeness = politeness or []
         self.interval_ms = interval_ms
+        # bounded per-actor document LRU (utils.clj:210-227's memoized
+        # download cache, made bounded): keyed by FINAL url so every
+        # redirect alias shares one entry.  In-sandbox the "network" is
+        # an index lookup, so the cache is off (cache_size=0) unless a
+        # production-shaped run turns it on; hit/miss/eviction metrics
+        # are kept either way.
+        from collections import OrderedDict
+
+        self.cache_size = cache_size
+        self._lru: OrderedDict[str, str] = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
+        self.cache_evictions = 0
+
+    def _body_for(self, final_url: str) -> str:
+        """Body fetch through the LRU (the slot where a real fetcher
+        does network I/O on miss)."""
+        if self.cache_size > 0:
+            b = self._lru.get(final_url)
+            if b is not None:
+                self.cache_hits += 1
+                self._lru.move_to_end(final_url)
+                return b
+        self.cache_misses += 1
+        i = self.idx.get(final_url)
+        b = self.bodies[i] if i is not None else ""  # "network" fetch
+        if self.cache_size > 0:
+            self._lru[final_url] = b
+            if len(self._lru) > self.cache_size:
+                self._lru.popitem(last=False)
+                self.cache_evictions += 1
+        return b
+
+    def cache_info(self) -> dict:
+        return {
+            "size": len(self._lru),
+            "capacity": self.cache_size,
+            "hits": self.cache_hits,
+            "misses": self.cache_misses,
+            "evictions": self.cache_evictions,
+        }
 
     def _resolve(self, url: str, hops: list[str]) -> tuple[str, str, list[str]]:
         """Follow redirect chain; returns (status, final_url, chain)."""
@@ -134,8 +175,7 @@ class Fetcher:
             st, final, chain = self._resolve(u, [u])
             status.append(st)
             redirects.append(chain)
-            i = self.idx.get(final)
-            bodies.append(self.bodies[i] if i is not None and st in ("ok", "redirect") else "")
+            bodies.append(self._body_for(final) if st in ("ok", "redirect") else "")
         out = batch.drop_columns([c for c in ("status", "redirects", "body") if c in batch.column_names])
         out = out.append_column("status", pa.array(status, type=pa.string()))
         out = out.append_column("redirects", pa.array(redirects, type=pa.list_(pa.string())))

@@ -85,3 +85,50 @@ def test_extract_spans_batch_empty_body():
     )
     out = extract_spans_batch(batch)
     assert out.column("spans").to_pylist() == [[]]
+
+
+def test_fetcher_lru_cache(ray_session):
+    """Bounded per-actor document LRU (utils.clj:210-227 memoized cache
+    made bounded): hit on repeat, evict oldest at capacity, aliases
+    share the final-url entry; bodies identical with cache on/off."""
+    import pyarrow as pa
+
+    from crawler_ray import synth
+    from crawler_ray.stages.fetch import Fetcher
+
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=20, seed=3)
+    urls = [u for u in pages.column("doc_id").to_pylist()][:6]
+
+    def batch(us):
+        return pa.Table.from_pylist(
+            [{"url": u, "host": "", "depth": 0, "discovery_seq": i,
+              "src_url": "", "src_xpath": []} for i, u in enumerate(us)]
+        )
+
+    f = Fetcher(pages, cache_size=4)
+    out1 = f(batch(urls))
+    info = f.cache_info()
+    assert info["hits"] == 0 and info["misses"] >= len(urls) - 1
+    assert info["size"] <= 4 and info["evictions"] >= 1
+    # refetch the most recent urls → hits
+    out2 = f(batch(urls[-2:]))
+    assert f.cache_info()["hits"] >= 2
+    # bodies identical to an uncached fetcher
+    f0 = Fetcher(pages, cache_size=0)
+    out0 = f0(batch(urls))
+    assert out1.column("body").to_pylist() == out0.column("body").to_pylist()
+
+
+def test_extract_above_average_richest():
+    from crawler_ray.extractor import extract_above_average_richest, state_action
+
+    links = (
+        [{"url": f"/a/{i}", "text": "x", "xpath": "//div/a"} for i in range(8)]
+        + [{"url": f"/b/{i}", "text": "x", "xpath": "//ul/li/a"} for i in range(4)]
+        + [{"url": "/c/0", "text": "x", "xpath": "//p/a"}]
+    )
+    sa = state_action(links)
+    kept = extract_above_average_richest(sa)
+    # mean score = (8+4+1)/3 ≈ 4.33 → only the 8-link group survives
+    assert [g["xpath"] for g in kept] == ["//div/a"]
+    assert extract_above_average_richest({"total_nav_info": 0, "xpath_nav_info": []}) == []
