@@ -342,6 +342,8 @@ def lsh_neardup_pairs(
 
     params = shingles.minhash_params(num_perm)
 
+    N_BUCKETS = 32
+
     def band_rows(t: pa.Table) -> pa.Table:
         ids, keys = [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
@@ -355,31 +357,47 @@ def lsh_neardup_pairs(
             for k in shingles.lsh_band_keys(sig, bands=bands):
                 ids.append(did)
                 keys.append(k)
-        return pa.table(
+        out = pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
                 "band": pa.array(keys, type=pa.uint64()),
             }
         )
+        import pyarrow.compute as pc
+
+        return out.append_column(
+            "bucket",
+            pc.cast(
+                pc.bit_wise_and(out["band"], pa.scalar(N_BUCKETS - 1, type=pa.uint64())),
+                pa.int32(),
+            ),
+        )
 
     band_tbl = ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[id_col].unique())
-        if len(vals) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
-        iu = np.triu_indices(len(vals), k=1)
-        return pd.DataFrame({"doc_a": vals[iu[0]], "doc_b": vals[iu[1]]})
+    # band→bucket coarsening: one vectorized self-merge per BUCKET of
+    # bands (a Ray group per distinct band key would pay ~2 ms/group on
+    # tens of thousands of near-singleton groups)
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[[id_col, "band"]].drop_duplicates()
+        m = df.merge(df, on="band", suffixes=("_a", "_b"))
+        a = m[f"{id_col}_a"].to_numpy()
+        b = m[f"{id_col}_b"].to_numpy()
+        keep = a < b
+        a, b = a[keep], b[keep]
+        if len(a) and 0 <= a.min() and b.max() < (1 << 31):
+            pk = np.unique((a << 32) | b)  # packed distinct: one int64 sort
+            a, b = pk >> 32, pk & 0xFFFFFFFF
+            return pd.DataFrame({"doc_a": a.astype("int64"), "doc_b": b.astype("int64")})
+        return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates().astype("int64")
 
-    from ray.data.aggregate import Count
+    from .relational import bucketed_agg
 
-    return (
-        band_tbl.groupby("band")
-        .map_groups(pairs_in_band, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])  # distributed distinct
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
-    )
+    return bucketed_agg(
+        band_tbl.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas"),
+        keys=["doc_a", "doc_b"],
+        sum_cols={"__count__": "_n"},
+    ).select_columns(["doc_a", "doc_b"])
 
 
 def doc_grams_table(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -411,7 +429,7 @@ def doc_grams_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int = 8):
+def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int = 8, small_limit: int = 20_000):
     """Distributed exact-Jaccard verification: hash-join the candidate
     pairs back to the grams table (both sides Datasets — no driver
     materialization of grams).  The corpus-side grams are first
@@ -444,6 +462,10 @@ def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int =
     )
     cand_ids = np.unique(id_parts.to_pandas()["id"].to_numpy())
     ref = ray.put(cand_ids)
+    # small candidate sets don't amortize a wide hash join — scale the
+    # partition count with the pair volume (fixed shuffle overhead is
+    # ~0.5-1 s per extra partition wave at sandbox sizes)
+    num_partitions = int(np.clip(pairs.count() // 25_000, 2, num_partitions))
 
     class SemiFilter:
         def __init__(self):
@@ -457,6 +479,43 @@ def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int =
     cand_grams = grams_ds.map_batches(
         SemiFilter, batch_format="pyarrow", concurrency=2
     ).materialize()
+
+    if len(cand_ids) <= small_limit:
+        # bounded small-side path: the grams of CANDIDATE docs only
+        # (already semi-filtered — not the corpus) fit a driver map;
+        # two joins don't amortize at this size.  The join path below
+        # is the same computation for candidate sets past the cap.
+        import ray.data as rd
+
+        cg = cand_grams.to_pandas()
+        gmap = {i: (g, s) for i, g, s in zip(cg["doc_id"], cg["gb"], cg["sz"])}
+        rows_a, rows_b, rows_j = [], [], []
+        for t in ray.get(pairs.to_arrow_refs()):
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                ga, sa = gmap[a]
+                gb, sb = gmap[b]
+                inter = len(
+                    np.intersect1d(
+                        np.frombuffer(ga, dtype=np.uint64),
+                        np.frombuffer(gb, dtype=np.uint64),
+                        assume_unique=True,
+                    )
+                )
+                denom = sa + sb - inter
+                j = inter / (1.0 * denom) if denom else 1.0
+                if j >= threshold:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_j.append(j)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(rows_a, type=pa.int64()),
+                    "doc_b": pa.array(rows_b, type=pa.int64()),
+                    "jaccard": pa.array(rows_j, type=pa.float64()),
+                }
+            )
+        )
 
     j1 = pairs.join(
         cand_grams, join_type="inner", num_partitions=num_partitions,

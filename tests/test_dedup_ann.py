@@ -99,3 +99,36 @@ def test_ivf_matches_bruteforce(ray_session):
         ]
     )
     assert rec >= 0.6
+
+
+def test_verify_pairs_join_path_equals_small_path(ray_session):
+    """verify_pairs_joined: the distributed hash-join path (forced via
+    small_limit=0) returns exactly the bounded small-side path's pairs."""
+    import ray.data as rd
+
+    from crawler_ray.stages.dedup import (
+        doc_grams_table,
+        lsh_neardup_pairs,
+        verify_pairs_joined,
+    )
+
+    texts = [
+        "a b c d e f g h i j k l",
+        "a b c d e f g h i j k l",
+        "a b c d e f g h i j k CHANGED",
+        "z y x w v u t s r q p o",
+        "a b c d e f g h i j k l m",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    ds = rd.from_arrow(tbl).materialize()
+    pairs = lsh_neardup_pairs(ds, threshold=0.8)
+    grams = doc_grams_table(ds)
+
+    def norm(res):
+        df = res.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return df
+
+    small = norm(verify_pairs_joined(pairs, grams, threshold=0.8))
+    joined = norm(verify_pairs_joined(pairs, grams, threshold=0.8, small_limit=0))
+    assert len(small) > 0
+    assert small.equals(joined)
