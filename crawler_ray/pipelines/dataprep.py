@@ -1,0 +1,133 @@
+"""End-to-end LLM training-data preparation over a documents table:
+
+    quality filter (token bounds) → exact dedup (fingerprint
+    first-wins) → MinHash-LSH near-dup removal (drop the larger id of
+    each verified pair) → kept documents + corpus stats
+    [→ partitioned parquet export, resumable]
+
+Every stage is a Ray Data transform; the only driver-side data are the
+SMALL near-dup drop set (verified pairs only) and final stats.  The
+whole pipeline is SQL-mirrorable, so ``queries.py::training_data_prep``
+verifies it against DuckDB end to end (token counting per
+utils/tokenize, utils.clj:179-189; fingerprints and the J ≥ 0.9
+threshold per shingles.clj:31-36).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textstats
+from ..stages.dedup import doc_grams_table, lsh_neardup_pairs, verify_pairs_joined
+
+
+def prepare_training_data(
+    docs_ds,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    neardup_threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_dir: str | None = None,
+):
+    """Returns ``(kept_ds, drop_ids, stats)``: the surviving documents
+    Dataset (id, text, ntok), the near-dup-dropped id array, and a
+    stats dict.  ``out_dir`` additionally writes the kept documents as
+    partitioned parquet (one file per block); a rerun against an
+    out_dir that already holds parquet output skips the write
+    (idempotent restart)."""
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        ntok = pc.cast(pc.add(pc.count_substring(txt, " "), 1), pa.int64())
+        fps = [textstats.fingerprint(x) for x in txt.to_pylist()]
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                text_col: txt,
+                "ntok": ntok,
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+        keep = pc.and_(
+            pc.greater_equal(out["ntok"], min_tokens),
+            pc.less_equal(out["ntok"], max_tokens),
+        )
+        return out.filter(keep)
+
+    quality = docs_ds.map_batches(prep, batch_format="pyarrow")
+
+    # exact dedup: first-wins (min id) per fingerprint, one bucketed
+    # shuffle — vectorized keep-first per fp inside each bucket
+    import pandas as pd
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["fp"], index=False).to_numpy()
+        df = df.copy()
+        df["__b"] = (h % 32).astype("int32")
+        return df
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", id_col], kind="stable")
+        return g[~g["fp"].duplicated(keep="first")].drop(columns="__b")
+
+    deduped = (
+        quality.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(keep_first, batch_format="pandas")
+        .materialize()
+    )
+
+    # near-dup removal on the exact-deduped survivors: LSH candidates →
+    # exact-Jaccard verify → drop the LARGER id of each verified pair
+    pairs = lsh_neardup_pairs(deduped, threshold=neardup_threshold, id_col=id_col, text_col=text_col)
+    verified = verify_pairs_joined(
+        pairs, doc_grams_table(deduped, id_col=id_col, text_col=text_col),
+        threshold=neardup_threshold,
+    ).to_pandas()
+    drop_ids = np.unique(verified["doc_b"].to_numpy()) if len(verified) else np.zeros(0, dtype=np.int64)
+    dref = ray.put(np.sort(drop_ids))
+
+    class DropDups:
+        def __init__(self):
+            self.drop = ray.get(dref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not len(self.drop):
+                return t.select([id_col, text_col, "ntok"])
+            k = t[id_col].to_numpy()
+            idx = np.clip(np.searchsorted(self.drop, k), 0, len(self.drop) - 1)
+            hit = self.drop[idx] == k
+            return t.filter(pa.array(~hit)).select([id_col, text_col, "ntok"])
+
+    kept = deduped.map_batches(DropDups, batch_format="pyarrow", concurrency=2)
+
+    if out_dir is not None:
+        import os
+
+        kept = kept.materialize()
+        done = os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        )
+        if not done:
+            kept.write_parquet(out_dir)
+
+    def stat_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "toks": pa.array(
+                    [pc.sum(t["ntok"]).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    sp = kept.map_batches(stat_part, batch_format="pyarrow").to_pandas()
+    stats = {
+        "n_kept": int(sp["n"].sum()),
+        "total_tokens": int(sp["toks"].sum()),
+        "n_neardup_dropped": int(len(drop_ids)),
+    }
+    return kept, drop_ids, stats

@@ -1288,6 +1288,59 @@ def minhash_lsh_neardup(sf_dir: str):
 
 
 @register(
+    "training_data_prep",
+    _AUG_SQL
+    + """,
+    t AS (SELECT doc_id, text,
+                 len(string_split(text, ' ')) AS ntok,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          FROM aug),
+    q AS (SELECT * FROM t WHERE ntok >= 5 AND ntok <= 100000),
+    d1 AS (SELECT * FROM q
+           QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d1),
+    grams AS (
+      SELECT DISTINCT doc_id, tk[j]||' '||tk[j+1]||' '||tk[j+2]||' '||tk[j+3] AS g
+      FROM toks, unnest(generate_series(1, len(tk)-3)) AS s(j)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    drops AS (
+      SELECT DISTINCT doc_b
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i/(1.0*(sa.sz + sb.sz - i)) >= 0.9),
+    kept AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_b FROM drops))
+    SELECT count(*) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           (SELECT count(*) FROM drops) AS n_neardup_dropped
+    FROM kept
+    """,
+    doc="END-TO-END training-data prep (the flagship LLM-pipeline "
+    "composite): quality filter (token bounds) → exact dedup "
+    "(fingerprint first-wins) → MinHash-LSH near-dup removal (drop "
+    "the larger id of each J≥0.9 pair) → corpus stats.  Every stage "
+    "is a Dataset transform (pipelines/dataprep.py); ORACLE-CHECKED "
+    "end to end against the equivalent SQL (LSH recall argument as "
+    "minhash_lsh_neardup).",
+)
+def training_data_prep(sf_dir: str):
+    from crawler_ray.pipelines.dataprep import prepare_training_data
+
+    aug = _augmented_docs(sf_dir).materialize()
+    _, drop_ids, stats = prepare_training_data(aug)
+    return pa.table(
+        {
+            "n_kept": pa.array([stats["n_kept"]], type=pa.int64()),
+            "total_tokens": pa.array([stats["total_tokens"]], type=pa.int64()),
+            "n_neardup_dropped": pa.array([stats["n_neardup_dropped"]], type=pa.int64()),
+        }
+    )
+
+
+@register(
     "simhash_neardup",
     None,
     doc="SimHash near-dup sweep (64-bit, token bigrams) with the "

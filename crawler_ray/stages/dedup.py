@@ -491,6 +491,8 @@ def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int =
         gmap = {i: (g, s) for i, g, s in zip(cg["doc_id"], cg["gb"], cg["sz"])}
         rows_a, rows_b, rows_j = [], [], []
         for t in ray.get(pairs.to_arrow_refs()):
+            if t.num_rows == 0 or "doc_a" not in t.column_names:
+                continue
             for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
                 ga, sa = gmap[a]
                 gb, sb = gmap[b]

@@ -71,13 +71,25 @@ def bucketed_agg(ds, keys: list[str], sum_cols: dict[str, str], n_buckets: int =
     real_sums = {c: o for c, o in sum_cols.items() if c != "__count__"}
     count_name = sum_cols.get("__count__")
 
+    def _typed_empty() -> pd.DataFrame:
+        cols = {k: pd.Series([], dtype="int64") for k in keys}
+        for c in real_sums:
+            cols[c] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:  # schemaless empty partition from upstream
+            df = _typed_empty()
         h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
         df = df.copy()
         df["__bucket"] = (h % n_buckets).astype("int32")
         return df
 
     def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if "__bucket" in g.columns:
+            g = g.drop(columns="__bucket")
+        if g.shape[1] == 0:
+            g = _typed_empty()
         gb = g.groupby(keys, as_index=False, sort=False)
         if real_sums:
             out = gb[list(real_sums)].sum()
@@ -91,5 +103,5 @@ def bucketed_agg(ds, keys: list[str], sum_cols: dict[str, str], n_buckets: int =
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
-        .map_groups(lambda g: agg_bucket(g.drop(columns="__bucket")), batch_format="pandas")
+        .map_groups(agg_bucket, batch_format="pandas")
     )

@@ -132,3 +132,40 @@ def test_verify_pairs_join_path_equals_small_path(ray_session):
     joined = norm(verify_pairs_joined(pairs, grams, threshold=0.8, small_limit=0))
     assert len(small) > 0
     assert small.equals(joined)
+
+
+def test_prepare_training_data_pipeline(ray_session, tmp_path):
+    """End-to-end data prep: quality filter, exact dedup first-wins,
+    near-dup drop (larger id), stats, partitioned export + idempotent
+    rerun."""
+    import os
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.dataprep import prepare_training_data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",   # 0 keep
+        "the quick brown fox jumps over the lazy dog again and again",   # 1 exact dup of 0
+        "the quick brown fox jumps over the lazy dog again and AGAIN2",  # 2 near dup of 0
+        "tiny",                                                          # 3 quality-dropped (<5 toks)
+        "completely different words forming another document here now",  # 4 keep
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    out = str(tmp_path / "kept")
+    kept, drop_ids, stats = prepare_training_data(
+        rd.from_arrow(tbl), neardup_threshold=0.8, out_dir=out
+    )
+    kept_ids = sorted(kept.to_pandas()["doc_id"])
+    assert kept_ids == [0, 4]
+    assert list(drop_ids) == [2]
+    assert stats["n_kept"] == 2 and stats["n_neardup_dropped"] == 1
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files
+    # idempotent rerun: same out_dir, no duplicate partitions
+    prepare_training_data(rd.from_arrow(tbl), neardup_threshold=0.8, out_dir=out)
+    assert sorted(os.listdir(out)) == sorted(
+        f for f in os.listdir(out)
+    ) and len([f for f in os.listdir(out) if f.endswith(".parquet")]) == len(files)
+    got = pq.read_table(out)
+    assert sorted(got["doc_id"].to_pylist()) == [0, 4]
