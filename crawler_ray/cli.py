@@ -47,8 +47,12 @@ def main(argv=None):
     p.add_argument("mode", choices=[
         "bfs", "structure-driven", "discussion-forum", "execute",
         "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
-        "fix-model",
+        "fix-model", "prep-data",
     ])
+    p.add_argument("--input", help="documents parquet (prep-data)")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--neardup-threshold", type=float, default=0.9)
     p.add_argument("--graph", help="SITE_PAGES parquet file")
     p.add_argument("--hosts", type=int, default=4)
     p.add_argument("--pages-per-host", type=int, default=40)
@@ -74,6 +78,33 @@ def main(argv=None):
         pq.write_table(pages, args.out)
         print(json.dumps({"pages": pages.num_rows, "out": args.out}))
         return 0
+
+    if args.mode == "prep-data":
+        # LLM training-data preparation over a documents parquet:
+        # quality filter → exact dedup → near-dup removal → partitioned
+        # parquet export + stats (pipelines/dataprep.py)
+        if not args.input:
+            p.error("prep-data requires --input (documents parquet)")
+        _init_ray(args.num_cpus)
+        import ray
+        import ray.data as rd
+
+        from crawler_ray.pipelines.dataprep import prepare_training_data
+
+        try:
+            docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            out_dir = os.path.join(args.out, "kept")
+            _, _, stats = prepare_training_data(
+                docs,
+                min_tokens=args.min_tokens,
+                max_tokens=args.max_tokens,
+                neardup_threshold=args.neardup_threshold,
+                out_dir=out_dir,
+            )
+            print(json.dumps({**stats, "out": out_dir}))
+            return 0
+        finally:
+            ray.shutdown()
 
     pages = _load_graph(args)
     seeds = [args.start] if args.start else synth.seeds_for(pages)

@@ -78,3 +78,22 @@ def test_fix_model_cli(tmp_path, ray_session):
     fixed = json.load(open(os.path.join(out, "model_fixed.json")))
     assert fixed["fixed"] is True
     assert "actions" in fixed and "pagination" in fixed
+
+
+def test_prep_data_cli_subprocess(tmp_path):
+    """prep-data mode end-to-end in a subprocess (owns its Ray session):
+    documents parquet in → kept partitioned parquet + stats JSON out."""
+    out = str(tmp_path / "prep")
+    r = subprocess.run(
+        [sys.executable, "-m", "crawler_ray.cli", "prep-data",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--num-cpus", "4", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_kept"] > 100 and summary["total_tokens"] > 1000
+    import pyarrow.parquet as pq
+
+    kept = pq.read_table(os.path.join(out, "kept"))
+    assert kept.num_rows == summary["n_kept"]
