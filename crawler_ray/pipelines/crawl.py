@@ -460,11 +460,7 @@ def crawl(
         # are FIFO per caller → crawl order preserved); flags are folded
         # into trace/metrics when they arrive.
         leaf_mask = trace_meta.column("is_leaf").to_numpy(zero_copy_only=False)
-        nd_futs = (
-            [s.process_table_refs.remote(nd_refs, perm) for s in neardup.shards]
-            if n_leaves_wave
-            else []
-        )
+        nd_futs = neardup.submit_refs(nd_refs, perm) if n_leaves_wave else []
         if ckpt is not None:
             # checkpointed runs resolve synchronously: the round's
             # manifest must carry final near_dup values

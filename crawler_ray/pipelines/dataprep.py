@@ -42,20 +42,14 @@ def prepare_training_data(
     def prep(t: pa.Table) -> pa.Table:
         txt = t[text_col]
         ntok = pc.cast(pc.add(pc.count_substring(txt, " "), 1), pa.int64())
-        fps = [textstats.fingerprint(x) for x in txt.to_pylist()]
-        out = pa.table(
-            {
-                id_col: t[id_col],
-                text_col: txt,
-                "ntok": ntok,
-                "fp": pa.array(fps, type=pa.string()),
-            }
-        )
+        out = pa.table({id_col: t[id_col], text_col: txt, "ntok": ntok})
         keep = pc.and_(
             pc.greater_equal(out["ntok"], min_tokens),
             pc.less_equal(out["ntok"], max_tokens),
         )
-        return out.filter(keep)
+        out = out.filter(keep)  # filter FIRST — fingerprint survivors only
+        fps = [textstats.fingerprint(x) for x in out[text_col].to_pylist()]
+        return out.append_column("fp", pa.array(fps, type=pa.string()))
 
     quality = docs_ds.map_batches(prep, batch_format="pyarrow")
 
@@ -105,14 +99,42 @@ def prepare_training_data(
     kept = deduped.map_batches(DropDups, batch_format="pyarrow", concurrency=2)
 
     if out_dir is not None:
+        import json
         import os
+        import shutil
 
         kept = kept.materialize()
-        done = os.path.isdir(out_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(out_dir)
-        )
+        # idempotent restart: a _SUCCESS marker recording the filter
+        # params gates the skip — a crashed partial write (no marker)
+        # or a rerun with different params wipes and rewrites
+        params = {
+            "min_tokens": min_tokens,
+            "max_tokens": max_tokens,
+            "neardup_threshold": neardup_threshold,
+        }
+        marker = os.path.join(out_dir, "_SUCCESS")
+        done = False
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    done = json.load(f) == params
+            except (ValueError, OSError):
+                done = False
         if not done:
+            if os.path.isdir(out_dir):
+                foreign = [
+                    f for f in os.listdir(out_dir)
+                    if not (f.endswith(".parquet") or f == "_SUCCESS" or f.startswith("."))
+                ]
+                if foreign:
+                    raise ValueError(
+                        f"out_dir {out_dir} holds non-export files {foreign[:3]} — "
+                        "refusing to wipe; pass a dedicated export directory"
+                    )
+                shutil.rmtree(out_dir)
             kept.write_parquet(out_dir)
+            with open(marker, "w") as f:
+                json.dump(params, f)
 
     def stat_part(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -441,8 +441,11 @@ def tpch_q3_like(sf_dir: str):
     )
     orders = pq.read_table(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
     ck = orders["o_custkey"].to_numpy()
-    idx = np.clip(np.searchsorted(bld, ck), 0, max(len(bld) - 1, 0))
-    keep = (len(bld) > 0) & (bld[idx] == ck)
+    if len(bld):
+        idx = np.clip(np.searchsorted(bld, ck), 0, len(bld) - 1)
+        keep = bld[idx] == ck
+    else:
+        keep = np.zeros(len(ck), dtype=bool)
     keep &= orders["o_orderdate"].to_numpy(zero_copy_only=False) < np.datetime64("1998-01-01")
     okeys = orders["o_orderkey"].to_numpy()[keep]
     odates = orders["o_orderdate"].to_numpy(zero_copy_only=False)[keep]
@@ -455,8 +458,11 @@ def tpch_q3_like(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             k = t["l_orderkey"].to_numpy()
-            idx = np.clip(np.searchsorted(self.okeys, k), 0, max(len(self.okeys) - 1, 0))
-            hit = (len(self.okeys) > 0) & (self.okeys[idx] == k)
+            if len(self.okeys):
+                idx = np.clip(np.searchsorted(self.okeys, k), 0, len(self.okeys) - 1)
+                hit = self.okeys[idx] == k
+            else:
+                hit = np.zeros(len(k), dtype=bool)
             t = t.filter(pa.array(hit))
             k2 = t["l_orderkey"].to_numpy()
             dates = self.odates[np.searchsorted(self.okeys, k2)]
@@ -1091,48 +1097,46 @@ def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
-    # per-doc gram-set sizes: documents are never split across batches,
-    # so this is a shuffle-FREE scan emitting one row per doc; the
-    # (sorted ids, sizes) pair is a small broadcast and doubles as the
-    # id→dense-rank map that lets a pair pack into one int64
-    def sizes_kernel(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "sz": pa.array(
-                    [len(bigram_hashes(x)) for x in t["text"].to_pylist()], type=pa.int64()
-                ),
-            }
-        )
-
-    sizes_df = docs.map_batches(sizes_kernel, batch_format="pyarrow").to_pandas()
-    sizes_df = sizes_df.sort_values("doc_id")
-    ids_sorted = sizes_df["doc_id"].to_numpy(dtype=np.int64)
-    sz_sorted = sizes_df["sz"].to_numpy(dtype=np.int64)
-    assert len(ids_sorted) < (1 << 31), "packed pair keys need rank < 2^31"
-    sref = ray.put((ids_sorted, sz_sorted))
-
     N_GH_BUCKETS = 64
     N_AGG_BUCKETS = 32
 
     def explode(t: pa.Table) -> pa.Table:
-        ids_s, _ = ray.get(sref)
-        rks, ghs = [], []
+        ids, ghs = [], []
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             h = bigram_hashes(txt)
-            rks.append(np.full(len(h), np.searchsorted(ids_s, did), dtype=np.int64))
+            ids.append(np.full(len(h), did, dtype=np.int64))
             ghs.append(h)
-        rk = np.concatenate(rks) if rks else np.zeros(0, dtype=np.int64)
+        did = np.concatenate(ids) if ids else np.zeros(0, dtype=np.int64)
         gh = np.concatenate(ghs) if ghs else np.zeros(0, dtype=np.int64)
         return pa.table(
             {
-                "rk": pa.array(rk),
+                "doc_id": pa.array(did),
                 "gh": pa.array(gh),
                 "bucket": pa.array((gh % N_GH_BUCKETS).astype(np.int32)),
             }
         )
 
+    # ONE bigram-hashing pass: sizes derive from the materialized grams
+    # (doc rows are contiguous per block → per-batch unique counts, a
+    # defensive driver-side sum handles any split)
     grams = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def sizes_kernel(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["doc_id"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(u), "sz": pa.array(c.astype(np.int64))}
+        )
+
+    sizes_df = (
+        grams.map_batches(sizes_kernel, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .groupby("doc_id", as_index=False)["sz"].sum()
+        .sort_values("doc_id")
+    )
+    ids_sorted = sizes_df["doc_id"].to_numpy(dtype=np.int64)
+    sz_sorted = sizes_df["sz"].to_numpy(dtype=np.int64)
+    assert len(ids_sorted) < (1 << 31), "packed pair keys need rank < 2^31"
+    sref = ray.put((ids_sorted, sz_sorted))
 
     # regime dispatch: measure the distinct-gram vocabulary from cheap
     # per-batch uniques.  A DENSE corpus (vocabulary fits a broadcast)
@@ -1158,7 +1162,13 @@ def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
     # pre-counted with np.unique, and tagged with their aggregation
     # bucket before leaving — the downstream shuffle needs no extra scan
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        df = g[["rk", "gh"]]
+        ids_s, _ = ray.get(sref)
+        df = pd.DataFrame(
+            {
+                "rk": np.searchsorted(ids_s, g["doc_id"].to_numpy()).astype(np.int64),
+                "gh": g["gh"].to_numpy(),
+            }
+        )
         m = df.merge(df, on="gh", suffixes=("_a", "_b"))
         a = m["rk_a"].to_numpy()
         b = m["rk_b"].to_numpy()

@@ -117,20 +117,26 @@ def ivf_topk(bucketed_ds, centroids: np.ndarray, query_vecs: np.ndarray, k: int 
     )
 
     def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "vec_id": pd.Series([], dtype="int64"),
+                              "cos": pd.Series([], dtype="float64")})
+        if len(g) == 0 or "bucket" not in g.columns:
+            return empty
         qn_l, probes_l = ray.get(qref)
         b = int(g["bucket"].iloc[0])
         qids = np.where((probes_l == b).any(axis=1))[0]
-        if len(qids) == 0 or len(g) == 0:
-            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
+        if len(qids) == 0:
+            return empty
         m = _normalize(np.array(g[vec_col].to_list(), dtype=np.float64))
         ids = g[id_col].to_numpy()
         cos = qn_l[qids] @ m.T  # (nq, n_bucket)
         kk = min(k, cos.shape[1])
         out_q, out_id, out_cos = [], [], []
         for row, qi in enumerate(qids):
-            top = np.argpartition(-cos[row], kk - 1)[:kk]
+            # deterministic tie-break matching the global merge rule:
+            # cos desc, then vec_id asc (argpartition would pick an
+            # arbitrary subset among ties)
+            top = np.lexsort((ids, -cos[row]))[:kk]
             out_q.extend([int(qi)] * kk)
             out_id.extend(ids[top])
             out_cos.extend(cos[row][top])

@@ -277,12 +277,13 @@ class NearDupShards:
         ref = ray.put(tbl)
         return [s.process_table.remote(ref) for s in self.shards]
 
-    def submit_refs(self, refs: list) -> list:
+    def submit_refs(self, refs: list, perm=None) -> list:
         """Async variant over worker-plasma chunk refs (grams stay off
-        the driver); refs must be in wave priority order."""
+        the driver); refs in chunk order, ``perm`` restores wave
+        priority order when chunking was host-grouped."""
         if not refs:
             return []
-        return [s.process_table_refs.remote(refs) for s in self.shards]
+        return [s.process_table_refs.remote(refs, perm) for s in self.shards]
 
     @staticmethod
     def resolve(futs) -> np.ndarray:
@@ -695,7 +696,7 @@ def dense_bitset_jaccard_pairs(
     shuffle — in this regime candidate pairs ≈ all pairs, so the
     Σdf² pair-row materialization the index pays is pure overhead.
 
-    ``grams_ds``: Dataset of (rk, gh) rows, whole docs per batch.
+    ``grams_ds``: Dataset of (doc_id, gh) rows, whole docs per batch.
     Tiles are raw Ray tasks over the bitset Dataset's BLOCK REFS — the
     Dataset API has no block cross-product; blocks stay in plasma and
     each tile reads exactly two of them (documented partitioning
@@ -708,8 +709,8 @@ def dense_bitset_jaccard_pairs(
     vref = ray.put((vocab, ids_sorted, sz_sorted))
 
     def to_bits(t: pa.Table) -> pa.Table:
-        vocab_l, _, _ = ray.get(vref)
-        rk = t["rk"].to_numpy()
+        vocab_l, ids_l, _ = ray.get(vref)
+        rk = np.searchsorted(ids_l, t["doc_id"].to_numpy()).astype(np.int64)
         gh = t["gh"].to_numpy()
         order = np.argsort(rk, kind="stable")
         rk, gh = rk[order], gh[order]

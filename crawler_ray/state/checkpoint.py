@@ -173,9 +173,29 @@ class CheckpointStore:
             if upto_round is not None and r > upto_round:
                 break
             d = os.path.join(self._round_dir(r), "corpus")
-            for part in sorted(os.listdir(d)):
-                if part.endswith(".parquet"):
-                    tables.append(pq.read_table(os.path.join(d, part)))
+            parts = [
+                pq.read_table(os.path.join(d, part))
+                for part in sorted(os.listdir(d))
+                if part.endswith(".parquet")
+            ]
+            if not parts:
+                continue
+            rt = pa.concat_tables(parts)
+            # workers write parts in chunk order, which under politeness
+            # host-grouping is NOT crawl-priority order; restore the
+            # wave's (depth, discovery_seq) order so every consumer sees
+            # rows in crawl order regardless of chunking
+            import numpy as np
+
+            order = np.lexsort(
+                (
+                    rt.column("discovery_seq").to_numpy(),
+                    rt.column("depth").to_numpy(),
+                )
+            )
+            if not np.array_equal(order, np.arange(rt.num_rows)):
+                rt = rt.take(pa.array(order))
+            tables.append(rt)
         return pa.concat_tables(tables) if tables else None
 
 

@@ -160,12 +160,16 @@ def test_prepare_training_data_pipeline(ray_session, tmp_path):
     assert kept_ids == [0, 4]
     assert list(drop_ids) == [2]
     assert stats["n_kept"] == 2 and stats["n_neardup_dropped"] == 1
-    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
-    assert files
-    # idempotent rerun: same out_dir, no duplicate partitions
+    before = sorted(os.listdir(out))
+    assert any(f.endswith(".parquet") for f in before)
+    # idempotent rerun: same params + marker → identical file listing
     prepare_training_data(rd.from_arrow(tbl), neardup_threshold=0.8, out_dir=out)
-    assert sorted(os.listdir(out)) == sorted(
-        f for f in os.listdir(out)
-    ) and len([f for f in os.listdir(out) if f.endswith(".parquet")]) == len(files)
+    assert sorted(os.listdir(out)) == before
     got = pq.read_table(out)
     assert sorted(got["doc_id"].to_pylist()) == [0, 4]
+    # changed params invalidate the marker → output rewritten to match
+    prepare_training_data(
+        rd.from_arrow(tbl), min_tokens=11, neardup_threshold=0.8, out_dir=out
+    )
+    got2 = pq.read_table(out)
+    assert sorted(got2["doc_id"].to_pylist()) == [0]  # doc 4 has 8 tokens

@@ -19,10 +19,13 @@ def test_export_train_eval_roundtrip(ray_session, tmp_path):
         train_logistic,
     )
 
+    import zlib
+
     pages = synth.generate_site_graph(num_hosts=4, base_pages=40, seed=11)
     tbl = pages.select(["doc_id", "html", "is_leaf"])
-    # deterministic split on the url hash
-    h = np.array([hash(u) % 2 for u in tbl["doc_id"].to_pylist()])
+    # deterministic split on the url hash (crc32 — builtin hash() is
+    # randomized per process by PYTHONHASHSEED)
+    h = np.array([zlib.crc32(u.encode()) % 2 for u in tbl["doc_id"].to_pylist()])
     train = tbl.filter(pa.array(h == 0))
     test = tbl.filter(pa.array(h == 1))
     assert train.num_rows > 20 and test.num_rows > 20
