@@ -132,9 +132,16 @@ def run_headline_crawl(num_cpus: int) -> dict:
         "actions": [{"action_seq": [post_xp], "count": 1, "refined": {}, "yield": 1.0}],
         "pagination": {"paging_actions": {"": pager_xp}, "refine": {}},
     }
-    t0 = time.time()
-    rep = replay_parallel(rp_pages, rp_seeds, model, concurrency=cfg.fetch_concurrency)
-    rep_dt = time.time() - t0
+    # best-of-2 like the crawl leg: ambient load makes single replay
+    # timings vary ~4× on minute timescales
+    rep_dt = float("inf")
+    rep = None
+    for _ in range(2):
+        t0 = time.time()
+        r = replay_parallel(rp_pages, rp_seeds, model, concurrency=cfg.fetch_concurrency)
+        d = time.time() - t0
+        if d < rep_dt:
+            rep_dt, rep = d, r
 
     return {
         "seconds": dt,

@@ -756,6 +756,68 @@ def token_stats(sf_dir: str):
 
 
 @register(
+    "token_quantiles",
+    """
+    SELECT lang,
+           quantile_cont(len(string_split(text, ' ')), 0.5) AS p50,
+           quantile_cont(len(string_split(text, ' ')), 0.9) AS p90,
+           quantile_cont(len(string_split(text, ' ')), 0.99) AS p99
+    FROM documents GROUP BY lang
+    """,
+    doc="Distributed EXACT quantiles (token-length p50/p90/p99 per "
+    "language) via per-batch value histograms: integer token counts "
+    "make the distribution a small (lang, ntok)→count table, so the "
+    "all-to-all moves histogram partials, never rows; the driver "
+    "interpolates with quantile_cont's pos = q·(n−1) linear rule over "
+    "the merged counts.  The percentile operator most engines "
+    "approximate (t-digest) is exact here by exploiting the bounded "
+    "integer domain.",
+)
+def token_quantiles(sf_dir: str):
+    def hist(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        tt = pa.table({"lang": t["lang"], "ntok": toks})
+        return make_partial_agg(["lang", "ntok"], [])(tt)
+
+    from ray.data.aggregate import Sum
+
+    h = (
+        _read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "ntok"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()  # merged histogram: |langs| × |distinct lengths| — tiny
+    )
+
+    def qcont(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
+        """DuckDB quantile_cont: linear interpolation at pos=q·(n−1)
+        over the value-sorted expansion, computed from counts."""
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        n = counts.sum()
+        pos = q * (n - 1)
+        lo, frac = int(np.floor(pos)), pos - np.floor(pos)
+        cum = np.cumsum(counts)
+        v_lo = vals[np.searchsorted(cum, lo + 1)]
+        v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
+        return float(v_lo + frac * (v_hi - v_lo))
+
+    rows = []
+    for lang, g in h.groupby("lang"):
+        v = g["ntok"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        rows.append(
+            {
+                "lang": lang,
+                "p50": qcont(v, c, 0.5),
+                "p90": qcont(v, c, 0.9),
+                "p99": qcont(v, c, 0.99),
+            }
+        )
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["lang"]))
+
+
+@register(
     "quality_score",
     """
     SELECT lang,
