@@ -247,6 +247,56 @@ class NearDupShardActor:
             for k, v in snap["index"].items()
         }
 
+    def snapshot_to(self, path: str) -> int:
+        """Write this shard's index as ONE compact npz — written BY the
+        shard (shared storage), never shipped through the driver: the
+        list-of-lists ``snapshot()`` form cost gigabytes of driver heap
+        and minutes of pickling at 10^5-leaf indexes.  Gram arrays that
+        appear under several band keys are stored once (identity
+        dedup)."""
+        arr_pos: dict[int, int] = {}
+        arrs: list[np.ndarray] = []
+        band_keys, band_counts, refs = [], [], []
+        for k, v in self.index.items():
+            band_keys.append(k)
+            band_counts.append(len(v))
+            for g in v:
+                gid = id(g)
+                if gid not in arr_pos:
+                    arr_pos[gid] = len(arrs)
+                    arrs.append(g)
+                refs.append(arr_pos[gid])
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.uint64)
+        with open(path, "wb") as f:
+            np.savez(
+                f,
+                meta=np.array([self.sid, self.n], dtype=np.int64),
+                threshold=np.array([self.threshold], dtype=np.float64),
+                band_keys=np.array(band_keys, dtype=np.uint64),
+                band_counts=np.array(band_counts, dtype=np.int64),
+                refs=np.array(refs, dtype=np.int64),
+                lens=lens,
+                flat=flat.astype(np.uint64, copy=False),
+            )
+        import os
+
+        return os.path.getsize(path)
+
+    def restore_from(self, path: str) -> None:
+        z = np.load(path)
+        self.sid, self.n = (int(x) for x in z["meta"])
+        self.threshold = float(z["threshold"][0])
+        lens = z["lens"]
+        flat = z["flat"]
+        arrs = np.split(flat, np.cumsum(lens)[:-1]) if len(lens) else []
+        refs = z["refs"]
+        self.index = {}
+        pos = 0
+        for k, c in zip(z["band_keys"], z["band_counts"]):
+            self.index[int(k)] = [arrs[r] for r in refs[pos:pos + c]]
+            pos += c
+
 
 class NearDupShards:
     """Driver-side handle: fan a wave's (ordered) entries to every band
@@ -303,6 +353,30 @@ class NearDupShards:
 
     def restore(self, snaps: list[dict]) -> None:
         ray.get([self.shards[s["sid"]].restore.remote(s) for s in snaps])
+
+    def snapshot_to(self, dir_path: str, prefix: str = "neardup_shard") -> list[str]:
+        """Each shard writes its own compact snapshot file (parallel,
+        driver sees only filenames)."""
+        import os
+
+        names = [f"{prefix}_{i}.npz" for i in range(self.n)]
+        ray.get(
+            [
+                s.snapshot_to.remote(os.path.join(dir_path, nm))
+                for s, nm in zip(self.shards, names)
+            ]
+        )
+        return names
+
+    def restore_from(self, dir_path: str, names: list[str]) -> None:
+        import os
+
+        ray.get(
+            [
+                self.shards[i].restore_from.remote(os.path.join(dir_path, nm))
+                for i, nm in enumerate(names)
+            ]
+        )
 
 
 # =====================================================================

@@ -129,6 +129,22 @@ class SeenShard:
         self.filter = (BloomFilter if kind == "bloom" else CuckooFilter).restore(snap["filter"])
         self.exact = set(snap["exact"]) if snap["exact"] is not None else None
 
+    def snapshot_to(self, path: str) -> int:
+        """Shard-side snapshot write (shared storage) — the driver only
+        sees the filename."""
+        import os
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.snapshot(), f)
+        return os.path.getsize(path)
+
+    def restore_from(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            self.restore(pickle.load(f))
+
 
 class SeenSet:
     """Driver-side handle over the shard actors."""
@@ -197,6 +213,28 @@ class SeenSet:
 
     def restore(self, snaps: list[dict]) -> None:
         ray.get([self.shards[s["shard_id"]].restore.remote(s) for s in snaps])
+
+    def snapshot_to(self, dir_path: str, prefix: str = "seen_shard") -> list[str]:
+        import os
+
+        names = [f"{prefix}_{i}.pkl" for i in range(self.n)]
+        ray.get(
+            [
+                s.snapshot_to.remote(os.path.join(dir_path, nm))
+                for s, nm in zip(self.shards, names)
+            ]
+        )
+        return names
+
+    def restore_from(self, dir_path: str, names: list[str]) -> None:
+        import os
+
+        ray.get(
+            [
+                self.shards[i].restore_from.remote(os.path.join(dir_path, nm))
+                for i, nm in enumerate(names)
+            ]
+        )
 
 
 def make_seen_filter_stage(seen: SeenSet):

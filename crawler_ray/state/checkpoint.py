@@ -72,14 +72,13 @@ class CheckpointStore:
         tmp = final + ".tmp"
         pq.write_table(frontier, os.path.join(tmp, "frontier", "part-00000.parquet"))
         snap_paths = {}
+        # shard-side snapshot writes (each actor writes its own file to
+        # shared storage in parallel): the list-through-the-driver form
+        # cost GBs of driver heap at 10^5-leaf near-dup indexes
         if seen is not None:
-            with open(os.path.join(tmp, "seen_snapshot.pkl"), "wb") as f:
-                pickle.dump(seen.snapshot(), f)
-            snap_paths["seen"] = "seen_snapshot.pkl"
+            snap_paths["seen"] = seen.snapshot_to(tmp)
         if neardup is not None:
-            with open(os.path.join(tmp, "neardup_snapshot.pkl"), "wb") as f:
-                pickle.dump(neardup.snapshot(), f)
-            snap_paths["neardup"] = "neardup_snapshot.pkl"
+            snap_paths["neardup"] = neardup.snapshot_to(tmp)
         manifest = {
             "round": rnd,
             "prior_round": rnd - 1 if rnd > 0 else None,
@@ -152,11 +151,17 @@ class CheckpointStore:
             raise RuntimeError("no snapshot round available to resume from")
         d = self._round_dir(snap_round)
         man = self.manifest(snap_round)
-        with open(os.path.join(d, "seen_snapshot.pkl"), "rb") as f:
-            seen.restore(pickle.load(f))
-        np_path = os.path.join(d, "neardup_snapshot.pkl")
-        if os.path.exists(np_path):
-            with open(np_path, "rb") as f:
+        sv = man["snapshots"]["seen"]
+        if isinstance(sv, list):
+            seen.restore_from(d, sv)
+        else:  # legacy single-file checkpoints
+            with open(os.path.join(d, sv), "rb") as f:
+                seen.restore(pickle.load(f))
+        nv = man["snapshots"].get("neardup")
+        if isinstance(nv, list):
+            neardup.restore_from(d, nv)
+        elif nv:
+            with open(os.path.join(d, nv), "rb") as f:
                 neardup.restore(pickle.load(f))
         frontier = pq.read_table(os.path.join(d, "frontier", "part-00000.parquet"))
         return {
