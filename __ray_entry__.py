@@ -50,8 +50,15 @@ def entry() -> Any:
         checkpoint_dir=ckpt_dir, snapshot_every=5,
     )
     crawl(pages, seeds, cfg)
-    corpus = CheckpointStore(ckpt_dir).corpus_table()
-    return rd.from_arrow(corpus.select(["url", "spans"]).rename_columns(["doc_id", "spans"]))
+    # streaming consumable: read the worker-written corpus parts as a
+    # Dataset (no driver materialization of spans)
+    import pyarrow as pa
+
+    ds = CheckpointStore(ckpt_dir).corpus_dataset()
+    return ds.map_batches(
+        lambda t: t.select(["url", "spans"]).rename_columns(["doc_id", "spans"]),
+        batch_format="pyarrow",
+    ).materialize()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

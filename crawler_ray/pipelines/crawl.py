@@ -81,6 +81,10 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     snapshot_every: int = 5
     max_rounds: int = 10**6
+    # False → per-wave trace rows are NOT accumulated in driver memory
+    # (metrics + corpus checkpoints still record everything); the
+    # 100 TB setting, where the trace is itself a big dataset
+    keep_trace: bool = True
 
 
 class CrawlResult:
@@ -501,21 +505,24 @@ def crawl(
                 max_run = max(max_run, cur)
             metrics["consecutive_dups"] = cur
         else:
-            pending_nd.append((len(res.trace_tables), nd_futs))
-        res.trace_tables.append(
-            pa.table(
-                {
-                    "step": pa.array(np.arange(step + 1, step + n_rows + 1), type=pa.int64()),
-                    "url": trace_meta.column("url"),
-                    "depth": trace_meta.column("depth"),
-                    "src_url": trace_meta.column("src_url"),
-                    "status": trace_meta.column("status"),
-                    "is_leaf": trace_meta.column("is_leaf"),
-                    "near_dup": pa.array(near_dup),
-                    "n_links": trace_meta.column("n_links"),
-                }
+            pending_nd.append(
+                (len(res.trace_tables) if cfg.keep_trace else None, nd_futs, leaf_mask)
             )
-        )
+        if cfg.keep_trace:
+            res.trace_tables.append(
+                pa.table(
+                    {
+                        "step": pa.array(np.arange(step + 1, step + n_rows + 1), type=pa.int64()),
+                        "url": trace_meta.column("url"),
+                        "depth": trace_meta.column("depth"),
+                        "src_url": trace_meta.column("src_url"),
+                        "status": trace_meta.column("status"),
+                        "is_leaf": trace_meta.column("is_leaf"),
+                        "near_dup": pa.array(near_dup),
+                        "n_links": trace_meta.column("n_links"),
+                    }
+                )
+            )
         step += n_rows
         if _prof: print(f"[prof r{rnd}] hops+trace {time.time()-_t:.2f}s"); _t=time.time()
         # dup-stop heuristic (crawl.clj:346-349): ≥1000 corpus ∧ 30
@@ -600,18 +607,19 @@ def crawl(
 
 def _resolve_pending(pending_nd: list, res: CrawlResult, metrics: dict) -> None:
     """Fold async near-dup verdicts into the trace tables + metrics
-    (patches the placeholder near_dup column written at wave time)."""
-    for tidx, futs in pending_nd:
-        tbl = res.trace_tables[tidx]
+    (patches the placeholder near_dup column written at wave time;
+    trace-less mode updates metrics only)."""
+    for tidx, futs, leaf_mask in pending_nd:
         nd = (
             NearDupShards.resolve(futs)
             if futs
-            else np.zeros(tbl.num_rows, dtype=bool)
+            else np.zeros(len(leaf_mask), dtype=bool)
         )
-        col_i = tbl.schema.get_field_index("near_dup")
-        res.trace_tables[tidx] = tbl.set_column(col_i, "near_dup", pa.array(nd))
+        if tidx is not None:
+            tbl = res.trace_tables[tidx]
+            col_i = tbl.schema.get_field_index("near_dup")
+            res.trace_tables[tidx] = tbl.set_column(col_i, "near_dup", pa.array(nd))
         metrics["near_dups"] += int(nd.sum())
-        leaf_mask = tbl.column("is_leaf").to_numpy(zero_copy_only=False)
         cur = metrics["consecutive_dups"]
         mr = cur
         for f in nd[leaf_mask]:

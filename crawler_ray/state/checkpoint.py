@@ -172,6 +172,25 @@ class CheckpointStore:
             "metrics": man["metrics"],
         }
 
+    def corpus_dataset(self, upto_round: int | None = None):
+        """The accumulated corpus as a STREAMING Ray Data Dataset over
+        the per-round parquet part files — the scale-path consumable
+        (``corpus_table`` materializes on the driver and is for tests /
+        small corpora).  Row order within a read batch is file order;
+        use the ``depth``/``discovery_seq`` columns when crawl order
+        matters."""
+        import ray.data as rd
+
+        paths = []
+        for r in self.rounds():
+            if upto_round is not None and r > upto_round:
+                break
+            d = os.path.join(self._round_dir(r), "corpus")
+            paths.extend(
+                os.path.join(d, p) for p in sorted(os.listdir(d)) if p.endswith(".parquet")
+            )
+        return rd.read_parquet(paths) if paths else None
+
     def corpus_table(self, upto_round: int | None = None) -> pa.Table:
         tables = []
         for r in self.rounds():

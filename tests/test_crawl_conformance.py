@@ -266,3 +266,23 @@ def test_custom_extract_fn_injected(ray_session, graph):
     # and the injected extractor actually changed behavior vs default
     default = crawl_bfs_oracle(pages, seeds)
     assert [t["is_leaf"] for t in default.trace] != [t["is_leaf"] for t in oracle.trace]
+
+
+def test_trace_less_mode_and_corpus_dataset(ray_session, graph, tmp_path):
+    """keep_trace=False: identical metrics with zero driver trace
+    accumulation; corpus_dataset streams the same rows corpus_table
+    materializes."""
+    pages, seeds = graph
+    ck = str(tmp_path / "ck")
+    with_trace = crawl(pages, seeds, CrawlConfig(checkpoint_dir=ck))
+    no_trace = crawl(pages, seeds, CrawlConfig(keep_trace=False))
+    assert no_trace.trace_tables == []
+    for k in ("fetched", "leaves", "near_dups", "links_new", "rounds"):
+        assert no_trace.metrics[k] == with_trace.metrics[k], k
+
+    from crawler_ray.state.checkpoint import CheckpointStore
+
+    cs = CheckpointStore(ck)
+    tbl = cs.corpus_table()
+    ds = cs.corpus_dataset()
+    assert sorted(ds.to_pandas()["url"]) == sorted(tbl.column("url").to_pylist())
