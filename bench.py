@@ -79,6 +79,7 @@ def run_headline_crawl(num_cpus: int) -> dict:
         fetch_concurrency=max(1, num_cpus - min(4, num_cpus // 2)),
         fetch_batch_size=64,
         politeness_ms=0,
+        keep_trace=False,    # corpus-scale posture: metrics only on driver
     )
     import ray
 

@@ -342,36 +342,41 @@ def learn_leaf_paths_distributed(checkpoint_dir: str, max_depth: int = 6):
 
     from ..state.checkpoint import CheckpointStore
 
-    corpus = CheckpointStore(checkpoint_dir).corpus_table()
-    # Arrow hash joins reject list-typed payload columns — serialize the
-    # edge xpath to a string up front
-    edge_str = pa.array(
-        ["␟".join(x) if x else "" for x in corpus.column("src_xpath").to_pylist()],
-        type=pa.string(),
-    )
-    base = pa.table(
-        {
-            "url": corpus.column("url"),
-            "src_url": corpus.column("src_url"),
-            "edge": edge_str,
-            "is_leaf": corpus.column("is_leaf"),
-        }
-    )
+    # STREAMING corpus read (worker-written parquet parts) — the corpus
+    # never materializes on the driver.  Arrow hash joins reject
+    # list-typed payload columns, so the edge xpath serializes to a
+    # string inside the batch transform.
+    cds = CheckpointStore(checkpoint_dir).corpus_dataset()
 
-    # edges: url → (src_url, edge); seeds have src_url "" / empty edge
-    edges = rd.from_arrow(base.select(["url", "src_url", "edge"])).materialize()
-
-    # working set: leaves, path accumulated root-FIRST by prepending
-    leaves_tbl = base.filter(pa.compute.field("is_leaf"))
-    work = rd.from_arrow(
-        pa.table(
+    def to_base(t: pa.Table) -> pa.Table:
+        edge = pa.array(
+            ["␟".join(x) if x else "" for x in t["src_xpath"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
             {
-                "leaf_url": leaves_tbl.column("url"),
-                "cursor": leaves_tbl.column("src_url"),
-                "path": leaves_tbl.column("edge"),
+                "url": t["url"],
+                "src_url": t["src_url"],
+                "edge": edge,
+                "is_leaf": t["is_leaf"],
             }
         )
-    )
+
+    base = cds.map_batches(to_base, batch_format="pyarrow").materialize()
+
+    # edges: url → (src_url, edge); seeds have src_url "" / empty edge
+    edges = base.map_batches(
+        lambda t: t.select(["url", "src_url", "edge"]), batch_format="pyarrow"
+    ).materialize()
+
+    # working set: leaves, path accumulated root-FIRST by prepending
+    def to_work(t: pa.Table) -> pa.Table:
+        lv = t.filter(pa.compute.equal(t["is_leaf"], True))
+        return pa.table(
+            {"leaf_url": lv["url"], "cursor": lv["src_url"], "path": lv["edge"]}
+        )
+
+    work = base.map_batches(to_work, batch_format="pyarrow")
 
     for _ in range(max_depth):
         # split: done (cursor is a seed / unknown) vs pending.
