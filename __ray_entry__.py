@@ -51,14 +51,18 @@ def entry() -> Any:
     )
     crawl(pages, seeds, cfg)
     # streaming consumable: read the worker-written corpus parts as a
-    # Dataset (no driver materialization of spans)
-    import pyarrow as pa
-
+    # Dataset (no driver materialization of spans); the distributed
+    # sort restores crawl-priority row order, matching the old
+    # corpus_table contract
     ds = CheckpointStore(ckpt_dir).corpus_dataset()
-    return ds.map_batches(
-        lambda t: t.select(["url", "spans"]).rename_columns(["doc_id", "spans"]),
-        batch_format="pyarrow",
-    ).materialize()
+    return (
+        ds.sort(["depth", "discovery_seq"])
+        .map_batches(
+            lambda t: t.select(["url", "spans"]).rename_columns(["doc_id", "spans"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -172,6 +172,19 @@ class CheckpointStore:
             "metrics": man["metrics"],
         }
 
+    def _corpus_paths(self, upto_round: int | None = None) -> list[list[str]]:
+        """Per-round lists of corpus part files (shared by the streaming
+        and materializing readers)."""
+        out = []
+        for r in self.rounds():
+            if upto_round is not None and r > upto_round:
+                break
+            d = os.path.join(self._round_dir(r), "corpus")
+            out.append(
+                [os.path.join(d, p) for p in sorted(os.listdir(d)) if p.endswith(".parquet")]
+            )
+        return out
+
     def corpus_dataset(self, upto_round: int | None = None):
         """The accumulated corpus as a STREAMING Ray Data Dataset over
         the per-round parquet part files — the scale-path consumable
@@ -181,27 +194,17 @@ class CheckpointStore:
         matters."""
         import ray.data as rd
 
-        paths = []
-        for r in self.rounds():
-            if upto_round is not None and r > upto_round:
-                break
-            d = os.path.join(self._round_dir(r), "corpus")
-            paths.extend(
-                os.path.join(d, p) for p in sorted(os.listdir(d)) if p.endswith(".parquet")
+        paths = [p for rnd in self._corpus_paths(upto_round) for p in rnd]
+        if not paths:
+            raise FileNotFoundError(
+                f"no corpus parquet parts under {self.root} — nothing checkpointed yet"
             )
-        return rd.read_parquet(paths) if paths else None
+        return rd.read_parquet(paths)
 
     def corpus_table(self, upto_round: int | None = None) -> pa.Table:
         tables = []
-        for r in self.rounds():
-            if upto_round is not None and r > upto_round:
-                break
-            d = os.path.join(self._round_dir(r), "corpus")
-            parts = [
-                pq.read_table(os.path.join(d, part))
-                for part in sorted(os.listdir(d))
-                if part.endswith(".parquet")
-            ]
+        for round_paths in self._corpus_paths(upto_round):
+            parts = [pq.read_table(p) for p in round_paths]
             if not parts:
                 continue
             rt = pa.concat_tables(parts)
