@@ -897,6 +897,55 @@ def quality_score(sf_dir: str):
 
 
 @register(
+    "df_top_terms",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+    SELECT term, count(*) AS df FROM toks GROUP BY term
+    ORDER BY df DESC, term LIMIT 20
+    """,
+    doc="Vocabulary statistics: per-term document frequency (distinct "
+    "terms per doc exploded in map_batches, bucketed count "
+    "aggregation, local top-k prune before the tiny global sort) — "
+    "the inverted-vocabulary operator of a training-data pipeline; "
+    "IDF = ln(N/df) derives from the exact integer df (ln itself is "
+    "libm-dependent, so the oracle-compared columns stay integral).",
+)
+def df_top_terms(sf_dir: str):
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(txt.split(" ")):
+                ids.append(did)
+                terms.append(w)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "term": pa.array(terms, type=pa.string())}
+        )
+
+    from crawler_ray.stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    df_ds = bucketed_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        keys=["term"],
+        sum_cols={"__count__": "df"},
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (np.asarray(t["term"].to_pylist(), dtype=object), -t["df"].to_numpy())
+        )[:20]
+        return t.take(pa.array(np.sort(order)))
+
+    return (
+        df_ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(20)
+    )
+
+
+@register(
     "fingerprint_docs",
     """
     SELECT source, count(*) AS n_docs,
