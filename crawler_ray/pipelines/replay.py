@@ -349,3 +349,37 @@ def replay_parallel(
                     content.append(item)
 
     return res
+
+
+def replay_per_host(
+    pages: pa.Table,
+    seeds: list[str],
+    model: dict,
+    budget_per_host: int = 10**9,
+) -> dict[str, ReplayResult]:
+    """EXACT-order parallel replay: model-replay link extraction is
+    same-host (SURVEY.md §2.3 in-host state-action), so the global
+    sequential head-insertion loop decomposes into independent
+    per-host sequential replays — each host's crawl runs the exact
+    two-queue DFS in its own Ray task while hosts interleave freely.
+    Per-host total order equals the sequential oracle's per-host
+    projection (asserted in tests); this removes ``replay_parallel``'s
+    wave-mode ordering relaxation at the cost of per-host (not global)
+    budget semantics.
+
+    Returns {host: ReplayResult}."""
+    import pyarrow.compute as pc_
+    import ray
+
+    from ..functions.urlnorm import url_host
+
+    by_host: dict[str, list[str]] = {}
+    for s in seeds:
+        by_host.setdefault(url_host(s), []).append(s)
+
+    run = ray.remote(replay_sequential)
+    futs = {}
+    for host, host_seeds in sorted(by_host.items()):
+        host_pages = pages.filter(pc_.equal(pages["host"], host))
+        futs[host] = run.remote(host_pages, host_seeds, model, budget_per_host)
+    return {h: r for h, r in zip(futs, ray.get(list(futs.values())))}

@@ -186,3 +186,27 @@ def test_distributed_link_extraction_matches_serial(ray_session, learned):
     m_ser = learn_model(oracle.trace, pages, distributed=False)
     m_dist = learn_model(oracle.trace, pages, distributed=True)
     assert m_ser == m_dist
+
+
+def test_per_host_replay_exact_order(ray_session, learned):
+    """replay_per_host: each host's trace equals the global sequential
+    replay's per-host projection EXACTLY (order included), and the
+    union of harvests matches."""
+    from collections import defaultdict
+
+    from crawler_ray.pipelines.replay import replay_per_host, replay_sequential
+
+    pages, seeds, model = learned
+    seq = replay_sequential(pages, seeds, model)
+    per = replay_per_host(pages, seeds, model)
+    assert len(per) >= 2  # multi-host fixture
+
+    from crawler_ray.functions.urlnorm import url_host
+
+    proj = defaultdict(list)
+    for t in seq.trace:
+        proj[url_host(t["url"])].append((t["url"], t["status"], t["is_leaf"]))
+    for host, res in per.items():
+        got = [(t["url"], t["status"], t["is_leaf"]) for t in res.trace]
+        assert got == proj[host], host
+    assert set().union(*(set(r.harvested) for r in per.values())) == set(seq.harvested)
