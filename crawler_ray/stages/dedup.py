@@ -675,7 +675,7 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text
                 chunk_ids.append(ci)
                 chunk_vals.append((h >> (16 * ci)) & 0xFFFF)
                 full.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 2c
-        return pa.table(
+        out = pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
                 "chunk_id": pa.array(chunk_ids, type=pa.int32()),
@@ -683,6 +683,13 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text
                 "simhash": pa.array(full, type=pa.int64()),
             }
         )
+        # coarse shuffle key: a Ray group per raw (chunk_id, chunk_val)
+        # would mean up to 4×2^16 near-singleton groups at ~2 ms each
+        cb = (
+            (np.asarray(chunk_ids, dtype=np.int64) << 16)
+            | np.asarray(chunk_vals, dtype=np.int64)
+        ) % 64
+        return out.append_column("cbkt", pa.array(cb.astype(np.int32)))
 
     rows = ds.map_batches(sim_rows, batch_format="pyarrow")
 
@@ -746,9 +753,22 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text
             }
         )
 
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            pairs_in_bucket(sub)
+            for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
     return (
-        rows.groupby(["chunk_id", "chunk_val"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        rows.groupby("cbkt")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
         .to_pandas()
         .drop_duplicates(["doc_a", "doc_b"])
         .reset_index(drop=True)

