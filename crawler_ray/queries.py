@@ -417,6 +417,57 @@ def nunique_histogram(sf_dir: str):
 
 
 @register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="Multi-level aggregation (GROUP BY ROLLUP): one per-batch "
+    "combiner pass at the finest grain, then the coarser levels fold "
+    "from the FINE aggregate (tiny) instead of re-scanning the input — "
+    "the rollup-from-partials shape.",
+)
+def rollup_revenue(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "status": t["o_orderstatus"],
+                "priority": t["o_orderpriority"],
+                "price_c": cents(t["o_totalprice"]),
+            }
+        )
+        return make_partial_agg(["status", "priority"], ["price_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    fine = (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Sum("price_c_sum", alias_name="c"), Sum("partial_n", alias_name="n"))
+        .to_pandas()  # finest grain: |status|×|priority| rows — tiny
+    )
+    mid = fine.groupby("status", as_index=False)[["n", "c"]].sum()
+    mid["priority"] = "ALL"
+    total = pd.DataFrame(
+        {"status": ["ALL"], "priority": ["ALL"], "n": [fine["n"].sum()], "c": [fine["c"].sum()]}
+    )
+    alll = pd.concat([fine, mid, total], ignore_index=True)
+    return pa.table(
+        {
+            "status": pa.array(alll["status"], type=pa.string()),
+            "priority": pa.array(alll["priority"], type=pa.string()),
+            "n": pa.array(alll["n"].astype("int64")),
+            "revenue": pa.array((alll["c"].astype("int64") / 100.0).astype("float64")),
+        }
+    )
+
+
+@register(
     "tpch_q3_like",
     """
     SELECT o_orderkey, o_orderdate,
