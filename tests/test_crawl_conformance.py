@@ -286,3 +286,28 @@ def test_trace_less_mode_and_corpus_dataset(ray_session, graph, tmp_path):
     tbl = cs.corpus_table()
     ds = cs.corpus_dataset()
     assert sorted(ds.to_pandas()["url"]) == sorted(tbl.column("url").to_pylist())
+
+
+def test_politeness_parallel_checkpoint_resume(ray_session, graph, tmp_path):
+    """The riskiest mode cross-product: host-grouped chunking
+    (politeness) × wave-parallel × worker-written corpus × resume.
+    Corpus rows must come back in crawl order (the host-grouped part
+    files are chunk-ordered on disk) and resume must reproduce the
+    uninterrupted run."""
+    pages, seeds = graph
+    ck = str(tmp_path / "ck")
+    cfgkw = dict(wave_size=None, politeness_ms=5, snapshot_every=1)
+    full = crawl(pages, seeds, CrawlConfig(**cfgkw))
+    part = crawl(pages, seeds, CrawlConfig(**cfgkw, checkpoint_dir=ck, max_rounds=2))
+    cont = crawl(pages, seeds, CrawlConfig(**cfgkw, checkpoint_dir=ck), resume=True)
+    combined = [t["url"] for t in part.trace] + [t["url"] for t in cont.trace]
+    assert combined == [t["url"] for t in full.trace]
+
+    from crawler_ray.state.checkpoint import CheckpointStore
+
+    corpus = CheckpointStore(ck).corpus_table()
+    assert corpus.column("url").to_pylist() == combined
+    # near-dup flags in the corpus match the trace rows
+    nd_trace = {t["url"]: t["near_dup"] for t in part.trace + cont.trace}
+    for u, nd in zip(corpus.column("url").to_pylist(), corpus.column("near_dup").to_pylist()):
+        assert nd == nd_trace[u], u
