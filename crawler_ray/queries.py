@@ -872,6 +872,80 @@ def token_quantiles(sf_dir: str):
 
 
 @register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+    s AS (
+      SELECT doc_id, ntok,
+             sum(ntok) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - ntok AS cb
+      FROM t),
+    c AS (
+      SELECT doc_id, ntok, cb,
+             cb // 2048 AS first_chunk,
+             (cb + ntok - 1) // 2048 AS last_chunk
+      FROM s)
+    SELECT CAST((max(cb + ntok) + 2047) // 2048 AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN first_chunk != last_chunk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           CAST(max(last_chunk - first_chunk + 1) AS BIGINT) AS max_span
+    FROM c
+    """,
+    doc="LLM sequence packing (concat-and-chunk, context 2048): each "
+    "doc's token span [cum_before, cum_before+ntok) maps to training "
+    "chunks via a distributed EXCLUSIVE PREFIX SUM "
+    "(stages/relational.add_prefix_sum — two-phase scan: per-block "
+    "totals to the driver, offsets broadcast back, within-block "
+    "cumsum).  Emits chunk count, boundary-straddling docs and the "
+    "max chunks one doc spans — all exact integers.",
+)
+def sequence_packing(sf_dir: str):
+    L = 2048
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ntok": pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64()),
+            }
+        )
+
+    from crawler_ray.stages.relational import add_prefix_sum
+
+    ds = add_prefix_sum(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            toks, batch_format="pyarrow"
+        ),
+        col="ntok",
+        out_col="cb",
+        order_col="doc_id",
+    )
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        cb = t["cb"].to_numpy()
+        nt = t["ntok"].to_numpy()
+        first = cb // L
+        last = (cb + nt - 1) // L
+        return pa.table(
+            {
+                "end_max": pa.array([int((cb + nt).max()) if len(cb) else 0], type=pa.int64()),
+                "straddlers": pa.array([int((first != last).sum())], type=pa.int64()),
+                "span_max": pa.array([int((last - first + 1).max()) if len(cb) else 0], type=pa.int64()),
+            }
+        )
+
+    sp = ds.map_batches(part_stats, batch_format="pyarrow", batch_size=None).to_pandas()
+    return pa.table(
+        {
+            "n_chunks": pa.array([int((sp["end_max"].max() + L - 1) // L)], type=pa.int64()),
+            "n_straddlers": pa.array([int(sp["straddlers"].sum())], type=pa.int64()),
+            "max_span": pa.array([int(sp["span_max"].max())], type=pa.int64()),
+        }
+    )
+
+
+@register(
     "quality_score",
     """
     SELECT lang,

@@ -56,6 +56,52 @@ def broadcast_dict(mapping: dict):
     return ray.put(mapping)
 
 
+def add_prefix_sum(ds, col: str, out_col: str, order_col: str):
+    """Distributed EXCLUSIVE prefix sum (scan): ``out_col[i] = Σ col[j]
+    for all rows with order_col[j] < order_col[i]`` — the classic
+    two-phase scan.  Phase 1 collects one (min order key, block total)
+    row per block to the driver (tiny), computes exclusive block
+    offsets; phase 2 re-walks the SAME blocks adding within-block
+    cumsum + the block's offset.
+
+    ``ds`` is sorted by ``order_col`` first (global order is the scan's
+    contract); order_col values must be unique."""
+    import numpy as np
+    import ray
+
+    ds = ds.sort(order_col).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "k": pa.array([pc.min(t[order_col]).as_py()], type=pa.int64()),
+                "s": pa.array([pc.sum(t[col]).as_py() or 0], type=pa.int64()),
+            }
+        )
+
+    summ = (
+        ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("k")
+    )
+    keys = summ["k"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(summ["s"].to_numpy(dtype=np.int64))[:-1]])
+    oref = ray.put((keys, offs))
+
+    def add_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        ks, os_ = ray.get(oref)
+        base = os_[np.searchsorted(ks, pc.min(t[order_col]).as_py())]
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = np.cumsum(v) - v + base
+        return t.append_column(out_col, pa.array(excl, type=pa.int64()))
+
+    return ds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
+
+
 def bucketed_agg(ds, keys: list[str], sum_cols: dict[str, str], n_buckets: int = 32):
     """Aggregation for HIGH-CARDINALITY keys: Ray's groupby().aggregate()
     costs ~2 ms of per-group Python overhead, so >10^4 groups is minutes.

@@ -205,3 +205,25 @@ def test_fix_model_repairs_refinements():
                 assert not any(
                     t["is_leaf"] and p in str(t) for t in []
                 )  # structural smoke; exact probe logic covered above
+
+
+def test_distributed_prefix_sum(ray_session):
+    """add_prefix_sum: exclusive scan across many blocks equals the
+    single-process cumsum, regardless of input block order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.relational import add_prefix_sum
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    order = rng.permutation(n)
+    vals = rng.integers(1, 50, size=n)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(order, type=pa.int64()), "v": pa.array(vals[order], type=pa.int64())})
+    ).repartition(16)
+    out = add_prefix_sum(ds, col="v", out_col="cb", order_col="k").to_pandas().sort_values("k")
+    want = np.cumsum(vals) - vals  # exclusive, in k order
+    assert (out["cb"].to_numpy() == want).all()
+    assert (out["v"].to_numpy() == vals).all()
