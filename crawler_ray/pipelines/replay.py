@@ -368,18 +368,29 @@ def replay_per_host(
     budget semantics.
 
     Returns {host: ReplayResult}."""
-    import pyarrow.compute as pc_
     import ray
 
     from ..functions.urlnorm import url_host
+
+    import numpy as np
 
     by_host: dict[str, list[str]] = {}
     for s in seeds:
         by_host.setdefault(url_host(s), []).append(s)
 
+    # ONE pass over the pages table: sort by host, slice each host's
+    # contiguous run (a filter per host would rescan the whole table
+    # H times on the driver)
+    hosts_np = np.asarray(pages.column("host").to_pylist(), dtype=object)
+    order = np.argsort(hosts_np, kind="stable")
+    sorted_pages = pages.take(pa.array(order))
+    sorted_hosts = hosts_np[order]
+    uniq, first = np.unique(sorted_hosts, return_index=True)
+    bounds = {h: (int(f), int(l)) for h, f, l in zip(uniq, first, list(first[1:]) + [len(sorted_hosts)])}
+
     run = ray.remote(replay_sequential)
     futs = {}
     for host, host_seeds in sorted(by_host.items()):
-        host_pages = pages.filter(pc_.equal(pages["host"], host))
-        futs[host] = run.remote(host_pages, host_seeds, model, budget_per_host)
+        f, l = bounds.get(host, (0, 0))
+        futs[host] = run.remote(sorted_pages.slice(f, l - f), host_seeds, model, budget_per_host)
     return {h: r for h, r in zip(futs, ray.get(list(futs.values())))}

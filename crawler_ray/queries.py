@@ -806,6 +806,23 @@ def token_stats(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def qcont(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """DuckDB quantile_cont over a value-count histogram: linear
+    interpolation at pos = q·(n−1).  The v_lo*(1-frac) + v_hi*frac
+    form is DuckDB's exact fp expression — the algebraically-equal
+    v_lo + frac*(v_hi−v_lo) diverges by 1 ULP on ~5% of histograms
+    (guarded by a seeded fuzz test against DuckDB)."""
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
+    n = counts.sum()
+    pos = q * (n - 1)
+    lo, frac = int(np.floor(pos)), pos - np.floor(pos)
+    cum = np.cumsum(counts)
+    v_lo = vals[np.searchsorted(cum, lo + 1)]
+    v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
+    return float(v_lo * (1.0 - frac) + v_hi * frac)
+
+
 @register(
     "token_quantiles",
     """
@@ -820,9 +837,10 @@ def token_stats(sf_dir: str):
     "make the distribution a small (lang, ntok)→count table, so the "
     "all-to-all moves histogram partials, never rows; the driver "
     "interpolates with quantile_cont's pos = q·(n−1) linear rule over "
-    "the merged counts.  The percentile operator most engines "
-    "approximate (t-digest) is exact here by exploiting the bounded "
-    "integer domain.",
+    "the merged counts (module-level ``qcont``, fuzz-guarded against "
+    "DuckDB).  The percentile operator most engines approximate "
+    "(t-digest) is exact here by exploiting the bounded integer "
+    "domain.",
 )
 def token_quantiles(sf_dir: str):
     def hist(t: pa.Table) -> pa.Table:
@@ -839,22 +857,6 @@ def token_quantiles(sf_dir: str):
         .aggregate(Sum("partial_n", alias_name="n"))
         .to_pandas()  # merged histogram: |langs| × |distinct lengths| — tiny
     )
-
-    def qcont(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
-        """DuckDB quantile_cont: linear interpolation at pos=q·(n−1)
-        over the value-sorted expansion, computed from counts."""
-        order = np.argsort(vals)
-        vals, counts = vals[order], counts[order]
-        n = counts.sum()
-        pos = q * (n - 1)
-        lo, frac = int(np.floor(pos)), pos - np.floor(pos)
-        cum = np.cumsum(counts)
-        v_lo = vals[np.searchsorted(cum, lo + 1)]
-        v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
-        # v_lo*(1-frac) + v_hi*frac is DuckDB's exact fp expression —
-        # the v_lo + frac*(v_hi-v_lo) form diverges by 1 ULP on ~5% of
-        # histograms (fuzzed 1200 cases), and the oracle gate is exact
-        return float(v_lo * (1.0 - frac) + v_hi * frac)
 
     rows = []
     for lang, g in h.groupby("lang"):
@@ -1055,6 +1057,7 @@ def df_top_terms(sf_dir: str):
         docs.map_batches(explode, batch_format="pyarrow"),
         keys=["term"],
         sum_cols={"__count__": "df"},
+        key_dtypes={"term": "object"},
     )
 
     def local_topk(t: pa.Table) -> pa.Table:

@@ -684,10 +684,12 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text
             }
         )
         # coarse shuffle key: a Ray group per raw (chunk_id, chunk_val)
-        # would mean up to 4×2^16 near-singleton groups at ~2 ms each
+        # would mean up to 4×2^16 near-singleton groups at ~2 ms each.
+        # Odd multiplier mixes chunk_id into the low bits ((id<<16)%64
+        # would be a no-op) so a hot chunk value spreads across buckets
         cb = (
-            (np.asarray(chunk_ids, dtype=np.int64) << 16)
-            | np.asarray(chunk_vals, dtype=np.int64)
+            np.asarray(chunk_ids, dtype=np.int64) * 16381
+            + np.asarray(chunk_vals, dtype=np.int64)
         ) % 64
         return out.append_column("cbkt", pa.array(cb.astype(np.int32)))
 

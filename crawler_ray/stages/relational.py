@@ -94,7 +94,13 @@ def add_prefix_sum(ds, col: str, out_col: str, order_col: str):
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], type=pa.int64()))
         ks, os_ = ray.get(oref)
-        base = os_[np.searchsorted(ks, pc.min(t[order_col]).as_py())]
+        mk = pc.min(t[order_col]).as_py()
+        i = np.searchsorted(ks, mk)
+        # the scan's contract: phase-2 batches start exactly at phase-1
+        # block boundaries (same materialized blocks, batch_size=None);
+        # a mid-block batch would silently take the NEXT block's offset
+        assert i < len(ks) and ks[i] == mk, "prefix-sum block boundaries diverged"
+        base = os_[i]
         v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
         excl = np.cumsum(v) - v + base
         return t.append_column(out_col, pa.array(excl, type=pa.int64()))
@@ -102,23 +108,27 @@ def add_prefix_sum(ds, col: str, out_col: str, order_col: str):
     return ds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
 
 
-def bucketed_agg(ds, keys: list[str], sum_cols: dict[str, str], n_buckets: int = 32):
+def bucketed_agg(ds, keys: list[str], sum_cols: dict[str, str], n_buckets: int = 32, key_dtypes: dict | None = None):
     """Aggregation for HIGH-CARDINALITY keys: Ray's groupby().aggregate()
     costs ~2 ms of per-group Python overhead, so >10^4 groups is minutes.
     Instead: hash keys into ``n_buckets`` coarse buckets, shuffle once on
     the bucket id, and run one vectorized pandas groupby per bucket.
 
     ``sum_cols``: {input_col: output_name} summed per key group; a
-    ``{"__count__": name}`` entry emits group sizes.  Returns a Dataset
-    with ``keys + list(sum_cols.values())`` columns.
+    ``{"__count__": name}`` entry emits group sizes.  ``key_dtypes``
+    overrides the int64 default for non-integer key columns (string
+    keys need {"col": "object"} so EMPTY partitions don't emit
+    int64-typed blocks into the schema union).  Returns a Dataset with
+    ``keys + list(sum_cols.values())`` columns.
     """
     import pandas as pd
 
     real_sums = {c: o for c, o in sum_cols.items() if c != "__count__"}
     count_name = sum_cols.get("__count__")
+    key_dtypes = key_dtypes or {}
 
     def _typed_empty() -> pd.DataFrame:
-        cols = {k: pd.Series([], dtype="int64") for k in keys}
+        cols = {k: pd.Series([], dtype=key_dtypes.get(k, "int64")) for k in keys}
         for c in real_sums:
             cols[c] = pd.Series([], dtype="int64")
         return pd.DataFrame(cols)

@@ -75,18 +75,7 @@ def test_qcont_matches_duckdb_quantile_cont_fuzz(ray_session):
     algebraically-equal variant diverges by 1 ULP on ~5% of cases."""
     import duckdb
 
-    from crawler_ray.queries import token_quantiles  # noqa: F401 (module import)
-    # reuse the inner formula via a local replica kept in sync by this test
-    def qcont(vals, counts, q):
-        order = np.argsort(vals)
-        vals, counts = vals[order], counts[order]
-        n = counts.sum()
-        pos = q * (n - 1)
-        lo, frac = int(np.floor(pos)), pos - np.floor(pos)
-        cum = np.cumsum(counts)
-        v_lo = vals[np.searchsorted(cum, lo + 1)]
-        v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
-        return float(v_lo * (1.0 - frac) + v_hi * frac)
+    from crawler_ray.queries import qcont  # the PRODUCTION interpolation
 
     rng = np.random.default_rng(1234)
     con = duckdb.connect()
