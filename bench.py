@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ngram_jaccard_neardup",
     "link_graph_degree",
+    "minhash_lsh_neardup",
+    "token_quantiles",
+    "sequence_packing",
+    "training_data_prep",
 ]
 
 
