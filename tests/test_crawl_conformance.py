@@ -311,3 +311,20 @@ def test_politeness_parallel_checkpoint_resume(ray_session, graph, tmp_path):
     nd_trace = {t["url"]: t["near_dup"] for t in part.trace + cont.trace}
     for u, nd in zip(corpus.column("url").to_pylist(), corpus.column("near_dup").to_pylist()):
         assert nd == nd_trace[u], u
+
+
+def test_conformance_random_graphs(ray_session):
+    """Conformance over RANDOM topologies: three extra seeds beyond the
+    module fixture — wave=1 trace equality and wave-parallel seen-set
+    equality against the sequential oracle."""
+    for seed in (101, 202, 303):
+        pages = synth.generate_site_graph(num_hosts=2, base_pages=18, seed=seed)
+        seeds = synth.seeds_for(pages)
+        oracle = crawl_bfs_oracle(pages, seeds)
+        r1 = crawl(pages, seeds, CrawlConfig(wave_size=1, n_seen_shards=2))
+        assert [t["url"] for t in r1.trace] == [t["url"] for t in oracle.trace], seed
+        rp = crawl(pages, seeds, CrawlConfig(wave_size=None))
+        assert {t["url"] for t in rp.trace} == {t["url"] for t in oracle.trace}, seed
+        assert sum(t["near_dup"] for t in rp.trace) == sum(
+            t["near_dup"] for t in oracle.trace
+        ), seed

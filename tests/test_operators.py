@@ -227,3 +227,44 @@ def test_distributed_prefix_sum(ray_session):
     want = np.cumsum(vals) - vals  # exclusive, in k order
     assert (out["cb"].to_numpy() == want).all()
     assert (out["v"].to_numpy() == vals).all()
+
+
+def test_bucketed_agg_equals_pandas_groupby(ray_session):
+    """Property: bucketed_agg over random typed frames (int and string
+    keys, with empty-partition noise) equals a plain pandas groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.relational import bucketed_agg
+
+    rng = np.random.default_rng(9)
+    for trial, (keycol, dtype) in enumerate([("k", "int"), ("s", "str")]):
+        n = 4000
+        if dtype == "int":
+            keys = rng.integers(0, 500, size=n)
+            ktab = pa.array(keys, type=pa.int64())
+            kd = None
+        else:
+            keys = np.array([f"t{v}" for v in rng.integers(0, 500, size=n)], dtype=object)
+            ktab = pa.array(keys, type=pa.string())
+            kd = {keycol: "object"}
+        vals = rng.integers(-100, 100, size=n)
+        ds = rd.from_arrow(pa.table({keycol: ktab, "v": pa.array(vals, type=pa.int64())})).repartition(16)
+        got = (
+            bucketed_agg(ds, keys=[keycol], sum_cols={"v": "sv", "__count__": "n"}, key_dtypes=kd)
+            .to_pandas()
+            .sort_values(keycol)
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.DataFrame({keycol: keys, "v": vals})
+            .groupby(keycol, as_index=False)
+            .agg(sv=("v", "sum"), n=("v", "size"))
+            .sort_values(keycol)
+            .reset_index(drop=True)
+        )
+        assert (got[keycol].to_numpy() == want[keycol].to_numpy()).all(), dtype
+        assert (got["sv"].to_numpy() == want["sv"].to_numpy()).all(), dtype
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all(), dtype

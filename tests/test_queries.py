@@ -90,3 +90,42 @@ def test_qcont_matches_duckdb_quantile_cont_fuzz(ray_session):
             want = con.sql(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
             got = qcont(vals.astype(np.int64), counts.astype(np.int64), q)
             assert got == want, (vals, counts, q, got, want)
+
+
+def test_ngram_jaccard_random_corpora_both_paths(ray_session, tmp_path):
+    """Property: dense-bitset and sparse inverted-index paths agree
+    with DuckDB on RANDOM corpora at both vocabulary regimes."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.queries import REGISTRY, ngram_jaccard_neardup
+
+    rng = np.random.default_rng(77)
+    for regime, vocab_n in (("dense", 40), ("sparse", 50_000)):
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        texts = []
+        for i in range(120):
+            toks = [vocab[v] for v in rng.integers(0, vocab_n, size=12)]
+            texts.append(" ".join(toks))
+        # plant near-dups
+        for i in range(20):
+            base = texts[i].split(" ")
+            base[-1] = "X"
+            texts.append(" ".join(base))
+        d = str(tmp_path / regime)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = ngram_jaccard_neardup(d)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+        want = con.sql(REGISTRY["ngram_jaccard_neardup"].sql).df()
+        want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)[got.columns]
+        assert len(got) == len(want) and len(got) >= 20, regime
+        assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all(), regime
+        assert np.array_equal(got["jaccard"].to_numpy(), want["jaccard"].to_numpy()), regime
