@@ -137,6 +137,43 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def md5_hash64(s: str) -> int:
+    """Low 64 bits of md5, little-endian — EXACTLY DuckDB's
+    ``md5_number_lower(s)`` (verified byte-order), so SimHash built on
+    this gram hash has a SQL oracle."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def ws_token_ngrams(text: str, n: int = 2) -> set[str]:
+    """Token n-gram set over a plain lowercase whitespace split (no
+    punctuation stripping) — the SQL-mirrorable gram family
+    (string_split_regex(lower(text), '\\s+')); short docs collapse to
+    one gram of all tokens, empty docs to none."""
+    toks = [t for t in _WS_RE.split(text.lower()) if t]
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def simhash64_md5(text: str, ngram: int = 2) -> int:
+    """64-bit SimHash over whitespace-split token n-grams with the
+    md5_number_lower gram hash — value-identical to the DuckDB mirror
+    in queries.py (simhash_neardup oracle).  Vectorized: one md5 per
+    gram, then a single (n_grams × 64) bit unpack + column sum."""
+    grams = ws_token_ngrams(text, ngram)
+    if not grams:
+        return 0
+    hs = np.fromiter((md5_hash64(g) for g in grams), dtype=np.uint64, count=len(grams))
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+    out = 0
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
+    return out
+
+
 def shingle_hash_set(text: str, n: int = 4) -> np.ndarray:
     """Sorted unique 31-bit shingle hashes — the wire format for
     near-dup state.  Hashed shingles cut serialized size ~4x vs strings

@@ -60,6 +60,26 @@ def rolling_fingerprints(text: str, window: int = 8, keep_mod: int = 0) -> list[
     return out
 
 
+def md5_window_fingerprints(text: str, window: int = 8) -> list[str]:
+    """Winnowing-style window fingerprints with an SQL-mirrorable hash:
+    md5 hex of every ``window``-token run (tokens = lowercased text split
+    on whitespace runs); docs shorter than ``window`` hash the whole
+    token list.  The rolling polynomial variant above stays for hot
+    paths; this one exists so DuckDB computes the IDENTICAL value
+    (md5(array_to_string(tk[j:j+window-1], ' '))) and the fingerprint
+    operator gets a real oracle."""
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    if not toks:
+        return []
+    if len(toks) < window:
+        runs = [toks]
+    else:
+        runs = [toks[i : i + window] for i in range(len(toks) - window + 1)]
+    import hashlib as _hl
+
+    return [_hl.md5(" ".join(r).encode("utf-8")).hexdigest() for r in runs]
+
+
 def quality_features(text: str) -> dict:
     """Quality-scoring features (length / punctuation / stopword ratios)
     — the large-scale analog of the reference's 10-dim leaf features

@@ -264,6 +264,10 @@ class FetchEnrichWorker:
         starts = np.cumsum(counts) - counts
         within = np.arange(len(src_idx)) - np.repeat(starts, counts)
         rank = full.column("wave_rank").to_numpy(zero_copy_only=False)[src_idx]
+        # the packed key gives the within-document index 24 bits; a page
+        # yielding ≥2^24 links would silently bleed into the next rank's
+        # key space and corrupt first-wins ordering — fail loudly instead
+        assert counts.max() < (1 << 24), f"page link count {counts.max()} overflows 24-bit prio"
         prio = rank.astype(np.int64) * (1 << 24) + within
         cand = pa.table(
             {

@@ -51,10 +51,19 @@ def prepare_training_data(
         fps = [textstats.fingerprint(x) for x in out[text_col].to_pylist()]
         return out.append_column("fp", pa.array(fps, type=pa.string()))
 
-    quality = docs_ds.map_batches(prep, batch_format="pyarrow")
+    # one fingerprint pass over the corpus, reused by the dedup shuffle
+    # AND the survivor filter
+    quality = docs_ds.map_batches(prep, batch_format="pyarrow").materialize()
 
-    # exact dedup: first-wins (min id) per fingerprint, one bucketed
-    # shuffle — vectorized keep-first per fp inside each bucket
+    # exact dedup: first-wins (min id) per fingerprint.  The all-to-all
+    # shuffles ONLY (fp, doc_id) — never the text column (r2 verdict:
+    # shuffling full text to pick winners made text bytes dominate the
+    # exchange at scale).  Each bucket emits its LOSER ids (duplicates
+    # past the first), which are anti-filtered out of the original
+    # dataset; the loser set is ≤ the duplicate volume, far below
+    # corpus size for realistic dup rates, so a driver broadcast is the
+    # scale path — past ``drop_broadcast_limit`` the same semi-filter
+    # runs as a distributed hash join on doc_id instead.
     import pandas as pd
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -63,16 +72,62 @@ def prepare_training_data(
         df["__b"] = (h % 32).astype("int32")
         return df
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["fp", id_col], kind="stable")
-        return g[~g["fp"].duplicated(keep="first")].drop(columns="__b")
+        return g[g["fp"].duplicated(keep="first")][[id_col]]
 
-    deduped = (
-        quality.map_batches(add_bucket, batch_format="pandas")
+    slim = quality.map_batches(
+        lambda t: t.select([id_col, "fp"]), batch_format="pyarrow"
+    )
+    losers = (
+        slim.map_batches(add_bucket, batch_format="pandas")
         .groupby("__b")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(losers_in_bucket, batch_format="pandas")
         .materialize()
     )
+    DROP_BROADCAST_LIMIT = 5_000_000
+    n_losers = losers.count()
+    if n_losers <= DROP_BROADCAST_LIMIT:
+        loser_ids = (
+            np.sort(losers.to_pandas()[id_col].to_numpy())
+            if n_losers
+            else np.zeros(0, dtype=np.int64)
+        )
+        lref = ray.put(loser_ids)
+
+        class AntiLosers:
+            def __init__(self):
+                self.drop = ray.get(lref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if not len(self.drop):
+                    return t
+                k = t[id_col].to_numpy()
+                idx = np.clip(np.searchsorted(self.drop, k), 0, len(self.drop) - 1)
+                return t.filter(pa.array(self.drop[idx] != k))
+
+        deduped = quality.map_batches(
+            AntiLosers, batch_format="pyarrow", concurrency=2
+        ).materialize()
+    else:
+        # join regime: winners (min id per fp) semi-join the corpus —
+        # no id set ever materializes on the driver
+        def winners_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["fp", id_col], kind="stable")
+            return g[~g["fp"].duplicated(keep="first")][[id_col]]
+
+        winners = (
+            slim.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(winners_in_bucket, batch_format="pandas")
+            .map_batches(
+                lambda t: t.rename_columns(["__w"]), batch_format="pyarrow"
+            )
+        )
+        deduped = quality.join(
+            winners, join_type="inner", num_partitions=32,
+            on=(id_col,), right_on=("__w",),
+        ).materialize()
 
     # near-dup removal on the exact-deduped survivors: LSH candidates →
     # exact-Jaccard verify → drop the LARGER id of each verified pair
@@ -96,21 +151,33 @@ def prepare_training_data(
             hit = self.drop[idx] == k
             return t.filter(pa.array(~hit)).select([id_col, text_col, "ntok"])
 
-    kept = deduped.map_batches(DropDups, batch_format="pyarrow", concurrency=2)
+    # materialize ONCE: the stats pass and the caller's consumption both
+    # read these blocks (previously out_dir=None re-executed the whole
+    # filter/dedup lineage for each consumer)
+    kept = deduped.map_batches(
+        DropDups, batch_format="pyarrow", concurrency=2
+    ).materialize()
 
     if out_dir is not None:
         import json
         import os
         import shutil
 
-        kept = kept.materialize()
         # idempotent restart: a _SUCCESS marker recording the filter
-        # params gates the skip — a crashed partial write (no marker)
-        # or a rerun with different params wipes and rewrites
+        # params AND an input fingerprint gates the skip — a crashed
+        # partial write (no marker), a rerun with different params, or
+        # a rerun against a DIFFERENT input wipes and rewrites (without
+        # the input identity, stale kept/ parquet could disagree with
+        # stats computed from a new input)
         params = {
             "min_tokens": min_tokens,
             "max_tokens": max_tokens,
             "neardup_threshold": neardup_threshold,
+            "input_rows": quality.count(),
+            "input_ids_lo_hi": [
+                int(deduped.min(id_col)) if deduped.count() else 0,
+                int(deduped.max(id_col)) if deduped.count() else 0,
+            ],
         }
         marker = os.path.join(out_dir, "_SUCCESS")
         done = False

@@ -137,8 +137,9 @@ def trace_link_maps(
         batch_size=128,
         concurrency=2,
     )
-    for row in ds.to_arrow_refs():
-        tbl = ray.get(row)
+    # ONE batched ray.get: per-ref gets in a loop pay an owner-lookup
+    # RPC each (seconds at 100+ worker-owned refs)
+    for tbl in ray.get(ds.to_arrow_refs()):
         for s, u, xp, tx, ps in zip(
             tbl["src"].to_pylist(), tbl["url"].to_pylist(), tbl["xpath"].to_pylist(),
             tbl["text"].to_pylist(), tbl["xpath_pos"].to_pylist(),

@@ -451,6 +451,12 @@ def rollup_revenue(sf_dir: str):
         .aggregate(Sum("price_c_sum", alias_name="c"), Sum("partial_n", alias_name="n"))
         .to_pandas()  # finest grain: |status|×|priority| rows — tiny
     )
+    # 'ALL' is the rollup subtotal sentinel: safe for TPC-H-shaped
+    # status/priority domains, asserted absent so a data value equal to
+    # the sentinel can never masquerade as a subtotal row
+    assert "ALL" not in set(fine["status"]) | set(fine["priority"]), (
+        "rollup sentinel 'ALL' collides with a data value"
+    )
     mid = fine.groupby("status", as_index=False)[["n", "c"]].sum()
     mid["priority"] = "ALL"
     total = pd.DataFrame(
@@ -1620,24 +1626,115 @@ def training_data_prep(sf_dir: str):
 
 @register(
     "simhash_neardup",
-    None,
-    doc="SimHash near-dup sweep (64-bit, token bigrams) with the "
-    "pigeonhole 4×16-bit chunk trick for guaranteed-recall candidate "
-    "generation at hamming ≤ 3 — rows-only (DuckDB cannot mirror "
-    "the hash); correctness asserted in tests against brute force.",
+    _AUG_SQL
+    + r""",
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM aug),
+    grams AS (
+      SELECT DISTINCT doc_id, tk[j] || ' ' || tk[j+1] AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(j)
+      WHERE len(tk) >= 2
+      UNION
+      SELECT doc_id, tk[1] AS g FROM toks WHERE len(tk) = 1),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             sum(CASE WHEN (md5_number_lower(g) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM grams, unnest(generate_series(0, 63)) AS b(b)
+      GROUP BY doc_id, b.b),
+    sim0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN (CAST(1 AS HUGEINT) << bit) ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM bits GROUP BY doc_id),
+    allsim AS (
+      SELECT a.doc_id, CAST(coalesce(s.h, 0) AS UBIGINT) AS h
+      FROM aug a LEFT JOIN sim0 s ON s.doc_id = a.doc_id),
+    chunks AS (
+      SELECT doc_id, c.ci AS ci, CAST((h >> (16 * c.ci)) & 65535 AS INTEGER) AS cv
+      FROM allsim, unnest(generate_series(0, 3)) AS c(ci)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+      FROM cand JOIN allsim sa ON sa.doc_id = cand.doc_a
+                JOIN allsim sb ON sb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+    doc="SimHash near-dup sweep (64-bit, whitespace-token bigrams, "
+    "md5_number_lower gram hash) with the pigeonhole 4×16-bit chunk "
+    "trick for guaranteed-recall candidates at hamming ≤ 3.  "
+    "ORACLE-CHECKED: the gram hash is DuckDB's md5_number_lower "
+    "(shingles.md5_hash64, byte-order verified), so the SQL computes "
+    "the bit-identical simhash, the same chunk-equality candidate set "
+    "(recall is exact by pigeonhole on both sides), and the same "
+    "Hamming verdicts.  The reference-normalized blake2b variant "
+    "(shingles.simhash64) remains the crawl-side default, "
+    "brute-force-checked in tests.",
 )
 def simhash_neardup(sf_dir: str):
+    from crawler_ray.functions.shingles import simhash64_md5
     from crawler_ray.stages.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_augmented_docs(sf_dir), max_hamming=3)
+    return simhash_neardup_pairs(
+        _augmented_docs(sf_dir), max_hamming=3, simhash_fn=simhash64_md5
+    )
 
+
+_LANGID_PROF_VALUES = ", ".join(
+    f"('{lang}', {prio}, '{bg}')"
+    for prio, (lang, prof) in enumerate(
+        [(l, p) for l, p in textstats._LANG_PROFILES.items() if p]
+    )
+    for bg in prof
+)
 
 @register(
     "langid_heuristic",
-    None,
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_matches(substr(text, 1, 400), '[一-鿿]') AS cjk,
+             regexp_replace(substr(lower(text), 1, 1000), '[^a-z ]', '', 'g') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, substr(t, j, 2) AS b
+      FROM base, unnest(generate_series(1, len(t) - 1)) AS s(j)
+      WHERE NOT cjk AND strpos(substr(t, j, 2), ' ') = 0),
+    cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+    top AS (
+      SELECT doc_id, b FROM (
+        SELECT doc_id, b,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, b) AS rk
+        FROM cnt) WHERE rk <= 20),
+    prof(lang, prio, b) AS (VALUES {_LANGID_PROF_VALUES}),
+    langs AS (SELECT DISTINCT lang, prio FROM prof),
+    score AS (
+      SELECT d.doc_id, l.lang, l.prio, count(t2.b) AS s
+      FROM base d CROSS JOIN langs l
+      LEFT JOIN prof p ON p.lang = l.lang
+      LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.b = p.b
+      WHERE NOT d.cjk
+      GROUP BY d.doc_id, l.lang, l.prio),
+    best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, prio) AS rk
+        FROM score) WHERE rk = 1),
+    pred AS (
+      SELECT doc_id, 'zh' AS pred_lang FROM base WHERE cjk
+      UNION ALL
+      SELECT doc_id, lang AS pred_lang FROM best)
+    SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang
+    """,
     doc="Language-ID heuristic (char-bigram profiles + CJK codepoint "
-    "check) over the text column → predicted-language histogram. "
-    "Rows-only: the heuristic has no SQL mirror.",
+    "check, functions/textstats.py:96) over the text column → "
+    "predicted-language histogram.  ORACLE-CHECKED: the heuristic is "
+    "pure string arithmetic, mirrored exactly in SQL (same 1000-char "
+    "prefix, same top-20 tie-break on (count desc, bigram asc), same "
+    "profile-priority argmax en<es<fr<de).",
 )
 def langid_heuristic(sf_dir: str):
     from ray.data.aggregate import Count
@@ -1656,21 +1753,38 @@ def langid_heuristic(sf_dir: str):
 
 @register(
     "rolling_fingerprints",
-    None,
-    doc="Winnowing-style rolling-hash document fingerprints (8-token "
-    "windows) → distinct fingerprint count per source.  Rows-only.",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    wins AS (
+      SELECT source, md5(array_to_string(tk[j:j+7], ' ')) AS fp
+      FROM toks, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS s(j)
+      WHERE len(tk) >= 1),
+    kept AS (SELECT DISTINCT source, fp FROM wins WHERE substr(fp, 32, 1) = '0')
+    SELECT source, count(*) AS n_fingerprints FROM kept GROUP BY source
+    """,
+    doc="Winnowing-style window document fingerprints (8-token windows, "
+    "md5 window hash, keep ≡0 mod 16 sparse sketch) → distinct kept "
+    "fingerprint count per source.  ORACLE-CHECKED: the window hash is "
+    "md5 of the space-joined run (textstats.md5_window_fingerprints), "
+    "which DuckDB computes verbatim; the fast rolling-polynomial "
+    "variant (textstats.rolling_fingerprints) remains for hot paths "
+    "and is pytest-equivalence-checked on the keep-set semantics.",
 )
 def rolling_fingerprints_q(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     def fp(t: pa.Table) -> pa.Table:
         srcs, fps = [], []
         for s, x in zip(t["source"].to_pylist(), t["text"].to_pylist()):
-            for h in set(textstats.rolling_fingerprints(x, window=8, keep_mod=4)):
-                srcs.append(s)
-                fps.append(h % (1 << 63))
+            for h in set(textstats.md5_window_fingerprints(x, window=8)):
+                if h.endswith("0"):  # low-nibble-zero sparse sketch (mod 16)
+                    srcs.append(s)
+                    fps.append(h)
         return pa.table(
-            {"source": pa.array(srcs), "fp": pa.array(fps, type=pa.int64())}
+            {"source": pa.array(srcs), "fp": pa.array(fps, type=pa.string())}
         )
 
     pairs = (
@@ -1684,23 +1798,61 @@ def rolling_fingerprints_q(sf_dir: str):
 
 @register(
     "ann_ivf_topk",
-    None,
-    doc="IVF approximate nearest neighbour: k-means-lite coarse "
-    "quantizer, vectors bucketed by centroid (one shuffle), queries "
-    "probe nprobe=4 buckets.  Rows-only; recall vs brute force is "
-    "asserted in tests.",
+    """
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM embeddings),
+    cents AS (SELECT rn AS cid, embedding FROM ranked WHERE rn < 8),
+    qs    AS (SELECT rn AS qid, embedding FROM ranked WHERE rn < 5),
+    assign AS (
+      SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.cid AS bucket,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+                          c.cid) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.cid) AS rk
+        FROM qs q CROSS JOIN cents c) WHERE rk <= 4),
+    topk AS (
+      SELECT p.qid AS query_id, a.vec_id,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        a.vec_id) AS rank
+      FROM probe p
+      JOIN assign a ON a.bucket = p.cid
+      JOIN qs q ON q.qid = p.qid
+      JOIN embeddings e ON e.vec_id = a.vec_id)
+    SELECT query_id, vec_id, rank FROM topk WHERE rank <= 10
+    """,
+    doc="IVF approximate nearest neighbour CONTRACT, oracle-checked: "
+    "vectors bucketed by nearest centroid (one shuffle, "
+    "stages/ann.py ivf_bucket), queries probe the nprobe=4 nearest "
+    "buckets, exact top-k within probed cells.  Centroids here are the "
+    "deterministic seed set (first 8 vectors by vec_id) so DuckDB can "
+    "derive the identical quantizer; the k-means-trained path "
+    "(train_centroids) keeps its recall-vs-brute-force pytest.  Ranks "
+    "are FP-stable per the ann_cosine_topk margin argument (adjacent "
+    "cosines ≥3e-4 apart vs ≤2e-7 engine disagreement).",
 )
 def ann_ivf_topk(sf_dir: str):
     import numpy as np
 
-    from crawler_ray.stages.ann import ivf_bucket, ivf_topk, train_centroids
+    from crawler_ray.stages.ann import ivf_bucket, ivf_topk
 
-    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = emb["vec_id"].to_numpy()
-    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
-    qsel = np.argsort(ids)[:5]
-    queries = mat[qsel]
-    cents = train_centroids(mat[: min(2000, len(mat))], n_centroids=8, seed=0)
+    head = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(8)
+        .to_pandas()
+    )
+    cents = np.array(head["embedding"].to_list(), dtype=np.float64)
+    queries = cents[:5]
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     bucketed = ivf_bucket(ds, cents)
     out = ivf_topk(bucketed, cents, queries, k=10, nprobe=4)
@@ -1709,12 +1861,60 @@ def ann_ivf_topk(sf_dir: str):
 
 @register(
     "crawl_bfs",
-    None,
+    """
+    WITH RECURSIVE docs AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    pages AS (
+      SELECT source, doc_id, rk, n,
+             'http://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             (rk % 5 = 0) AS is_index
+      FROM docs),
+    tgt AS (
+      SELECT p.source, p.rk AS src, (p.rk * 131 + t.j * 17 + 7) % p.n AS dst
+      FROM pages p, unnest(generate_series(0, 7)) AS t(j)
+      WHERE p.is_index),
+    edges AS (
+      SELECT source, rk AS src, CAST(0 AS BIGINT) AS dst FROM pages
+      UNION ALL
+      SELECT source, src, dst FROM tgt
+      UNION ALL
+      SELECT source, rk AS src, rk + 5 AS dst FROM pages WHERE is_index AND rk + 5 < n),
+    bfs AS (
+      SELECT source, CAST(0 AS BIGINT) AS rk, 0 AS depth FROM pages WHERE rk = 0
+      UNION
+      SELECT e.source, e.dst, b.depth + 1
+      FROM bfs b JOIN edges e ON e.source = b.source AND e.src = b.rk
+      WHERE b.depth < (SELECT count(*) FROM documents)),
+    reach AS (SELECT source, rk, min(depth) AS depth FROM bfs GROUP BY source, rk),
+    cdist AS (SELECT source, src AS rk, count(DISTINCT dst) AS c FROM tgt GROUP BY source, src)
+    SELECT p.url,
+           CAST(r.depth AS INTEGER) AS depth,
+           'ok' AS status,
+           CASE WHEN p.is_index THEN coalesce(cd.c, 0) <= 3 ELSE TRUE END AS is_leaf,
+           CAST(CASE WHEN p.is_index
+                     THEN 9 + CASE WHEN p.rk + 5 < p.n THEN 1 ELSE 0 END
+                     ELSE 1 END AS INTEGER) AS n_links
+    FROM reach r
+    JOIN pages p ON p.source = r.source AND p.rk = r.rk
+    LEFT JOIN cdist cd ON cd.source = p.source AND cd.rk = p.rk
+    """,
     doc="The flagship BSP crawl (frontier + sharded URL-seen + "
     "politeness + robots + near-dup) over the site graph derived "
     "deterministically from the documents table; returns the crawl "
-    "trace.  Rows-only — conformance vs the sequential oracle is "
-    "asserted exhaustively in tests/test_crawl_conformance.py.",
+    "trace.  ORACLE-CHECKED: synth.derive_from_documents is pure "
+    "arithmetic over (source, doc_id-rank) — per-source rank rk, "
+    "index pages at rk%5==0 linking Home→rk0, 8 targets "
+    "(rk*131+j*17+7)%n and a pager rk+5 — so DuckDB rebuilds the "
+    "same edge set, a bounded recursive-CTE BFS reproduces the "
+    "wave-level depths (depth-then-discovery frontier ≡ BFS at "
+    "wave_size=None), is_leaf mirrors the extractor's "
+    "max-distinct-href-group ≤ 3 richness rule, and n_links the raw "
+    "extract_links count.  Per-URL ORDER conformance (not just the "
+    "depth partial order) is asserted separately in "
+    "tests/test_crawl_conformance.py.",
 )
 def crawl_bfs(sf_dir: str):
     from crawler_ray import synth

@@ -659,17 +659,24 @@ def verify_jaccard_pairs(pairs, id_to_grams: dict, threshold: float):
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
-def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2):
+def simhash_neardup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2, simhash_fn=None):
     """SimHash near-dup sweep with the pigeonhole chunk trick: split the
     64-bit hash into 4 × 16-bit chunks — any pair within hamming ≤ 3
     must agree exactly on ≥ 1 chunk, so groupby(chunk_id, chunk_value)
-    generates candidates with guaranteed recall; exact hamming verifies."""
+    generates candidates with guaranteed recall; exact hamming verifies.
+
+    ``simhash_fn(text, ngram) -> int`` overrides the hash family: the
+    default is the reference-normalized blake2b variant
+    (shingles.simhash64); the oracle-checked query passes
+    ``shingles.simhash64_md5`` (DuckDB-mirrorable)."""
     import pandas as pd
+
+    hash_fn = simhash_fn or shingles.simhash64
 
     def sim_rows(t: pa.Table) -> pa.Table:
         ids, chunk_ids, chunk_vals, full = [], [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            h = shingles.simhash64(txt, ngram)
+            h = hash_fn(txt, ngram)
             for ci in range(4):
                 ids.append(did)
                 chunk_ids.append(ci)
