@@ -53,6 +53,11 @@ from ..state.checkpoint import CheckpointStore
 @dataclass
 class CrawlConfig:
     wave_size: int | None = None          # None = whole frontier (BFS level)
+    # "bfs" (depth-then-discovery priority) or "random" — the
+    # reference's crawl-random head-or-tail seeded dequeue
+    # (crawl.clj:781-801, utils/random-dequeue utils.clj:35-43)
+    mode: str = "bfs"
+    random_seed: int = 0
     num_leaves: int = 10**9
     budget: int = 10**9
     n_seen_shards: int = 4
@@ -63,6 +68,7 @@ class CrawlConfig:
     fetch_cache_size: int = 0   # per-actor document LRU (0 = off)
     politeness_ms: int = 0
     n_politeness_shards: int = 2
+    n_cookie_shards: int = 2
     minhash_perms: int = 64
     lsh_bands: int = 16
     neardup_threshold: float = 0.9
@@ -201,8 +207,8 @@ class FetchEnrichWorker:
     The driver sees just a small meta table (url/status/counters) per
     chunk plus the frontier winners."""
 
-    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None, cache_size=0):
-        self.fetcher = Fetcher(graph_ref, politeness, interval_ms, cache_size=cache_size)
+    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None, cache_size=0, cookie_shards=None):
+        self.fetcher = Fetcher(graph_ref, politeness, interval_ms, cache_size=cache_size, cookie_shards=cookie_shards)
         self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn, extract_fn)
         self._corpus_cache: dict[tuple[int, int], pa.Table] = {}
 
@@ -241,9 +247,11 @@ class FetchEnrichWorker:
 
     def _offer_links(self, full: pa.Table, ctx: dict):
         """Explode the chunk's link lists (vectorized), key each link
-        with the global first-wins priority (wave_rank × doc link
-        order), chunk-local dedup, and offer per-owner-shard tables to
-        the URL-seen shards.  Returns (ack futures, raw link count)."""
+        with the global first-wins priority — parent discovery_seq ×
+        2^24 + within-document link order, totally ordered across the
+        wave as (candidate depth, prio) without any driver-assigned
+        wave rank — chunk-local dedup, and offer per-owner-shard tables
+        to the URL-seen shards.  Returns (ack futures, raw link count)."""
         from ..stages.seen import LINK_CANDIDATE_SCHEMA, shard_route
 
         statuses = full.column("status").combine_chunks()
@@ -263,25 +271,27 @@ class FetchEnrichWorker:
         src_idx = np.repeat(keep_rows, counts)
         starts = np.cumsum(counts) - counts
         within = np.arange(len(src_idx)) - np.repeat(starts, counts)
-        rank = full.column("wave_rank").to_numpy(zero_copy_only=False)[src_idx]
+        pseq = full.column("discovery_seq").to_numpy(zero_copy_only=False)[src_idx]
         # the packed key gives the within-document index 24 bits; a page
-        # yielding ≥2^24 links would silently bleed into the next rank's
+        # yielding ≥2^24 links would silently bleed into the next seq's
         # key space and corrupt first-wins ordering — fail loudly instead
         assert counts.max() < (1 << 24), f"page link count {counts.max()} overflows 24-bit prio"
-        prio = rank.astype(np.int64) * (1 << 24) + within
+        assert pseq.max() < (1 << 39), "discovery_seq overflows the packed prio key"
+        prio = pseq.astype(np.int64) * (1 << 24) + within
+        cand_depth = (
+            full.column("depth").to_numpy(zero_copy_only=False)[src_idx] + 1
+        ).astype(np.int32)
         cand = pa.table(
             {
                 "url": flat.field("url"),
                 "xpath": flat.field("xpath"),
                 "src_url": pc.take(full.column("url"), pa.array(src_idx)),
-                "depth": pa.array(
-                    (full.column("depth").to_numpy(zero_copy_only=False)[src_idx] + 1).astype(np.int32)
-                ),
+                "depth": pa.array(cand_depth),
                 "prio": pa.array(prio, type=pa.int64()),
             },
             schema=LINK_CANDIDATE_SCHEMA,
         )
-        order = np.argsort(prio, kind="stable")
+        order = np.lexsort((prio, cand_depth))
         cand = cand.take(pa.array(order))
         import pandas as pd
 
@@ -316,14 +326,24 @@ class FetchEnrichWorker:
         return total
 
 
-def make_workers(graph_ref, cfg: CrawlConfig, politeness=None):
+def make_workers(graph_ref, cfg: CrawlConfig, politeness=None, cookie_shards=None):
     """Create the persistent fetch+enrich pool (separable so benchmarks
-    can warm the pool before timing the crawl proper)."""
+    can warm the pool before timing the crawl proper).  A shared
+    CookieStore (sharded) is created unless supplied, so session
+    continuity spans the whole pool like the reference's global cookie
+    jar (utils.clj:197)."""
+    from ..stages.fetch import CookieStore
+
+    if cookie_shards is None:
+        cookie_shards = [
+            CookieStore.options(num_cpus=0).remote()
+            for _ in range(cfg.n_cookie_shards)
+        ]
     return [
         FetchEnrichWorker.remote(
             graph_ref, politeness or [], cfg.politeness_ms, cfg.minhash_perms,
             cfg.blacklist, cfg.checkpoint_dir is not None, cfg.leaf_fn, cfg.extract_fn,
-            cfg.fetch_cache_size,
+            cfg.fetch_cache_size, cookie_shards,
         )
         for _ in range(cfg.fetch_concurrency)
     ]
@@ -362,15 +382,22 @@ def crawl(
         "consecutive_dups": 0,
     }
 
+    # The frontier lives IN the seen shards (round-3 north-rule change):
+    # rows are born at commit time in their owner shard, bucketed by
+    # depth, and leave as plasma chunk refs straight to the fetch
+    # workers.  The driver tracks only a row COUNT plus per-round int
+    # key arrays — flat memory w.r.t. frontier size.
     if resume and ckpt is not None and ckpt.latest_round() is not None:
         state = ckpt.load(seen, neardup)
-        frontier = state["frontier"]
+        # one-time re-route of the checkpointed frontier into the shards
+        # (the only moment resume touches frontier rows centrally)
+        frontier_total = seen.add_frontier_routed(state["frontier"])
         next_seq = state["next_seq"]
         step = state["step"]
         metrics.update(state["metrics"])
         start_round = state["round"] + 1
     else:
-        frontier = pa.Table.from_pylist(
+        seed_rows = pa.Table.from_pylist(
             [
                 {
                     "url": s, "host": url_host(s), "depth": 0, "discovery_seq": i,
@@ -380,14 +407,19 @@ def crawl(
             ],
             schema=_frontier_schema(),
         )
+        frontier_total = seen.add_frontier_routed(seed_rows)
         seen.test_and_set(seeds)
         next_seq = len(seeds)
         step = 0
         start_round = 0
 
+    import random as _random
+
+    rng_random = _random.Random(cfg.random_seed) if cfg.mode == "random" else None
+
     pending_nd: list = []
     for rnd in range(start_round, cfg.max_rounds):
-        if frontier.num_rows == 0:
+        if frontier_total == 0:
             break
         if metrics["leaves"] >= cfg.num_leaves or step >= cfg.budget:
             break
@@ -396,36 +428,68 @@ def crawl(
 
         _prof = os.environ.get("CRAWL_PROFILE")
         _t = time.time()
-        # ---- wave selection: (depth, discovery_seq) priority ----------
-        order = np.lexsort(
-            (frontier.column("discovery_seq").to_numpy(), frontier.column("depth").to_numpy())
-        )
-        wave_n = frontier.num_rows if cfg.wave_size is None else min(cfg.wave_size, frontier.num_rows)
-        wave_n = min(wave_n, cfg.budget - step)
-        wave = frontier.take(pa.array(order[:wave_n]))
-        rest = frontier.take(pa.array(order[wave_n:]))
-        # global first-wins rank: the row's position in wave priority
-        # order — workers key every exploded link with it, so the seen
-        # shards' commit is deterministic no matter how chunk RPCs race.
-        wave = wave.append_column(
-            "wave_rank", pa.array(np.arange(wave.num_rows), type=pa.int64())
-        )
+        # ---- wave selection ------------------------------------------
+        # BFS: (depth, discovery_seq) priority — the driver picks a
+        # packed (depth, seq) CUTOFF from per-shard int key arrays; the
+        # shards pop their own rows and put chunk tables straight into
+        # plasma (no frontier rows on the driver).
+        # Random: the reference's crawl-random seeded head-or-tail
+        # dequeue — the queue is always seq-sorted, so head ≡ min seq
+        # and tail ≡ max seq across the shard frontiers.
+        if rng_random is not None:
+            bounds = [
+                b for b in ray.get([s.seq_bounds.remote() for s in seen.shards]) if b
+            ]
+            target = (
+                min(b[0] for b in bounds)
+                if rng_random.random() < 0.5
+                else max(b[1] for b in bounds)
+            )
+            rows = [
+                r for r in ray.get([s.pop_seq.remote(target) for s in seen.shards])
+                if r is not None
+            ]
+            assert len(rows) == 1, target
+            chunk_refs, popped = rows, 1
+            chunk_n = 1
+            frontier_total -= 1
+        else:
+            wave_n = frontier_total if cfg.wave_size is None else min(cfg.wave_size, frontier_total)
+            wave_n = min(wave_n, cfg.budget - step)
+            if wave_n <= 0:
+                break
+            cutoff = None if wave_n >= frontier_total else seen.peek_cutoff(wave_n)
+            # adaptive chunking: ~3 chunks per worker for load balance,
+            # but never tiny chunks (RPC overhead) nor giant ones
+            # (stragglers)
+            chunk_n = int(np.clip(wave_n // (3 * len(workers)) + 1, 8, 512))
+            chunk_refs, popped = seen.pop_wave(cutoff, chunk_n)
+            assert popped == wave_n, (popped, wave_n)
+            frontier_total -= popped
 
         # ---- fetch + enrich (the distributed part of the round) -------
-        # adaptive chunking: ~3 chunks per worker for load balance, but
-        # never tiny chunks (RPC overhead) nor giant ones (stragglers).
-        # Under politeness, group the wave by salted host partition first
+        # Under politeness, group the wave by salted host partition
         # (state/frontier.py): a host's URLs stay chunk-local (one clock
         # reserve per chunk) while hot hosts are salted across chunks.
-        host_grouped = cfg.politeness_ms > 0 and wave.num_rows > 1
+        # Polite waves are rate-bound (small by construction), so the
+        # driver-side gather this grouping needs is the documented
+        # small-wave mode; the throughput path passes shard plasma refs
+        # straight through.
+        host_grouped = cfg.politeness_ms > 0 and popped > 1
         if host_grouped:
             from ..state.frontier import partition_frontier
 
+            wave = pa.concat_tables(ray.get(chunk_refs), promote_options="default")
+            order = np.lexsort(
+                (wave.column("discovery_seq").to_numpy(), wave.column("depth").to_numpy())
+            )
+            wave = wave.take(pa.array(order))
             wp = partition_frontier(wave, n_partitions=max(8, len(workers) * 2))
             order2 = np.argsort(wp.column("partition").to_numpy(), kind="stable")
             wave = wave.take(pa.array(order2))
-        chunk_n = int(np.clip(wave.num_rows // (3 * len(workers)) + 1, 8, 512))
-        chunks = [wave.slice(o, chunk_n) for o in range(0, wave.num_rows, chunk_n)]
+            chunks = [wave.slice(o, chunk_n) for o in range(0, wave.num_rows, chunk_n)]
+        else:
+            chunks = chunk_refs
         ctx_base = {"seen_shards": seen.shards, "round": rnd if ckpt is not None else None}
         futs = [
             workers[i % len(workers)].process.remote(c, {**ctx_base, "chunk_idx": i})
@@ -444,19 +508,19 @@ def crawl(
         if pending_nd:
             _resolve_pending(pending_nd, res, metrics)
         if _prof: print(f"[prof r{rnd}] nd-resolve {time.time()-_t:.2f}s"); _t=time.time()
-        # wave_meta is in (depth, discovery_seq) priority order: the
-        # wave was sorted before chunking, chunks are ordered slices,
-        # ray.get preserves future order, workers preserve row order.
-        # The one exception is politeness mode's host-grouped chunking —
-        # perm restores priority order there (identity otherwise).
-        if host_grouped:
-            perm = np.lexsort(
-                (wave_meta.column("discovery_seq").to_numpy(), wave_meta.column("depth").to_numpy())
-            )
-            trace_meta = wave_meta.take(pa.array(perm))
-        else:
+        # Chunk emission order is per-shard (each shard's chunks are
+        # (depth, seq)-sorted, but shards interleave arbitrarily) — a
+        # per-wave int lexsort restores global priority order for the
+        # trace and the near-dup stream.  perm=None when already sorted
+        # (single shard / wave=1), letting downstream skip the gather.
+        perm = np.lexsort(
+            (wave_meta.column("discovery_seq").to_numpy(), wave_meta.column("depth").to_numpy())
+        )
+        if np.array_equal(perm, np.arange(wave_meta.num_rows)):
             perm = None
             trace_meta = wave_meta
+        else:
+            trace_meta = wave_meta.take(pa.array(perm))
 
         # ---- near-dup marking in crawl order --------------------------
         # Worker-plasma handoff: each chunk's (grams, band_keys) table
@@ -542,33 +606,17 @@ def crawl(
         # global priority) straight to the owner seen shards; the ack
         # barrier guarantees the buffers are complete, then commit runs
         # first-wins dedup + test-and-set IN the shards, in parallel.
-        # The driver only ever touches the winners (new URLs).
+        # Winner ROWS never leave their shard: the driver ranks the
+        # per-shard (depth, prio) int key arrays to assign dense
+        # discovery seqs, and the shards append their own frontier rows
+        # (host computed shard-side).
         metrics["links_seen"] += links_seen_wave
-        fresh_tbl = _empty_frontier()
         if links_seen_wave:
             ray.get(offer_acks)
-            winners = seen.commit_offers()
-            metrics["links_new"] += winners.num_rows
-            if winners.num_rows:
-                urls_new = winners.column("url").to_pylist()
-                fresh_tbl = pa.table(
-                    {
-                        "url": winners.column("url"),
-                        "host": pa.array([url_host(u) for u in urls_new], type=pa.string()),
-                        "depth": winners.column("depth"),
-                        "discovery_seq": pa.array(
-                            np.arange(next_seq, next_seq + winners.num_rows), type=pa.int64()
-                        ),
-                        "src_url": winners.column("src_url"),
-                        "src_xpath": pa.array(
-                            [[x] for x in winners.column("xpath").to_pylist()],
-                            type=pa.list_(pa.string()),
-                        ),
-                    }
-                )
-                next_seq += winners.num_rows
-
-        frontier = pa.concat_tables([rest, fresh_tbl]) if fresh_tbl.num_rows else rest
+            n_new = seen.commit_and_rank(next_seq)
+            metrics["links_new"] += n_new
+            next_seq += n_new
+            frontier_total += n_new
         if _prof: print(f"[prof r{rnd}] links+seen {time.time()-_t:.2f}s"); _t=time.time()
         metrics["rounds"] += 1
 
@@ -589,11 +637,15 @@ def crawl(
             wrote = ray.get(
                 [workers[w].write_corpus.remote(rnd, corpus_dir, fb) for w, fb in by_worker.items()]
             )
+            # shards write their own frontier parts (parallel, driver
+            # sees only the row count)
+            frontier_rows = seen.write_frontier(os.path.join(tmp, "frontier"))
             path = ckpt.finish_round(
-                rnd, frontier, metrics, step, next_seq,
+                rnd, None, metrics, step, next_seq,
                 seen=seen if (rnd % cfg.snapshot_every == 0) else None,
                 neardup=neardup if (rnd % cfg.snapshot_every == 0) else None,
                 corpus_rows=int(sum(wrote)),
+                frontier_rows=frontier_rows,
             )
             res.corpus_paths.append(path)
 
@@ -637,16 +689,9 @@ def _resolve_pending(pending_nd: list, res: CrawlResult, metrics: dict) -> None:
 
 
 def _frontier_schema() -> pa.Schema:
-    return pa.schema(
-        [
-            pa.field("url", pa.string()),
-            pa.field("host", pa.string()),
-            pa.field("depth", pa.int32()),
-            pa.field("discovery_seq", pa.int64()),
-            pa.field("src_url", pa.string()),
-            pa.field("src_xpath", pa.list_(pa.string())),
-        ]
-    )
+    from ..stages.seen import FRONTIER_SCHEMA
+
+    return FRONTIER_SCHEMA
 
 
 def _empty_frontier() -> pa.Table:

@@ -31,7 +31,12 @@ from .. import dom
 from ..extractor import leaf_by_richness, state_action
 from ..functions import shingles
 from ..functions.urlnorm import url_host
-from ..stages.fetch import SYNTH_ROBOTS_DISALLOW
+from ..stages.fetch import (
+    SYNTH_LOGIN_PATH,
+    SYNTH_LOGIN_WALL,
+    SYNTH_ROBOTS_DISALLOW,
+    SYNTH_SESSION_PREFIX,
+)
 
 
 @dataclass
@@ -70,6 +75,7 @@ def crawl_bfs_oracle(
     queued: set[str] = set()
     mh_params = shingles.minhash_params(minhash_perms)
     band_index: dict[int, list[tuple[str, object]]] = {}  # band_key → [(url, shingleset)]
+    jar: set[str] = set()  # hosts with a live session (global cookie jar)
 
     seq = 0
     for s in seeds:
@@ -109,6 +115,15 @@ def crawl_bfs_oracle(
             status = "redirect"
         res.visited.update(chain)
         body = bodies[idx[cur]] if status in ("ok", "redirect") else ""
+        if body:
+            # session convention (stages/fetch.py): /login sets the host
+            # cookie; /account/* without it serves the login wall
+            host = url_host(cur)
+            path = cur.split(host, 1)[-1] if host else cur
+            if path == SYNTH_LOGIN_PATH:
+                jar.add(host)
+            elif path.startswith(SYNTH_SESSION_PREFIX) and host not in jar:
+                body = SYNTH_LOGIN_WALL
 
         # extract + decide
         links, is_leaf, near_dup, n_links = [], False, False, 0

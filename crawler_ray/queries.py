@@ -1355,9 +1355,14 @@ def frontier_discovery(sf_dir: str):
     "op and the pair shuffle at 8 bytes/key.",
 )
 def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+    return _ngram_jaccard_pipeline(docs, dense_vocab_limit=dense_vocab_limit)
+
+
+def _ngram_jaccard_pipeline(docs, dense_vocab_limit: int = 16_384, theta: float = 0.09):
     import ray
 
-    THETA = 0.09
+    THETA = theta
 
     def bigram_hashes(txt: str) -> np.ndarray:
         tk = txt.split(" ")
@@ -1368,8 +1373,6 @@ def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
             (shingles.stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in gs),
             dtype=np.int64, count=len(gs),
         )
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
 
     N_GH_BUCKETS = 64
     N_AGG_BUCKETS = 32
@@ -1410,6 +1413,13 @@ def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
     ids_sorted = sizes_df["doc_id"].to_numpy(dtype=np.int64)
     sz_sorted = sizes_df["sz"].to_numpy(dtype=np.int64)
     assert len(ids_sorted) < (1 << 31), "packed pair keys need rank < 2^31"
+    # documented crossover: the (id, size) broadcast is 16 B/doc —
+    # ~1.6 GB at 10^8 docs, the stated cap; past it, replace this
+    # broadcast with a Dataset.join of pair rows against the sizes
+    # table (same downstream math, one extra shuffle)
+    assert len(ids_sorted) <= 100_000_000, (
+        "doc-size broadcast past its 10^8-doc cap — switch to the join regime"
+    )
     sref = ray.put((ids_sorted, sz_sorted))
 
     # regime dispatch: measure the distinct-gram vocabulary from cheap
@@ -1501,6 +1511,63 @@ def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
     # concurrency=2: an actor pool ≥ session CPUs would starve the
     # upstream sort tasks and deadlock small sessions
     return pair_counts.map_batches(Jaccard, batch_format="pyarrow", concurrency=2)
+
+
+@register(
+    "ngram_jaccard_sparse",
+    """
+    WITH junk AS (
+      SELECT d.doc_id,
+             (SELECT string_agg('w' || CAST((d.doc_id*37 + j*13) % 40000 AS VARCHAR),
+                                ' ' ORDER BY j)
+              FROM unnest(generate_series(0, 59)) s(j)) AS extra
+      FROM documents d),
+    aug AS (
+      SELECT d.doc_id, d.text || ' ' || junk.extra AS text
+      FROM documents d JOIN junk ON junk.doc_id = d.doc_id),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] AS g
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS s(j)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           i/(1.0*(sa.sz + sb.sz - i)) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i/(1.0*(sa.sz + sb.sz - i)) >= 0.09
+    """,
+    doc="The SPARSE-vocabulary regime of the exact n-gram-Jaccard "
+    "similarity join: each document is augmented with 60 deterministic "
+    "pseudo-unique tokens (doc_id*37 + j*13 mod 40000 — mirrored in "
+    "SQL), blowing the distinct-bigram vocabulary past the dense "
+    "bitset cap so the bucketed inverted-index path (pandas self-merge "
+    "per gram bucket → packed-int64 pair counts) is exercised and "
+    "ORACLE-CHECKED; dense dispatch is disabled explicitly.  The "
+    "per-doc size broadcast carries a documented 10^8-doc cap (join "
+    "regime beyond).",
+)
+def ngram_jaccard_sparse(sf_dir: str):
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        out = [
+            x + " " + " ".join(f"w{(did * 37 + j * 13) % 40000}" for j in range(60))
+            for did, x in zip(ids, txts)
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(out)}
+        )
+
+    docs = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(32)
+        .map_batches(aug, batch_format="pyarrow")
+    )
+    return _ngram_jaccard_pipeline(docs, dense_vocab_limit=0)
 
 
 # =====================================================================

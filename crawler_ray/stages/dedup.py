@@ -132,17 +132,14 @@ class NearDupShardActor:
         self.threshold = threshold
         self.index: dict[int, list[np.ndarray]] = {}
 
-    def process_table(self, tbl: pa.Table) -> np.ndarray:
-        """Arrow handoff: tbl(grams:list<u64>, band_keys:list<u64>) in
-        crawl order → bool array (dup detected via a band THIS shard
-        owns).  Flatten/split happens here, in parallel across shards,
-        not on the driver.
+    def _prep(self, tbl: pa.Table):
+        """Zero-copy extraction of per-row gram views + owned band keys.
 
-        Zero-copy discipline: for a single-chunk table (the plasma
-        chunk objects the fetch workers put), the gram views retained
-        in the index alias the SHARED plasma buffer via
-        ``ListArray.values`` — pc.list_flatten would materialize a
-        private copy per shard, multiplying wave memory by n_shards."""
+        For a single-chunk table (the plasma chunk objects the fetch
+        workers put), the gram views retained in the index alias the
+        SHARED plasma buffer via ``ListArray.values`` — pc.list_flatten
+        would materialize a private copy per shard, multiplying wave
+        memory by n_shards."""
         import pyarrow.compute as pc
 
         n_rows = tbl.num_rows
@@ -153,7 +150,6 @@ class NearDupShardActor:
                 gflat = ch.values.to_numpy(zero_copy_only=True)
                 goffs = ch.offsets.to_numpy(zero_copy_only=False)
                 grams_list = [gflat[goffs[i]:goffs[i + 1]] for i in range(n_rows)]
-                glens = np.diff(goffs)
             except pa.ArrowInvalid:  # nulls etc. — fall back to copy path
                 gcol = None
         else:
@@ -172,41 +168,51 @@ class NearDupShardActor:
         rows = np.repeat(np.arange(n_rows), klens)
         own_lens = np.bincount(rows[mask], minlength=n_rows)
         own_keys = np.split(kflat[mask], np.cumsum(own_lens)[:-1]) if n_rows else []
+        return grams_list, own_keys, own_lens
 
+    def _check_insert(self, grams: np.ndarray, mine: list) -> bool:
+        """Check one entry against the index via its owned band keys
+        (in crawl order), then insert it."""
+        dup = False
+        checked = set()
+        for k in mine:
+            for g2 in self.index.get(k, []):
+                gid = id(g2)
+                if gid in checked:
+                    continue
+                checked.add(gid)
+                if shingles.jaccard_hashes(grams, g2) >= self.threshold:
+                    dup = True
+                    break
+            if dup:
+                break
+        for k in mine:
+            self.index.setdefault(k, []).append(grams)
+        return dup
+
+    def process_table(self, tbl: pa.Table) -> np.ndarray:
+        """Arrow handoff: tbl(grams:list<u64>, band_keys:list<u64>) in
+        crawl order → bool array (dup detected via a band THIS shard
+        owns).  Flatten/split happens here, in parallel across shards,
+        not on the driver."""
+        grams_list, own_keys, own_lens = self._prep(tbl)
+        n_rows = tbl.num_rows
         out = np.zeros(n_rows, dtype=bool)
         for i in range(n_rows):
-            if own_lens[i] == 0:
-                continue
-            grams = grams_list[i]
-            mine = own_keys[i].tolist()
-            dup = False
-            checked = set()
-            for k in mine:
-                for g2 in self.index.get(k, []):
-                    gid = id(g2)
-                    if gid in checked:
-                        continue
-                    checked.add(gid)
-                    if shingles.jaccard_hashes(grams, g2) >= self.threshold:
-                        dup = True
-                        break
-                if dup:
-                    break
-            out[i] = dup
-            for k in mine:
-                self.index.setdefault(k, []).append(grams)
+            if own_lens[i]:
+                out[i] = self._check_insert(grams_list[i], own_keys[i].tolist())
         return out
 
     def process_table_refs(self, refs: list, perm=None) -> np.ndarray:
         """Chunked-wave variant: ``refs`` are ObjectRefs of per-chunk
         (grams, band_keys) tables put in plasma BY THE FETCH WORKERS —
-        the grams never pass through the driver.  Chunks are processed
-        in order WITHOUT concatenation: single-chunk plasma tables
-        flatten to zero-copy views, so the index entries of every shard
-        alias ONE shared-memory copy of the wave's grams (see class
-        docstring).  ``perm`` (politeness mode) restores wave priority
-        order — that path concatenates (ordering needs a gather) and is
-        only taken for small polite waves."""
+        the grams never pass through the driver.  Chunks are prepped
+        WITHOUT concatenation (zero-copy views into each chunk's plasma
+        buffer, see ``_prep``); ``perm`` — the wave's global
+        (depth, seq) priority permutation over the chunk-concatenated
+        row order — is honoured by ITERATING rows in perm order across
+        the prepped chunks, so exact crawl-order semantics cost no
+        gather and no private gram copies."""
         to_get = [r for r in refs if not isinstance(r, pa.Table)]
         got = iter(ray.get(to_get)) if to_get else iter(())  # ONE batched get:
         # per-ref gets pay an owner-lookup RPC each (refs are owned by
@@ -214,10 +220,21 @@ class NearDupShardActor:
         tables = [r if isinstance(r, pa.Table) else next(got) for r in refs]
         if not tables:
             return np.zeros(0, dtype=bool)
-        if perm is not None:
-            tbl = pa.concat_tables(tables, promote_options="default")
-            return self.process_table(tbl.take(pa.array(np.asarray(perm))))
-        return np.concatenate([self.process_table(t) for t in tables])
+        if perm is None:
+            return np.concatenate([self.process_table(t) for t in tables])
+        preps = [self._prep(t) for t in tables]
+        sizes = np.array([t.num_rows for t in tables], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        perm = np.asarray(perm, dtype=np.int64)
+        cis = np.searchsorted(offs, perm, side="right") - 1
+        lis = perm - offs[cis]
+        out = np.zeros(len(perm), dtype=bool)
+        for j in range(len(perm)):
+            grams_list, own_keys, own_lens = preps[cis[j]]
+            i = lis[j]
+            if own_lens[i]:
+                out[j] = self._check_insert(grams_list[i], own_keys[i].tolist())
+        return out
 
     def process(self, entries) -> np.ndarray:
         """List-of-tuples variant (tests): [(grams, keys)] in crawl
@@ -504,6 +521,42 @@ def doc_grams_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def pair_intersection_counts(ga: list, gb: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-pair set-intersection counts over serialized
+    sorted-unique uint64 gram buffers: ONE global sort instead of a
+    Python ``np.intersect1d`` loop (r2 verdict item).
+
+    Maps grams to compact vocab codes, packs (pair_id, code) into one
+    int64 key per element, sorts the union, and counts adjacent
+    duplicates — an element appears twice iff both sides of its pair
+    contain it.  Returns (inter, |a|, |b|) arrays."""
+    n = len(ga)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    A = [np.frombuffer(x, dtype=np.uint64) for x in ga]  # zero-copy views
+    B = [np.frombuffer(x, dtype=np.uint64) for x in gb]
+    la = np.array([len(x) for x in A], dtype=np.int64)
+    lb = np.array([len(x) for x in B], dtype=np.int64)
+    flatA = np.concatenate(A) if la.sum() else np.zeros(0, dtype=np.uint64)
+    flatB = np.concatenate(B) if lb.sum() else np.zeros(0, dtype=np.uint64)
+    uni = np.unique(np.concatenate([flatA, flatB]))
+    V = np.int64(max(len(uni), 1))
+    assert n * V < (1 << 62), "pair×vocab key packing overflow"
+    keyA = np.repeat(np.arange(n, dtype=np.int64), la) * V + np.searchsorted(uni, flatA)
+    keyB = np.repeat(np.arange(n, dtype=np.int64), lb) * V + np.searchsorted(uni, flatB)
+    allk = np.concatenate([keyA, keyB])
+    allk.sort(kind="stable")
+    dup = allk[1:] == allk[:-1]
+    inter = np.bincount(allk[1:][dup] // V, minlength=n).astype(np.int64)
+    return inter, la, lb
+
+
+def _pair_jaccard(inter: np.ndarray, sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    denom = sa + sb - inter
+    return np.where(denom > 0, inter / np.maximum(denom, 1), 1.0)
+
+
 def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int = 8, small_limit: int = 20_000):
     """Distributed exact-Jaccard verification: hash-join the candidate
     pairs back to the grams table (both sides Datasets — no driver
@@ -563,36 +616,28 @@ def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int =
         import ray.data as rd
 
         cg = cand_grams.to_pandas()
-        gmap = {i: (g, s) for i, g, s in zip(cg["doc_id"], cg["gb"], cg["sz"])}
-        rows_a, rows_b, rows_j = [], [], []
+        gmap = {i: g for i, g in zip(cg["doc_id"], cg["gb"])}
+        outs = [empty]
         for t in ray.get(pairs.to_arrow_refs()):
             if t.num_rows == 0 or "doc_a" not in t.column_names:
                 continue
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                ga, sa = gmap[a]
-                gb, sb = gmap[b]
-                inter = len(
-                    np.intersect1d(
-                        np.frombuffer(ga, dtype=np.uint64),
-                        np.frombuffer(gb, dtype=np.uint64),
-                        assume_unique=True,
-                    )
-                )
-                denom = sa + sb - inter
-                j = inter / (1.0 * denom) if denom else 1.0
-                if j >= threshold:
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    rows_j.append(j)
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array(rows_a, type=pa.int64()),
-                    "doc_b": pa.array(rows_b, type=pa.int64()),
-                    "jaccard": pa.array(rows_j, type=pa.float64()),
-                }
+            a = t["doc_a"].to_numpy()
+            b = t["doc_b"].to_numpy()
+            inter, sa, sb = pair_intersection_counts(
+                [gmap[x] for x in a], [gmap[x] for x in b]
             )
-        )
+            js = _pair_jaccard(inter, sa, sb)
+            keep = js >= threshold
+            outs.append(
+                pa.table(
+                    {
+                        "doc_a": pa.array(a[keep], type=pa.int64()),
+                        "doc_b": pa.array(b[keep], type=pa.int64()),
+                        "jaccard": pa.array(js[keep], type=pa.float64()),
+                    }
+                )
+            )
+        return rd.from_arrow(pa.concat_tables(outs))
 
     j1 = pairs.join(
         cand_grams, join_type="inner", num_partitions=num_partitions,
@@ -613,21 +658,8 @@ def verify_pairs_joined(pairs, grams_ds, threshold: float, num_partitions: int =
             return empty
         a = t["doc_a"].to_numpy()
         b = t["doc_b"].to_numpy()
-        sa = t["sz_a"].to_numpy()
-        sb = t["sz"].to_numpy()
-        ga = t["gb_a"].to_pylist()
-        gbv = t["gb"].to_pylist()
-        js = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            inter = len(
-                np.intersect1d(
-                    np.frombuffer(ga[i], dtype=np.uint64),
-                    np.frombuffer(gbv[i], dtype=np.uint64),
-                    assume_unique=True,
-                )
-            )
-            denom = int(sa[i]) + int(sb[i]) - inter
-            js[i] = inter / (1.0 * denom) if denom else 1.0
+        inter, sa, sb = pair_intersection_counts(t["gb_a"].to_pylist(), t["gb"].to_pylist())
+        js = _pair_jaccard(inter, sa, sb)
         keep = js >= threshold
         return pa.table(
             {

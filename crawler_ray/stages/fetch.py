@@ -33,6 +33,37 @@ from ..functions.urlnorm import host_hash, url_host
 # The synthetic web's robots payload: every host disallows /private/.
 SYNTH_ROBOTS_DISALLOW = ("/private",)
 
+# Session/cookie convention of the synthetic web (utils.clj:197 global
+# cookie jar, utils/download-with-cookie): fetching /login sets the
+# host's session cookie; /account/* pages serve their real body only to
+# a fetcher presenting that cookie — otherwise they serve the login
+# wall below.  Session continuity therefore CHANGES fetch outcomes,
+# which is what makes the cookie store testable in-sandbox.
+SYNTH_LOGIN_PATH = "/login"
+SYNTH_SESSION_PREFIX = "/account"
+SYNTH_LOGIN_WALL = (
+    "<html>\n<body>\n"
+    '<a class="login-link" href="/login">Log in</a>\n'
+    "</body>\n</html>"
+)
+
+
+@ray.remote
+class CookieStore:
+    """One shard of the shared cookie jar (host-hash sharded like the
+    politeness clocks): the distributed replacement for the reference's
+    single global cookie atom (utils.clj:197).  Fetchers read/write a
+    whole batch's hosts in ONE RPC per shard."""
+
+    def __init__(self):
+        self.jar: dict[str, str] = {}
+
+    def get_many(self, hosts: list[str]) -> dict:
+        return {h: self.jar[h] for h in hosts if h in self.jar}
+
+    def set_many(self, kv: dict) -> None:
+        self.jar.update(kv)
+
 # The reference's politeness budget constants, preserved for
 # conformance-mode runs (BASELINE.md):
 POLITENESS_CRAWL_MS = 1000     # crawl.clj:83, 333, 670, 777
@@ -79,7 +110,7 @@ class Fetcher:
     ``politeness``: list of PolitenessClock handles (host-hash sharded),
     empty → no rate limiting (bench mode)."""
 
-    def __init__(self, graph_ref, politeness=None, interval_ms: int = 0, cache_size: int = 0):
+    def __init__(self, graph_ref, politeness=None, interval_ms: int = 0, cache_size: int = 0, cookie_shards=None):
         # a ref when constructed via map_batches fn_constructor_args (Ray
         # Data pickles it through); already-dereferenced when passed as a
         # plain actor constructor arg (Ray auto-resolves ObjectRefs)
@@ -91,6 +122,10 @@ class Fetcher:
         self.robots = RobotsCache()
         self.politeness = politeness or []
         self.interval_ms = interval_ms
+        # shared cookie jar shards (None → per-actor jar: each fetcher
+        # keeps its own sessions, the documented single-process fallback)
+        self.cookie_shards = cookie_shards or []
+        self._local_jar: dict[str, str] = {}
         # bounded per-actor document LRU (utils.clj:210-227's memoized
         # download cache, made bounded): keyed by FINAL url so every
         # redirect alias shares one entry.  In-sandbox the "network" is
@@ -165,6 +200,29 @@ class Fetcher:
             wait = max(starts) - time.monotonic()
             if wait > 0:
                 time.sleep(wait)
+        # session pre-pass: pull the batch's host cookies in one RPC per
+        # shard, but ONLY when the batch actually touches session pages
+        # (zero overhead on session-free graphs)
+        def _path(u: str) -> str:
+            h = url_host(u)
+            return u.split(h, 1)[-1] if h else u
+
+        overlay: dict[str, str] = {}
+        pending_sets: dict[str, str] = {}
+        if any(_path(u).startswith((SYNTH_LOGIN_PATH, SYNTH_SESSION_PREFIX)) for u in urls):
+            hosts = sorted({url_host(u) for u in urls})
+            if self.cookie_shards:
+                gets = ray.get(
+                    [
+                        self.cookie_shards[host_hash(h, len(self.cookie_shards))].get_many.remote([h])
+                        for h in hosts
+                    ]
+                )
+                for g in gets:
+                    overlay.update(g)
+            else:
+                overlay.update({h: self._local_jar[h] for h in hosts if h in self._local_jar})
+
         status, redirects, bodies = [], [], []
         for u in urls:
             if self.robots.disallowed(u):
@@ -175,7 +233,27 @@ class Fetcher:
             st, final, chain = self._resolve(u, [u])
             status.append(st)
             redirects.append(chain)
-            bodies.append(self._body_for(final) if st in ("ok", "redirect") else "")
+            body = self._body_for(final) if st in ("ok", "redirect") else ""
+            if body:
+                fpath = _path(final)
+                fhost = url_host(final)
+                if fpath == SYNTH_LOGIN_PATH:
+                    # login sets the session cookie (in-batch overlay so
+                    # a later gated URL in the same batch sees it)
+                    overlay[fhost] = pending_sets[fhost] = "session"
+                elif fpath.startswith(SYNTH_SESSION_PREFIX) and fhost not in overlay:
+                    body = SYNTH_LOGIN_WALL  # no session → login wall
+            bodies.append(body)
+        if pending_sets:
+            if self.cookie_shards:
+                ray.get(
+                    [
+                        self.cookie_shards[host_hash(h, len(self.cookie_shards))].set_many.remote({h: v})
+                        for h, v in pending_sets.items()
+                    ]
+                )
+            else:
+                self._local_jar.update(pending_sets)
         out = batch.drop_columns([c for c in ("status", "redirects", "body") if c in batch.column_names])
         out = out.append_column("status", pa.array(status, type=pa.string()))
         out = out.append_column("redirects", pa.array(redirects, type=pa.list_(pa.string())))

@@ -34,7 +34,10 @@ def shard_route(urls: list[str], n: int) -> np.ndarray:
 
 
 # Candidate-link tables offered to a shard carry these columns; prio is
-# the global first-wins key (wave priority order × document link order).
+# the global first-wins key: parent_discovery_seq × 2^24 + within-page
+# link index.  Candidate ordering is lexicographic (depth, prio), which
+# equals the sequential oracle's (parent_depth, parent_seq, link_index)
+# processing order (candidate depth = parent depth + 1, monotone).
 LINK_CANDIDATE_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string()),
@@ -44,6 +47,31 @@ LINK_CANDIDATE_SCHEMA = pa.schema(
         pa.field("prio", pa.int64()),
     ]
 )
+
+# Frontier rows held INSIDE the shards (round-3 north-rule change: a
+# 10^10-URL frontier never lives on, or is sorted by, the driver).
+FRONTIER_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("host", pa.string()),
+        pa.field("depth", pa.int32()),
+        pa.field("discovery_seq", pa.int64()),
+        pa.field("src_url", pa.string()),
+        pa.field("src_xpath", pa.list_(pa.string())),
+    ]
+)
+
+# packed wave-selection key = depth << SEQ_BITS | discovery_seq: lets the
+# driver pick a global (depth, seq) cutoff from per-shard int64 arrays
+SEQ_BITS = 40
+
+
+def pack_keys(depth: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    d = depth.astype(np.int64)
+    s = seq.astype(np.int64)
+    assert (len(d) == 0) or (d.max() < (1 << (62 - SEQ_BITS)) and s.max() < (1 << SEQ_BITS)), \
+        "frontier key packing overflow (depth/seq out of documented bounds)"
+    return (d << SEQ_BITS) | s
 
 
 @ray.remote
@@ -56,6 +84,12 @@ class SeenShard:
         self.filter = BloomFilter(capacity) if kind == "bloom" else CuckooFilter(capacity)
         self.exact = set() if exact_audit else None
         self._offers: list[pa.Table] = []
+        # shard-resident frontier: depth → [seq-sorted tables in append
+        # order] (appends carry monotonically increasing seqs, so each
+        # bucket is fully sorted without ever re-sorting)
+        self._buckets: dict[int, list[pa.Table]] = {}
+        self._fcount = 0
+        self._pending: pa.Table | None = None
 
     # ---- distributed link path (BSP round offer/commit) --------------
     # Workers offer their chunk's candidate links directly (no driver
@@ -70,15 +104,17 @@ class SeenShard:
             self._offers.append(tbl)
         return tbl.num_rows
 
-    def commit(self) -> pa.Table:
-        """Apply all buffered candidates in global priority order:
-        first-wins dedup on url, then test-and-set against the filter;
-        returns the winning NEW rows (still priority-sorted)."""
+    def _commit_winners(self) -> pa.Table:
+        """Shared commit kernel: sort buffered candidates by the global
+        (depth, prio) priority, first-wins dedup on url, test-and-set;
+        returns the winning NEW rows (priority-sorted)."""
         if not self._offers:
             return pa.Table.from_pylist([], schema=LINK_CANDIDATE_SCHEMA)
         t = pa.concat_tables(self._offers, promote_options="default")
         self._offers = []
-        order = np.argsort(t.column("prio").to_numpy(), kind="stable")
+        order = np.lexsort(
+            (t.column("prio").to_numpy(), t.column("depth").to_numpy())
+        )
         t = t.take(pa.array(order))
         import pandas as pd
 
@@ -89,6 +125,192 @@ class SeenShard:
             urls = [u for u, f in zip(urls, first) if f]
         new = self.test_and_set(urls)
         return t.filter(pa.array(new))
+
+    def commit(self) -> pa.Table:
+        """Winners shipped back to the caller (legacy/driver path;
+        the BSP crawl uses commit_keys/finalize_commit so winner ROWS
+        never leave the shard)."""
+        return self._commit_winners()
+
+    # ---- shard-resident frontier (round 3: 10^10-URL north rule) -----
+    # The driver only ever sees integer key arrays and counts; winner
+    # rows are born here (commit), live here (depth buckets), and leave
+    # here as plasma chunk refs straight to the fetch workers.
+
+    def commit_keys(self):
+        """Phase 1 of the round's link commit: run the first-wins
+        commit, hold the winner rows pending seq assignment, and return
+        ONLY their (depth:int32, prio:int64) key arrays — the driver
+        ranks these globally to assign dense discovery seqs without
+        touching a single URL string."""
+        t = self._commit_winners()
+        self._pending = t
+        return (
+            t.column("depth").to_numpy(zero_copy_only=False).astype(np.int32),
+            t.column("prio").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    def finalize_commit(self, seqs: np.ndarray) -> int:
+        """Phase 2: attach the globally-ranked discovery seqs (aligned
+        with commit_keys order), compute host, append to the shard's
+        frontier buckets."""
+        from ..functions.urlnorm import url_host as _host
+
+        t, self._pending = self._pending, None
+        if t is None or t.num_rows == 0:
+            return 0
+        urls = t.column("url").to_pylist()
+        rows = pa.table(
+            {
+                "url": t.column("url"),
+                "host": pa.array([_host(u) for u in urls], type=pa.string()),
+                "depth": t.column("depth"),
+                "discovery_seq": pa.array(np.asarray(seqs, dtype=np.int64), type=pa.int64()),
+                "src_url": t.column("src_url"),
+                "src_xpath": pa.array(
+                    [[x] for x in t.column("xpath").to_pylist()],
+                    type=pa.list_(pa.string()),
+                ),
+            },
+            schema=FRONTIER_SCHEMA,
+        )
+        self._append_frontier(rows, presorted=True)
+        return rows.num_rows
+
+    def _append_frontier(self, rows: pa.Table, presorted: bool = False) -> None:
+        """Split (depth, seq)-sorted rows into per-depth bucket tables."""
+        if rows.num_rows == 0:
+            return
+        d = rows.column("depth").to_numpy(zero_copy_only=False)
+        if not presorted:
+            s = rows.column("discovery_seq").to_numpy(zero_copy_only=False)
+            order = np.lexsort((s, d))
+            if not np.array_equal(order, np.arange(rows.num_rows)):
+                rows = rows.take(pa.array(order))
+                d = rows.column("depth").to_numpy(zero_copy_only=False)
+        uds, first = np.unique(d, return_index=True)
+        bounds = list(first) + [rows.num_rows]
+        for i, depth in enumerate(uds):
+            self._buckets.setdefault(int(depth), []).append(
+                rows.slice(bounds[i], bounds[i + 1] - bounds[i])
+            )
+        self._fcount += rows.num_rows
+
+    def add_frontier(self, rows: pa.Table) -> int:
+        """Seed / resume path: insert arbitrary frontier rows."""
+        self._append_frontier(rows, presorted=False)
+        return rows.num_rows
+
+    def frontier_count(self) -> int:
+        return self._fcount
+
+    def peek_keys(self, k: int) -> np.ndarray:
+        """Packed (depth << SEQ_BITS | seq) keys of this shard's k
+        smallest frontier entries — the driver's wave-cutoff input."""
+        out = []
+        remaining = int(k)
+        for depth in sorted(self._buckets):
+            for t in self._buckets[depth]:
+                s = t.column("discovery_seq").to_numpy(zero_copy_only=False)[:remaining]
+                out.append(pack_keys(np.full(len(s), depth), s))
+                remaining -= len(s)
+                if remaining <= 0:
+                    break
+            if remaining <= 0:
+                break
+        return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+
+    def pop_wave(self, cutoff: int | None, chunk_size: int):
+        """Remove and return this shard's wave rows — every frontier
+        entry with packed key ≤ ``cutoff`` (None = all) — as plasma
+        ObjectRefs of chunk tables in (depth, seq) order.  The rows go
+        shard → plasma → fetch worker; the driver passes refs only."""
+        takes: list[pa.Table] = []
+        for depth in sorted(self._buckets):
+            if cutoff is not None and (depth << SEQ_BITS) > cutoff:
+                break
+            tables = self._buckets[depth]
+            if cutoff is None:
+                takes.extend(tables)
+                self._fcount -= sum(t.num_rows for t in tables)
+                del self._buckets[depth]
+                continue
+            seq_limit = cutoff - (depth << SEQ_BITS)
+            keep: list[pa.Table] = []
+            for t in tables:
+                s = t.column("discovery_seq").to_numpy(zero_copy_only=False)
+                n = int(np.searchsorted(s, seq_limit, side="right"))
+                if n:
+                    takes.append(t.slice(0, n))
+                    self._fcount -= n
+                if n < t.num_rows:
+                    keep.append(t.slice(n))
+            if keep:
+                self._buckets[depth] = keep
+            else:
+                del self._buckets[depth]
+        if not takes:
+            return [], 0
+        wave = pa.concat_tables(takes, promote_options="default")
+        refs = [
+            ray.put(wave.slice(o, chunk_size))
+            for o in range(0, wave.num_rows, chunk_size)
+        ]
+        return refs, wave.num_rows
+
+    def seq_bounds(self):
+        """(min_seq, max_seq) of this shard's frontier, or None.  The
+        reference's crawl-random queue (crawl.clj:781-801) is always
+        seq-SORTED (appends carry fresh max seqs; head/tail pops keep
+        order), so head ≡ global min seq and tail ≡ global max seq."""
+        if self._fcount == 0:
+            return None
+        mins, maxs = [], []
+        for tables in self._buckets.values():
+            s_first = tables[0].column("discovery_seq")
+            s_last = tables[-1].column("discovery_seq")
+            mins.append(s_first[0].as_py())
+            maxs.append(s_last[len(s_last) - 1].as_py())
+        return (min(mins), max(maxs))
+
+    def pop_seq(self, seq: int):
+        """Remove and return the frontier row with this discovery_seq
+        (None if not owned here) — the crawl-random dequeue."""
+        for depth, tables in list(self._buckets.items()):
+            for ti, t in enumerate(tables):
+                s = t.column("discovery_seq").to_numpy(zero_copy_only=False)
+                j = int(np.searchsorted(s, seq))
+                if j < len(s) and s[j] == seq:
+                    row = t.slice(j, 1)
+                    pieces = tables[:ti]
+                    if j:
+                        pieces.append(t.slice(0, j))
+                    if j + 1 < t.num_rows:
+                        pieces.append(t.slice(j + 1))
+                    pieces.extend(tables[ti + 1:])
+                    if pieces:
+                        self._buckets[depth] = pieces
+                    else:
+                        del self._buckets[depth]
+                    self._fcount -= 1
+                    return row
+        return None
+
+    def write_frontier(self, path: str) -> int:
+        """Checkpoint: this shard writes its own frontier part file —
+        the driver sees only the row count."""
+        import pyarrow.parquet as pq
+
+        tables = [
+            t for depth in sorted(self._buckets) for t in self._buckets[depth]
+        ]
+        tbl = (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+        )
+        pq.write_table(tbl, path)
+        return tbl.num_rows
 
     def test_and_set(self, urls: list[str]) -> np.ndarray:
         """Insert all; return bool array: True where the URL was new."""
@@ -196,6 +418,84 @@ class SeenSet:
         for m in ray.get([s.members.remote() for s in self.shards]):
             out.update(m)
         return out
+
+    # ---- shard-resident frontier fan-out -----------------------------
+
+    def add_frontier_routed(self, rows: pa.Table) -> int:
+        """Route frontier rows to their owner shards (seed + resume
+        path; the per-round path is commit_keys/finalize_commit, which
+        never moves rows at all)."""
+        if rows.num_rows == 0:
+            return 0
+        sid = shard_route(rows.column("url").to_pylist(), self.n)
+        futs = []
+        for s in range(self.n):
+            sel = np.where(sid == s)[0]
+            if len(sel):
+                futs.append(self.shards[s].add_frontier.remote(rows.take(pa.array(sel))))
+        return sum(ray.get(futs)) if futs else 0
+
+    def frontier_count(self) -> int:
+        return sum(ray.get([s.frontier_count.remote() for s in self.shards]))
+
+    def commit_and_rank(self, next_seq: int):
+        """The round's link commit: every shard commits locally and
+        reports ONLY (depth, prio) int arrays; the driver ranks them
+        globally (np.lexsort over ints — flat memory wrt frontier size)
+        and sends back dense discovery seqs.  Returns new-URL count."""
+        keys = ray.get([s.commit_keys.remote() for s in self.shards])
+        lens = [len(d) for d, _ in keys]
+        n_new = int(sum(lens))
+        if n_new == 0:
+            return 0
+        dall = np.concatenate([d for d, _ in keys])
+        pall = np.concatenate([p for _, p in keys])
+        order = np.lexsort((pall, dall))
+        ranks = np.empty(n_new, dtype=np.int64)
+        ranks[order] = np.arange(n_new, dtype=np.int64)
+        seqs = next_seq + ranks
+        offs = np.cumsum([0] + lens)
+        ray.get(
+            [
+                self.shards[i].finalize_commit.remote(seqs[offs[i]:offs[i + 1]])
+                for i in range(self.n)
+                if lens[i]
+            ]
+        )
+        return n_new
+
+    def pop_wave(self, cutoff: int | None, chunk_size: int):
+        """Pop the wave from every shard; returns (chunk refs in shard
+        order, rows popped)."""
+        pops = ray.get(
+            [s.pop_wave.remote(cutoff, chunk_size) for s in self.shards]
+        )
+        refs = [r for rs, _ in pops for r in rs]
+        return refs, int(sum(c for _, c in pops))
+
+    def peek_cutoff(self, wave_n: int) -> int:
+        """Global (depth, seq) cutoff for a wave of ``wave_n`` rows:
+        k-way merge of per-shard packed key arrays (ints only)."""
+        peeks = ray.get([s.peek_keys.remote(wave_n) for s in self.shards])
+        allk = np.concatenate([p for p in peeks if len(p)])
+        allk = np.partition(allk, wave_n - 1)[:wave_n]
+        return int(allk.max())
+
+    def write_frontier(self, dir_path: str) -> int:
+        import os
+
+        return int(
+            sum(
+                ray.get(
+                    [
+                        s.write_frontier.remote(
+                            os.path.join(dir_path, f"part-{i:05d}.parquet")
+                        )
+                        for i, s in enumerate(self.shards)
+                    ]
+                )
+            )
+        )
 
     def commit_offers(self) -> pa.Table:
         """Commit every shard's buffered candidate links (one RPC per

@@ -58,19 +58,27 @@ class CheckpointStore:
     def finish_round(
         self,
         rnd: int,
-        frontier: pa.Table,
+        frontier: pa.Table | None,
         metrics: dict,
         step: int,
         next_seq: int,
         seen=None,
         neardup=None,
         corpus_rows: int | None = None,
+        frontier_rows: int | None = None,
     ) -> str:
         """Write frontier/manifest/snapshots into the staged tmp dir
-        (corpus parts already written by the workers) and publish."""
+        (corpus parts already written by the workers) and publish.
+
+        ``frontier=None`` means the seen shards already wrote their own
+        ``frontier/part-*.parquet`` files (the scale path — the driver
+        never holds frontier rows); pass ``frontier_rows`` for the
+        manifest then."""
         final = self._round_dir(rnd)
         tmp = final + ".tmp"
-        pq.write_table(frontier, os.path.join(tmp, "frontier", "part-00000.parquet"))
+        if frontier is not None:
+            pq.write_table(frontier, os.path.join(tmp, "frontier", "part-00000.parquet"))
+            frontier_rows = frontier.num_rows
         snap_paths = {}
         # shard-side snapshot writes (each actor writes its own file to
         # shared storage in parallel): the list-through-the-driver form
@@ -86,7 +94,7 @@ class CheckpointStore:
             "next_seq": next_seq,
             "metrics": metrics,
             "corpus_rows": corpus_rows,
-            "frontier_rows": frontier.num_rows,
+            "frontier_rows": frontier_rows,
             "snapshots": snap_paths,
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -163,7 +171,13 @@ class CheckpointStore:
         elif nv:
             with open(os.path.join(d, nv), "rb") as f:
                 neardup.restore(pickle.load(f))
-        frontier = pq.read_table(os.path.join(d, "frontier", "part-00000.parquet"))
+        fdir = os.path.join(d, "frontier")
+        parts = [
+            pq.read_table(os.path.join(fdir, p))
+            for p in sorted(os.listdir(fdir))
+            if p.endswith(".parquet")
+        ]
+        frontier = pa.concat_tables(parts, promote_options="default")
         return {
             "round": snap_round,
             "frontier": frontier,

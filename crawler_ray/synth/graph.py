@@ -100,6 +100,7 @@ def generate_site_graph(
     redirects_per_host: int = 1,
     private_per_host: int = 1,
     flat_index_hub: bool = False,
+    session_gated_per_host: int = 0,
 ) -> pa.Table:
     """Build the full site graph → Arrow table with schema
     ``schemas.SITE_PAGES``.  Deterministic for a given arg tuple."""
@@ -161,6 +162,14 @@ def generate_site_graph(
             if p == 0:
                 for r in range(redirects_per_host):
                     b.link(f"/alias/{r}", f"shortcut {r}", cls="alias-link")
+                if session_gated_per_host:
+                    # login linked BEFORE the gated pages: a sequential
+                    # (or wave=1) crawl logs in first, so /account pages
+                    # serve their real bodies (stages/fetch.py session
+                    # convention)
+                    b.link("/login", "Log in", cls="login-link")
+                    for g in range(session_gated_per_host):
+                        b.link(f"/account/{g}", f"my account {g}", cls="account-link")
             b.img(f"/media/banner{p}.png")
             b.line("</div>")
             if flat_index_hub:
@@ -242,6 +251,36 @@ def generate_site_graph(
                     "redirect_to": "",
                 }
             )
+
+        # ---- session pages: /login sets the host cookie; /account/*
+        # serve their REAL body (below) only to cookie-holding fetchers
+        # (stages/fetch.py SYNTH_LOGIN_WALL otherwise) — the testable
+        # in-sandbox form of utils/download-with-cookie (utils.clj:197)
+        if session_gated_per_host:
+            lb = _PageBuilder(f"{base_url}/login")
+            lb.line("<html>")
+            lb.line("<body>")
+            lb.text("signed in " + " ".join(_words(rng, 8)))
+            lb.link("/", "Home", cls="nav-item")
+            lb.line("</body>")
+            lb.line("</html>")
+            rows.append(
+                {"doc_id": f"{base_url}/login", "host": host, "html": lb.html(),
+                 "spans": lb.spans, "is_leaf": False, "disallowed": False, "redirect_to": ""}
+            )
+            for g in range(session_gated_per_host):
+                gb = _PageBuilder(f"{base_url}/account/{g}")
+                gb.line("<html>")
+                gb.line("<body>")
+                gb.line('<div class="post-body">')
+                gb.text("account dashboard " + " ".join(_words(rng, 60)))
+                gb.line("</div>")
+                gb.line("</body>")
+                gb.line("</html>")
+                rows.append(
+                    {"doc_id": f"{base_url}/account/{g}", "host": host, "html": gb.html(),
+                     "spans": gb.spans, "is_leaf": True, "disallowed": False, "redirect_to": ""}
+                )
 
         # ---- redirect aliases (utils.clj:218-223 alias caching semantics);
         # discoverable via the "shortcut" links on each host's first index page

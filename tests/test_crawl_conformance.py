@@ -313,6 +313,25 @@ def test_politeness_parallel_checkpoint_resume(ray_session, graph, tmp_path):
         assert nd == nd_trace[u], u
 
 
+def test_crawl_random_mode_conformance(ray_session, graph):
+    """crawl-random (crawl.clj:781-801): the seeded head-or-tail
+    dequeue mode must reproduce the seeded sequential oracle's total
+    order exactly (utils/random-dequeue firmed up with an explicit
+    seed, SURVEY.md §2.11)."""
+    from crawler_ray.pipelines.oracle import crawl_random_oracle
+
+    pages, seeds = graph
+    for sd in (0, 7):
+        oracle = crawl_random_oracle(pages, seeds, seed=sd, budget=40)
+        res = crawl(
+            pages, seeds,
+            CrawlConfig(mode="random", random_seed=sd, budget=40, n_seen_shards=3),
+        )
+        got = [(t["step"], t["url"], t["depth"], t["status"], t["n_links"]) for t in res.trace]
+        want = [(t["step"], t["url"], t["depth"], t["status"], t["n_links"]) for t in oracle.trace]
+        assert got == want, sd
+
+
 def test_conformance_random_graphs(ray_session):
     """Conformance over RANDOM topologies: three extra seeds beyond the
     module fixture — wave=1 trace equality and wave-parallel seen-set

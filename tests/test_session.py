@@ -1,0 +1,91 @@
+"""Cookie-store / session semantics (SURVEY.md §2.4, utils.clj:197
+global cookie jar + utils/download-with-cookie): session continuity
+must CHANGE fetch outcomes — /account pages serve the login wall until
+some fetcher in the pool visits /login, after which the shared
+CookieStore makes every fetcher see the real bodies."""
+
+import pyarrow as pa
+import pytest
+import ray
+
+from crawler_ray import synth
+from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+from crawler_ray.pipelines.oracle import crawl_bfs_oracle
+from crawler_ray.stages.fetch import SYNTH_LOGIN_WALL, CookieStore, Fetcher
+
+
+def _batch(urls):
+    return pa.table({"url": pa.array(urls, type=pa.string())})
+
+
+@pytest.fixture(scope="module")
+def session_graph():
+    return synth.generate_site_graph(
+        num_hosts=2, base_pages=14, seed=5, session_gated_per_host=2
+    )
+
+
+def test_shared_cookie_store_spans_fetchers(ray_session, session_graph):
+    """Login via fetcher B unlocks /account for fetcher A — the shared
+    jar is pool-global like the reference's cookie atom."""
+    graph_ref = ray.put(session_graph)
+    shards = [CookieStore.options(num_cpus=0).remote() for _ in range(2)]
+    fa = Fetcher(graph_ref, cookie_shards=shards)
+    fb = Fetcher(graph_ref, cookie_shards=shards)
+    acct = "http://h00.example.com/account/0"
+    login = "http://h00.example.com/login"
+
+    wall = fa(_batch([acct])).column("body")[0].as_py()
+    assert wall == SYNTH_LOGIN_WALL
+    fb(_batch([login]))  # a DIFFERENT fetcher logs in
+    real = fa(_batch([acct])).column("body")[0].as_py()
+    assert real != SYNTH_LOGIN_WALL
+    assert "account dashboard" in real
+
+
+def test_session_is_per_host(ray_session, session_graph):
+    """h00's login must not unlock h01's account pages."""
+    graph_ref = ray.put(session_graph)
+    shards = [CookieStore.options(num_cpus=0).remote() for _ in range(2)]
+    f = Fetcher(graph_ref, cookie_shards=shards)
+    f(_batch(["http://h00.example.com/login"]))
+    other = f(_batch(["http://h01.example.com/account/0"])).column("body")[0].as_py()
+    assert other == SYNTH_LOGIN_WALL
+
+
+def test_local_jar_fallback(ray_session, session_graph):
+    """No shared shards → per-fetcher jar: continuity works within one
+    fetcher and does NOT leak to another."""
+    graph_ref = ray.put(session_graph)
+    fa = Fetcher(graph_ref)
+    fb = Fetcher(graph_ref)
+    acct = "http://h00.example.com/account/1"
+    fa(_batch(["http://h00.example.com/login"]))
+    assert "account dashboard" in fa(_batch([acct])).column("body")[0].as_py()
+    assert fb(_batch([acct])).column("body")[0].as_py() == SYNTH_LOGIN_WALL
+
+
+def test_in_batch_login_order(ray_session, session_graph):
+    """A login earlier in the SAME batch unlocks gated URLs later in
+    that batch (the sequential reference would see exactly this)."""
+    graph_ref = ray.put(session_graph)
+    f = Fetcher(graph_ref, cookie_shards=[CookieStore.options(num_cpus=0).remote()])
+    out = f(
+        _batch(["http://h01.example.com/login", "http://h01.example.com/account/0"])
+    )
+    assert "account dashboard" in out.column("body")[1].as_py()
+
+
+def test_crawl_conformance_with_sessions(ray_session, session_graph):
+    """wave=1 crawl over a session-gated graph reproduces the
+    sequential oracle exactly; the gated pages really were served their
+    real bodies (n_links=0 content pages, not the 1-link wall)."""
+    pages = session_graph
+    seeds = synth.seeds_for(pages)
+    oracle = crawl_bfs_oracle(pages, seeds)
+    res = crawl(pages, seeds, CrawlConfig(wave_size=1, n_seen_shards=2))
+    got = [(t["url"], t["status"], t["n_links"], t["is_leaf"]) for t in res.trace]
+    want = [(t["url"], t["status"], t["n_links"], t["is_leaf"]) for t in oracle.trace]
+    assert got == want
+    acct = [t for t in res.trace if "/account/" in t["url"]]
+    assert acct and all(t["n_links"] == 0 for t in acct)
