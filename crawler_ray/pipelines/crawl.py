@@ -215,7 +215,19 @@ class FetchEnrichWorker:
     def cache_info(self) -> dict:
         return self.fetcher.cache_info()
 
-    def process(self, tbl: pa.Table, ctx: dict | None = None):
+    def process(self, tbl, ctx: dict | None = None):
+        if isinstance(tbl, list):
+            # polite-mode host partition: one plasma piece per seen
+            # shard (pop_wave_parts) — pull them HERE (shard → plasma →
+            # worker, driver passed refs only) and restore (depth, seq)
+            # priority order across the shard pieces
+            pieces = ray.get(tbl)
+            tbl = pa.concat_tables(pieces, promote_options="default")
+            order = np.lexsort(
+                (tbl.column("discovery_seq").to_numpy(), tbl.column("depth").to_numpy())
+            )
+            if not np.array_equal(order, np.arange(tbl.num_rows)):
+                tbl = tbl.take(pa.array(order))
         full = self.enrich(self.fetcher(tbl))
         if ctx is None:
             return full  # bare fetch+enrich (bench warmup, tests)
@@ -450,8 +462,7 @@ def crawl(
                 if r is not None
             ]
             assert len(rows) == 1, target
-            chunk_refs, popped = rows, 1
-            chunk_n = 1
+            chunks, popped = rows, 1
             frontier_total -= 1
         else:
             wave_n = frontier_total if cfg.wave_size is None else min(cfg.wave_size, frontier_total)
@@ -459,37 +470,27 @@ def crawl(
             if wave_n <= 0:
                 break
             cutoff = None if wave_n >= frontier_total else seen.peek_cutoff(wave_n)
-            # adaptive chunking: ~3 chunks per worker for load balance,
-            # but never tiny chunks (RPC overhead) nor giant ones
-            # (stragglers)
-            chunk_n = int(np.clip(wave_n // (3 * len(workers)) + 1, 8, 512))
-            chunk_refs, popped = seen.pop_wave(cutoff, chunk_n)
+            # Under politeness, the wave leaves the shards already
+            # grouped by salted host partition (pop_wave_parts in
+            # stages/seen.py): a host's URLs stay chunk-local (one
+            # clock reserve per chunk) while hot hosts are salted
+            # across chunks; the driver merges per-partition ref lists
+            # only — no frontier rows ever gather here.  Each fetch
+            # worker concats + (depth, seq)-sorts its own partition.
+            if cfg.politeness_ms > 0 and wave_n > 1:
+                chunks, popped = seen.pop_wave_hosted(
+                    cutoff, n_partitions=max(8, len(workers) * 2)
+                )
+            else:
+                # adaptive chunking: ~3 chunks per worker for load
+                # balance, but never tiny chunks (RPC overhead) nor
+                # giant ones (stragglers)
+                chunk_n = int(np.clip(wave_n // (3 * len(workers)) + 1, 8, 512))
+                chunks, popped = seen.pop_wave(cutoff, chunk_n)
             assert popped == wave_n, (popped, wave_n)
             frontier_total -= popped
 
         # ---- fetch + enrich (the distributed part of the round) -------
-        # Under politeness, group the wave by salted host partition
-        # (state/frontier.py): a host's URLs stay chunk-local (one clock
-        # reserve per chunk) while hot hosts are salted across chunks.
-        # Polite waves are rate-bound (small by construction), so the
-        # driver-side gather this grouping needs is the documented
-        # small-wave mode; the throughput path passes shard plasma refs
-        # straight through.
-        host_grouped = cfg.politeness_ms > 0 and popped > 1
-        if host_grouped:
-            from ..state.frontier import partition_frontier
-
-            wave = pa.concat_tables(ray.get(chunk_refs), promote_options="default")
-            order = np.lexsort(
-                (wave.column("discovery_seq").to_numpy(), wave.column("depth").to_numpy())
-            )
-            wave = wave.take(pa.array(order))
-            wp = partition_frontier(wave, n_partitions=max(8, len(workers) * 2))
-            order2 = np.argsort(wp.column("partition").to_numpy(), kind="stable")
-            wave = wave.take(pa.array(order2))
-            chunks = [wave.slice(o, chunk_n) for o in range(0, wave.num_rows, chunk_n)]
-        else:
-            chunks = chunk_refs
         ctx_base = {"seen_shards": seen.shards, "round": rnd if ckpt is not None else None}
         futs = [
             workers[i % len(workers)].process.remote(c, {**ctx_base, "chunk_idx": i})

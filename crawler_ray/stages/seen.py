@@ -225,6 +225,48 @@ class SeenShard:
         entry with packed key ≤ ``cutoff`` (None = all) — as plasma
         ObjectRefs of chunk tables in (depth, seq) order.  The rows go
         shard → plasma → fetch worker; the driver passes refs only."""
+        wave = self._pop_rows(cutoff)
+        if wave is None:
+            return [], 0
+        refs = [
+            ray.put(wave.slice(o, chunk_size))
+            for o in range(0, wave.num_rows, chunk_size)
+        ]
+        return refs, wave.num_rows
+
+    def pop_wave_parts(self, cutoff: int | None, n_partitions: int, hot_threshold: int):
+        """Polite-mode wave pop: rows leave this shard already grouped
+        by salted host partition (state/frontier.py) — partition ids are
+        host-deterministic, so the same host lands in the same partition
+        id on EVERY shard and the fetch worker that concats a
+        partition's per-shard pieces sees all of that host's wave rows
+        in one chunk (one politeness-clock reserve per chunk).  Returns
+        ({partition_id: plasma ref of this shard's piece}, rows popped);
+        the driver merges ref lists by id and never touches a row.
+        ``hot_threshold`` is the PER-SHARD salting threshold: URL-hash
+        routing spreads a host evenly over shards, so the caller divides
+        the global threshold by the shard count."""
+        wave = self._pop_rows(cutoff)
+        if wave is None:
+            return {}, 0
+        from ..state.frontier import partition_frontier
+
+        wp = partition_frontier(wave, n_partitions=n_partitions, hot_threshold=hot_threshold)
+        part = wp.column("partition").to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        sorted_wave = wave.take(pa.array(order))
+        spart = part[order]
+        uids, first = np.unique(spart, return_index=True)
+        bounds = list(first) + [len(spart)]
+        out = {
+            int(pid): ray.put(sorted_wave.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i, pid in enumerate(uids)
+        }
+        return out, wave.num_rows
+
+    def _pop_rows(self, cutoff: int | None) -> pa.Table | None:
+        """Detach and return this shard's wave rows in (depth, seq)
+        order (None if nothing qualifies)."""
         takes: list[pa.Table] = []
         for depth in sorted(self._buckets):
             if cutoff is not None and (depth << SEQ_BITS) > cutoff:
@@ -250,13 +292,8 @@ class SeenShard:
             else:
                 del self._buckets[depth]
         if not takes:
-            return [], 0
-        wave = pa.concat_tables(takes, promote_options="default")
-        refs = [
-            ray.put(wave.slice(o, chunk_size))
-            for o in range(0, wave.num_rows, chunk_size)
-        ]
-        return refs, wave.num_rows
+            return None
+        return pa.concat_tables(takes, promote_options="default")
 
     def seq_bounds(self):
         """(min_seq, max_seq) of this shard's frontier, or None.  The
@@ -472,6 +509,26 @@ class SeenSet:
         )
         refs = [r for rs, _ in pops for r in rs]
         return refs, int(sum(c for _, c in pops))
+
+    def pop_wave_hosted(self, cutoff: int | None, n_partitions: int, hot_threshold: int = 1024):
+        """Polite-mode pop: every shard partitions its own wave rows by
+        salted host (pop_wave_parts); the driver merges per-partition
+        ref LISTS by partition id — refs only, no frontier rows here.
+        Returns (list of ref-lists, one per non-empty partition in
+        partition-id order, rows popped)."""
+        per_shard_hot = max(1, hot_threshold // max(1, self.n))
+        pops = ray.get(
+            [
+                s.pop_wave_parts.remote(cutoff, n_partitions, per_shard_hot)
+                for s in self.shards
+            ]
+        )
+        by_part: dict[int, list] = {}
+        for d, _ in pops:
+            for pid, ref in d.items():
+                by_part.setdefault(pid, []).append(ref)
+        chunks = [by_part[pid] for pid in sorted(by_part)]
+        return chunks, int(sum(c for _, c in pops))
 
     def peek_cutoff(self, wave_n: int) -> int:
         """Global (depth, seq) cutoff for a wave of ``wave_n`` rows:
