@@ -228,6 +228,7 @@ class FetchEnrichWorker:
             )
             if not np.array_equal(order, np.arange(tbl.num_rows)):
                 tbl = tbl.take(pa.array(order))
+        self.fetcher.wave_ctx = None if ctx is None else ctx.get("wave_ctx")
         full = self.enrich(self.fetcher(tbl))
         if ctx is None:
             return full  # bare fetch+enrich (bench warmup, tests)
@@ -384,8 +385,18 @@ def crawl(
         else []
     )
     ckpt = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    cookie_shards = None
     if workers is None:
-        workers = make_workers(graph_ref, cfg, politeness)
+        from ..stages.fetch import CookieStore
+
+        # crawl() owns the jar shards so it can checkpoint/restore them;
+        # an externally-supplied worker pool keeps its own jar (its
+        # session state is then outside the checkpoint, documented)
+        cookie_shards = [
+            CookieStore.options(num_cpus=0).remote()
+            for _ in range(cfg.n_cookie_shards)
+        ]
+        workers = make_workers(graph_ref, cfg, politeness, cookie_shards)
 
     res = CrawlResult()
     metrics = {
@@ -408,6 +419,17 @@ def crawl(
         step = state["step"]
         metrics.update(state["metrics"])
         start_round = state["round"] + 1
+        if state.get("cookies") and cookie_shards:
+            # re-seed session continuity: each host's jar entry goes
+            # back to its owner shard (host_hash routing, fetch.py)
+            from ..functions.urlnorm import host_hash
+
+            per_shard: dict[int, dict] = {}
+            for h, v in state["cookies"].items():
+                per_shard.setdefault(host_hash(h, len(cookie_shards)), {})[h] = v
+            ray.get(
+                [cookie_shards[s].restore.remote(d) for s, d in per_shard.items()]
+            )
     else:
         seed_rows = pa.Table.from_pylist(
             [
@@ -463,6 +485,9 @@ def crawl(
             ]
             assert len(rows) == 1, target
             chunks, popped = rows, 1
+            from ..stages.seen import login_wave_keys
+
+            wave_logins = login_wave_keys(rows[0])
             frontier_total -= 1
         else:
             wave_n = frontier_total if cfg.wave_size is None else min(cfg.wave_size, frontier_total)
@@ -478,7 +503,7 @@ def crawl(
             # only — no frontier rows ever gather here.  Each fetch
             # worker concats + (depth, seq)-sorts its own partition.
             if cfg.politeness_ms > 0 and wave_n > 1:
-                chunks, popped = seen.pop_wave_hosted(
+                chunks, popped, wave_logins = seen.pop_wave_hosted(
                     cutoff, n_partitions=max(8, len(workers) * 2)
                 )
             else:
@@ -486,12 +511,22 @@ def crawl(
                 # balance, but never tiny chunks (RPC overhead) nor
                 # giant ones (stragglers)
                 chunk_n = int(np.clip(wave_n // (3 * len(workers)) + 1, 8, 512))
-                chunks, popped = seen.pop_wave(cutoff, chunk_n)
+                chunks, popped, wave_logins = seen.pop_wave(cutoff, chunk_n)
             assert popped == wave_n, (popped, wave_n)
             frontier_total -= popped
 
         # ---- fetch + enrich (the distributed part of the round) -------
-        ctx_base = {"seen_shards": seen.shards, "round": rnd if ckpt is not None else None}
+        # wave_ctx makes gated-page visibility deterministic at any wave
+        # parallelism: each shard reported its wave rows' per-host min
+        # login (depth, seq) keys at pop time (login_wave_keys — no
+        # driver row scan), and every Fetcher applies the rule "session
+        # from a PRIOR wave, or this wave's login key < row key" —
+        # ≡ the sequential cookie jar regardless of fetch timing.
+        ctx_base = {
+            "seen_shards": seen.shards,
+            "round": rnd if ckpt is not None else None,
+            "wave_ctx": {"wave": rnd, "login_keys": wave_logins},
+        }
         futs = [
             workers[i % len(workers)].process.remote(c, {**ctx_base, "chunk_idx": i})
             for i, c in enumerate(chunks)
@@ -641,12 +676,18 @@ def crawl(
             # shards write their own frontier parts (parallel, driver
             # sees only the row count)
             frontier_rows = seen.write_frontier(os.path.join(tmp, "frontier"))
+            cookies = None
+            if cookie_shards:
+                cookies = {}
+                for d in ray.get([s.dump.remote() for s in cookie_shards]):
+                    cookies.update(d)
             path = ckpt.finish_round(
                 rnd, None, metrics, step, next_seq,
                 seen=seen if (rnd % cfg.snapshot_every == 0) else None,
                 neardup=neardup if (rnd % cfg.snapshot_every == 0) else None,
                 corpus_rows=int(sum(wrote)),
                 frontier_rows=frontier_rows,
+                cookies=cookies,
             )
             res.corpus_paths.append(path)
 

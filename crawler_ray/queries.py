@@ -1354,12 +1354,21 @@ def frontier_discovery(sf_dir: str):
     "shape; the packed keys keep every kernel a single numpy/pandas "
     "op and the pair shuffle at 8 bytes/key.",
 )
-def ngram_jaccard_neardup(sf_dir: str, dense_vocab_limit: int = 16_384):
+def ngram_jaccard_neardup(
+    sf_dir: str, dense_vocab_limit: int = 16_384, size_broadcast_cap: int = 100_000_000
+):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
-    return _ngram_jaccard_pipeline(docs, dense_vocab_limit=dense_vocab_limit)
+    return _ngram_jaccard_pipeline(
+        docs, dense_vocab_limit=dense_vocab_limit, size_broadcast_cap=size_broadcast_cap
+    )
 
 
-def _ngram_jaccard_pipeline(docs, dense_vocab_limit: int = 16_384, theta: float = 0.09):
+def _ngram_jaccard_pipeline(
+    docs,
+    dense_vocab_limit: int = 16_384,
+    theta: float = 0.09,
+    size_broadcast_cap: int = 100_000_000,
+):
     import ray
 
     THETA = theta
@@ -1404,8 +1413,21 @@ def _ngram_jaccard_pipeline(docs, dense_vocab_limit: int = 16_384, theta: float 
             {"doc_id": pa.array(u), "sz": pa.array(c.astype(np.int64))}
         )
 
+    sizes_parts = grams.map_batches(
+        sizes_kernel, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    # regime crossover: the (id, size) broadcast is 16 B/doc — ~1.6 GB
+    # at 10^8 docs, the stated cap.  Past it, sizes stay a Dataset and
+    # pair rows pick them up via two hash joins (same math, one extra
+    # shuffle, no driver table).  sizes_parts.count() bounds the doc
+    # count (partials per (block, doc); docs are block-contiguous so
+    # it's within 2× of the true count — fine for a regime switch).
+    if sizes_parts.count() > size_broadcast_cap:
+        return _ngram_jaccard_join_regime(
+            grams, sizes_parts, theta, n_agg_buckets=N_AGG_BUCKETS
+        )
     sizes_df = (
-        grams.map_batches(sizes_kernel, batch_format="pyarrow", batch_size=None)
+        sizes_parts
         .to_pandas()
         .groupby("doc_id", as_index=False)["sz"].sum()
         .sort_values("doc_id")
@@ -1413,13 +1435,6 @@ def _ngram_jaccard_pipeline(docs, dense_vocab_limit: int = 16_384, theta: float 
     ids_sorted = sizes_df["doc_id"].to_numpy(dtype=np.int64)
     sz_sorted = sizes_df["sz"].to_numpy(dtype=np.int64)
     assert len(ids_sorted) < (1 << 31), "packed pair keys need rank < 2^31"
-    # documented crossover: the (id, size) broadcast is 16 B/doc —
-    # ~1.6 GB at 10^8 docs, the stated cap; past it, replace this
-    # broadcast with a Dataset.join of pair rows against the sizes
-    # table (same downstream math, one extra shuffle)
-    assert len(ids_sorted) <= 100_000_000, (
-        "doc-size broadcast past its 10^8-doc cap — switch to the join regime"
-    )
     sref = ray.put((ids_sorted, sz_sorted))
 
     # regime dispatch: measure the distinct-gram vocabulary from cheap
@@ -1511,6 +1526,139 @@ def _ngram_jaccard_pipeline(docs, dense_vocab_limit: int = 16_384, theta: float 
     # concurrency=2: an actor pool ≥ session CPUs would starve the
     # upstream sort tasks and deadlock small sessions
     return pair_counts.map_batches(Jaccard, batch_format="pyarrow", concurrency=2)
+
+
+def _ngram_jaccard_join_regime(
+    grams, sizes_parts, theta: float, n_agg_buckets: int = 32, num_partitions: int = 32
+):
+    """Past-the-broadcast-cap regime of the n-gram Jaccard self-join:
+    per-doc gram counts stay a Dataset and each surviving pair row picks
+    up (sz_a, sz_b) via two hash joins — no driver-resident size table,
+    no global rank array (that array is exactly what can't exist at
+    10^9+ docs).  Candidate generation is the same per-gh-bucket
+    inverted-index self-merge, carrying doc ids verbatim; pair partial
+    counts aggregate under a mixed-hash bucket before the joins.
+    Exact-equal to the broadcast regime (tested both ways)."""
+    from ray.data.aggregate import Sum
+
+    sizes_ds = (
+        sizes_parts.groupby("doc_id").aggregate(Sum("sz", alias_name="sz")).materialize()
+    )
+    MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "did": g["doc_id"].to_numpy().astype(np.int64),
+                "gh": g["gh"].to_numpy(),
+            }
+        )
+        m = df.merge(df, on="gh", suffixes=("_a", "_b"))
+        a = m["did_a"].to_numpy()
+        b = m["did_b"].to_numpy()
+        keep = a < b
+        a, b = a[keep], b[keep]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a):
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.where(first)[0]
+        ua, ub = a[starts], b[starts]
+        cnt = (
+            np.add.reduceat(np.ones(len(a), dtype=np.int64), starts)
+            if len(starts)
+            else np.zeros(0, dtype=np.int64)
+        )
+        with np.errstate(over="ignore"):
+            mix = (ua * MIX) ^ ub
+        return pd.DataFrame(
+            {
+                "doc_a": ua,
+                "doc_b": ub,
+                "pi": cnt,
+                "abkt": ((mix & 0x7FFFFFFFFFFFFFFF) % n_agg_buckets).astype("int32"),
+            }
+        )
+
+    partials = grams.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        pi = g["pi"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, pi = a[order], b[order], pi[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a):
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.where(first)[0]
+        return pd.DataFrame(
+            {
+                "doc_a": a[starts],
+                "doc_b": b[starts],
+                "i": np.add.reduceat(pi, starts) if len(starts) else pi[:0],
+            }
+        )
+
+    # materialize() between shuffle stages: two hash-shuffle
+    # JoinOperators (4-CPU aggregator pools each) plus the upstream
+    # sorts in ONE streaming plan starve each other's task slots and
+    # deadlock small sessions — the barrier lets each all-to-all own
+    # the cluster in turn (same pattern as dedup.verify_pairs_joined)
+    pair_counts = partials.groupby("abkt").map_groups(
+        agg_bucket, batch_format="pandas"
+    ).materialize()
+    # adaptive partition count (same rule as dedup.verify_pairs_joined):
+    # a 32-partition hash join demands a 4-CPU aggregator pool, which a
+    # 4-CPU test session can't grant — scale partitions with the data
+    num_partitions = int(np.clip(pair_counts.count() // 25_000, 2, num_partitions))
+
+    j1 = pair_counts.join(
+        sizes_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "i": t["i"], "sz_a": t["sz"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        sizes_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        i = t["i"].to_numpy().astype(np.float64)
+        sa = t["sz_a"].to_numpy().astype(np.float64)
+        sb = t["sz"].to_numpy().astype(np.float64)
+        j = i / (sa + sb - i)
+        keep = j >= theta
+        return pa.table(
+            {
+                "doc_a": pa.array(t["doc_a"].to_numpy()[keep], type=pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy()[keep], type=pa.int64()),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return j2.map_batches(jaccard, batch_format="pyarrow")
 
 
 @register(

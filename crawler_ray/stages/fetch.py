@@ -56,13 +56,28 @@ class CookieStore:
     whole batch's hosts in ONE RPC per shard."""
 
     def __init__(self):
-        self.jar: dict[str, str] = {}
+        # host → (cookie value, wave index the session was established
+        # in; -1 = outside any wave).  First-wins: sessions don't
+        # expire, and the earliest wave stamp is what the deterministic
+        # gated-visibility rule needs (Fetcher.__call__).
+        self.jar: dict[str, tuple[str, int]] = {}
 
     def get_many(self, hosts: list[str]) -> dict:
         return {h: self.jar[h] for h in hosts if h in self.jar}
 
-    def set_many(self, kv: dict) -> None:
-        self.jar.update(kv)
+    def set_many(self, kv: dict, wave: int = -1) -> None:
+        for h, v in kv.items():
+            self.jar.setdefault(h, (v, wave))
+
+    def dump(self) -> dict:
+        """Checkpoint view of this shard's jar (tiny: one entry per
+        logged-in host) — goes into the round manifest so resume
+        restores session continuity exactly."""
+        return dict(self.jar)
+
+    def restore(self, jar: dict) -> None:
+        # JSON round-trips tuples as lists; normalize back
+        self.jar = {h: (v[0], int(v[1])) for h, v in jar.items()}
 
 # The reference's politeness budget constants, preserved for
 # conformance-mode runs (BASELINE.md):
@@ -125,7 +140,16 @@ class Fetcher:
         # shared cookie jar shards (None → per-actor jar: each fetcher
         # keeps its own sessions, the documented single-process fallback)
         self.cookie_shards = cookie_shards or []
-        self._local_jar: dict[str, str] = {}
+        self._local_jar: dict[str, tuple[str, int]] = {}
+        # wave context, set by the crawl loop's worker per chunk:
+        # {"wave": wave index, "login_keys": {host: min packed
+        # (depth, seq) key of the host's /login rows in THIS wave}}.
+        # With it, gated-page visibility is the deterministic rule
+        # "session committed in a PRIOR wave, or this wave's login key
+        # < row key" — exactly the sequential jar semantics at any wave
+        # parallelism (no dependence on fetch timing across workers).
+        # None → legacy jar-presence semantics (bare Fetcher use).
+        self.wave_ctx: dict | None = None
         # bounded per-actor document LRU (utils.clj:210-227's memoized
         # download cache, made bounded): keyed by FINAL url so every
         # redirect alias shares one entry.  In-sandbox the "network" is
@@ -207,8 +231,10 @@ class Fetcher:
             h = url_host(u)
             return u.split(h, 1)[-1] if h else u
 
-        overlay: dict[str, str] = {}
+        overlay: dict[str, tuple[str, int]] = {}
         pending_sets: dict[str, str] = {}
+        wc = self.wave_ctx
+        rkeys = None
         if any(_path(u).startswith((SYNTH_LOGIN_PATH, SYNTH_SESSION_PREFIX)) for u in urls):
             hosts = sorted({url_host(u) for u in urls})
             if self.cookie_shards:
@@ -222,9 +248,24 @@ class Fetcher:
                     overlay.update(g)
             else:
                 overlay.update({h: self._local_jar[h] for h in hosts if h in self._local_jar})
+            if wc is not None and {"depth", "discovery_seq"} <= set(batch.column_names):
+                from .seen import pack_keys
 
+                rkeys = pack_keys(
+                    batch["depth"].to_numpy(zero_copy_only=False),
+                    batch["discovery_seq"].to_numpy(zero_copy_only=False),
+                )
+            else:
+                wc = None  # bare batches (tests/bench): legacy semantics
+
+        if rkeys is None:
+            # a redirect may still land on a gated page even when the
+            # frontier batch shows no session URLs (stages/seen.py's
+            # wave scan never sees aliased session URLs): fall back to
+            # legacy jar-presence semantics for those rows
+            wc = None
         status, redirects, bodies = [], [], []
-        for u in urls:
+        for ri, u in enumerate(urls):
             if self.robots.disallowed(u):
                 status.append("robots_denied")
                 redirects.append([u])
@@ -239,21 +280,42 @@ class Fetcher:
                 fhost = url_host(final)
                 if fpath == SYNTH_LOGIN_PATH:
                     # login sets the session cookie (in-batch overlay so
-                    # a later gated URL in the same batch sees it)
-                    overlay[fhost] = pending_sets[fhost] = "session"
-                elif fpath.startswith(SYNTH_SESSION_PREFIX) and fhost not in overlay:
-                    body = SYNTH_LOGIN_WALL  # no session → login wall
+                    # a later gated URL in the same batch sees it under
+                    # legacy semantics; under wave_ctx the login-key
+                    # rule decides, so batch order is irrelevant)
+                    pending_sets[fhost] = "session"
+                    overlay.setdefault(
+                        fhost, ("session", wc["wave"] if wc is not None else -1)
+                    )
+                elif fpath.startswith(SYNTH_SESSION_PREFIX):
+                    if wc is not None:
+                        # deterministic rule: session visible iff it was
+                        # committed in a PRIOR wave, or this wave holds a
+                        # login for the host with a smaller (depth, seq)
+                        # key than this row — ≡ the sequential jar at
+                        # any wave parallelism / fetch timing
+                        ent = overlay.get(fhost)
+                        visible = ent is not None and ent[1] < wc["wave"]
+                        if not visible:
+                            lk = wc["login_keys"].get(fhost)
+                            visible = lk is not None and lk < int(rkeys[ri])
+                    else:
+                        visible = fhost in overlay
+                    if not visible:
+                        body = SYNTH_LOGIN_WALL  # no session → login wall
             bodies.append(body)
         if pending_sets:
+            wv = wc["wave"] if wc is not None else -1
             if self.cookie_shards:
                 ray.get(
                     [
-                        self.cookie_shards[host_hash(h, len(self.cookie_shards))].set_many.remote({h: v})
+                        self.cookie_shards[host_hash(h, len(self.cookie_shards))].set_many.remote({h: v}, wv)
                         for h, v in pending_sets.items()
                     ]
                 )
             else:
-                self._local_jar.update(pending_sets)
+                for h, v in pending_sets.items():
+                    self._local_jar.setdefault(h, (v, wv))
         out = batch.drop_columns([c for c in ("status", "redirects", "body") if c in batch.column_names])
         out = out.append_column("status", pa.array(status, type=pa.string()))
         out = out.append_column("redirects", pa.array(redirects, type=pa.list_(pa.string())))

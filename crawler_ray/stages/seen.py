@@ -74,6 +74,40 @@ def pack_keys(depth: np.ndarray, seq: np.ndarray) -> np.ndarray:
     return (d << SEQ_BITS) | s
 
 
+# Session convention of the synthetic web (stages/fetch.py
+# SYNTH_LOGIN_PATH): a frontier URL ending in "/login" establishes its
+# host's session on fetch.  Each wave pop reports the per-host MIN
+# (depth, seq) key of the logins it contains, so the Fetcher can decide
+# gated-page visibility deterministically (sequential-equivalent at any
+# wave parallelism — see Fetcher.__call__).  Redirect aliases of a
+# login page are not detected by this scan; the synthetic graph never
+# aliases /login (documented assumption).
+LOGIN_URL_SUFFIX = "/login"
+
+
+def login_wave_keys(wave: pa.Table) -> dict[str, int]:
+    """{host: min packed (depth, seq) key} over the wave's login URLs
+    (empty for session-free graphs — one vectorized suffix scan)."""
+    import pyarrow.compute as pc
+
+    mask = pc.ends_with(wave.column("url"), pattern=LOGIN_URL_SUFFIX)
+    if not pc.any(mask).as_py():
+        return {}
+    from ..functions.urlnorm import url_host
+
+    sel = wave.filter(mask)
+    keys = pack_keys(
+        sel.column("depth").to_numpy(zero_copy_only=False),
+        sel.column("discovery_seq").to_numpy(zero_copy_only=False),
+    )
+    out: dict[str, int] = {}
+    for u, k in zip(sel.column("url").to_pylist(), keys):
+        h = url_host(u)
+        if h not in out or int(k) < out[h]:
+            out[h] = int(k)
+    return out
+
+
 @ray.remote
 class SeenShard:
     """One URL-seen partition: approximate filter + (small-scale only)
@@ -227,12 +261,12 @@ class SeenShard:
         shard → plasma → fetch worker; the driver passes refs only."""
         wave = self._pop_rows(cutoff)
         if wave is None:
-            return [], 0
+            return [], 0, {}
         refs = [
             ray.put(wave.slice(o, chunk_size))
             for o in range(0, wave.num_rows, chunk_size)
         ]
-        return refs, wave.num_rows
+        return refs, wave.num_rows, login_wave_keys(wave)
 
     def pop_wave_parts(self, cutoff: int | None, n_partitions: int, hot_threshold: int):
         """Polite-mode wave pop: rows leave this shard already grouped
@@ -248,7 +282,7 @@ class SeenShard:
         the global threshold by the shard count."""
         wave = self._pop_rows(cutoff)
         if wave is None:
-            return {}, 0
+            return {}, 0, {}
         from ..state.frontier import partition_frontier
 
         wp = partition_frontier(wave, n_partitions=n_partitions, hot_threshold=hot_threshold)
@@ -262,7 +296,7 @@ class SeenShard:
             int(pid): ray.put(sorted_wave.slice(bounds[i], bounds[i + 1] - bounds[i]))
             for i, pid in enumerate(uids)
         }
-        return out, wave.num_rows
+        return out, wave.num_rows, login_wave_keys(wave)
 
     def _pop_rows(self, cutoff: int | None) -> pa.Table | None:
         """Detach and return this shard's wave rows in (depth, seq)
@@ -501,21 +535,34 @@ class SeenSet:
         )
         return n_new
 
+    @staticmethod
+    def _merge_logins(dicts) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in dicts:
+            for h, k in d.items():
+                if h not in out or k < out[h]:
+                    out[h] = k
+        return out
+
     def pop_wave(self, cutoff: int | None, chunk_size: int):
         """Pop the wave from every shard; returns (chunk refs in shard
-        order, rows popped)."""
+        order, rows popped, per-host min login keys in the wave)."""
         pops = ray.get(
             [s.pop_wave.remote(cutoff, chunk_size) for s in self.shards]
         )
-        refs = [r for rs, _ in pops for r in rs]
-        return refs, int(sum(c for _, c in pops))
+        refs = [r for rs, _, _ in pops for r in rs]
+        return (
+            refs,
+            int(sum(c for _, c, _ in pops)),
+            self._merge_logins(lk for _, _, lk in pops),
+        )
 
     def pop_wave_hosted(self, cutoff: int | None, n_partitions: int, hot_threshold: int = 1024):
         """Polite-mode pop: every shard partitions its own wave rows by
         salted host (pop_wave_parts); the driver merges per-partition
         ref LISTS by partition id — refs only, no frontier rows here.
         Returns (list of ref-lists, one per non-empty partition in
-        partition-id order, rows popped)."""
+        partition-id order, rows popped, per-host min login keys)."""
         per_shard_hot = max(1, hot_threshold // max(1, self.n))
         pops = ray.get(
             [
@@ -524,11 +571,15 @@ class SeenSet:
             ]
         )
         by_part: dict[int, list] = {}
-        for d, _ in pops:
+        for d, _, _ in pops:
             for pid, ref in d.items():
                 by_part.setdefault(pid, []).append(ref)
         chunks = [by_part[pid] for pid in sorted(by_part)]
-        return chunks, int(sum(c for _, c in pops))
+        return (
+            chunks,
+            int(sum(c for _, c, _ in pops)),
+            self._merge_logins(lk for _, _, lk in pops),
+        )
 
     def peek_cutoff(self, wave_n: int) -> int:
         """Global (depth, seq) cutoff for a wave of ``wave_n`` rows:

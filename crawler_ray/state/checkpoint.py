@@ -66,6 +66,7 @@ class CheckpointStore:
         neardup=None,
         corpus_rows: int | None = None,
         frontier_rows: int | None = None,
+        cookies: dict | None = None,
     ) -> str:
         """Write frontier/manifest/snapshots into the staged tmp dir
         (corpus parts already written by the workers) and publish.
@@ -96,6 +97,10 @@ class CheckpointStore:
             "corpus_rows": corpus_rows,
             "frontier_rows": frontier_rows,
             "snapshots": snap_paths,
+            # the shared cookie jar (host → [value, wave]) is state the
+            # round's fetch outcomes depend on — tiny (one entry per
+            # logged-in host), so it rides in every manifest
+            "cookies": cookies or {},
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -184,6 +189,7 @@ class CheckpointStore:
             "step": man["step"],
             "next_seq": man["next_seq"],
             "metrics": man["metrics"],
+            "cookies": man.get("cookies", {}),
         }
 
     def _corpus_paths(self, upto_round: int | None = None) -> list[list[str]]:

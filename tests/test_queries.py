@@ -62,10 +62,16 @@ def test_ngram_jaccard_dense_and_sparse_paths_agree(ray_session):
 
     dense = norm(ngram_jaccard_neardup(SF))                        # dense fires (tiny vocab)
     sparse = norm(ngram_jaccard_neardup(SF, dense_vocab_limit=0))  # forced inverted index
+    # forced past-the-broadcast-cap regime: sizes as a Dataset + 2 joins
+    joined = norm(ngram_jaccard_neardup(SF, dense_vocab_limit=0, size_broadcast_cap=0))
     assert len(dense) == len(sparse) and len(dense) > 0
     assert (dense["doc_a"].to_numpy() == sparse["doc_a"].to_numpy()).all()
     assert (dense["doc_b"].to_numpy() == sparse["doc_b"].to_numpy()).all()
     assert np.allclose(dense["jaccard"], sparse["jaccard"], rtol=0, atol=0)
+    assert len(joined) == len(dense)
+    assert (joined["doc_a"].to_numpy() == dense["doc_a"].to_numpy()).all()
+    assert (joined["doc_b"].to_numpy() == dense["doc_b"].to_numpy()).all()
+    assert np.allclose(joined["jaccard"], dense["jaccard"], rtol=0, atol=0)
 
 
 def test_qcont_matches_duckdb_quantile_cont_fuzz(ray_session):

@@ -76,6 +76,64 @@ def test_in_batch_login_order(ray_session, session_graph):
     assert "account dashboard" in out.column("body")[1].as_py()
 
 
+def test_wave_parallel_sessions_match_sequential(ray_session, session_graph):
+    """The deterministic gated-visibility rule (stages/fetch.py
+    wave_ctx): a WAVE-PARALLEL crawl over a session-gated graph serves
+    the same per-URL outcomes as the sequential jar — login earlier in
+    key order unlocks, later walls — at any parallelism / fetch timing.
+    (Round-2 left this racy by design; the login-key rule fixes it.)"""
+    pages = session_graph
+    seeds = synth.seeds_for(pages)
+    oracle = crawl_bfs_oracle(pages, seeds)
+    want = {t["url"]: (t["status"], t["n_links"], t["is_leaf"]) for t in oracle.trace}
+    for cfg in (
+        CrawlConfig(wave_size=None, n_seen_shards=3, fetch_concurrency=3),
+        CrawlConfig(wave_size=5, n_seen_shards=2, fetch_concurrency=2),
+        CrawlConfig(  # politeness mode pops host-partitioned waves
+            wave_size=None, n_seen_shards=2, fetch_concurrency=2, politeness_ms=1
+        ),
+    ):
+        res = crawl(pages, seeds, cfg)
+        got = {t["url"]: (t["status"], t["n_links"], t["is_leaf"]) for t in res.trace}
+        assert got == want, cfg
+
+
+def test_session_state_survives_kill_and_resume(ray_session, session_graph):
+    """The cookie jar rides in the round manifest (state/checkpoint.py):
+    a crawl killed AFTER the logins but BEFORE the gated pages must
+    serve real bodies on resume — without jar restore the resumed run
+    would re-wall every /account page."""
+    import shutil
+    import tempfile
+
+    pages = session_graph
+    seeds = synth.seeds_for(pages)
+    tmp = tempfile.mkdtemp(prefix="ckpt_sess_")
+    try:
+        base = dict(wave_size=None, snapshot_every=1, n_seen_shards=2)
+        full = crawl(pages, seeds, CrawlConfig(**base))
+        want = {t["url"]: (t["status"], t["n_links"], t["is_leaf"]) for t in full.trace}
+        # kill after every round boundary in turn: some seam lands
+        # between the /login fetch and its gated pages
+        n_rounds = full.metrics["rounds"]
+        assert n_rounds >= 3
+        for cut in range(1, n_rounds):
+            shutil.rmtree(tmp, ignore_errors=True)
+            part = crawl(
+                pages, seeds, CrawlConfig(**base, checkpoint_dir=tmp, max_rounds=cut)
+            )
+            cont = crawl(
+                pages, seeds, CrawlConfig(**base, checkpoint_dir=tmp), resume=True
+            )
+            got = {
+                t["url"]: (t["status"], t["n_links"], t["is_leaf"])
+                for t in list(part.trace) + list(cont.trace)
+            }
+            assert got == want, f"cut after round {cut}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_crawl_conformance_with_sessions(ray_session, session_graph):
     """wave=1 crawl over a session-gated graph reproduces the
     sequential oracle exactly; the gated pages really were served their
