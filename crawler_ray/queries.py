@@ -1355,11 +1355,17 @@ def frontier_discovery(sf_dir: str):
     "op and the pair shuffle at 8 bytes/key.",
 )
 def ngram_jaccard_neardup(
-    sf_dir: str, dense_vocab_limit: int = 16_384, size_broadcast_cap: int = 100_000_000
+    sf_dir: str,
+    dense_vocab_limit: int = 16_384,
+    size_broadcast_cap: int = 100_000_000,
+    hybrid: bool = True,
 ):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
     return _ngram_jaccard_pipeline(
-        docs, dense_vocab_limit=dense_vocab_limit, size_broadcast_cap=size_broadcast_cap
+        docs,
+        dense_vocab_limit=dense_vocab_limit,
+        size_broadcast_cap=size_broadcast_cap,
+        hybrid=hybrid,
     )
 
 
@@ -1368,6 +1374,8 @@ def _ngram_jaccard_pipeline(
     dense_vocab_limit: int = 16_384,
     theta: float = 0.09,
     size_broadcast_cap: int = 100_000_000,
+    hybrid: bool = True,
+    allpairs_cap: int = 65_536,
 ):
     import ray
 
@@ -1455,6 +1463,23 @@ def _ngram_jaccard_pipeline(
             return dense_bitset_jaccard_pairs(
                 grams, vocab, ids_sorted, sz_sorted, THETA
             )
+
+    # SKEW-SPLIT regime: vocabulary too large for one dense bitset, but
+    # a zipfian df distribution makes the inverted index's Σdf² pair
+    # volume explode on the hot head (each hot gram alone implies df²
+    # candidate rows).  Put the top hot grams in a SMALL bitset (BLAS
+    # tiles) and run the index only over the cheap cold tail; exact-
+    # equal to the other regimes (tested).  Gated on doc count — the
+    # tile grid is all-pairs in docs — and self-gated on measured cold
+    # cost (returns None → fall through to the pure index).
+    if hybrid and len(ids_sorted) <= allpairs_cap:
+        from crawler_ray.stages.dedup import try_hybrid_jaccard
+
+        res = try_hybrid_jaccard(
+            grams, ids_sorted, sz_sorted, THETA, n_agg_buckets=N_AGG_BUCKETS
+        )
+        if res is not None:
+            return res
 
     # bucket-parallel inverted-index pair generation: one vectorized
     # pandas self-merge per gh bucket; pairs packed to int64,
@@ -1715,7 +1740,10 @@ def ngram_jaccard_sparse(sf_dir: str):
         .repartition(32)
         .map_batches(aug, batch_format="pyarrow")
     )
-    return _ngram_jaccard_pipeline(docs, dense_vocab_limit=0)
+    # hybrid off: this entry exists to exercise the pure inverted-index
+    # regime at bench scale (the skew-split would grab the corpus's hot
+    # natural-language bigrams and change what is being measured)
+    return _ngram_jaccard_pipeline(docs, dense_vocab_limit=0, hybrid=False)
 
 
 # =====================================================================

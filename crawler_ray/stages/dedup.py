@@ -916,6 +916,239 @@ def dense_bitset_jaccard_pairs(
     return rd.from_arrow_refs(futs)
 
 
+def try_hybrid_jaccard(
+    grams_ds,
+    ids_sorted: np.ndarray,
+    sz_sorted: np.ndarray,
+    threshold: float,
+    n_agg_buckets: int = 32,
+    hot_floor: int = 64,
+    hot_cap: int = 16_384,
+    cold_cost_cap: int = 24_000_000,
+    cold_pair_cap: int = 8_000_000,
+    n_blocks: int = 8,
+):
+    """SKEW-SPLIT (hybrid) regime of the exact n-gram Jaccard self-join,
+    for corpora whose vocabulary is too large for the dense bitset path
+    but whose document-frequency distribution is zipfian: a few HOT
+    grams carry most of the Σdf² pair volume (each hot gram alone
+    implies df² candidate pairs through an inverted index — the
+    all-to-all blowup the "salt hot keys" rule warns about), while the
+    long COLD tail has small df and a cheap index.
+
+    Split: the top-``hot_cap`` grams with df ≥ ``hot_floor`` become a
+    per-doc bitset (BLAS intersection tiles, like the dense regime but
+    over the hot vocabulary only); the cold remainder runs the bucketed
+    inverted index, whose per-pair counts are SMALL by construction
+    (Σ cold df² ≤ ``cold_cost_cap``, checked before any heavy work) and
+    are broadcast into the tiles; each tile thresholds on the exact
+    union i_hot + i_cold.  Every doc pair appears in exactly one tile —
+    including i_hot = 0 pairs — so no pair is missed, and sizes are the
+    TOTAL per-doc gram counts, so the Jaccard value is exact (same
+    float expression as the oracle SQL).
+
+    Returns a Dataset of (doc_a, doc_b, jaccard) or ``None`` when the
+    split isn't viable (no hot grams, or the cold side exceeds its
+    caps) — the caller falls back to the pure inverted-index regime.
+    The all-pairs tile grid bounds this regime to corpora where n_docs²
+    BLAS is feasible (caller gates on doc count)."""
+    import ray
+    import ray.data as rd
+
+    from .relational import bucketed_agg
+
+    # ---- df per gram (vocab-sized bucketed shuffle, 16 B rows) -------
+    df_ds = bucketed_agg(grams_ds, ["gh"], {"__count__": "df"}).materialize()
+
+    # ---- hot selection: per-block top-k, driver merges block winners -
+    def local_top(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy()
+        df = t["df"].to_numpy()
+        keep = df >= hot_floor
+        gh, df = gh[keep], df[keep]
+        if len(gh) > hot_cap:
+            idx = np.argsort(-df, kind="stable")[:hot_cap]
+            gh, df = gh[idx], df[idx]
+        return pa.table({"gh": pa.array(gh), "df": pa.array(df)})
+
+    cand = df_ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return None  # no skew — the pure index is already cheap
+    order = np.lexsort((cand["gh"].to_numpy(), -cand["df"].to_numpy()))[:hot_cap]
+    hot = np.sort(cand["gh"].to_numpy()[order])
+    hot_ref = ray.put(hot)
+
+    # ---- cold Σdf² gate BEFORE any pair work -------------------------
+    def cold_cost_part(t: pa.Table) -> pa.Table:
+        hot_l = ray.get(hot_ref)
+        gh = t["gh"].to_numpy()
+        df = t["df"].to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(hot_l, gh), 0, len(hot_l) - 1)
+        cold = hot_l[pos] != gh
+        return pa.table({"c": pa.array([int((df[cold] ** 2).sum())])})
+
+    cold_cost = int(
+        df_ds.map_batches(cold_cost_part, batch_format="pyarrow")
+        .to_pandas()["c"]
+        .sum()
+    )
+    if cold_cost > cold_cost_cap:
+        return None
+
+    # ---- cold inverted index → per-pair cold intersection counts -----
+    def cold_pairs_in_bucket(g, hot_l, ids_l):
+        import pandas as pd
+
+        gh = g["gh"].to_numpy()
+        pos = np.clip(np.searchsorted(hot_l, gh), 0, len(hot_l) - 1)
+        cold = hot_l[pos] != gh
+        if not cold.any():
+            return pd.DataFrame({"pk": np.zeros(0, dtype=np.int64), "pi": np.zeros(0, dtype=np.int64), "abkt": np.zeros(0, dtype=np.int32)})
+        df = pd.DataFrame(
+            {
+                "rk": np.searchsorted(ids_l, g["doc_id"].to_numpy()[cold]).astype(np.int64),
+                "gh": gh[cold],
+            }
+        )
+        m = df.merge(df, on="gh", suffixes=("_a", "_b"))
+        a, b = m["rk_a"].to_numpy(), m["rk_b"].to_numpy()
+        keep = a < b
+        packed = (a[keep] << 32) | b[keep]
+        pk, pi = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pk": pk.astype("int64"),
+                "pi": pi.astype("int64"),
+                "abkt": ((pk >> 32) % n_agg_buckets).astype("int32"),
+            }
+        )
+
+    ids_ref = ray.put(ids_sorted)
+
+    def _cp(g):
+        return cold_pairs_in_bucket(g, ray.get(hot_ref), ray.get(ids_ref))
+
+    def agg_bucket(g):
+        import pandas as pd
+
+        pk = g["pk"].to_numpy()
+        pi = g["pi"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, pi = pk[order], pi[order]
+        first = np.ones(len(pk), dtype=bool)
+        if len(pk):
+            first[1:] = pk[1:] != pk[:-1]
+        starts = np.where(first)[0]
+        return pd.DataFrame(
+            {"pk": pk[starts], "i": np.add.reduceat(pi, starts) if len(starts) else pi[:0]}
+        )
+
+    cold_counts = (
+        grams_ds.groupby("bucket")
+        .map_groups(_cp, batch_format="pandas")
+        .groupby("abkt")
+        .map_groups(agg_bucket, batch_format="pandas")
+        .materialize()
+    )
+    if cold_counts.count() > cold_pair_cap:
+        return None  # broadcast would be too large; pure index instead
+    cdf = cold_counts.to_pandas()
+    if len(cdf):
+        co = np.argsort(cdf["pk"].to_numpy(), kind="stable")
+        cold_pk = cdf["pk"].to_numpy()[co]
+        cold_i = cdf["i"].to_numpy()[co].astype(np.int64)
+    else:
+        cold_pk = np.zeros(0, dtype=np.int64)
+        cold_i = np.zeros(0, dtype=np.int64)
+    cold_ref = ray.put((cold_pk, cold_i))
+    sz_ref = ray.put(sz_sorted)
+
+    # ---- hot bitsets + BLAS tiles with the cold counts folded in -----
+    def to_bits(t: pa.Table) -> pa.Table:
+        hot_l = ray.get(hot_ref)
+        ids_l = ray.get(ids_ref)
+        rk = np.searchsorted(ids_l, t["doc_id"].to_numpy()).astype(np.int64)
+        gh = t["gh"].to_numpy()
+        order = np.argsort(rk, kind="stable")
+        rk, gh = rk[order], gh[order]
+        uids, first = np.unique(rk, return_index=True)
+        rows = []
+        for i, start in enumerate(first):
+            end = first[i + 1] if i + 1 < len(first) else len(rk)
+            sel = gh[start:end]
+            pos = np.clip(np.searchsorted(hot_l, sel), 0, len(hot_l) - 1)
+            pos = pos[hot_l[pos] == sel]  # hot grams only; doc row kept
+            bits = np.zeros(len(hot_l), dtype=np.uint8)
+            bits[pos] = 1
+            rows.append(np.packbits(bits).tobytes())
+        return pa.table(
+            {"rk": pa.array(uids, type=pa.int64()), "bits": pa.array(rows, type=pa.binary())}
+        )
+
+    bits_ds = grams_ds.map_batches(
+        to_bits, batch_format="pyarrow", batch_size=None
+    ).repartition(n_blocks).materialize()
+    block_refs = bits_ds.to_arrow_refs()
+    nv = len(hot)
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_l = ray.get(ids_ref)
+        sz_l = ray.get(sz_ref)
+        cpk, ci = ray.get(cold_ref)
+
+        def unpack(t):
+            rk = t["rk"].to_numpy()
+            if not len(rk):  # repartition can emit empty blocks
+                return rk, np.zeros((0, nv), dtype=np.float32)
+            raw = np.frombuffer(b"".join(t["bits"].to_pylist()), dtype=np.uint8).reshape(len(rk), -1)
+            return rk, np.unpackbits(raw, axis=1, count=nv).astype(np.float32)
+
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
+        ra, ma = unpack(ta)
+        rb, mb = unpack(tb)
+        if not len(ra) or not len(rb):
+            return empty
+        inter = np.rint(ma @ mb.T).astype(np.int64)  # exact: counts < 2^24
+        if len(cpk):
+            lo = np.minimum(ra[:, None], rb[None, :]).astype(np.int64)
+            hi = np.maximum(ra[:, None], rb[None, :]).astype(np.int64)
+            grid = (lo << 32) | hi
+            pos = np.clip(np.searchsorted(cpk, grid), 0, len(cpk) - 1)
+            hit = cpk[pos] == grid
+            inter = inter + np.where(hit, ci[pos], 0)
+        sa = sz_l[ra][:, None]
+        sb = sz_l[rb][None, :]
+        j = inter / (1.0 * (sa + sb - inter))
+        mask = j >= threshold
+        if same:
+            mask &= ra[:, None] < rb[None, :]
+        ia, ib = np.nonzero(mask)
+        if not len(ia):
+            return empty
+        jv = j[ia, ib]
+        aa, bb = ra[ia], rb[ib]
+        if not same:
+            flip = aa > bb
+            aa, bb = np.where(flip, bb, aa), np.where(flip, aa, bb)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids_l[aa]),
+                "doc_b": pa.array(ids_l[bb]),
+                "jaccard": pa.array(jv),
+            }
+        )
+
+    futs = []
+    for i in range(len(block_refs)):
+        for jj in range(i, len(block_refs)):
+            futs.append(tile.remote(block_refs[i], block_refs[jj], i == jj))
+    return rd.from_arrow_refs(futs)
+
+
 def connected_components(pairs) -> dict:
     """Union-find over verified pairs → id → component representative.
     Driver-side because the verified-pair set is tiny relative to the

@@ -74,6 +74,77 @@ def test_ngram_jaccard_dense_and_sparse_paths_agree(ray_session):
     assert np.allclose(joined["jaccard"], dense["jaccard"], rtol=0, atol=0)
 
 
+def test_ngram_jaccard_hybrid_skew_split_regime(ray_session, tmp_path):
+    """Zipfian corpus: a few HOT grams (df ≈ corpus size) + a sparse
+    cold tail too large for the dense bitset.  The skew-split regime
+    (hot bitset BLAS tiles + cold inverted index) must fire and be
+    pair-exact vs the pure inverted index and the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.queries import REGISTRY, ngram_jaccard_neardup
+    from crawler_ray.stages import dedup as dd
+
+    rng = np.random.default_rng(4242)
+    # grams are BIGRAMS: hot grams need shared phrases, not hot tokens.
+    # 5 boilerplate phrases × ~37 docs each → 35 hot bigrams with df≈37;
+    # 120 random cold tokens/doc from a 300k vocab → ~21k distinct cold
+    # bigrams (past the 16,384 dense cap), df≈1 (cheap cold index).
+    phrases = [[f"p{p}t{i}" for i in range(8)] for p in range(5)]
+    cold_vocab = [f"c{i}" for i in range(300_000)]
+    texts = []
+    for i in range(160):
+        toks = list(phrases[int(rng.integers(0, 5))])
+        toks += [cold_vocab[v] for v in rng.integers(0, 300_000, size=120)]
+        texts.append(" ".join(toks))
+    for i in range(25):  # plant near-dups
+        base = texts[i].split(" ")
+        base[-1] = "Z"
+        texts.append(" ".join(base))
+    d = str(tmp_path / "skew")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    calls = []
+    orig = dd.try_hybrid_jaccard
+
+    def spy(*a, **k):
+        res = orig(*a, hot_floor=16, **k)  # fixture dfs ≈ 40; prod floor is 64
+        calls.append(res is not None)
+        return res
+
+    dd.try_hybrid_jaccard = spy
+    try:
+        got = ngram_jaccard_neardup(d)
+    finally:
+        dd.try_hybrid_jaccard = orig
+    assert calls == [True], "hybrid regime did not fire on the skewed corpus"
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+
+    pure = ngram_jaccard_neardup(d, hybrid=False)
+    pure = (pure.to_pandas() if hasattr(pure, "to_pandas") else pure).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    assert len(got) == len(pure) and len(got) >= 25
+    assert (got["doc_a"].to_numpy() == pure["doc_a"].to_numpy()).all()
+    assert (got["doc_b"].to_numpy() == pure["doc_b"].to_numpy()).all()
+    assert np.array_equal(got["jaccard"].to_numpy(), pure["jaccard"].to_numpy())
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    want = con.sql(REGISTRY["ngram_jaccard_neardup"].sql).df()
+    want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)[got.columns]
+    assert len(got) == len(want)
+    assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all()
+    assert np.array_equal(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())
+
+
 def test_qcont_matches_duckdb_quantile_cont_fuzz(ray_session):
     """token_quantiles' interpolation must be BIT-equal to DuckDB
     quantile_cont (the oracle gate is exact): seeded fuzz over random
