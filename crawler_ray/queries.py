@@ -2390,3 +2390,342 @@ def semi_join_exists(sf_dir: str):
         .groupby("o_orderstatus")
         .aggregate(Sum("pn", alias_name="n"))
     )
+
+
+# =====================================================================
+# Round-3 training-data operators: substring dedup, stratified sample,
+# k-means semantic clustering, heavy hitters
+# =====================================================================
+
+
+@register(
+    "duplicate_substrings",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^[^ ]+', 'dupword') AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM aug),
+    wins AS (
+      SELECT doc_id, md5(array_to_string(tk[j:j+7], ' ')) AS fp
+      FROM toks, unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS s(j)
+      WHERE len(tk) >= 1),
+    kept AS (SELECT DISTINCT doc_id, fp FROM wins WHERE substr(fp, 32, 1) = '0'),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, shared_fps FROM pairs WHERE shared_fps >= 2
+    """,
+    doc="Cross-document duplicated-SUBSTRING detection (the suffix-level "
+    "exact dedup of 'Deduplicating Training Data Makes Language Models "
+    "Better', Lee et al. 2022, done the winnowing way): every 8-token "
+    "window is fingerprinted (md5, SQL-mirrorable), a deterministic "
+    "1/16 sparse keep (low hex nibble 0) samples each doc's windows, "
+    "and docs sharing >=2 kept fingerprints are reported with their "
+    "shared-window count.  A shared run of R tokens yields ~(R-7)/16 "
+    "kept windows, so long verbatim overlaps are caught w.h.p. while "
+    "the shuffle carries 1/16th of the corpus windows, 24 B/row.  "
+    "Fingerprints group in hash buckets (one shuffle); genuine "
+    "duplication is the only df>1 source, so per-bucket self-merge "
+    "volume tracks true overlap, not corpus size.",
+)
+def duplicate_substrings(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    N_FP_BUCKETS = 32
+
+    def kept_fps(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for h in set(textstats.md5_window_fingerprints(x, window=8)):
+                if h.endswith("0"):
+                    ids.append(did)
+                    fps.append(h)
+        b = (
+            np.array([int(f[:8], 16) for f in fps], dtype=np.int64) % N_FP_BUCKETS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "fp": pa.array(fps, type=pa.string()),
+                "fpb": pa.array(b),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="fp", suffixes=("_a", "_b"))
+        a = m["doc_id_a"].to_numpy()
+        b = m["doc_id_b"].to_numpy()
+        keep = a < b
+        pk, c = np.unique((a[keep] << 32) | b[keep], return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_a": (pk >> 32).astype("int64"),
+                "doc_b": (pk & 0xFFFFFFFF).astype("int64"),
+                "c": c.astype("int64"),
+            }
+        )
+
+    fps = _augmented_docs(sf_dir).map_batches(kept_fps, batch_format="pyarrow")
+    partials = fps.groupby("fpb").map_groups(pairs_in_bucket, batch_format="pandas")
+    counts = bucketed_agg(partials, ["doc_a", "doc_b"], {"c": "shared_fps"})
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["shared_fps"], pa.scalar(2)))
+
+    return counts.map_batches(thresh, batch_format="pyarrow")
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH pri AS (
+      SELECT lang, doc_id,
+             md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+          FROM pri)
+    SELECT lang, doc_id FROM r WHERE rk <= 40
+    """,
+    doc="Deterministic stratified sampling for training-mix rebalancing: "
+    "per language stratum, keep the 40 documents with the smallest "
+    "(md5(doc_id), doc_id) priority — a hash-priority sample, i.e. a "
+    "uniform random sample that is REPRODUCIBLE and mergeable: each "
+    "batch keeps its local 40-smallest per stratum (a combiner, so the "
+    "shuffle carries <= strata*40 rows per batch), and a per-stratum "
+    "merge keeps the global 40-smallest.  The same idea scales to "
+    "billions of rows per stratum because no stratum is ever "
+    "materialized.  Hash is md5_number_lower-compatible "
+    "(shingles.md5_hash64) so DuckDB derives identical priorities.",
+)
+def stratified_sample(sf_dir: str, cap: int = 40):
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [shingles.md5_hash64(str(i)) for i in df["doc_id"].to_numpy()],
+            dtype=np.uint64,
+        )
+        df = df.assign(__h=h)
+        df = df.sort_values(["lang", "__h", "doc_id"], kind="stable")
+        return df.groupby("lang", as_index=False, sort=False).head(cap)
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", "doc_id"], kind="stable").head(cap)
+        return g[["lang", "doc_id"]]
+
+    return (
+        _read(sf_dir, "documents", columns=["lang", "doc_id"])
+        .map_batches(local_top, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
+@register(
+    "kmeans_clusters",
+    """
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM embeddings),
+    c0 AS (SELECT rn AS cid, embedding FROM ranked WHERE rn < 8),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+                          c.cid) AS rk
+        FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+    flat AS (
+      SELECT a1.cid, j AS idx, avg(CAST(e.embedding[j] AS DOUBLE)) AS m
+      FROM embeddings e JOIN a1 USING (vec_id),
+           unnest(generate_series(1, len(e.embedding))) AS s(j)
+      GROUP BY a1.cid, j),
+    c1 AS (SELECT cid, array_agg(m ORDER BY idx) AS embedding FROM flat GROUP BY cid)
+    SELECT vec_id, cid AS cluster FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+                        c.cid) AS rk
+      FROM embeddings e CROSS JOIN c1 c) WHERE rk = 1
+    """,
+    doc="Distributed k-means (one Lloyd refinement from the deterministic "
+    "seed set: first 8 vectors by vec_id) — the clustering stage of "
+    "SemDeDup-style semantic dedup and of IVF index training.  Each "
+    "assignment pass is a broadcast of the 8 x dim centroid matrix + "
+    "one vectorized argmax per batch; the centroid update is the "
+    "combiner pattern (per-batch per-cluster vector sums + counts, "
+    "8 rows/batch, merged on the driver) so nothing corpus-sized "
+    "moves.  Cosine ranking mirrors DuckDB list_cosine_similarity; "
+    "stability per the ann_cosine_topk margin argument (cluster "
+    "separation >> 1e-12 engine FP disagreement on the means).",
+)
+def kmeans_clusters(sf_dir: str, k: int = 8):
+    import ray
+
+    head = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(k)
+        .to_pandas()
+    )
+    cents0 = np.array(head["embedding"].to_list(), dtype=np.float64)
+
+    def assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # cosine argmax, ties to the lower cid (matches ORDER BY ... cid)
+        sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ (
+            cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        ).T
+        return np.argmax(sims, axis=1).astype(np.int64)  # first max wins
+
+    c0_ref = ray.put(cents0)
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        cents = ray.get(c0_ref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        cid = assign(mat, cents)
+        sums = np.zeros((len(cents), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, cid, mat)
+        n = np.bincount(cid, minlength=len(cents)).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "s": pa.array(list(sums)),
+                "n": pa.array(n),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(partial_sums, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sums = np.zeros_like(cents0)
+    ns = np.zeros(k, dtype=np.int64)
+    for cid, s, n in zip(parts["cid"], parts["s"], parts["n"]):
+        sums[cid] += np.asarray(s, dtype=np.float64)
+        ns[cid] += n
+    # empty clusters keep their seed (cannot happen with seed vectors
+    # assigned to themselves at sim=1, but guard the division)
+    cents1 = np.where(ns[:, None] > 0, sums / np.maximum(ns, 1)[:, None], cents0)
+    c1_ref = ray.put(cents1)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(c1_ref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {"vec_id": t["vec_id"], "cluster": pa.array(assign(mat, cents))}
+        )
+
+    return _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        final_assign, batch_format="pyarrow"
+    )
+
+
+@register(
+    "heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT tk[j] || ' ' || tk[j+1] AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(j)),
+    tot AS (SELECT count(*) AS n FROM grams),
+    cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+    SELECT g, c FROM cnt, tot WHERE c >= greatest(n // 1000 + 1, 10)
+    """,
+    doc="Heavy hitters over token-bigram OCCURRENCES with a bounded-"
+    "memory sketch + exact verify (the sketch-then-recount pattern): "
+    "pass 1 keeps each batch's top-4000 bigrams by exact batch count "
+    "(dropping a non-top item loses <= N_batch/4000, so summed sketch "
+    "counts undercount by <= N/4000 total); candidates are sketch "
+    "counts >= T - N/4000 with T = max(N//1000 + 1, 10), which "
+    "provably contains every true heavy hitter; pass 2 recounts ONLY "
+    "the broadcast candidate set exactly.  Both passes are per-batch "
+    "np.unique + a key-bucketed sum — no vocabulary-sized shuffle, "
+    "sketch state is O(batches x 4000) rows, and the driver only ever "
+    "sees the candidate list.",
+)
+def heavy_hitters(sf_dir: str, sketch_k: int = 4000, divisor: int = 1000):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    def bigrams(txt: str) -> list[str]:
+        tk = [t for t in txt.lower().split() if t]
+        return [tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1)]
+
+    def sketch(t: pa.Table) -> pa.Table:
+        allg: list[str] = []
+        for x in t["text"].to_pylist():
+            allg.extend(bigrams(x))
+        g, c = np.unique(np.array(allg, dtype=object), return_counts=True)
+        if len(g) > sketch_k:
+            keep = np.argsort(-c, kind="stable")[:sketch_k]
+            g, c = g[keep], c[keep]
+        out = pa.table(
+            {"g": pa.array(g, type=pa.string()), "c": pa.array(c.astype(np.int64))}
+        )
+        return out.append_column("nb", pa.array(np.full(len(g), len(allg), dtype=np.int64) if len(g) else np.zeros(0, dtype=np.int64)))
+
+    docs = _read(sf_dir, "documents", columns=["text"]).materialize()
+    sk = docs.map_batches(sketch, batch_format="pyarrow").materialize()
+    # total N: each sketch row repeats its batch total; distinct per
+    # batch is overkill at this row count — sum nb/rows via first-row
+    # trick is fragile, so recompute N exactly from a cheap scan
+    ntot = int(
+        docs.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([sum(len(bigrams(x)) for x in t["text"].to_pylist())])}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+    T = max(ntot // divisor + 1, 10)
+    approx = bucketed_agg(
+        sk.drop_columns(["nb"]), ["g"], {"c": "ac"}, key_dtypes={"g": "object"}
+    )
+    cand = approx.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["ac"], pa.scalar(max(T - ntot // sketch_k, 1)))
+        ).select(["g"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cand_sorted = np.sort(cand["g"].to_numpy(dtype=object))
+    cref = ray.put(cand_sorted)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cs = ray.get(cref)
+        allg: list[str] = []
+        for x in t["text"].to_pylist():
+            allg.extend(bigrams(x))
+        g, c = np.unique(np.array(allg, dtype=object), return_counts=True)
+        if len(cs) and len(g):
+            idx = np.clip(np.searchsorted(cs, g), 0, len(cs) - 1)
+            hit = cs[idx] == g
+            g, c = g[hit], c[hit]
+        else:
+            g, c = g[:0], c[:0]
+        return pa.table(
+            {"g": pa.array(g, type=pa.string()), "c": pa.array(c.astype(np.int64))}
+        )
+
+    exact = bucketed_agg(
+        docs.map_batches(recount, batch_format="pyarrow"),
+        ["g"],
+        {"c": "c"},
+        key_dtypes={"g": "object"},
+    )
+    return exact.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c"], pa.scalar(T))),
+        batch_format="pyarrow",
+    )

@@ -10,7 +10,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF = "/root/testdata/sf0.001"
-SAMPLE = ["frequencies_model", "pricing_summary", "topk_orders", "token_stats", "windowed_agg"]
+SAMPLE = [
+    "frequencies_model", "pricing_summary", "topk_orders", "token_stats",
+    "windowed_agg",
+    # round-3 training-data operators
+    "duplicate_substrings", "stratified_sample", "kmeans_clusters", "heavy_hitters",
+]
 
 
 def _canon(df):
