@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "token_quantiles",
     "sequence_packing",
     "training_data_prep",
+    "duplicate_substrings",
+    "kmeans_clusters",
+    "heavy_hitters",
 ]
 
 
