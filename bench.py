@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "duplicate_substrings",
     "kmeans_clusters",
     "heavy_hitters",
+    "dedup_components",
 ]
 
 

@@ -2729,3 +2729,61 @@ def heavy_hitters(sf_dir: str, sketch_k: int = 4000, divisor: int = 1000):
         lambda t: t.filter(pc.greater_equal(t["c"], pa.scalar(T))),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "dedup_components",
+    r"""
+    WITH RECURSIVE aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             regexp_replace(text, '^[^ ]+', 'dupword') AS text
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j]||' '||t[j+1]||' '||t[j+2]||' '||t[j+3] AS g
+      FROM toks, unnest(generate_series(1, len(t)-3)) AS s(j)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i/(1.0*(sa.sz + sb.sz - i)) >= 0.9),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+    r(n, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lbl FROM r JOIN edges e ON e.u = r.n)
+    SELECT n AS doc_id, min(lbl) AS component FROM r GROUP BY n
+    """,
+    doc="Near-dup CLUSTER formation at scale: MinHash-LSH verified "
+    "pairs (J>=0.9, the oracle-equal sweep) -> DISTRIBUTED connected "
+    "components via sharded-actor delta min-label propagation "
+    "(stages/cc.py): adjacency lives sharded as CSR, each round only "
+    "CHANGED nodes push their label to neighbours shard->shard through "
+    "the object store, and the driver sees per-shard changed-counts "
+    "only — the scale path replacing the driver union-find "
+    "(dedup.connected_components) for 10^9-edge pair sets.  Component "
+    "label = min reachable doc_id, mirrored by the oracle's recursive "
+    "CTE.",
+)
+def dedup_components(sf_dir: str):
+    from crawler_ray.stages.cc import cc_label_propagation
+    from crawler_ray.stages.dedup import (
+        doc_grams_table,
+        lsh_neardup_pairs,
+        verify_pairs_joined,
+    )
+
+    aug = _augmented_docs(sf_dir).materialize()
+    pairs = verify_pairs_joined(
+        lsh_neardup_pairs(aug, threshold=0.9), doc_grams_table(aug), threshold=0.9
+    )
+    return cc_label_propagation(pairs)

@@ -173,3 +173,64 @@ def test_prepare_training_data_pipeline(ray_session, tmp_path):
     )
     got2 = pq.read_table(out)
     assert sorted(got2["doc_id"].to_pylist()) == [0]  # doc 4 has 8 tokens
+
+
+def test_cc_label_propagation_matches_union_find(ray_session):
+    """Distributed sharded min-label CC == driver union-find on random
+    graphs spanning singleton pairs, chains (worst-case diameter),
+    stars, and dense blobs."""
+    import ray.data as rd
+
+    from crawler_ray.stages.cc import cc_label_propagation
+    from crawler_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(99)
+    edges = []
+    # chains: long diameter exercises multi-round convergence
+    base = 10_000
+    for c in range(5):
+        ids = base + c * 100 + np.arange(40)
+        edges += [(int(ids[i]), int(ids[i + 1])) for i in range(len(ids) - 1)]
+    # stars
+    for s in range(5):
+        hub = 20_000 + s * 100
+        edges += [(hub, hub + i) for i in range(1, 15)]
+    # random blobs
+    for b in range(10):
+        ids = 30_000 + b * 50 + rng.integers(0, 30, size=40)
+        edges += [
+            (int(ids[i]), int(ids[j]))
+            for i, j in rng.integers(0, len(ids), size=(25, 2))
+            if ids[i] != ids[j]
+        ]
+    # isolated pairs
+    edges += [(40_000 + 2 * i, 40_001 + 2 * i) for i in range(20)]
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    pairs_ds = rd.from_arrow(
+        pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+    ).repartition(7)
+
+    got = (
+        cc_label_propagation(pairs_ds, n_shards=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # driver oracle: union-find over the same pairs
+    want_map = connected_components({"doc_a": a.tolist(), "doc_b": b.tolist()})
+    # normalize: component rep = min id per component on both sides
+    import collections
+
+    groups = collections.defaultdict(list)
+    for n, r in want_map.items():
+        groups[r].append(n)
+    want = {}
+    for members in groups.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert len(got) == len(want)
+    got_map = dict(zip(got["doc_id"], got["component"]))
+    assert got_map == want
