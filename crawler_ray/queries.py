@@ -2787,3 +2787,112 @@ def dedup_components(sf_dir: str):
         lsh_neardup_pairs(aug, threshold=0.9), doc_grams_table(aug), threshold=0.9
     )
     return cc_label_propagation(pairs)
+
+
+@register(
+    "interval_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, count(c.cts) AS n_clicks
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+      AND c.cts >= p.ts - INTERVAL 1 DAY AND c.cts < p.ts
+    GROUP BY p.event_id
+    """,
+    doc="Range/interval join (custom operator Ray Data lacks): clicks "
+    "in the day before each purchase, per purchase.  Implemented as "
+    "EPOCH BUCKETING — time is cut into epochs the width of the "
+    "interval, so each interval replicates to at most 2 epochs and "
+    "each point lands in exactly 1 (no pair can match twice); epochs "
+    "coarsen into 64 hash buckets (the repo's standard coarse-group "
+    "trick — Ray per-group overhead amortizes over many epochs) and a "
+    "vectorized pandas merge on (epoch, user_id) + range mask joins "
+    "within each bucket.  Per-epoch partial counts (zeros included via "
+    "the left merge) sum per purchase in a bucketed aggregation.  "
+    "Partitioning assumption: one interval spans O(1) epochs; salt hot "
+    "epochs by a user-hash suffix if a single epoch's volume exceeds a "
+    "worker (documented, not needed at fixture skew).",
+)
+def interval_join(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    W = 86_400_000_000  # epoch width == interval width (1 day in us)
+    N_EPOCH_BUCKETS = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        out = []
+        is_p = typ == "purchase"
+        if is_p.any():
+            t1 = us[is_p]
+            t0 = t1 - W
+            e_lo = t0 // W
+            e_hi = (t1 - 1) // W
+            for ep in (e_lo, e_hi):  # <=2 epochs per interval; dedup below
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "role": 0,
+                            "epoch": ep,
+                            "user_id": uid[is_p],
+                            "t0": t0,
+                            "t1": t1,
+                            "event_id": eid[is_p],
+                        }
+                    )
+                )
+            both = pd.concat(out, ignore_index=True)
+            both = both.drop_duplicates(subset=["event_id", "epoch"])
+            out = [both]
+        is_c = typ == "click"
+        if is_c.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "role": 1,
+                        "epoch": us[is_c] // W,
+                        "user_id": uid[is_c],
+                        "t0": us[is_c],
+                        "t1": np.int64(0),
+                        "event_id": np.int64(-1),
+                    }
+                )
+            )
+        df = (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "role": pd.Series([], dtype="int64"),
+                    "epoch": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "t0": pd.Series([], dtype="int64"),
+                    "t1": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+        df["eb"] = (df["epoch"].to_numpy() % N_EPOCH_BUCKETS).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["role"] == 0]
+        ck = g[g["role"] == 1][["epoch", "user_id", "t0"]].rename(columns={"t0": "cts"})
+        m = iv.merge(ck, on=["epoch", "user_id"], how="left")
+        hit = (m["cts"] >= m["t0"]) & (m["cts"] < m["t1"])
+        cnt = (
+            pd.DataFrame({"event_id": m["event_id"], "h": hit.astype("int64")})
+            .groupby("event_id", as_index=False)["h"].sum()
+        )
+        # an interval's 2 epoch copies both produce a row here; matched
+        # clicks live in one epoch only, so summing downstream is exact
+        return cnt.rename(columns={"h": "pn"})
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    partials = ev.map_batches(explode, batch_format="pyarrow").groupby("eb").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+    return bucketed_agg(partials, ["event_id"], {"pn": "n_clicks"})
