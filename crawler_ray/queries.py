@@ -2896,3 +2896,144 @@ def interval_join(sf_dir: str):
         join_bucket, batch_format="pandas"
     )
     return bucketed_agg(partials, ["event_id"], {"pn": "n_clicks"})
+
+
+@register(
+    "bpe_token_stats",
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+')))
+             AS BIGINT) AS total_bpe
+    FROM documents GROUP BY lang
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(contraction suffixes | space-prefixed letter runs | digit runs | "
+    "punctuation runs | whitespace), made lookahead-free so Python re "
+    "and DuckDB RE2 tokenize identically (verified: equal counts per "
+    "doc).  The regex compiles ONCE per actor (__init__), matching is "
+    "per-doc C-loop, and per-lang totals use the integer-partial "
+    "combiner so the shuffle is lang-cardinality rows per batch.",
+)
+def bpe_token_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    class BpeCount:
+        def __init__(self):
+            import re
+
+            self.rx = re.compile(
+                r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = np.fromiter(
+                (len(self.rx.findall(x)) for x in t["text"].to_pylist()),
+                dtype=np.int64,
+                count=t.num_rows,
+            )
+            out = pa.table({"lang": t["lang"], "toks": pa.array(n)})
+            return make_partial_agg(["lang"], ["toks"])(out)
+
+    parts = _read(sf_dir, "documents", columns=["lang", "text"]).map_batches(
+        BpeCount, batch_format="pyarrow", concurrency=4
+    )
+    agg = parts.groupby("lang").aggregate(
+        Sum("toks_sum", alias_name="total_bpe"), Sum("partial_n", alias_name="n_docs")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": t["n_docs"],
+                "total_bpe": t["total_bpe"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, tk[j]||' '||tk[j+1]||' '||tk[j+2] AS g
+      FROM toks, unnest(generate_series(1, len(tk)-2)) AS s(j)),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM grams g JOIN ev ON g.g = ev.g
+    WHERE g.doc_id >= 5
+    GROUP BY g.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing any "
+    "token 3-gram with the eval set (here: the first 5 docs by id — "
+    "the stand-in for a held-out benchmark).  The eval gram set is "
+    "SMALL by nature, so it is computed once and broadcast (ray.put) "
+    "— membership is a per-batch vectorized searchsorted, no shuffle "
+    "at all; the corpus-side gram explode never leaves its batch.  "
+    "This is the one join shape where broadcast is ALWAYS right at "
+    "100 TB (the build side is a benchmark, not data).",
+)
+def decontaminate(sf_dir: str, n_eval_docs: int = 5, n: int = 3):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    def grams_of(txt: str) -> set:
+        tk = [t for t in txt.lower().split() if t]
+        if len(tk) < n:
+            return set()
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    ev_parts = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(expr=f"doc_id < {n_eval_docs}")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "g": pa.array(
+                        sorted(set().union(*[grams_of(x) for x in t["text"].to_pylist()]) if t.num_rows else set()),
+                        type=pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    ev = np.unique(ev_parts["g"].to_numpy(dtype=object))
+    eref = ray.put(ev)
+
+    class Hits:
+        def __init__(self):
+            self.ev = ray.get(eref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, hits = [], []
+            for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                if did < n_eval_docs:
+                    continue
+                gs = np.array(sorted(grams_of(x)), dtype=object)
+                if not len(gs) or not len(self.ev):
+                    continue
+                idx = np.clip(np.searchsorted(self.ev, gs), 0, len(self.ev) - 1)
+                h = int((self.ev[idx] == gs).sum())
+                if h:
+                    ids.append(did)
+                    hits.append(h)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "pn": pa.array(hits, type=pa.int64()),
+                }
+            )
+
+    parts = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        Hits, batch_format="pyarrow", concurrency=4
+    )
+    return bucketed_agg(parts, ["doc_id"], {"pn": "n_hits"})
