@@ -3037,3 +3037,122 @@ def decontaminate(sf_dir: str, n_eval_docs: int = 5, n: int = 3):
         Hits, batch_format="pyarrow", concurrency=4
     )
     return bucketed_agg(parts, ["doc_id"], {"pn": "n_hits"})
+
+
+@register(
+    "value_quantiles",
+    """
+    SELECT event_type, count(*) AS n,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="EXACT distributed quantiles over DOUBLES (unbounded value "
+    "cardinality — the case token_quantiles' value-histogram cannot "
+    "cover): two-pass histogram selection.  Pass 1 buckets each value "
+    "by the top 16 bits of its ORDER-PRESERVING uint64 transform "
+    "(sign-flip trick: x^0x800... for positives, x^0xFFF... for "
+    "negatives) and aggregates (event_type, prefix) counts — 65,536 "
+    "bins regardless of data size, so the driver holds a histogram, "
+    "never data.  The k-th element's bin is found by cumulative rank "
+    "(k = ceil(q*n), quantile_disc's index rule); pass 2 collects ONLY "
+    "candidate-bin rows (expected n/65536 per bin) and selects the "
+    "exact element.  Pathological mass-on-one-bin skew recurses on the "
+    "next 16 prefix bits (not needed at any realistic distribution — "
+    "a bin that heavy is one repeated value, which IS the quantile).  "
+    "Result values are ELEMENTS of the data, so the oracle compare is "
+    "bit-exact with no float-summation hazard.",
+)
+def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    import math
+
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    def to_key(v: np.ndarray) -> np.ndarray:
+        b = v.view(np.uint64)
+        mask = np.where(
+            (b >> np.uint64(63)).astype(bool),
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+            np.uint64(0x8000000000000000),
+        )
+        return b ^ mask
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy().astype(np.float64)
+        pfx = (to_key(v) >> np.uint64(48)).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False), "pfx": pfx})
+        g = df.groupby(["event_type", "pfx"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"]).materialize()
+    h = (
+        bucketed_agg(
+            ev.map_batches(hist, batch_format="pyarrow"),
+            ["event_type", "pfx"],
+            {"c": "c"},
+            key_dtypes={"event_type": "object"},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "pfx"])
+    )
+
+    # driver: locate each quantile's bin + rank-within-bin
+    want: dict = {}  # (etype, pfx) -> [(q, rank_in_bin)]
+    totals: dict = {}
+    for et, grp in h.groupby("event_type", sort=False):
+        pfxs = grp["pfx"].to_numpy()
+        cnts = grp["c"].to_numpy()
+        n = int(cnts.sum())
+        totals[et] = n
+        cum = np.cumsum(cnts)
+        for q in qs:
+            k = math.ceil(q * n)  # quantile_disc's 1-based index rule
+            i = int(np.searchsorted(cum, k))
+            rank_in_bin = k - (int(cum[i - 1]) if i else 0)
+            want.setdefault((et, int(pfxs[i])), []).append((q, rank_in_bin))
+    # broadcast the candidate set as (sorted type names, sorted packed
+    # code*2^16+pfx keys) so membership is two vectorized searchsorteds
+    et_names = np.array(sorted({et for et, _ in want}), dtype=object)
+    packed = np.sort(
+        np.array(
+            [int(np.searchsorted(et_names, et)) * 65536 + pfx for et, pfx in want],
+            dtype=np.int64,
+        )
+    )
+    wref = ray.put((et_names, packed))
+
+    def collect(t: pa.Table) -> pa.Table:
+        names, sel = ray.get(wref)
+        v = t["value"].to_numpy().astype(np.float64)
+        pfx = (to_key(v) >> np.uint64(48)).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        code = np.clip(np.searchsorted(names, et), 0, len(names) - 1)
+        known = names[code] == et
+        key = code.astype(np.int64) * 65536 + pfx
+        pos = np.clip(np.searchsorted(sel, key), 0, len(sel) - 1)
+        keep = known & (sel[pos] == key)
+        return pa.table(
+            {
+                "event_type": pa.array(et[keep]),
+                "pfx": pa.array(pfx[keep]),
+                "value": pa.array(v[keep]),
+            }
+        )
+
+    cand = ev.map_batches(collect, batch_format="pyarrow").to_pandas()
+    rows = {et: {"event_type": et, "n": totals[et]} for et in totals}
+    for (et, pfx), lst in want.items():
+        vals = np.sort(
+            cand[(cand["event_type"] == et) & (cand["pfx"] == pfx)]["value"].to_numpy()
+        )
+        for q, r in lst:
+            rows[et][f"p{int(q * 100)}"] = float(vals[r - 1])
+    out = pd.DataFrame(list(rows.values()))[
+        ["event_type", "n"] + [f"p{int(q * 100)}" for q in qs]
+    ]
+    return pa.Table.from_pandas(out, preserve_index=False)

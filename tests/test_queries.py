@@ -211,3 +211,28 @@ def test_ngram_jaccard_random_corpora_both_paths(ray_session, tmp_path):
         assert len(got) == len(want) and len(got) >= 20, regime
         assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all(), regime
         assert np.array_equal(got["jaccard"].to_numpy(), want["jaccard"].to_numpy()), regime
+
+
+def test_quantile_disc_index_rule_fuzz(ray_session):
+    """value_quantiles assumes quantile_disc picks the 1-based
+    ceil(q*n)-th order statistic; fuzz the rule against DuckDB over
+    random double multisets (dup-heavy included)."""
+    import math
+
+    import duckdb
+
+    rng = np.random.default_rng(555)
+    con = duckdb.connect()
+    for _ in range(40):
+        n = int(rng.integers(1, 60))
+        vals = np.round(rng.normal(0, 50, size=n), 2)
+        if rng.random() < 0.3:
+            vals[: n // 2] = vals[0]  # heavy duplicate mass
+        con.execute("DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE t(v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(float(x),) for x in vals])
+        s = np.sort(vals)
+        for q in (0.5, 0.9, 0.99, 0.25, 1.0):
+            want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            got = s[math.ceil(q * n) - 1]
+            assert got == want, (n, q, got, want)
