@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 
 from .functions import shingles, textstats
 from .stages.relational import cents, make_partial_agg
+from .stages.ann import list_col_to_matrix
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -1183,7 +1184,7 @@ def ann_cosine_topk(sf_dir: str):
         def __call__(self, t: pa.Table) -> pa.Table:
             vids = t["vec_id"].to_numpy()
             mask = vids != qid
-            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[mask]
+            m = list_col_to_matrix(t["embedding"])[mask]
             vids = vids[mask]
             if len(vids) == 0:
                 return pa.table({"vec_id": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())})
@@ -2588,7 +2589,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8):
 
     def partial_sums(t: pa.Table) -> pa.Table:
         cents = ray.get(c0_ref)
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(t["embedding"])
         cid = assign(mat, cents)
         sums = np.zeros((len(cents), mat.shape[1]), dtype=np.float64)
         np.add.at(sums, cid, mat)
@@ -2618,7 +2619,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8):
 
     def final_assign(t: pa.Table) -> pa.Table:
         cents = ray.get(c1_ref)
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(t["embedding"])
         return pa.table(
             {"vec_id": t["vec_id"], "cluster": pa.array(assign(mat, cents))}
         )

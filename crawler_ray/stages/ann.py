@@ -22,6 +22,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
+def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> column → (n, dim) matrix WITHOUT the to_pylist
+    Python-object explosion: one flat buffer copy + a reshape (rows are
+    uniform-length by construction for embedding columns).  Falls back
+    to the object path for ragged rows."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    offs = arr.offsets.to_numpy()
+    w = offs[1] - offs[0]
+    if not (np.diff(offs) == w).all():  # ragged — not an embedding col
+        return np.array(arr.to_pylist(), dtype=dtype)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return vals[offs[0] : offs[-1]].astype(dtype).reshape(n, w)
+
+
 def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Dataset + (q, d) query matrix → pandas (query_id, vec_id, rank)."""
     import ray
@@ -35,7 +52,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10, vec_col: str = "em
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy()
-            m = _normalize(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+            m = _normalize(list_col_to_matrix(t[vec_col]))
             cos = self.qn @ m.T  # (q, batch)
             out_q, out_id, out_cos = [], [], []
             kk = min(k, cos.shape[1])
@@ -87,7 +104,7 @@ def ivf_bucket(ds, centroids: np.ndarray, vec_col: str = "embedding"):
             self.c = ray.get(cref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(np.array(t[vec_col].to_pylist(), dtype=np.float64))
+            m = _normalize(list_col_to_matrix(t[vec_col]))
             b = np.argmax(m @ self.c.T, axis=1)
             return t.append_column("bucket", pa.array(b.astype(np.int32)))
 
