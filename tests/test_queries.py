@@ -236,3 +236,49 @@ def test_quantile_disc_index_rule_fuzz(ray_session):
             want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
             got = s[math.ceil(q * n) - 1]
             assert got == want, (n, q, got, want)
+
+
+def test_value_quantiles_negative_and_dup_heavy(ray_session, tmp_path):
+    """The order-preserving bit transform must handle negatives, zeros
+    and duplicate-heavy bins; compare against quantile_disc on a
+    synthetic events table the fixture (all-positive) can't cover."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.queries import value_quantiles
+
+    rng = np.random.default_rng(31337)
+    vals = np.concatenate([
+        rng.normal(-100, 50, size=400),          # negatives
+        np.zeros(50), -np.zeros(25),             # signed zeros
+        np.full(200, -7.25),                     # heavy duplicate mass
+        rng.exponential(1000, size=300),
+    ])
+    types = rng.choice(["a", "b", "c"], size=len(vals))
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(vals)), type=pa.int64()),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array(vals, type=pa.float64()),
+        }),
+        os.path.join(d, "events.parquet"),
+    )
+    got = value_quantiles(d)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.sql("""
+        SELECT event_type, count(*) AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """).df().sort_values("event_type").reset_index(drop=True)[got.columns]
+    assert len(got) == len(want) == 3
+    for c in got.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
