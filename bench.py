@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "heavy_hitters",
     "dedup_components",
+    "group_topk",
+    "repetition_stats",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "segment_dedup",
 ]
 
 

@@ -15,6 +15,9 @@ SAMPLE = [
     "windowed_agg",
     # round-3 training-data operators
     "duplicate_substrings", "stratified_sample", "kmeans_clusters", "heavy_hitters",
+    # round-3 corpus-hygiene / window operators
+    "group_topk", "mixture_resample", "repetition_stats", "pii_scrub",
+    "tfidf_top_terms", "segment_dedup",
 ]
 
 
