@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "dedup_components",
     "group_topk",
+    "asof_join",
+    "running_window",
     "repetition_stats",
     "pii_scrub",
     "tfidf_top_terms",

@@ -3697,3 +3697,163 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 10):
         )
 
     return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+# =====================================================================
+# Time-series operators — as-of join, per-key running window
+# =====================================================================
+
+
+@register(
+    "asof_join",
+    """
+    SELECT p.event_id,
+           coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us,
+           CAST(c.ts IS NOT NULL AS BIGINT) AS matched
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="Distributed AS-OF join (custom operator Ray Data lacks; the "
+    "point-in-time lookup every event pipeline needs): for each "
+    "purchase, the latest click at-or-before it by the same user, "
+    "reported as gap_us (-1 when the user never clicked before).  "
+    "Shape: ONE scan tags both roles, a single shuffle on "
+    "hash(user_id) % 64 coarse buckets co-locates each user's full "
+    "history, and the per-bucket kernel is pandas merge_asof (sorted "
+    "C merge, no Python over rows).  Unlike the epoch trick in "
+    "interval_join, as-of has an unbounded lookback so key "
+    "co-location is the partitioning assumption: a bucket must hold "
+    "its users' histories (balanced by user hash; as-of never needs "
+    "cross-user data so buckets split freely by user at skew).  Gap "
+    "is reported rather than the matched click's id so equal-ts "
+    "click ties are semantics-free, matching ASOF JOIN's "
+    "tie-nondeterminism.",
+)
+def asof_join(sf_dir: str):
+    N_BUCKETS = 64
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (typ == "purchase") | (typ == "click")
+        us = t["ts"].cast(pa.int64()).to_numpy()[keep]
+        uid = t["user_id"].to_numpy()[keep]
+        eid = t["event_id"].to_numpy()[keep]
+        role = (typ[keep] == "click").astype(np.int8)  # 0=purchase 1=click
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(uid, dtype="int64"),
+                "ts_us": pd.Series(us, dtype="int64"),
+                "event_id": pd.Series(eid, dtype="int64"),
+                "role": pd.Series(role, dtype="int8"),
+                "__bucket": pd.Series((uid % N_BUCKETS).astype("int32")),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "gap_us": pd.Series([], dtype="int64"),
+                    "matched": pd.Series([], dtype="int64"),
+                }
+            )
+        p = g[g["role"] == 0].sort_values("ts_us", kind="stable")
+        c = (
+            g[g["role"] == 1][["user_id", "ts_us"]]
+            .rename(columns={"ts_us": "cts_us"})
+            .sort_values("cts_us", kind="stable")
+        )
+        m = pd.merge_asof(
+            p, c, left_on="ts_us", right_on="cts_us", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        hit = m["cts_us"].notna().to_numpy()
+        gap = np.where(
+            hit, m["ts_us"].to_numpy() - m["cts_us"].fillna(0).to_numpy().astype(np.int64), -1
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "gap_us": gap,
+                "matched": hit.astype(np.int64),
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    return (
+        ev.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+@register(
+    "running_window",
+    """
+    SELECT event_id,
+           sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) / 100.0
+             AS run_value,
+           CAST(row_number()
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS rn
+    FROM events
+    """,
+    doc="Per-key running-window aggregate (cumulative sum + running "
+    "count ordered by event time): the unbounded-preceding window "
+    "shape engines answer with a global sort.  Distributed shape: one "
+    "scan converts value to exact integer cents (floor(x*100+.5), the "
+    "repo-wide money rule, so accumulation order can't perturb the "
+    "oracle compare) and buckets rows by hash(user_id); each bucket "
+    "sorts its users' rows once by (user, ts, event_id) and runs "
+    "vectorized pandas groupby-cumsum/cumcount — per-key sequential "
+    "semantics with cross-key parallelism.  Partitioning assumption: "
+    "a key's history fits its bucket (same keyed-state rule as "
+    "stream.py windows); a single unbounded key degrades to the "
+    "two-phase distributed prefix scan (stages/relational.py:59), "
+    "documented not needed at fixture skew.",
+)
+def running_window(sf_dir: str):
+    N_BUCKETS = 64
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        uid = t["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(uid, dtype="int64"),
+                "ts_us": pd.Series(t["ts"].cast(pa.int64()).to_numpy(), dtype="int64"),
+                "event_id": pd.Series(t["event_id"].to_numpy(), dtype="int64"),
+                "vc": pd.Series(cents(t["value"]).to_numpy(), dtype="int64"),
+                "__bucket": pd.Series((uid % N_BUCKETS).astype("int32")),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "run_value": pd.Series([], dtype="float64"),
+                    "rn": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        gb = g.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "run_value": gb["vc"].cumsum().to_numpy() / 100.0,
+                "rn": (gb.cumcount() + 1).astype("int64"),
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )

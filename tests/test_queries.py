@@ -18,6 +18,8 @@ SAMPLE = [
     # round-3 corpus-hygiene / window operators
     "group_topk", "mixture_resample", "repetition_stats", "pii_scrub",
     "tfidf_top_terms", "segment_dedup",
+    # round-3 time-series operators
+    "asof_join", "running_window",
 ]
 
 

@@ -139,3 +139,64 @@ def test_group_topk_matches_pandas(ray_session):
             {"rk": "int64"}
         ),
     )
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_asof_join_semantics(ray_session, tmp_path):
+    # user 1: click@10 — purchase@10 matches exactly (gap 0),
+    # purchase@5 precedes every click (-1), purchase@30 picks the
+    # LATEST prior click (20, not 10); user 2 never clicks (-1)
+    rows = [
+        (0, 10, 1, "click", 0.0),
+        (1, 10, 1, "purchase", 1.0),
+        (2, 5, 1, "purchase", 1.0),
+        (3, 20, 1, "click", 0.0),
+        (4, 30, 1, "purchase", 1.0),
+        (5, 30, 2, "purchase", 1.0),
+        (6, 40, 2, "click", 0.0),  # click AFTER the purchase: ignored
+    ]
+    sf = _write_events(tmp_path, rows)
+    from crawler_ray.queries import asof_join
+
+    out = asof_join(sf).to_pandas().set_index("event_id").sort_index()
+    assert out.loc[1, "gap_us"] == 0 and out.loc[1, "matched"] == 1
+    assert out.loc[2, "gap_us"] == -1 and out.loc[2, "matched"] == 0
+    assert out.loc[4, "gap_us"] == 10
+    assert out.loc[5, "gap_us"] == -1
+    assert len(out) == 4  # one row per purchase, none for clicks
+
+
+def test_running_window_cross_batch_order(ray_session, tmp_path):
+    # rows arrive shuffled; the running sum must follow (ts, event_id)
+    # order per user, with exact-cents accumulation (0.005 floors up)
+    rows = [
+        (3, 40, 1, "view", 1.0),
+        (1, 20, 1, "view", 0.105),  # cents: floor(10.5+0.5)=11
+        (2, 30, 2, "view", 2.0),
+        (0, 10, 1, "view", 0.2),
+        (4, 30, 2, "view", 3.0),  # same user+ts as event 2: id breaks tie
+    ]
+    sf = _write_events(tmp_path, rows)
+    from crawler_ray.queries import running_window
+
+    out = running_window(sf).to_pandas().set_index("event_id").sort_index()
+    assert out.loc[0, "run_value"] == 0.2 and out.loc[0, "rn"] == 1
+    assert out.loc[1, "run_value"] == (20 + 11) / 100.0 and out.loc[1, "rn"] == 2
+    assert out.loc[3, "run_value"] == (20 + 11 + 100) / 100.0 and out.loc[3, "rn"] == 3
+    assert out.loc[2, "rn"] == 1 and out.loc[4, "rn"] == 2
+    assert out.loc[4, "run_value"] == 5.0
