@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "heavy_hitters",
     "dedup_components",
+    "semantic_dedup",
     "group_topk",
     "asof_join",
     "running_window",

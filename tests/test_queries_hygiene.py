@@ -200,3 +200,28 @@ def test_running_window_cross_batch_order(ray_session, tmp_path):
     assert out.loc[3, "run_value"] == (20 + 11 + 100) / 100.0 and out.loc[3, "rn"] == 3
     assert out.loc[2, "rn"] == 1 and out.loc[4, "rn"] == 2
     assert out.loc[4, "run_value"] == 5.0
+
+
+def test_semantic_dedup_first_wins(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, 16)).astype(np.float32)
+    m[25] = m[3]          # exact copy of an earlier vector
+    m[30] = m[3] * 2.0    # same direction (cos == 1), different norm
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 40, type=pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "embeddings.parquet"))
+    from crawler_ray.queries import semantic_dedup
+
+    out = semantic_dedup(str(tmp_path)).to_pandas().set_index("vec_id")
+    assert out.loc[3, "is_dup"] == 0          # first occurrence survives
+    assert out.loc[25, "is_dup"] == 1         # byte-copy dropped
+    assert out.loc[30, "is_dup"] == 1         # scaled copy dropped too
+    # copies land in the first occurrence's cluster (same direction)
+    assert out.loc[25, "bucket"] == out.loc[3, "bucket"]
+    assert len(out) == 40
