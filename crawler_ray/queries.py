@@ -708,78 +708,6 @@ def sessionize(sf_dir: str):
     )
 
 
-@register(
-    "asof_join",
-    """
-    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
-    SELECT count(*) AS n_purchases,
-           count(c.ts) AS n_matched,
-           CAST(sum(datediff('microsecond', c.ts, p.ts)) AS BIGINT) AS sum_gap_us,
-           (sum(datediff('microsecond', c.ts, p.ts))/(1.0*count(c.ts)))/1000000.0
-             AS avg_gap_s
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
-    """,
-    doc="As-of join (custom operator Ray Data lacks): per-user "
-    "merge_asof of purchases to the latest strictly-earlier click; "
-    "partitioning assumption: co-partitioned by user_id.",
-)
-def asof_join(sf_dir: str):
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"][["ts"]].sort_values("ts")
-        c = g[g["event_type"] == "click"][["ts"]].sort_values("ts").rename(columns={"ts": "cts"})
-        if len(p) == 0:
-            return pd.DataFrame({"n_purchases": [0], "n_matched": [0], "sum_gap_us": [0]})
-        if len(c) == 0:
-            return pd.DataFrame({"n_purchases": [len(p)], "n_matched": [0], "sum_gap_us": [0]})
-        m = pd.merge_asof(p, c, left_on="ts", right_on="cts", allow_exact_matches=False)
-        matched = m["cts"].notna()
-        gap = (m.loc[matched, "ts"] - m.loc[matched, "cts"]).dt.total_seconds() * 1_000_000
-        return pd.DataFrame(
-            {
-                "n_purchases": [len(p)],
-                "n_matched": [int(matched.sum())],
-                "sum_gap_us": [int(round(gap.sum()))],
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    per = (
-        _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
-    )
-    agg = per.map_batches(
-        lambda t: pa.table(
-            {
-                "k": pa.array([0] * t.num_rows, type=pa.int32()),
-                "n_purchases": t["n_purchases"],
-                "n_matched": t["n_matched"],
-                "sum_gap_us": t["sum_gap_us"],
-            }
-        ),
-        batch_format="pyarrow",
-    ).groupby("k").aggregate(
-        Sum("n_purchases", alias_name="n_purchases"),
-        Sum("n_matched", alias_name="n_matched"),
-        Sum("sum_gap_us", alias_name="sum_gap_us"),
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        n_m = t["n_matched"].to_numpy().astype(np.float64)
-        s = t["sum_gap_us"].to_numpy().astype(np.float64)
-        return pa.table(
-            {
-                "n_purchases": t["n_purchases"],
-                "n_matched": t["n_matched"],
-                "sum_gap_us": t["sum_gap_us"],
-                "avg_gap_s": pa.array((s / (1.0 * n_m)) / 1000000.0),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
-
 
 # =====================================================================
 # Text analysis over documents (training-data pipeline operators)
@@ -3438,6 +3366,109 @@ def pii_scrub(sf_dir: str):
     )
 
 
+def _tfidf_join_regime(docs, df_ds, n_docs: int, k: int):
+    """Past-the-broadcast-cap regime for tfidf_top_terms: the vocabulary
+    stays a Dataset; per-doc (term, tf) rows pick up df via a term-keyed
+    hash join (``Dataset.join``), then per-doc top-k runs in doc-hash
+    buckets.  The fp score is the same expression in the same op order
+    as the broadcast path (tf * (n_docs*1.0/df)), so the two regimes are
+    row-identical (forced-regime test asserts it)."""
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        tok_list = pc.split_pattern(txt, " ")
+        if isinstance(tok_list, pa.ChunkedArray):
+            tok_list = tok_list.combine_chunks()
+        lens = pc.list_value_length(tok_list).to_numpy().astype(np.int64)
+        dct = pc.dictionary_encode(tok_list.values)
+        codes = dct.indices.to_numpy().astype(np.int64)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        order = np.lexsort((codes, rows))
+        r_s, c_s = rows[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])))
+        )
+        tf = np.diff(np.append(starts, len(r_s))).astype(np.int64)
+        did = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(did[r_s[starts]]),
+                "term": dct.dictionary.take(pa.array(c_s[starts])),
+                "tf": pa.array(tf),
+            }
+        )
+
+    # join orientation matters: bucketed_agg's map_groups output carries
+    # schemaless EMPTY pandas blocks which the Arrow hash join rejects
+    # on its RIGHT (build) side — so df goes LEFT and the clean Arrow
+    # tf-explode goes RIGHT (same orientation as the ngram size joins).
+    # materialize + adaptive partitions per the ngram-regime comment: a
+    # 32-partition join demands a 4-CPU aggregator pool a small test
+    # session can't grant.
+    tf_rows = docs.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    num_partitions = int(np.clip(tf_rows.count() // 25_000, 2, 32))
+    joined = df_ds.join(
+        tf_rows,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("term",),
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype="object"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["__b"] = (df["doc_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "rk": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.shape[1] == 0 or len(g) == 0:
+            return empty
+        dfv = g["df"].to_numpy().astype(np.float64)
+        score = g["tf"].to_numpy().astype(np.float64) * (n_docs * 1.0 / dfv)
+        terms = g["term"].to_numpy(dtype=object)
+        dids = g["doc_id"].to_numpy()
+        order = np.lexsort((terms, -score, dids))
+        d_o = dids[order]
+        run_start = np.flatnonzero(np.concatenate(([True], d_o[1:] != d_o[:-1])))
+        pos = np.arange(len(d_o)) - np.repeat(
+            run_start, np.diff(np.append(run_start, len(d_o)))
+        )
+        keep = pos < k
+        sel = order[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dids[sel], dtype="int64"),
+                "term": pd.Series(terms[sel], dtype="object"),
+                "tf": pd.Series(g["tf"].to_numpy()[sel], dtype="int64"),
+                "df": pd.Series(g["df"].to_numpy()[sel], dtype="int64"),
+                "rk": pd.Series(pos[keep] + 1, dtype="int64"),
+            }
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 @register(
     "tfidf_top_terms",
     """
@@ -3457,9 +3488,11 @@ def pii_scrub(sf_dir: str):
     "stage of a training-data pipeline): document frequencies via the "
     "string-keyed bucketed combiner (one shuffle of (term, partial_df) "
     "rows), broadcast once as a sorted vocab array + df vector "
-    "(ray.put; valid while the vocabulary fits the driver — past "
-    "~10^7 terms the same per-doc top-k runs after a term-keyed hash "
-    "join instead, same shape as the ngram size-join regime), then a "
+    "(ray.put) while the vocabulary fits the vocab_broadcast_cap; past "
+    "the cap the IMPLEMENTED join regime fires (_tfidf_join_regime: df "
+    "stays a Dataset, per-doc (term, tf) rows pick up df via a "
+    "term-keyed hash join, per-doc top-k in doc-hash buckets — "
+    "forced-regime test asserts row equality), then a "
     "single scan computes per-doc tf (dictionary-encode + lexsort run "
     "lengths, no Python over tokens) and each doc's 3 best terms by "
     "score = tf * (N/df).  The idf stays the exact rational N/df "
@@ -3467,7 +3500,7 @@ def pii_scrub(sf_dir: str):
     "oracle fragile); the fp expression tf*(N*1.0/df) is evaluated "
     "with the same op order as the SQL so ranks match bit-exactly.",
 )
-def tfidf_top_terms(sf_dir: str, k: int = 3):
+def tfidf_top_terms(sf_dir: str, k: int = 3, vocab_broadcast_cap: int = 5_000_000):
     import ray
     from crawler_ray.stages.relational import bucketed_agg
 
@@ -3496,18 +3529,20 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
             }
         )
 
-    df_tbl = (
-        bucketed_agg(
-            docs.map_batches(explode_distinct, batch_format="pyarrow"),
-            keys=["term"],
-            sum_cols={"__count__": "df"},
-            key_dtypes={"term": "object"},
-        )
-        .to_pandas()
-    )
+    df_ds = bucketed_agg(
+        docs.map_batches(explode_distinct, batch_format="pyarrow"),
+        keys=["term"],
+        sum_cols={"__count__": "df"},
+        key_dtypes={"term": "object"},
+    ).materialize()
     n_docs = int(
         pq.read_metadata(_pq(sf_dir, "documents")).num_rows
     )
+
+    if df_ds.count() > vocab_broadcast_cap:
+        return _tfidf_join_regime(docs, df_ds, n_docs, k)
+
+    df_tbl = df_ds.to_pandas()
     vocab = np.sort(df_tbl["term"].to_numpy(dtype=object))
     dfv = (
         df_tbl.set_index("term").loc[vocab]["df"].to_numpy().astype(np.float64)

@@ -225,3 +225,25 @@ def test_semantic_dedup_first_wins(ray_session, tmp_path):
     # copies land in the first occurrence's cluster (same direction)
     assert out.loc[25, "bucket"] == out.loc[3, "bucket"]
     assert len(out) == 40
+
+
+def test_tfidf_join_regime_matches_broadcast(ray_session):
+    """Force the past-the-vocab-cap join regime (df as a Dataset +
+    term-keyed hash join) and assert row equality with the broadcast
+    path over the real fixture."""
+    import pandas as pd
+
+    from crawler_ray.queries import tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["doc_id", "rk"]).reset_index(drop=True)[
+            ["doc_id", "term", "tf", "df", "rk"]
+        ]
+
+    a = norm(tfidf_top_terms(sf))
+    b = norm(tfidf_top_terms(sf, vocab_broadcast_cap=0))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
