@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "group_topk",
     "asof_join",
     "running_window",
+    "global_rank",
     "repetition_stats",
     "pii_scrub",
     "tfidf_top_terms",

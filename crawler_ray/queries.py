@@ -3984,3 +3984,81 @@ def semantic_dedup(sf_dir: str, tau: float = 0.4, tile: int = 1024):
         .groupby("bucket")
         .map_groups(per_cluster, batch_format="pandas")
     )
+
+
+@register(
+    "global_rank",
+    """
+    SELECT event_id, value,
+           CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT)
+             AS rnk
+    FROM events
+    """,
+    doc="Global rank over a distributed sort (the full-table ORDER BY + "
+    "row_number shape): Ray's range-partitioned sort orders the blocks, "
+    "then ranks are assigned by the two-phase scan pattern "
+    "(stages/relational.py add_prefix_sum): phase 1 ships ONE "
+    "(first-row key, row-count) summary per block to the driver — tiny "
+    "at any scale — which computes exclusive block offsets; phase 2 "
+    "re-walks the same materialized blocks adding offset + arange.  "
+    "No row data ever concentrates; the only driver state is "
+    "O(#blocks).  The block-boundary contract (batch_size=None over "
+    "the materialized sorted blocks) is asserted, not assumed.",
+)
+def global_rank(sf_dir: str):
+    import ray
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_id", "value"])
+        .sort(["value", "event_id"], descending=[True, False])
+        .materialize()
+    )
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "eid": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "eid": pa.array([t["event_id"][0].as_py()], type=pa.int64()),
+                "v": pa.array([t["value"][0].as_py()], type=pa.float64()),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    summ = (
+        ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["v", "eid"], ascending=[False, True])
+    )
+    n = summ["n"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(n)[:-1]])
+    omap = dict(zip(summ["eid"].to_numpy(dtype=np.int64).tolist(), offs.tolist()))
+    oref = ray.put(omap)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "rnk": pa.array([], type=pa.int64()),
+                }
+            )
+        m = ray.get(oref)
+        first = int(t["event_id"][0].as_py())
+        # same block-boundary contract as add_prefix_sum: phase-2
+        # batches must start exactly at phase-1 block starts
+        assert first in m, "global_rank block boundaries diverged"
+        base = m[first]
+        rnk = base + np.arange(1, t.num_rows + 1, dtype=np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "value": t["value"], "rnk": pa.array(rnk)}
+        )
+
+    return ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
