@@ -3118,19 +3118,36 @@ def group_topk(sf_dir: str, k: int = 3):
             ascending=[True, False, True],
             kind="stable",
         )
-        return df.groupby("o_custkey", as_index=False, sort=False).head(k)
+        df = df.groupby("o_custkey", as_index=False, sort=False).head(k).copy()
+        # coarse merge buckets: a per-CUSTOMER map_groups would pay
+        # Ray's ~2ms/group overhead x |customers|; 64 hash buckets
+        # amortize it (the repo-wide bucketed-agg trick)
+        df["__b"] = (df["o_custkey"].to_numpy() % 64).astype("int32")
+        return df
 
     def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_totalprice": pd.Series([], dtype="float64"),
+                    "rk": pd.Series([], dtype="int64"),
+                }
+            )
         g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.assign(rk=np.arange(1, len(g) + 1, dtype=np.int64))
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        g = g.assign(rk=g.groupby("o_custkey", sort=False).cumcount() + 1)
+        g = g[g["rk"] <= k]
         return g[["o_custkey", "o_orderkey", "o_totalprice", "rk"]]
 
     return (
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
         .map_batches(local_top, batch_format="pandas")
-        .groupby("o_custkey")
+        .groupby("__b")
         .map_groups(final_top, batch_format="pandas")
     )
 
