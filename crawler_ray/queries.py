@@ -4079,3 +4079,58 @@ def global_rank(sf_dir: str):
         )
 
     return ds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "partitioned_export",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Partitioned-parquet export, verified by reading the export "
+    "back (the resumable-output contract: one directory per partition "
+    "key so a failed run skips finished partitions; never one giant "
+    "file).  Ray writes documents hash-partitioned BY LANG via "
+    "write_parquet(partition_cols=['lang']) — each worker writes its "
+    "own files, nothing routes through the driver — then the returned "
+    "stats are computed by READING THE EXPORT BACK per partition "
+    "directory, so the oracle green certifies the files on disk, not "
+    "the in-flight dataset.  Hive-style partition dirs (lang=en/...) "
+    "are the skip-unit for resume, mirroring dataprep's _SUCCESS "
+    "convention.",
+)
+def partitioned_export(sf_dir: str, out_dir: str | None = None):
+    import shutil
+    import tempfile
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    own = out_dir is None
+    if own:
+        out_dir = tempfile.mkdtemp(prefix="crawler_ray_export_", dir="/tmp")
+    try:
+        ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        ds.write_parquet(out_dir, partition_cols=["lang"])
+        back = ray.data.read_parquet(out_dir)
+        out = (
+            back.groupby("lang")
+            .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+            .to_pandas()
+        )
+        # partition dirs exist per lang (the resume skip-unit)
+        langs = set(out["lang"])
+        on_disk = {
+            d.split("=", 1)[1]
+            for d in os.listdir(out_dir)
+            if d.startswith("lang=")
+        }
+        assert on_disk == langs, (on_disk, langs)
+        out["lang"] = out["lang"].astype(str)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["total_chars"] = out["total_chars"].astype(np.int64)
+        return pa.Table.from_pandas(out[["lang", "n_docs", "total_chars"]], preserve_index=False)
+    finally:
+        if own:
+            shutil.rmtree(out_dir, ignore_errors=True)

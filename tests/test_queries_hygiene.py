@@ -247,3 +247,22 @@ def test_tfidf_join_regime_matches_broadcast(ray_session):
     b = norm(tfidf_top_terms(sf, vocab_broadcast_cap=0))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_partitioned_export_resume_layout(ray_session, tmp_path):
+    """The export must land one hive-style dir per partition key (the
+    resume skip-unit) and the read-back stats must match the source."""
+    texts = ["a b", "c d", "e f", "g h"]
+    src = tmp_path / "src"
+    os.makedirs(str(src), exist_ok=True)
+    sf = _write_docs(src, texts, langs=["en", "fr", "en", "de"])
+    out = str(tmp_path / "exp")
+    os.makedirs(out, exist_ok=True)
+    from crawler_ray.queries import partitioned_export
+
+    res = partitioned_export(sf, out_dir=out).to_pandas().set_index("lang")
+    assert sorted(os.listdir(out)) == ["lang=de", "lang=en", "lang=fr"]
+    assert res.loc["en", "n_docs"] == 2 and res.loc["de", "n_docs"] == 1
+    # files are per-partition (never one giant file)
+    for d in os.listdir(out):
+        assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(out, d)))
