@@ -42,3 +42,34 @@ def test_ray_dataset_reader(ray_session, tmp_path):
     ds = cio.read_dataset(uri)
     assert ds.count() == 7
     assert set(ds.schema().names) == {"doc_id", "spans"}
+
+
+def test_compact_dir_merges_fragments_and_preserves_rows(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.compact import compact_dir
+
+    frag = tmp_path / "frag"
+    frag.mkdir()
+    # 40 tiny parts, 25 rows each (the crawl-round write pattern)
+    for i in range(40):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(i * 25, i * 25 + 25), type=pa.int64()),
+                "v": pa.array([i] * 25, type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(frag / f"part-{i:04d}.parquet"))
+    out = str(tmp_path / "compacted")
+    stats = compact_dir(str(frag), out, target_rows_per_file=500)
+    assert stats == {"rows": 1000, "files_before": 40, "files_after": stats["files_after"]}
+    assert stats["files_after"] <= 4  # ~2 target blocks, never 40
+    # content preserved exactly (order-insensitive)
+    got = pq.read_table(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == list(range(1000))
+    assert got["v"].sum() == sum(i * 25 for i in range(40))
+    # .tmp staging dir must not survive the publish
+    assert not os.path.exists(out + ".tmp")

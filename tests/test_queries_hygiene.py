@@ -266,3 +266,43 @@ def test_partitioned_export_resume_layout(ray_session, tmp_path):
     # files are per-partition (never one giant file)
     for d in os.listdir(out):
         assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(out, d)))
+
+
+def test_asof_and_running_window_fuzz_vs_bruteforce(ray_session, tmp_path):
+    """Seeded random event streams (duplicate timestamps, clickless
+    users, purchase-first users) vs pure-Python brute force."""
+    rng = np.random.default_rng(99)
+    n = 400
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                int(rng.integers(0, 50)) * 1000,  # coarse ts: forces ties
+                int(rng.integers(0, 12)),
+                ["click", "purchase", "view"][int(rng.integers(0, 3))],
+                float(rng.integers(0, 10000)) / 100.0,
+            )
+        )
+    sf = _write_events(tmp_path, rows)
+
+    from crawler_ray.queries import asof_join, running_window
+
+    got = asof_join(sf).to_pandas().set_index("event_id").sort_index()
+    purchases = [r for r in rows if r[3] == "purchase"]
+    assert len(got) == len(purchases)
+    for eid, ts, uid, _, _ in purchases:
+        prior = [r[1] for r in rows if r[3] == "click" and r[2] == uid and r[1] <= ts]
+        want = (ts - max(prior)) if prior else -1
+        assert got.loc[eid, "gap_us"] == want, eid
+
+    rw = running_window(sf).to_pandas().set_index("event_id").sort_index()
+    assert len(rw) == n
+    by_user = {}
+    for eid, ts, uid, _, val in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        cents_v = int(np.floor(val * 100 + 0.5))
+        acc, cnt = by_user.get(uid, (0, 0))
+        acc, cnt = acc + cents_v, cnt + 1
+        by_user[uid] = (acc, cnt)
+        assert rw.loc[eid, "run_value"] == acc / 100.0, eid
+        assert rw.loc[eid, "rn"] == cnt, eid
