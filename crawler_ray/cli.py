@@ -47,8 +47,10 @@ def main(argv=None):
     p.add_argument("mode", choices=[
         "bfs", "structure-driven", "discussion-forum", "execute",
         "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
-        "fix-model", "prep-data",
+        "fix-model", "prep-data", "compact",
     ])
+    p.add_argument("--target-rows", type=int, default=1_000_000,
+                   help="rows per output file (compact)")
     p.add_argument("--input", help="documents parquet (prep-data)")
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=100_000)
@@ -102,6 +104,23 @@ def main(argv=None):
                 out_dir=out_dir,
             )
             print(json.dumps({**stats, "out": out_dir}))
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.mode == "compact":
+        # table maintenance: merge fragmented parquet parts (one per
+        # worker per crawl round) into target-size files
+        if not args.input:
+            p.error("compact requires --input (fragmented parquet dir)")
+        _init_ray(args.num_cpus)
+        import ray
+
+        from crawler_ray.pipelines.compact import compact_dir
+
+        try:
+            stats = compact_dir(args.input, args.out, target_rows_per_file=args.target_rows)
+            print(json.dumps({**stats, "out": args.out}))
             return 0
         finally:
             ray.shutdown()
