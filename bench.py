@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "tfidf_top_terms",
     "segment_dedup",
+    "chunk_documents",
 ]
 
 

@@ -4134,3 +4134,72 @@ def partitioned_export(sf_dir: str, out_dir: str | None = None):
     finally:
         if own:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, ws,
+                 unnest(generate_series(
+                   0, CAST(floor((len(ws) - 1) / 6) AS BIGINT))) AS chunk_id
+          FROM w)
+    SELECT doc_id, chunk_id,
+           array_to_string(ws[chunk_id * 6 + 1 : chunk_id * 6 + 12], ' ')
+             AS chunk_text,
+           CAST(least(12, len(ws) - chunk_id * 6) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+    doc="Strided sliding-window chunking (the context-window prep stage "
+    "of an LLM training pipeline: window=12 tokens, stride=6, so "
+    "consecutive chunks overlap by half and every token is covered; "
+    "tail chunks run short).  Vectorized per CHUNK INDEX, not per row: "
+    "iteration i filters docs with >i chunks and runs Arrow "
+    "list_slice + binary_join over the whole column — the Python loop "
+    "is O(max_chunks_per_doc), never O(rows) or O(tokens).  A pure "
+    "flat_map: no shuffle, no state; output row count is "
+    "sum(ceil(len_i/stride)) and streams straight to the next stage.",
+)
+def chunk_documents(sf_dir: str, window: int = 12, stride: int = 6):
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        tok = pc.split_pattern(txt, " ")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        lens = pc.list_value_length(tok).to_numpy().astype(np.int64)
+        n_chunks = (lens - 1) // stride + 1  # split("") == [""], so lens >= 1
+        did = t["doc_id"].to_numpy()
+        parts = []
+        for i in range(int(n_chunks.max())):
+            mask = n_chunks > i
+            sub = tok.filter(pa.array(mask))
+            sl = pc.list_slice(sub, i * stride, i * stride + window)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(did[mask]),
+                        "chunk_id": pa.array(
+                            np.full(int(mask.sum()), i, dtype=np.int64)
+                        ),
+                        "chunk_text": pc.binary_join(sl, " "),
+                        "n_tokens": pa.array(
+                            np.minimum(window, lens[mask] - i * stride).astype(np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else empty
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow"
+    )
