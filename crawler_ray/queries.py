@@ -4203,3 +4203,72 @@ def chunk_documents(sf_dir: str, window: int = 12, stride: int = 6):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         chunk, batch_format="pyarrow"
     )
+
+
+@register(
+    "text_normalize",
+    """
+    WITH aug AS (
+      SELECT doc_id, lang,
+             ' ' || upper(substr(text, 1, 8)) || chr(9) || text
+                 || chr(10) || chr(10) || '  ' AS t
+      FROM documents),
+    n AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(t), '[\t\n\r ]+', ' ', 'g')) AS norm
+      FROM aug)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(norm)) AS BIGINT) AS norm_chars,
+           CAST(sum(CASE WHEN norm = lower(trim(norm)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_idempotent
+    FROM n GROUP BY lang
+    """,
+    doc="C4-style text normalization (lowercase, collapse whitespace "
+    "runs, trim): the cleanup map every web-scraped corpus runs before "
+    "tokenization.  Pure vectorized Arrow kernels — utf8_lower + "
+    "replace_substring_regex (RE2, same engine as the DuckDB oracle) + "
+    "utf8_trim — then a per-language combiner; one scan, no shuffle "
+    "beyond lang partials.  The fixture text is already clean, so a "
+    "deterministic messy augmentation (leading space, uppercased "
+    "8-char prefix, tab/newline runs, trailing blanks — mirrored "
+    "verbatim in the SQL, the pii_scrub trick) makes the kernels do "
+    "real work; n_idempotent certifies normalize(normalize(x)) == "
+    "normalize(x) on every row.  ASCII fixture assumption: substr "
+    "is char-based in DuckDB vs codeunit-based in Arrow (identical "
+    "on ASCII; a multilingual corpus would slice by codepoint).",
+)
+def text_normalize(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        n = len(txt)
+        head = pc.utf8_upper(pc.utf8_slice_codeunits(txt, 0, 8))
+        sp = pa.array([" "] * n, type=pa.string())
+        tab = pa.array(["\t"] * n, type=pa.string())
+        tail = pa.array(["\n\n  "] * n, type=pa.string())
+        aug = pc.binary_join_element_wise(sp, head, tab, txt, tail, "")
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(aug), "[\t\n\r ]+", " "), " "
+        )
+        renorm = pc.utf8_trim(pc.utf8_lower(norm), " ")
+        out = pa.table(
+            {
+                "lang": t["lang"],
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+                "nc": pc.cast(pc.utf8_length(norm), pa.int64()),
+                "idem": pc.cast(pc.equal(norm, renorm), pa.int64()),
+            }
+        )
+        return make_partial_agg(["lang"], ["one", "nc", "idem"])(out)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one_sum", alias_name="n_docs"),
+            Sum("nc_sum", alias_name="norm_chars"),
+            Sum("idem_sum", alias_name="n_idempotent"),
+        )
+    )
