@@ -2,13 +2,17 @@
 metadata, with decode / resize / feature-extract / frame-sample as
 actor-pool map_batches stages.
 
-The container has no image/audio libraries, so DECODING is stubbed
-(FIXTURES spirit: deterministic fake payloads with a parseable header;
-``PIL``/real codecs are probed behind an import-try and raise a
-clearly-marked NotImplementedError for real payloads).  Everything
-AROUND the decode — the Arrow schema, batch sizing for large binary
-rows, the actor signature (codec state in ``__init__``), and the
-output layout — is real and tested.
+Decoding tiers (the container has no image/audio libraries):
+  * REAL pure-numpy/stdlib codecs for uncompressed formats — PPM (P6)
+    images and RIFF/PCM WAV audio (``wave`` is stdlib) — byte-exact
+    encode→decode roundtrips, tested;
+  * the deterministic FAKE wire format for fixture payloads;
+  * COMPRESSED codecs (JPEG/PNG/MP4) are probed behind an import-try
+    (``PIL``) and raise a clearly-marked NotImplementedError —
+    swap in a real codec lib in production.
+Everything AROUND the decode — the Arrow schema, batch sizing for
+large binary rows, the actor signature (codec state in ``__init__``),
+and the output layout — is real and tested.
 
 Schema:
     media(media_ref: string, kind: string ∈ {image,audio,video},
@@ -86,22 +90,80 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+# --- real uncompressed codecs (pure numpy / stdlib) -----------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8 (maxval 255, no comments —
+    the common subset every P6 writer emits)."""
+    head, rest = payload.split(b"\n255\n", 1)
+    magic, dims = head.split(b"\n", 1)
+    assert magic == b"P6", "not a P6 PPM"
+    w, h = (int(x) for x in dims.split())
+    arr = np.frombuffer(rest, dtype=np.uint8, count=h * w * 3)
+    return arr.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 PCM → RIFF/WAV via the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV (16-bit mono PCM) → (samples int16, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        assert wf.getsampwidth() == 2 and wf.getnchannels() == 1
+        rate = wf.getframerate()
+        samples = np.frombuffer(wf.readframes(wf.getnframes()), dtype=np.int16)
+    return samples, rate
+
+
 class _FakeCodec:
-    """Decodes the deterministic fake wire format into numpy frames."""
+    """Magic-byte dispatch: real PPM/WAV decoders for uncompressed
+    payloads, the deterministic fake wire format for fixtures, and a
+    clearly-marked NotImplementedError for compressed codecs.
+
+    Returns (kind, arr): image/video arr is (frames, h, w, 3) uint8;
+    audio arr is 1-D int16 samples."""
 
     @staticmethod
     def decode(payload: bytes) -> tuple[str, np.ndarray]:
-        if not payload.startswith(b"FAKE"):
-            raise NotImplementedError(
-                "real media decoding is NOT implemented in this sandbox "
-                "(no PIL/ffmpeg); only the deterministic fake wire format "
-                "is decodable — swap _FakeCodec for a real codec in "
-                "production"
-            )
-        kb, w, h, frames, seed = struct.unpack("<BHHHI", payload[4:15])
-        rng = np.random.RandomState(seed)
-        arr = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
-        return _BYTE_KIND[kb], arr
+        if payload.startswith(b"P6"):
+            return "image", decode_ppm(payload)[None]
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            samples, _rate = decode_wav(payload)
+            return "audio", samples
+        if payload.startswith(b"FAKE"):
+            kb, w, h, frames, seed = struct.unpack("<BHHHI", payload[4:15])
+            rng = np.random.RandomState(seed)
+            arr = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
+            return _BYTE_KIND[kb], arr
+        raise NotImplementedError(
+            "compressed media codecs (JPEG/PNG/MP4) are NOT available in "
+            "this sandbox (no PIL/ffmpeg); uncompressed PPM/WAV and the "
+            "deterministic fake wire format decode for real — swap in a "
+            "codec library in production"
+        )
 
 
 class MediaDecoder:
@@ -124,9 +186,14 @@ class MediaDecoder:
             try:
                 kind, arr = _FakeCodec.decode(payload)
                 kinds.append(kind)
-                frames_n.append(arr.shape[0])
-                heights.append(arr.shape[1])
-                widths.append(arr.shape[2])
+                if arr.ndim == 1:  # audio: width = sample count
+                    frames_n.append(1)
+                    heights.append(1)
+                    widths.append(len(arr))
+                else:
+                    frames_n.append(arr.shape[0])
+                    heights.append(arr.shape[1])
+                    widths.append(arr.shape[2])
                 ok.append(True)
             except NotImplementedError:
                 kinds.append("unknown")
@@ -153,13 +220,20 @@ class MediaFeaturizer:
         self.n_frames = n_frames
 
     def _resize(self, frame: np.ndarray) -> np.ndarray:
+        # box-pool when downscaling, nearest-neighbour when upscaling:
+        # every bin is guaranteed >=1 pixel (linspace edges collapse to
+        # empty bins when target > source, which NaNs the mean)
         h, w, _ = frame.shape
-        ys = np.linspace(0, h, self.target + 1, dtype=int)
-        xs = np.linspace(0, w, self.target + 1, dtype=int)
+        ys = (np.arange(self.target + 1) * h) // self.target
+        xs = (np.arange(self.target + 1) * w) // self.target
         out = np.zeros((self.target, self.target, 3), dtype=np.float32)
         for i in range(self.target):
+            y0 = min(int(ys[i]), h - 1)
+            y1 = max(int(ys[i + 1]), y0 + 1)
             for j in range(self.target):
-                out[i, j] = frame[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(axis=(0, 1))
+                x0 = min(int(xs[j]), w - 1)
+                x1 = max(int(xs[j + 1]), x0 + 1)
+                out[i, j] = frame[y0:y1, x0:x1].mean(axis=(0, 1))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -169,6 +243,20 @@ class MediaFeaturizer:
                 _kind, arr = self.codec.decode(payload)
             except NotImplementedError:
                 feats.append([0.0] * 6)
+                continue
+            if arr.ndim == 1:  # audio: amplitude stats, not pixel stats
+                x = arr.astype(np.float64)
+                zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                feats.append(
+                    [
+                        float(x.mean()),
+                        float(x.std()),
+                        float(np.sqrt((x * x).mean())),  # rms
+                        zc / max(len(x) - 1, 1),  # zero-crossing rate
+                        float(np.abs(x).max(initial=0.0)),  # peak
+                        float(len(x)),
+                    ]
+                )
                 continue
             # frame sampling: evenly spaced
             if arr.shape[0] > self.n_frames:

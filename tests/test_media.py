@@ -67,7 +67,7 @@ def test_featurizer_and_frame_sampling(ray_session):
 
 
 def test_real_payload_raises_clearly():
-    with pytest.raises(NotImplementedError, match="NOT implemented"):
+    with pytest.raises(NotImplementedError, match="NOT available"):
         media._FakeCodec.decode(b"\x89PNG\r\n\x1a\nnotfake")
     # and the stage degrades to decode_ok=False instead of crashing
     bad = pa.table(
@@ -83,3 +83,70 @@ def test_real_payload_raises_clearly():
     )
     out = media.MediaDecoder()(bad)
     assert out.column("decode_ok").to_pylist() == [False]
+
+
+def test_ppm_roundtrip_byte_exact():
+    import numpy as np
+
+    from crawler_ray.stages.media import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_wav_roundtrip_byte_exact():
+    import numpy as np
+
+    from crawler_ray.stages.media import decode_wav, encode_wav
+
+    rng = np.random.default_rng(6)
+    samples = rng.integers(-32768, 32767, size=4410, dtype=np.int16)
+    got, rate = decode_wav(encode_wav(samples, 44100))
+    assert rate == 44100 and np.array_equal(got, samples)
+
+
+def test_decoder_pool_handles_real_fake_and_unknown(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.media import (
+        MEDIA_SCHEMA,
+        MediaDecoder,
+        MediaFeaturizer,
+        encode_ppm,
+        encode_wav,
+        fake_payload,
+    )
+
+    img = np.full((8, 12, 3), 200, dtype=np.uint8)  # constant color
+    wav = (np.sin(np.linspace(0, 40 * np.pi, 2000)) * 20000).astype(np.int16)
+    rows = [
+        {"media_ref": "a.ppm", "kind": "image", "payload": encode_ppm(img),
+         "meta": {"width": 12, "height": 8, "frames": 1, "sample_rate": 0}},
+        {"media_ref": "b.wav", "kind": "audio", "payload": encode_wav(wav, 16000),
+         "meta": {"width": 0, "height": 0, "frames": 0, "sample_rate": 16000}},
+        {"media_ref": "c.gif", "kind": "image", "payload": fake_payload("image", 10, 6, 1, 7),
+         "meta": {"width": 10, "height": 6, "frames": 1, "sample_rate": 0}},
+        {"media_ref": "d.jpg", "kind": "image", "payload": b"\xff\xd8\xff\xe0 compressed",
+         "meta": {"width": 0, "height": 0, "frames": 0, "sample_rate": 0}},
+    ]
+    t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    ds = rd.from_arrow(t)
+    dec = ds.map_batches(MediaDecoder, batch_size=2, concurrency=1,
+                         batch_format="pyarrow").to_pandas().set_index("media_ref")
+    assert dec.loc["a.ppm", "decode_ok"] and dec.loc["a.ppm", "decoded_width"] == 12
+    assert dec.loc["b.wav", "decode_ok"] and dec.loc["b.wav", "decoded_width"] == 2000
+    assert dec.loc["c.gif", "decode_ok"]
+    assert not dec.loc["d.jpg", "decode_ok"]  # compressed: honest stub
+
+    feats = ds.map_batches(MediaFeaturizer, batch_size=2, concurrency=1,
+                           batch_format="pyarrow").to_pandas().set_index("media_ref")
+    f_img = feats.loc["a.ppm", "media_features"]
+    assert all(abs(v - 200.0) < 1e-9 for v in f_img[:3])  # constant color mean
+    assert all(abs(v) < 1e-9 for v in f_img[3:])          # zero variance
+    f_wav = feats.loc["b.wav", "media_features"]
+    assert f_wav[5] == 2000.0                              # duration in samples
+    assert 0.0 < f_wav[3] < 0.1                            # sine ZCR ≈ 20/1999
+    assert list(feats.loc["d.jpg", "media_features"]) == [0.0] * 6
