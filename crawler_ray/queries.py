@@ -3955,13 +3955,17 @@ def running_window(sf_dir: str):
     "so no verdict can flip.  Flags (not a filtered corpus) are "
     "returned so the oracle checks every row's verdict.",
 )
-def semantic_dedup(sf_dir: str, tau: float = 0.4, tile: int = 1024):
+def semantic_dedup(sf_dir: str, tau: float = 0.4, tile: int = 1024, n_centroids: int = 8):
+    # n_centroids=8 matches the registered oracle; production scales it
+    # with corpus size (the SemDeDup contract: cluster size stays
+    # bounded, so within-cluster work stays linear-ish) — see
+    # tools/embedding_smoke.py for the k=64-at-200k-vectors evidence
     from crawler_ray.stages.ann import ivf_bucket, list_col_to_matrix
 
     head = (
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         .sort("vec_id")
-        .limit(8)
+        .limit(n_centroids)
         .to_pandas()
     )
     cents = np.array(head["embedding"].to_list(), dtype=np.float64)
