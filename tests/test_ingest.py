@@ -1,0 +1,64 @@
+"""Incremental corpus ingest: cross-round exact dedup, within-round
+first-wins, idempotent round commit, crash-orphan convergence."""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def _corpus_rows(corpus_dir):
+    import glob
+
+    rows = []
+    for p in sorted(glob.glob(os.path.join(corpus_dir, "round=*", "*.parquet"))):
+        rows += pq.read_table(p).to_pydict()["doc_id"]
+    return sorted(rows)
+
+
+def test_incremental_ingest_rounds(ray_session, tmp_path):
+    from crawler_ray.pipelines.ingest import incremental_ingest
+
+    corpus = str(tmp_path / "corpus")
+    r1 = incremental_ingest(_ds([(1, "aa"), (2, "bb"), (3, "aa")]), corpus, 1)
+    # doc 3 is a within-round duplicate of doc 1
+    assert r1 == {"ingested": 2, "dup_existing": 0, "dup_within": 1, "skipped": False}
+    assert _corpus_rows(corpus) == [1, 2]
+
+    # round 2: one known text, one new, one repeated new (first-wins)
+    r2 = incremental_ingest(_ds([(10, "bb"), (11, "cc"), (12, "cc")]), corpus, 2)
+    assert r2 == {"ingested": 1, "dup_existing": 1, "dup_within": 1, "skipped": False}
+    assert _corpus_rows(corpus) == [1, 2, 11]
+
+    # idempotency: re-running a committed round is a no-op
+    r2b = incremental_ingest(_ds([(99, "zz")]), corpus, 2)
+    assert r2b["skipped"] is True
+    assert _corpus_rows(corpus) == [1, 2, 11]
+
+    # crash convergence: fingerprints written but manifest lost
+    # (delete the manifest entry) — re-running the round accepts 0 and
+    # the corpus converges (no duplicate text ever ingested twice)
+    import json
+
+    m = json.load(open(os.path.join(corpus, "_manifest.json")))
+    del m["rounds"]["2"]
+    json.dump(m, open(os.path.join(corpus, "_manifest.json"), "w"))
+    r2c = incremental_ingest(_ds([(11, "cc")]), corpus, 2)
+    assert r2c["ingested"] == 0 and r2c["dup_existing"] == 1
+    assert _corpus_rows(corpus) == [1, 2]  # round dir rewritten empty... 
