@@ -47,10 +47,12 @@ def main(argv=None):
     p.add_argument("mode", choices=[
         "bfs", "structure-driven", "discussion-forum", "execute",
         "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
-        "fix-model", "prep-data", "compact",
+        "fix-model", "prep-data", "compact", "ingest",
     ])
     p.add_argument("--target-rows", type=int, default=1_000_000,
                    help="rows per output file (compact)")
+    p.add_argument("--round-id", type=int, default=1,
+                   help="ingest round number (idempotent per round)")
     p.add_argument("--input", help="documents parquet (prep-data)")
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=100_000)
@@ -104,6 +106,25 @@ def main(argv=None):
                 out_dir=out_dir,
             )
             print(json.dumps({**stats, "out": out_dir}))
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.mode == "ingest":
+        # incremental corpus ingest: append --input docs as --round-id,
+        # exact-deduped against everything already in --out
+        if not args.input:
+            p.error("ingest requires --input (documents parquet)")
+        _init_ray(args.num_cpus)
+        import ray
+        import ray.data as rd
+
+        from crawler_ray.pipelines.ingest import incremental_ingest
+
+        try:
+            docs = rd.read_parquet(args.input)
+            stats = incremental_ingest(docs, args.out, args.round_id)
+            print(json.dumps({**stats, "out": args.out}))
             return 0
         finally:
             ray.shutdown()
