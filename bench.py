@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "group_topk",
     "asof_join",
     "running_window",
+    "funnel_conversion",
     "global_rank",
     "repetition_stats",
     "pii_scrub",

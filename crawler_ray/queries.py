@@ -4276,3 +4276,101 @@ def text_normalize(sf_dir: str):
             Sum("idem_sum", alias_name="n_idempotent"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH c AS (SELECT user_id, min(ts) AS first_click FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+         p AS (SELECT user_id, max(ts) AS last_purchase FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT count(c.user_id) AS n_clickers,
+           count(p.user_id) AS n_purchasers,
+           CAST(sum(CASE WHEN p.last_purchase >= c.first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM c FULL OUTER JOIN p USING (user_id)
+    """,
+    doc="Funnel conversion (the ordered-sequence analytics shape: did "
+    "a click PRECEDE a purchase, per user): one scan reduces each "
+    "(user, role) to its extreme timestamp inside the batch (a "
+    "combiner — min first-click / max last-purchase merge "
+    "associatively), one small shuffle on user buckets merges partials "
+    "and scores the funnel per user, and three counters come back.  "
+    "Per-user state is TWO timestamps regardless of event volume, so "
+    "the shuffle carries 2 rows per (user, batch) — the same "
+    "pre-aggregation rule as pricing_summary, applied to an "
+    "order-sensitive predicate made associative by reducing to "
+    "extremes.",
+)
+def funnel_conversion(sf_dir: str):
+    def partials(t: pa.Table) -> pd.DataFrame:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy()
+        out = []
+        for role, is_r in (("c", typ == "click"), ("p", typ == "purchase")):
+            if is_r.any():
+                df = pd.DataFrame({"user_id": uid[is_r], "ts": us[is_r]})
+                agg = df.groupby("user_id", as_index=False)["ts"].agg(
+                    "min" if role == "c" else "max"
+                )
+                agg["role"] = role
+                out.append(agg)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="int64"),
+                    "role": pd.Series([], dtype="object"),
+                    "__b": pd.Series([], dtype="int32"),
+                }
+            )
+        df = pd.concat(out, ignore_index=True)
+        df["__b"] = (df["user_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "nc": pd.Series([], dtype="int64"),
+                    "np_": pd.Series([], dtype="int64"),
+                    "nv": pd.Series([], dtype="int64"),
+                }
+            )
+        c = g[g["role"] == "c"].groupby("user_id")["ts"].min()
+        p = g[g["role"] == "p"].groupby("user_id")["ts"].max()
+        j = pd.concat([c.rename("fc"), p.rename("lp")], axis=1)
+        conv = (j["lp"] >= j["fc"]).sum()
+        return pd.DataFrame(
+            {
+                "nc": [int(j["fc"].notna().sum())],
+                "np_": [int(j["lp"].notna().sum())],
+                "nv": [int(conv)],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    per_bucket = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(score, batch_format="pandas")
+    )
+    out = (
+        per_bucket.map_batches(
+            lambda t: t.append_column("k", pa.array([0] * t.num_rows, type=pa.int32())),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(
+            Sum("nc", alias_name="n_clickers"),
+            Sum("np_", alias_name="n_purchasers"),
+            Sum("nv", alias_name="n_converted"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["k"]), batch_format="pyarrow"
+    )
