@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_neardup",
     "ngram_jaccard_sparse",
     "link_graph_degree",
+    "pagerank",
     "minhash_lsh_neardup",
     "token_quantiles",
     "sequence_packing",

@@ -4374,3 +4374,96 @@ def funnel_conversion(sf_dir: str):
     return out.map_batches(
         lambda t: t.drop_columns(["k"]), batch_format="pyarrow"
     )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Chained-CTE integer PageRank oracle: rank r0 = 10^6 everywhere;
+    each iteration r'_t = 150000 + (85 * Σ_{u→t} (r_u // k_u)) // 100 —
+    ALL integer arithmetic, so Ray and DuckDB agree bit-exactly (no
+    float damping, no summation-order hazard)."""
+    parts = [
+        "WITH n AS (SELECT count(*) AS c FROM documents),",
+        "e AS (SELECT d.doc_id AS src, d.doc_id % 5 + 3 AS k,",
+        "             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target",
+        "      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)),",
+        "r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",r{i} AS (
+      SELECT d.doc_id,
+             CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+      FROM documents d LEFT JOIN (
+        SELECT e.target AS doc_id, sum(rp.r // e.k) AS s
+        FROM e JOIN r{i - 1} rp ON rp.doc_id = e.src
+        GROUP BY e.target) s USING (doc_id))"""
+        )
+    parts.append(f"SELECT doc_id, r AS rank_scaled FROM r{iters}")
+    return "\n".join(parts)
+
+
+@register(
+    "pagerank",
+    _pagerank_sql(5),
+    doc="Distributed PageRank over the derived link graph (the "
+    "iterative-graph-algorithm class: BSP power iteration).  EXACT "
+    "INTEGER scheme so the oracle is bit-identical: ranks start at "
+    "10^6, each of 5 iterations computes r'_t = 150000 + "
+    "(85 * Σ contributions) // 100 with contribution r_u // outdeg_u "
+    "— no float damping factor, no summation-order hazard.  Per "
+    "iteration: ONE scan of the documents table explodes edges and "
+    "pre-aggregates contributions per target inside the batch "
+    "(sort + reduceat — a combiner, so the shuffle carries one row "
+    "per (target, batch)), a bucketed merge produces the new sparse "
+    "rank updates, and the driver assembles the dense rank vector "
+    "for the next broadcast (valid while the NODE VECTOR fits — "
+    "int64[n], ~8 GB at 10^9 nodes; past that ranks stay a Dataset "
+    "keyed by node and contributions join instead of broadcasting, "
+    "the stages/cc.py sharded topology).  Out-degrees are arithmetic "
+    "in this derived graph; a real graph carries them as a column.",
+)
+def pagerank(sf_dir: str, iters: int = 5):
+    import ray
+    from crawler_ray.stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    r = np.full(n, 1_000_000, dtype=np.int64)
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).materialize()
+
+    for _ in range(iters):
+        rref = ray.put(r)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            k = (ids % 5 + 3).astype(np.int64)
+            tgt = _explode_links(t, n)
+            rr = ray.get(rref)
+            cc = np.repeat(rr[ids] // k, k)
+            order = np.argsort(tgt, kind="stable")
+            ts_, cs = tgt[order], cc[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ts_[1:] != ts_[:-1]))
+            )
+            return pa.table(
+                {
+                    "target": pa.array(ts_[starts]),
+                    "s": pa.array(np.add.reduceat(cs, starts) if len(starts) else cs[:0]),
+                }
+            )
+
+        sums = bucketed_agg(
+            docs.map_batches(contrib, batch_format="pyarrow"),
+            keys=["target"],
+            sum_cols={"s": "s"},
+        ).to_pandas()
+        s = np.zeros(n, dtype=np.int64)
+        if len(sums):
+            s[sums["target"].to_numpy(dtype=np.int64)] = sums["s"].to_numpy(dtype=np.int64)
+        r = 150_000 + (85 * s) // 100
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "rank_scaled": pa.array(r),
+        }
+    )
