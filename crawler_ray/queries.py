@@ -4467,3 +4467,123 @@ def pagerank(sf_dir: str, iters: int = 5):
             "rank_scaled": pa.array(r),
         }
     )
+
+
+@register(
+    "distinct_kmv",
+    """
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    h AS (SELECT DISTINCT lang, md5_number_lower(w) AS hv FROM tok),
+    rk AS (SELECT lang, hv,
+                  row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+           FROM h),
+    kth AS (SELECT lang, max(CASE WHEN rn = 256 THEN hv END) AS hk
+            FROM rk GROUP BY lang),
+    ex AS (SELECT lang, count(*) AS exact FROM h GROUP BY lang)
+    SELECT e.lang, CAST(e.exact AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN k.hk IS NULL THEN e.exact
+                ELSE (CAST(255 AS HUGEINT) * 18446744073709551616) // k.hk
+                END AS BIGINT) AS kmv_estimate
+    FROM ex e LEFT JOIN kth k USING (lang)
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch per language, "
+    "k=256 — the mergeable-sketch class: each batch contributes its "
+    "k smallest md5 hashes of its distinct tokens (sketch union is "
+    "'keep the k smallest' — associative and commutative, so a "
+    "sketch-only deployment prunes to ≤ k rows per (lang, batch); "
+    "HERE the exact side-by-side count needs every distinct pair, so "
+    "batches dedup but don't prune), buckets dedup hashes exactly, "
+    "and the estimate is the "
+    "DETERMINISTIC (k-1) * 2^64 // h_k — pure integer arithmetic on a "
+    "fixed hash, which is why this sketch (unlike HLL's floats) "
+    "carries a bit-exact SQL oracle.  The exact distinct count rides "
+    "the same bucket pass for side-by-side accuracy reading.  Fewer "
+    "than k distinct values -> the sketch IS exact (both sides "
+    "branch identically).",
+)
+def distinct_kmv(sf_dir: str, k: int = 256):
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        seen: dict[tuple, bool] = {}
+        for lang, txt in zip(langs, texts):
+            for w in set(txt.split(" ")):
+                seen[(lang, w)] = True
+        if not seen:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "hv": pd.Series([], dtype="uint64"),
+                    "__b": pd.Series([], dtype="int32"),
+                }
+            )
+        ls, hs = [], []
+        # hash each DISTINCT (lang, token) once (vocab-bounded)
+        for (lang, w) in seen:
+            ls.append(lang)
+            hs.append(
+                int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+            )
+        hv = np.array(hs, dtype=np.uint64)
+        df = pd.DataFrame({"lang": pd.Series(ls, dtype="object"), "hv": hv})
+        # NO per-batch k-pruning here: the EXACT side-by-side count
+        # needs every distinct pair, so rows are only deduped within
+        # the batch (vocab-bounded).  A sketch-only deployment prunes
+        # to the k smallest per (lang, batch) — ≤ k rows per batch —
+        # and drops the exact leg entirely.
+        df["__b"] = (df["hv"].to_numpy() % np.uint64(64)).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "hv": pd.Series([], dtype="uint64"),
+                    "n_exact": pd.Series([], dtype="int64"),
+                }
+            )
+        d = g.drop_duplicates(["lang", "hv"])
+        counts = d.groupby("lang", sort=False).size()
+        d = d.sort_values("hv", kind="stable").groupby("lang", sort=False).head(k)
+        d = d[["lang", "hv"]].copy()
+        d["n_exact"] = d["lang"].map(counts).astype("int64")
+        # n_exact repeats per row; the driver takes first-per-(bucket,lang)
+        d["n_exact"] = np.where(
+            d.groupby("lang", sort=False).cumcount() == 0, d["n_exact"], 0
+        )
+        return d
+
+    merged = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out_rows = []
+    for lang, g in merged.groupby("lang"):
+        exact = int(g["n_exact"].sum())
+        hv = np.sort(np.unique(g["hv"].to_numpy()))
+        # NOTE: per-bucket combiners may under-collect below global k
+        # only if a bucket held >k of the k-smallest — impossible to
+        # distinguish here, so the union keeps everything the buckets
+        # kept; with 64 buckets and k=256 the global k-smallest are
+        # always present (each bucket kept its local k-smallest).
+        if exact < k or len(hv) < k:
+            est = exact
+        else:
+            est = int((255 << 64) // int(hv[k - 1]))
+        out_rows.append({"lang": lang, "exact_distinct": exact, "kmv_estimate": est})
+    out = pd.DataFrame(out_rows)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "exact_distinct": pa.array(out["exact_distinct"], type=pa.int64()),
+            "kmv_estimate": pa.array(out["kmv_estimate"], type=pa.int64()),
+        }
+    )

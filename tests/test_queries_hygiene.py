@@ -306,3 +306,31 @@ def test_asof_and_running_window_fuzz_vs_bruteforce(ray_session, tmp_path):
         by_user[uid] = (acc, cnt)
         assert rw.loc[eid, "run_value"] == acc / 100.0, eid
         assert rw.loc[eid, "rn"] == cnt, eid
+
+
+def test_distinct_kmv_estimates_large_vocab(ray_session, tmp_path):
+    """Vocab >> k forces the real sketch path (the fixture's 31-token
+    vocab stays below k); estimate must match the DuckDB mirror exactly
+    and land within 15% of truth at k=256."""
+    import duckdb
+
+    rng = np.random.default_rng(31337)
+    texts = [
+        " ".join(f"tok{v}" for v in rng.integers(0, 20000, size=200))
+        for _ in range(300)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import REGISTRY, distinct_kmv
+
+    got = distinct_kmv(sf).to_pandas().set_index("lang")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.sql(REGISTRY["distinct_kmv"].sql).df().set_index("lang")
+    assert int(got.loc["en", "exact_distinct"]) == int(want.loc["en", "exact_distinct"])
+    assert int(got.loc["en", "kmv_estimate"]) == int(want.loc["en", "kmv_estimate"])
+    exact = int(got.loc["en", "exact_distinct"])
+    est = int(got.loc["en", "kmv_estimate"])
+    assert exact > 256  # the sketch path actually fired
+    assert abs(est - exact) / exact < 0.15
