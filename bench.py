@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "asof_join",
     "running_window",
     "funnel_conversion",
+    "event_transitions",
+    "bloom_semi_join",
     "global_rank",
     "repetition_stats",
     "pii_scrub",

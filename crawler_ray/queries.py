@@ -4587,3 +4587,160 @@ def distinct_kmv(sf_dir: str, k: int = 256):
             "kmv_estimate": pa.array(out["kmv_estimate"], type=pa.int64()),
         }
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+    FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    """,
+    doc="Event-sequence transition counts (the Markov/session-flow "
+    "shape: for each user's time-ordered stream, count "
+    "event_type -> next event_type pairs).  Per-user order is the "
+    "only sequential dependency, so rows bucket by user hash, each "
+    "bucket sorts once by (user, ts, event_id) and pairs adjacent "
+    "rows vectorized (shifted-array compare — a per-bucket combiner "
+    "emitting ≤ |types|² partial rows), and a tiny groupby merges.  "
+    "The transition matrix itself is |types|² regardless of volume.",
+)
+def event_transitions(sf_dir: str):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype="object"),
+                    "to_type": pd.Series([], dtype="object"),
+                    "pn": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        df = pd.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same]})
+        out = df.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "pn"})
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        uid = t["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(uid, dtype="int64"),
+                "ts_us": pd.Series(t["ts"].cast(pa.int64()).to_numpy(), dtype="int64"),
+                "event_id": pd.Series(t["event_id"].to_numpy(), dtype="int64"),
+                "event_type": pd.Series(
+                    t["event_type"].to_numpy(zero_copy_only=False), dtype="object"
+                ),
+                "__b": pd.Series((uid % 64).astype("int32")),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    partials = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(Sum("pn", alias_name="n"))
+
+
+@register(
+    "bloom_semi_join",
+    """
+    SELECT l_linestatus, count(*) AS n,
+           sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_linestatus
+    """,
+    doc="Bloom-prefiltered semi-join (the runtime-filter pattern big "
+    "engines push into scans): the build side (urgent orders) emits "
+    "ONE 128 KB bitmap per batch — set-bit union is associative, so "
+    "bitmaps OR-merge (driver-merged here, tree-merge at scale) into "
+    "a 2^20-bit Bloom filter broadcast once; the probe scan tests two "
+    "multiplicative hashes per row VECTORIZED and drops definite "
+    "non-members before any shuffle, so the exact semi Dataset.join "
+    "(which settles Bloom false positives) sees only survivors.  "
+    "Correctness never depends on the filter — it only cuts the "
+    "join's input volume (~1/5 here: one priority class of orders).  "
+    "All downstream money math is exact integer cents.",
+)
+def bloom_semi_join(sf_dir: str):
+    import ray
+
+    M_BITS = 1 << 20
+    MUL1 = np.uint64(0x9E3779B97F4A7C15)
+    MUL2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    SHIFT = np.uint64(64 - 20)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def build_bitmap(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        keys = t["o_orderkey"].filter(m).to_numpy().astype(np.uint64)
+        bits = np.zeros(M_BITS // 8, dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            for mul in (MUL1, MUL2):
+                pos = (keys * mul) >> SHIFT
+                np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bits.tobytes()], type=pa.large_binary())})
+
+    parts = orders.map_batches(build_bitmap, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(M_BITS // 8, dtype=np.uint8)
+    for bm in parts["bm"]:
+        bloom |= np.frombuffer(bm, dtype=np.uint8)
+    bref = ray.put(bloom)
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(m)})
+
+    build_ds = orders.map_batches(keys_only, batch_format="pyarrow").materialize()
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keys = t["l_orderkey"].to_numpy().astype(np.uint64)
+        ok = np.ones(len(keys), dtype=bool)
+        with np.errstate(over="ignore"):
+            for mul in (MUL1, MUL2):
+                pos = (keys * mul) >> SHIFT
+                ok &= (b[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1 == 1
+        return t.filter(pa.array(ok))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_quantity"])
+    survivors = li.map_batches(prefilter, batch_format="pyarrow")
+    num_partitions = int(np.clip(build_ds.count() // 25_000, 2, 16))
+    joined = survivors.join(
+        build_ds, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({"l_linestatus": t["l_linestatus"], "qty_c": cents(t["l_quantity"])})
+        return make_partial_agg(["l_linestatus"], ["qty_c"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(Sum("partial_n", alias_name="n"), Sum("qty_c_sum", alias_name="qc"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_linestatus": t["l_linestatus"],
+                "n": t["n"],
+                "sum_qty": pc.divide(pc.cast(t["qc"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
