@@ -150,3 +150,53 @@ def test_decoder_pool_handles_real_fake_and_unknown(ray_session):
     assert f_wav[5] == 2000.0                              # duration in samples
     assert 0.0 < f_wav[3] < 0.1                            # sine ZCR ≈ 20/1999
     assert list(feats.loc["d.jpg", "media_features"]) == [0.0] * 6
+
+
+def test_multimodal_end_to_end_features_to_ann(ray_session):
+    """The multimodal composite: media assets (real PPM payloads) →
+    actor-pool decode+featurize → feature vectors → ANN top-k.  A
+    planted near-identical image pair must be each other's nearest
+    neighbour by feature cosine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.ann import brute_force_topk
+    from crawler_ray.stages.media import MEDIA_SCHEMA, MediaFeaturizer, encode_ppm
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(12)]
+    twin = imgs[3].copy()
+    twin[0, 0] = (twin[0, 0] + 1) % 256  # near-identical to image 3
+    imgs.append(twin)
+    rows = [
+        {
+            "media_ref": f"img{i}.ppm",
+            "kind": "image",
+            "payload": encode_ppm(im),
+            "meta": {"width": 16, "height": 16, "frames": 1, "sample_rate": 0},
+        }
+        for i, im in enumerate(imgs)
+    ]
+    t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    feats = (
+        rd.from_arrow(t)
+        .map_batches(MediaFeaturizer, batch_size=4, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(feats)), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, f)) for f in feats["media_features"]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    q = np.array([list(map(float, feats["media_features"].iloc[12]))])
+    top = brute_force_topk(emb, q, k=2)
+    got = top.to_pandas() if hasattr(top, "to_pandas") else top
+    ids = got.sort_values("rank")["vec_id"].tolist()
+    assert ids[0] == 12 and ids[1] == 3  # self, then its twin
