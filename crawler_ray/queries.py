@@ -4744,3 +4744,168 @@ def bloom_semi_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "session_coverage",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             max(epoch_us(ts) + 300000000) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM events),
+    g AS (SELECT user_id, event_id, t,
+                 CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END
+                   AS new_island
+          FROM s),
+    isl AS (SELECT user_id, t, sum(new_island) OVER (
+              PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM g),
+    per AS (SELECT user_id, island,
+                   max(t) + 300000000 - min(t) AS span_us
+            FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(span_us) AS BIGINT) AS covered_us
+    FROM per GROUP BY user_id
+    """,
+    doc="Gaps-and-islands (interval-union coverage): each event opens a "
+    "300 s activity window; per user, merge overlapping windows into "
+    "islands and report island count + total covered time — the "
+    "'total active time' analytics shape that naive GROUP BYs can't "
+    "express.  Distributed: user-hash buckets, one sort per bucket, "
+    "then the island scan is pure vectorized numpy (island starts "
+    "where t exceeds the running max end — computed with "
+    "np.maximum.accumulate, no row loop); per-island spans reduce "
+    "with add.reduceat.  All times integer microseconds -> exact "
+    "oracle.  Per-user history in one bucket is the partitioning "
+    "assumption (the keyed-state rule).",
+)
+def session_coverage(sf_dir: str, window_us: int = 300_000_000):
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_islands": pd.Series([], dtype="int64"),
+                    "covered_us": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        end = t + window_us
+        # per-user running max of window ends, shifted to exclude the
+        # current row — pandas grouped cummax/shift are vectorized C
+        # with native per-group reset (no int64 banding tricks)
+        df = pd.DataFrame({"u": u, "end": end})
+        prev = df.groupby("u", sort=False)["end"].cummax().groupby(u).shift(1)
+        new_island = (prev.isna() | (t > prev.to_numpy())).to_numpy()
+        isl_start = np.flatnonzero(new_island)
+        # island span = (max window end within the island) - (first t)
+        max_end = np.maximum.reduceat(end, isl_start) if len(isl_start) else end[:0]
+        span = max_end - t[isl_start]
+        isl_user = u[isl_start]
+        df = pd.DataFrame({"user_id": isl_user, "span": span})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_islands=("span", "size"), covered_us=("span", "sum")
+        )
+        return out.astype({"user_id": "int64", "n_islands": "int64", "covered_us": "int64"})
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        uid = t["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(uid, dtype="int64"),
+                "ts_us": pd.Series(t["ts"].cast(pa.int64()).to_numpy(), dtype="int64"),
+                "event_id": pd.Series(t["event_id"].to_numpy(), dtype="int64"),
+                "__b": pd.Series((uid % 64).astype("int32")),
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+@register(
+    "inverted_index",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    d AS (SELECT DISTINCT term, doc_id FROM tok),
+    agg AS (SELECT term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM d GROUP BY term)
+    SELECT term, CAST(df AS BIGINT) AS df, postings
+    FROM agg WHERE df >= 5
+    """,
+    doc="Inverted-index construction (the search-engine build "
+    "artifact: term → sorted posting list of documents holding it), "
+    "materialized for terms with df >= 5.  One scan explodes "
+    "(doc, term)-distinct pairs with the dictionary-encode + lexsort "
+    "kernel (no Python over tokens), a single term-hash bucket "
+    "shuffle co-locates each term's postings, and each bucket emits "
+    "its posting strings with one grouped sort — at scale the "
+    "postings write straight to term-bucket-partitioned parquet "
+    "(partitioned_export's layout) instead of returning.  Posting "
+    "lists are comma-joined sorted doc_ids so the oracle "
+    "(string_agg ORDER BY) compares exactly.",
+)
+def inverted_index(sf_dir: str, min_df: int = 5):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pd.DataFrame:
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        tok_list = pc.split_pattern(txt, " ")
+        if isinstance(tok_list, pa.ChunkedArray):
+            tok_list = tok_list.combine_chunks()
+        lens = pc.list_value_length(tok_list).to_numpy().astype(np.int64)
+        dct = pc.dictionary_encode(tok_list.values)
+        codes = dct.indices.to_numpy().astype(np.int64)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        order = np.lexsort((codes, rows))
+        r_s, c_s = rows[order], codes[order]
+        first = np.ones(len(r_s), dtype=bool)
+        first[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+        did = t["doc_id"].to_numpy()
+        terms = np.asarray(dct.dictionary.to_pylist(), dtype=object)[c_s[first]]
+        df = pd.DataFrame(
+            {
+                "term": pd.Series(terms, dtype="object"),
+                "doc_id": pd.Series(did[r_s[first]], dtype="int64"),
+            }
+        )
+        df["__b"] = (
+            pd.util.hash_pandas_object(df["term"], index=False).to_numpy() % 64
+        ).astype("int32")
+        return df
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        out = g.groupby("term", as_index=False, sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        out = out[out["df"] >= min_df]
+        return out.astype({"df": "int64"})
+
+    return (
+        docs.map_batches(explode_distinct, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(build, batch_format="pandas")
+    )

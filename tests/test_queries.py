@@ -19,7 +19,7 @@ SAMPLE = [
     "group_topk", "mixture_resample", "repetition_stats", "pii_scrub",
     "tfidf_top_terms", "segment_dedup",
     # round-3 time-series operators
-    "asof_join", "running_window", "semantic_dedup", "global_rank", "partitioned_export", "chunk_documents", "text_normalize", "funnel_conversion", "pagerank", "distinct_kmv", "event_transitions", "bloom_semi_join",
+    "asof_join", "running_window", "semantic_dedup", "global_rank", "partitioned_export", "chunk_documents", "text_normalize", "funnel_conversion", "pagerank", "distinct_kmv", "event_transitions", "bloom_semi_join", "session_coverage", "inverted_index",
 ]
 
 
