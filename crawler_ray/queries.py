@@ -4909,3 +4909,135 @@ def inverted_index(sf_dir: str, min_df: int = 5):
         .groupby("__b")
         .map_groups(build, batch_format="pandas")
     )
+
+
+@register(
+    "typo_pairs",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    aug AS (SELECT w FROM tok
+            UNION ALL
+            SELECT w || 'x' FROM (SELECT DISTINCT w FROM tok) u
+            WHERE md5_number_lower(u.w) % 4 = 0),
+    v AS (SELECT DISTINCT w FROM aug)
+    SELECT a.w AS term_a, b.w AS term_b
+    FROM v a JOIN v b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) = 1
+    """,
+    doc="String-similarity self-join at edit distance exactly 1 (the "
+    "typo-dedup class): find all vocabulary pairs one edit apart "
+    "WITHOUT the quadratic all-pairs scan.  Deletion-neighborhood "
+    "hashing: every term emits its |w|+1 single-deletion variants "
+    "(plus itself); two terms at edit distance 1 are GUARANTEED to "
+    "share a variant (substitution -> same deletion at the edited "
+    "position; insert/delete -> one term IS the other's deletion), so "
+    "candidates come from one variant-hash bucket shuffle and a "
+    "per-bucket self-merge, then an exact Levenshtein verify prunes "
+    "distance-2 collisions.  Cost is O(Σ|w|) candidate rows instead "
+    "of O(|V|²) comparisons.  The fixture vocabulary is augmented "
+    "with deterministic 'w'+'x' typos (mirrored in SQL, the pii_scrub "
+    "trick) so real pairs exist.  Verify is per-candidate Python but "
+    "candidate volume is deletion-bucket-bounded (the LSH-sparsity "
+    "argument); DuckDB's levenshtein() is the oracle.",
+)
+def typo_pairs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def vocab_batch(t: pa.Table) -> pd.DataFrame:
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        tok_list = pc.split_pattern(txt, " ")
+        if isinstance(tok_list, pa.ChunkedArray):
+            tok_list = tok_list.combine_chunks()
+        uniq = set(tok_list.values.to_pylist())
+        # deterministic typo augmentation (mirrored in the oracle)
+        from crawler_ray.functions.shingles import md5_hash64
+
+        aug = {w + "x" for w in uniq if md5_hash64(w) % 4 == 0}
+        words = sorted(uniq | aug)
+        return pd.DataFrame({"w": pd.Series(words, dtype="object")})
+
+    def explode_deletions(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "w": pd.Series([], dtype="object"),
+                    "var": pd.Series([], dtype="object"),
+                    "__b": pd.Series([], dtype="int32"),
+                }
+            )
+        ws, vs = [], []
+        for w in df["w"].drop_duplicates():
+            ws.append(w)
+            vs.append(w)  # the term itself (covers insert/delete pairs)
+            for i in range(len(w)):
+                ws.append(w)
+                vs.append(w[:i] + w[i + 1 :])
+        out = pd.DataFrame(
+            {"w": pd.Series(ws, dtype="object"), "var": pd.Series(vs, dtype="object")}
+        )
+        out["__b"] = (
+            pd.util.hash_pandas_object(out["var"], index=False).to_numpy() % 64
+        ).astype("int32")
+        return out
+
+    def pairs_in_bucket(g: pd.DataFrame):
+        # Arrow empties (typed string), not all-object pandas empties —
+        # Ray's block-size estimator warns on size-0 object columns
+        empty = pa.table(
+            {"term_a": pa.array([], type=pa.string()), "term_b": pa.array([], type=pa.string())}
+        )
+        if g.shape[1] == 0 or len(g) == 0:
+            return empty
+        g = g.drop_duplicates(["w", "var"])
+        m = g.merge(g, on="var")
+        m = m[m["w_x"] < m["w_y"]].drop_duplicates(["w_x", "w_y"])
+        if len(m) == 0:
+            return empty
+
+        def ed1(a: str, b: str) -> bool:
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1 or a == b:
+                return False
+            if la == lb:  # substitution: differ at exactly one position
+                return sum(x != y for x, y in zip(a, b)) == 1
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            i = 0
+            while i < la and a[i] == b[i]:
+                i += 1
+            return a[i:] == b[i + 1 :]
+
+        keep = [ed1(x, y) for x, y in zip(m["w_x"], m["w_y"])]
+        m = m[np.array(keep, dtype=bool)]
+        return pa.table(
+            {
+                "term_a": pa.array(m["w_x"].tolist(), type=pa.string()),
+                "term_b": pa.array(m["w_y"].tolist(), type=pa.string()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(vocab_batch, batch_format="pyarrow")
+        .map_batches(explode_deletions, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    # cross-bucket duplicate pairs are impossible: a pair is emitted
+    # only in its shared variant's bucket; two DIFFERENT shared
+    # variants would land the pair in two buckets, so distinct once
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            return pd.DataFrame(
+                {"term_a": pd.Series([], dtype="object"), "term_b": pd.Series([], dtype="object")}
+            )
+        return df.drop_duplicates(["term_a", "term_b"])
+
+    out = pairs.to_pandas()
+    out = dedup_pairs(out)
+    return pa.table(
+        {
+            "term_a": pa.array(out["term_a"], type=pa.string()),
+            "term_b": pa.array(out["term_b"], type=pa.string()),
+        }
+    )

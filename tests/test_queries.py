@@ -11,15 +11,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF = "/root/testdata/sf0.001"
 SAMPLE = [
-    "frequencies_model", "pricing_summary", "topk_orders", "token_stats",
-    "windowed_agg",
-    # round-3 training-data operators
-    "duplicate_substrings", "stratified_sample", "kmeans_clusters", "heavy_hitters",
-    # round-3 corpus-hygiene / window operators
-    "group_topk", "mixture_resample", "repetition_stats", "pii_scrub",
-    "tfidf_top_terms", "segment_dedup",
-    # round-3 time-series operators
-    "asof_join", "running_window", "semantic_dedup", "global_rank", "partitioned_export", "chunk_documents", "text_normalize", "funnel_conversion", "pagerank", "distinct_kmv", "event_transitions", "bloom_semi_join", "session_coverage", "inverted_index",
+    # one per operator family — the driver sweeps the FULL registry at
+    # sf0.01 every round (tools/check_queries.py mirrors it); this
+    # sample keeps pytest fast while guarding the harness plumbing
+    "frequencies_model", "pricing_summary", "token_stats",
+    "duplicate_substrings", "kmeans_clusters",
+    "group_topk", "segment_dedup", "pii_scrub",
+    "asof_join", "running_window", "semantic_dedup",
+    "pagerank", "distinct_kmv", "session_coverage", "typo_pairs",
 ]
 
 

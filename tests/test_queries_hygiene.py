@@ -334,3 +334,24 @@ def test_distinct_kmv_estimates_large_vocab(ray_session, tmp_path):
     est = int(got.loc["en", "kmv_estimate"])
     assert exact > 256  # the sketch path actually fired
     assert abs(est - exact) / exact < 0.15
+
+
+def test_typo_pairs_deletion_neighborhood(ray_session, tmp_path):
+    """All three edit-distance-1 shapes must surface (substitution,
+    insertion, deletion) and distance-2 pairs must not."""
+    words = ["alpha", "alphq", "alph", "alphas", "beta", "betq", "gamma"]
+    # alpha~alphq (sub), alpha~alph (del), alpha~alphas (ins),
+    # beta~betq (sub); alphq~alph also dist 1 (del); alph~alphas dist 2
+    sf = _write_docs(tmp_path, [" ".join(words)])
+    from crawler_ray.queries import typo_pairs
+
+    got = typo_pairs(sf).to_pandas()
+    pairs = {tuple(r) for r in got[["term_a", "term_b"]].itertuples(index=False)}
+    base = {p for p in pairs if not (p[0].endswith("x") or p[1].endswith("x"))}
+    assert ("alph", "alpha") in base
+    assert ("alpha", "alphq") in base
+    assert ("alpha", "alphas") in base
+    assert ("beta", "betq") in base
+    assert ("alph", "alphq") in base
+    assert ("alph", "alphas") not in base  # distance 2
+    assert ("alpha", "beta") not in base
