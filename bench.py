@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "running_window",
     "funnel_conversion",
     "event_transitions",
+    "session_coverage",
     "bloom_semi_join",
     "global_rank",
     "repetition_stats",
@@ -61,6 +62,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "segment_dedup",
     "chunk_documents",
+    "inverted_index",
 ]
 
 
