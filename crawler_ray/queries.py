@@ -5041,3 +5041,82 @@ def typo_pairs(sf_dir: str):
             "term_b": pa.array(out["term_b"], type=pa.string()),
         }
     )
+
+
+@register(
+    "rolling_hour_sum",
+    """
+    SELECT event_id,
+           sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) / 100.0 AS hour_sum
+    FROM events
+    """,
+    doc="RANGE-frame moving window (rolling 1-hour sum per user — the "
+    "time-based frame ROWS frames can't express: the frame holds "
+    "every event within the trailing hour, however many there are).  "
+    "Per-bucket kernel: sort once by (user, ts), exact-cents prefix "
+    "sums, then per USER (the loop is over users; each user's rows "
+    "are one vectorized searchsorted) frame start = first index with "
+    "ts >= ts_i - 1h and frame end = the LAST PEER row (RANGE frames "
+    "include all same-timestamp peers); hour_sum = prefix[end] - "
+    "prefix[start-1].  All integer cents -> exact oracle.  (An "
+    "earlier draft vectorized the searchsorted GLOBALLY across user "
+    "spans with clamps — wrong at bucket sizes above the fixture; "
+    "the sf0.01 oracle caught it.)",
+)
+def rolling_hour_sum(sf_dir: str, window_us: int = 3_600_000_000):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        uid = t["user_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(uid, dtype="int64"),
+                "ts_us": pd.Series(t["ts"].cast(pa.int64()).to_numpy(), dtype="int64"),
+                "event_id": pd.Series(t["event_id"].to_numpy(), dtype="int64"),
+                "vc": pd.Series(cents(t["value"]).to_numpy(), dtype="int64"),
+                "__b": pd.Series((uid % 64).astype("int32")),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "hour_sum": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        v = g["vc"].to_numpy()
+        pre = np.cumsum(v)
+        n = len(u)
+        user_start = np.ones(n, dtype=bool)
+        user_start[1:] = u[1:] != u[:-1]
+        starts_idx = np.flatnonzero(user_start)
+        ends_idx = np.append(starts_idx[1:], n)
+        s = np.empty(n, dtype=np.int64)
+        # loop is over USERS (each iteration fully vectorized over that
+        # user's rows); frames never cross users so per-span
+        # searchsorted is exact.  RANGE frame end = last PEER (same ts).
+        for lo, hi in zip(starts_idx, ends_idx):
+            tt = t[lo:hi]
+            st = lo + np.searchsorted(tt, tt - window_us, side="left")
+            en = lo + np.searchsorted(tt, tt, side="right") - 1
+            base = np.where(st > 0, pre[np.maximum(st - 1, 0)], 0)
+            s[lo:hi] = pre[en] - base
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "hour_sum": s / 100.0,
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(kernel, batch_format="pandas")
+    )
