@@ -355,3 +355,53 @@ def test_typo_pairs_deletion_neighborhood(ray_session, tmp_path):
     assert ("alph", "alphq") in base
     assert ("alph", "alphas") not in base  # distance 2
     assert ("alpha", "beta") not in base
+
+
+def test_islands_and_range_window_fuzz_vs_bruteforce(ray_session, tmp_path):
+    """Both interval kernels were bitten once by vectorization bugs the
+    tiny fixture missed (int64 banding overflow; cross-span clamps) —
+    fuzz them against pure-Python brute force at many-users scale."""
+    rng = np.random.default_rng(2024)
+    W_COV = 300_000_000
+    W_SUM = 3_600_000_000
+    n = 1500
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 10_000_000_000)),  # dense ts: many ties/overlaps
+            int(rng.integers(0, 200)),              # 200 users → >2 per bucket
+            "view",
+            float(rng.integers(0, 10000)) / 100.0,
+        )
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+    from crawler_ray.queries import rolling_hour_sum, session_coverage
+
+    cov = session_coverage(sf).to_pandas().set_index("user_id").sort_index()
+    by_user: dict[int, list[int]] = {}
+    for _eid, ts, uid, _t, _v in rows:
+        by_user.setdefault(uid, []).append(ts)
+    for uid, tss in by_user.items():
+        tss.sort()
+        islands, cur_start, cur_end = [], tss[0], tss[0] + W_COV
+        for t in tss[1:]:
+            if t > cur_end:
+                islands.append(cur_end - cur_start)
+                cur_start, cur_end = t, t + W_COV
+            else:
+                cur_end = max(cur_end, t + W_COV)
+        islands.append(cur_end - cur_start)
+        assert cov.loc[uid, "n_islands"] == len(islands), uid
+        assert cov.loc[uid, "covered_us"] == sum(islands), uid
+
+    rh = rolling_hour_sum(sf).to_pandas().set_index("event_id").sort_index()
+    assert len(rh) == n
+    for eid, ts, uid, _t, val in rng.choice(rows, size=200, replace=False):
+        eid, ts, uid = int(eid), int(ts), int(uid)
+        want = sum(
+            int(np.floor(float(v) * 100 + 0.5))
+            for _e, t2, u2, _ty, v in rows
+            if u2 == uid and ts - W_SUM <= t2 <= ts
+        )
+        assert rh.loc[eid, "hour_sum"] == want / 100.0, eid
