@@ -5120,3 +5120,65 @@ def rolling_hour_sum(sf_dir: str, window_us: int = 3_600_000_000):
         .groupby("__b")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+@register(
+    "pivot_events",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN
+             CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)/100.0
+             AS click_value,
+           sum(CASE WHEN event_type = 'view' THEN
+             CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)/100.0
+             AS view_value,
+           sum(CASE WHEN event_type = 'purchase' THEN
+             CAST(floor(value*100 + 0.5) AS BIGINT) ELSE 0 END)/100.0
+             AS purchase_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (rows → typed columns: per user, one value column per "
+    "event type): implemented as CONDITIONAL AGGREGATION — each batch "
+    "widens event_type into per-type cent columns with vectorized "
+    "masks, partially aggregates per user inside the batch (the "
+    "combiner), and one small groupby merges.  No per-type scans, no "
+    "transpose materialization; unknown types fold into n_events "
+    "only.  The pivot column set is fixed up front (the engine "
+    "contract every SQL PIVOT shares — dynamic pivots need a first "
+    "pass to enumerate types, same shape as heavy_hitters' key "
+    "discovery).",
+)
+def pivot_events(sf_dir: str):
+    TYPES = ("click", "view", "purchase")
+
+    def prep(t: pa.Table) -> pa.Table:
+        typ = t["event_type"].to_numpy(zero_copy_only=False)
+        vc = cents(t["value"]).to_numpy()
+        cols = {"user_id": t["user_id"]}
+        for ty in TYPES:
+            cols[f"{ty}_c"] = pa.array(np.where(typ == ty, vc, 0))
+        cols["one"] = pa.array(np.ones(len(typ), dtype=np.int64))
+        out = pa.table(cols)
+        return make_partial_agg(["user_id"], [f"{ty}_c" for ty in TYPES] + ["one"])(out)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"{ty}_c_sum", alias_name=f"{ty}_c") for ty in TYPES],
+            Sum("one_sum", alias_name="n_events"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in TYPES:
+            cols[f"{ty}_value"] = pc.divide(pc.cast(t[f"{ty}_c"], pa.float64()), 100.0)
+        cols["n_events"] = t["n_events"]
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
