@@ -2017,12 +2017,7 @@ def ann_ivf_topk(sf_dir: str):
 
     from crawler_ray.stages.ann import ivf_bucket, ivf_topk
 
-    head = (
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .sort("vec_id")
-        .limit(8)
-        .to_pandas()
-    )
+    head = _head_by_id(sf_dir, 8)
     cents = np.array(head["embedding"].to_list(), dtype=np.float64)
     queries = cents[:5]
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -2498,12 +2493,7 @@ def stratified_sample(sf_dir: str, cap: int = 40):
 def kmeans_clusters(sf_dir: str, k: int = 8):
     import ray
 
-    head = (
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .sort("vec_id")
-        .limit(k)
-        .to_pandas()
-    )
+    head = _head_by_id(sf_dir, k)
     cents0 = np.array(head["embedding"].to_list(), dtype=np.float64)
 
     def assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -3962,12 +3952,7 @@ def semantic_dedup(sf_dir: str, tau: float = 0.4, tile: int = 1024, n_centroids:
     # tools/embedding_smoke.py for the k=64-at-200k-vectors evidence
     from crawler_ray.stages.ann import ivf_bucket, list_col_to_matrix
 
-    head = (
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .sort("vec_id")
-        .limit(n_centroids)
-        .to_pandas()
-    )
+    head = _head_by_id(sf_dir, n_centroids)
     cents = np.array(head["embedding"].to_list(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -4374,6 +4359,28 @@ def funnel_conversion(sf_dir: str):
     return out.map_batches(
         lambda t: t.drop_columns(["k"]), batch_format="pyarrow"
     )
+
+
+def _head_by_id(sf_dir: str, n: int, table: str = "embeddings", columns=("vec_id", "embedding")):
+    """First ``n`` rows by id WITHOUT a distributed sort: each batch
+    keeps its n smallest (a combiner — 'n smallest' merges
+    associatively), the driver merges n*batches candidate rows.  The
+    sort+limit form shuffles the whole table to take 8 rows."""
+    import pandas as pd
+
+    def local_head(t: pa.Table) -> pa.Table:
+        ids = t[columns[0]].to_numpy()
+        if len(ids) > n:
+            sel = np.argpartition(ids, n - 1)[:n]
+            t = t.take(pa.array(np.sort(sel)))
+        return t
+
+    parts = (
+        _read(sf_dir, table, columns=list(columns))
+        .map_batches(local_head, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return parts.sort_values(columns[0], kind="stable").head(n).reset_index(drop=True)
 
 
 def _pagerank_sql(iters: int = 5) -> str:
