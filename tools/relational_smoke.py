@@ -86,8 +86,12 @@ def main():
         "global_rank",
         "asof_join",
         "running_window",
+        "session_coverage",
+        "rolling_hour_sum",
+        "event_transitions",
+        "funnel_conversion",
+        "pivot_events",
         "token_stats",
-        "minhash_lsh_neardup",
     ]
     results = {}
     for name in ops:
