@@ -4680,13 +4680,15 @@ def event_transitions(sf_dir: str):
     "join's input volume (~1/5 here: one priority class of orders).  "
     "All downstream money math is exact integer cents.",
 )
-def bloom_semi_join(sf_dir: str):
+def bloom_semi_join(sf_dir: str, m_bits_log2: int = 20):
+    # m_bits_log2 is a test hook: shrinking the filter forces false
+    # positives, which the exact join must settle (tested at 2^6 bits)
     import ray
 
-    M_BITS = 1 << 20
+    M_BITS = 1 << m_bits_log2
     MUL1 = np.uint64(0x9E3779B97F4A7C15)
     MUL2 = np.uint64(0xC2B2AE3D27D4EB4F)
-    SHIFT = np.uint64(64 - 20)
+    SHIFT = np.uint64(64 - m_bits_log2)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 

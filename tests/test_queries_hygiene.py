@@ -405,3 +405,23 @@ def test_islands_and_range_window_fuzz_vs_bruteforce(ray_session, tmp_path):
             if u2 == uid and ts - W_SUM <= t2 <= ts
         )
         assert rh.loc[eid, "hour_sum"] == want / 100.0, eid
+
+
+def test_bloom_semi_join_false_positives_settled_by_exact_join(ray_session):
+    """A 64-bit Bloom filter saturates (nearly every probe is a false
+    positive); the result must STILL equal the full-size-filter result
+    because the exact hash join settles membership."""
+    import pandas as pd
+
+    from crawler_ray.queries import bloom_semi_join
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("l_linestatus").reset_index(drop=True)
+
+    big = norm(bloom_semi_join(sf))
+    tiny = norm(bloom_semi_join(sf, m_bits_log2=6))
+    pd.testing.assert_frame_equal(big, tiny)
+    assert len(big) > 0
