@@ -62,3 +62,29 @@ def test_incremental_ingest_rounds(ray_session, tmp_path):
     r2c = incremental_ingest(_ds([(11, "cc")]), corpus, 2)
     assert r2c["ingested"] == 0 and r2c["dup_existing"] == 1
     assert _corpus_rows(corpus) == [1, 2]  # round dir rewritten empty... 
+
+
+def test_incremental_ingest_fuzz_vs_dict_oracle(ray_session, tmp_path):
+    """Random texts split across random rounds: the corpus must equal
+    first-wins-by-(round, doc_id) over text, whatever the split."""
+    import numpy as np
+
+    from crawler_ray.pipelines.ingest import incremental_ingest
+
+    rng = np.random.default_rng(55)
+    corpus = str(tmp_path / "fuzzcorpus")
+    texts = [f"t{int(v)}" for v in rng.integers(0, 40, size=120)]  # heavy dups
+    rows = list(enumerate(texts))
+    cut1, cut2 = 40, 80
+    seen: dict[str, int] = {}
+    expected_ids = []
+    for rnd, chunk in ((1, rows[:cut1]), (2, rows[cut1:cut2]), (3, rows[cut2:])):
+        stats = incremental_ingest(_ds(chunk), corpus, rnd)
+        exp_new = 0
+        for did, txt in sorted(chunk):
+            if txt not in seen:
+                seen[txt] = did
+                expected_ids.append(did)
+                exp_new += 1
+        assert stats["ingested"] == exp_new, rnd
+    assert _corpus_rows(corpus) == sorted(expected_ids)
