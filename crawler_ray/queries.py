@@ -4409,6 +4409,84 @@ def _pagerank_sql(iters: int = 5) -> str:
     return "\n".join(parts)
 
 
+def _pagerank_dataset_regime(sf_dir: str, n: int, iters: int):
+    """Past-vector-fits PageRank regime (the documented scale path, now
+    real): the rank vector never materializes on the driver — ranks
+    live as a Dataset of (doc_id, r) rows, each iteration scans it
+    (every rank row carries everything needed to emit its own
+    contributions, so there is NO broadcast at all in this derived
+    graph), partial sums merge in the bucketed aggregation, and the
+    next rank Dataset is (sums UNION per-node zeros) re-aggregated —
+    a left join without the join.  Same integer arithmetic as the
+    broadcast regime; forced-regime test asserts row equality."""
+    import pandas as pd
+
+    from crawler_ray.stages.relational import bucketed_agg
+
+    rank_ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "r": pa.array(np.full(t.num_rows, 1_000_000, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"target": t["doc_id"],
+             "s": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+        )
+
+    zero_ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        zeros, batch_format="pyarrow"
+    ).materialize()
+
+    def contrib(df: pd.DataFrame) -> pa.Table:
+        if df.shape[1] == 0 or len(df) == 0:
+            return pa.table(
+                {"target": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.int64())}
+            )
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        rr = df["r"].to_numpy(dtype=np.int64)
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+        tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+        cc = np.repeat(rr // k, k)
+        order = np.argsort(tgt, kind="stable")
+        ts_, cs = tgt[order], cc[order]
+        starts = np.flatnonzero(np.concatenate(([True], ts_[1:] != ts_[:-1])))
+        return pa.table(
+            {
+                "target": pa.array(ts_[starts]),
+                "s": pa.array(np.add.reduceat(cs, starts) if len(starts) else cs[:0]),
+            }
+        )
+
+    def update(df: pd.DataFrame) -> pa.Table:
+        if df.shape[1] == 0 or len(df) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()), "r": pa.array([], type=pa.int64())}
+            )
+        sv = df["s"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["target"].to_numpy(dtype=np.int64)),
+                "r": pa.array(150_000 + (85 * sv) // 100),
+            }
+        )
+
+    for _ in range(iters):
+        partials = rank_ds.map_batches(contrib, batch_format="pandas")
+        totals = bucketed_agg(partials.union(zero_ds), keys=["target"], sum_cols={"s": "s"})
+        rank_ds = totals.map_batches(update, batch_format="pandas").materialize()
+
+    return rank_ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "rank_scaled": t["r"]}),
+        batch_format="pyarrow",
+    )
+
+
 @register(
     "pagerank",
     _pagerank_sql(5),
@@ -4424,16 +4502,19 @@ def _pagerank_sql(iters: int = 5) -> str:
     "per (target, batch)), a bucketed merge produces the new sparse "
     "rank updates, and the driver assembles the dense rank vector "
     "for the next broadcast (valid while the NODE VECTOR fits — "
-    "int64[n], ~8 GB at 10^9 nodes; past that ranks stay a Dataset "
-    "keyed by node and contributions join instead of broadcasting, "
-    "the stages/cc.py sharded topology).  Out-degrees are arithmetic "
+    "int64[n], ~8 GB at 10^9 nodes; past that the IMPLEMENTED "
+    "dataset_regime keeps ranks as a (doc_id, r) Dataset with zero "
+    "broadcast — sums UNION per-node zeros re-aggregated is the "
+    "left-join-free update; forced-regime test asserts equality).  Out-degrees are arithmetic "
     "in this derived graph; a real graph carries them as a column.",
 )
-def pagerank(sf_dir: str, iters: int = 5):
+def pagerank(sf_dir: str, iters: int = 5, dataset_regime: bool = False):
     import ray
     from crawler_ray.stages.relational import bucketed_agg
 
     n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    if dataset_regime:
+        return _pagerank_dataset_regime(sf_dir, n, iters)
     r = np.full(n, 1_000_000, dtype=np.int64)
     docs = _read(sf_dir, "documents", columns=["doc_id"]).materialize()
 

@@ -425,3 +425,22 @@ def test_bloom_semi_join_false_positives_settled_by_exact_join(ray_session):
     tiny = norm(bloom_semi_join(sf, m_bits_log2=6))
     pd.testing.assert_frame_equal(big, tiny)
     assert len(big) > 0
+
+
+def test_pagerank_dataset_regime_matches_broadcast(ray_session):
+    """The past-vector-fits regime (ranks as a Dataset, zero broadcast)
+    must be row-identical to the dense-vector regime."""
+    import pandas as pd
+
+    from crawler_ray.queries import pagerank
+
+    sf = "/root/testdata/sf0.001"
+    a = pagerank(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        pagerank(sf, dataset_regime=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "rank_scaled": "int64"})
+    )
+    pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
