@@ -17,9 +17,10 @@ State layout under ``corpus_dir``:
 
 Dedup shape (the dataprep rule: bytes don't move): fingerprints are
 computed per batch where the text already is; the existing-fp set is
-broadcast as one packed sorted array (valid to ~10^8 docs — past that
-the same membership check runs as a fp-keyed hash join against the
-fingerprint table, the tfidf/ngram join-regime shape); within-round
+broadcast as one packed sorted array while the table holds <=
+fp_broadcast_cap rows; past the cap the IMPLEMENTED join regime
+hash-joins new fps against the fingerprint parquet and collects only
+hit doc_ids (forced-regime test asserts equality); within-round
 winners resolve in 64 fp-hash buckets shuffling (fp, doc_id) only.
 """
 from __future__ import annotations
@@ -66,10 +67,19 @@ def _read_manifest(corpus_dir: str) -> dict:
     return {"rounds": {}}
 
 
-def incremental_ingest(new_docs, corpus_dir: str, round_id: int) -> dict:
+def incremental_ingest(
+    new_docs, corpus_dir: str, round_id: int, fp_broadcast_cap: int = 50_000_000
+) -> dict:
     """Ingest ``new_docs`` (a Ray Dataset with doc_id/text/... columns)
     as ``round_id``.  Returns {"ingested", "dup_existing", "dup_within",
-    "skipped"}; idempotent per round (a committed round is skipped)."""
+    "skipped"}; idempotent per round (a committed round is skipped).
+
+    Existing-membership check: broadcast (packed sorted fp arrays)
+    while the fingerprint table holds <= ``fp_broadcast_cap`` rows;
+    past the cap the JOIN REGIME fires — new fps hash-join the
+    fingerprint parquet on (h1, h2), only HIT doc_ids (bounded by
+    cross-round duplicate volume, not corpus size) come back, and the
+    batch anti-filters on them.  Forced-regime test asserts equality."""
     import ray
     import ray.data
 
@@ -79,37 +89,59 @@ def incremental_ingest(new_docs, corpus_dir: str, round_id: int) -> dict:
         return {"skipped": True, **manifest["rounds"][str(round_id)]}
 
     fp_path = os.path.join(corpus_dir, "fingerprints.parquet")
-    if os.path.exists(fp_path):
-        old = pq.read_table(fp_path)
-        # packed sorted (h1, h2) membership array — broadcast once.
-        # np.lexsort orders by h1 then h2; membership via searchsorted
-        # over h1 runs with an h2 tie scan (both vectorized)
-        o1 = old["h1"].to_numpy()
-        o2 = old["h2"].to_numpy()
-        order = np.lexsort((o2, o1))
-        o1, o2 = o1[order], o2[order]
-    else:
-        o1 = np.array([], dtype=np.int64)
-        o2 = np.array([], dtype=np.int64)
-    eref = ray.put((o1, o2))
+    n_existing = pq.read_metadata(fp_path).num_rows if os.path.exists(fp_path) else 0
 
     fps = new_docs.map_batches(_fp_batch, batch_format="pyarrow")
 
-    def not_in_existing(t: pa.Table) -> pa.Table:
-        e1, e2 = ray.get(eref)
-        h1 = t["h1"].to_numpy()
-        h2 = t["h2"].to_numpy()
-        if len(e1) == 0:
-            return t
-        lo = np.searchsorted(e1, h1, side="left")
-        hi = np.searchsorted(e1, h1, side="right")
-        hit = np.zeros(len(h1), dtype=bool)
-        # existing duplicate groups are tiny (md5-128): scan the run
-        for i in np.flatnonzero(hi > lo):
-            hit[i] = bool((e2[lo[i] : hi[i]] == h2[i]).any())
-        return t.filter(pa.array(~hit))
+    if n_existing > fp_broadcast_cap:
+        # JOIN REGIME: membership via hash join, hits-only collect
+        fps = fps.materialize()
+        old_ds = ray.data.read_parquet(fp_path)
+        num_partitions = int(np.clip(n_existing // 25_000, 2, 32))
+        hits = fps.join(
+            old_ds, join_type="inner", num_partitions=num_partitions,
+            on=("h1", "h2"),
+        ).to_pandas()
+        hit_ids = np.sort(np.unique(hits["doc_id"].to_numpy().astype(np.int64))) if len(hits) else np.array([], dtype=np.int64)
+        href = ray.put(hit_ids)
 
-    fresh = fps.map_batches(not_in_existing, batch_format="pyarrow")
+        def not_hit(t: pa.Table) -> pa.Table:
+            ids = ray.get(href)
+            d = t["doc_id"].to_numpy()
+            if len(ids) == 0:
+                return t
+            pos = np.clip(np.searchsorted(ids, d), 0, len(ids) - 1)
+            return t.filter(pa.array(ids[pos] != d))
+
+        fresh = fps.map_batches(not_hit, batch_format="pyarrow")
+    else:
+        if n_existing:
+            old = pq.read_table(fp_path)
+            # packed sorted (h1, h2) membership array — broadcast once.
+            o1 = old["h1"].to_numpy()
+            o2 = old["h2"].to_numpy()
+            order = np.lexsort((o2, o1))
+            o1, o2 = o1[order], o2[order]
+        else:
+            o1 = np.array([], dtype=np.int64)
+            o2 = np.array([], dtype=np.int64)
+        eref = ray.put((o1, o2))
+
+        def not_in_existing(t: pa.Table) -> pa.Table:
+            e1, e2 = ray.get(eref)
+            h1 = t["h1"].to_numpy()
+            h2 = t["h2"].to_numpy()
+            if len(e1) == 0:
+                return t
+            lo = np.searchsorted(e1, h1, side="left")
+            hi = np.searchsorted(e1, h1, side="right")
+            hit = np.zeros(len(h1), dtype=bool)
+            # existing duplicate groups are tiny (md5-128): scan the run
+            for i in np.flatnonzero(hi > lo):
+                hit[i] = bool((e2[lo[i] : hi[i]] == h2[i]).any())
+            return t.filter(pa.array(~hit))
+
+        fresh = fps.map_batches(not_in_existing, batch_format="pyarrow")
     n_total = new_docs.count()
     n_fresh = fresh.count()
 

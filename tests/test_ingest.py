@@ -88,3 +88,20 @@ def test_incremental_ingest_fuzz_vs_dict_oracle(ray_session, tmp_path):
                 exp_new += 1
         assert stats["ingested"] == exp_new, rnd
     assert _corpus_rows(corpus) == sorted(expected_ids)
+
+
+def test_ingest_join_regime_matches_broadcast(ray_session, tmp_path):
+    """Force the past-cap hash-join membership regime and assert the
+    same rounds produce the same corpus as the broadcast regime."""
+    from crawler_ray.pipelines.ingest import incremental_ingest
+
+    r1 = [(i, f"t{i % 15}") for i in range(30)]
+    r2 = [(100 + i, f"t{i % 25}") for i in range(30)]
+    out = {}
+    for mode, cap in (("bcast", 10**9), ("join", 0)):
+        corpus = str(tmp_path / mode)
+        s1 = incremental_ingest(_ds(r1), corpus, 1, fp_broadcast_cap=cap)
+        s2 = incremental_ingest(_ds(r2), corpus, 2, fp_broadcast_cap=cap)
+        out[mode] = (s1["ingested"], s2["ingested"], s2["dup_existing"], _corpus_rows(corpus))
+    assert out["bcast"] == out["join"]
+    assert out["bcast"][0] == 15  # 15 distinct texts in round 1
