@@ -3643,13 +3643,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, vocab_broadcast_cap: int = 5_000_00
     "loser set (sparse — bounded by cross-doc duplicate volume, not "
     "corpus size) is broadcast as one packed sorted int64 array and a "
     "second scan filters + rejoins each doc's surviving segments.  "
-    "Past ~10^8 loser rows the same rows hash-join against the "
-    "re-exploded segments instead of broadcasting (shape documented, "
-    "not needed at any tested scale).  Dedup key is the md5-128 of "
+    "Past loser_broadcast_cap rows the IMPLEMENTED join regime fires "
+    "(_segment_dedup_join_regime: losers pack into one si-string per "
+    "affected doc and right-outer hash-join onto documents; "
+    "forced-regime test asserts row equality).  Dedup key is the md5-128 of "
     "the segment (collision-safe in practice; the oracle dedups by "
     "md5(seg) too, so both sides agree by construction).",
 )
-def segment_dedup(sf_dir: str, seg_tokens: int = 10):
+def segment_dedup(sf_dir: str, seg_tokens: int = 10, loser_broadcast_cap: int = 100_000_000):
     import hashlib
     import math
 
@@ -3693,13 +3694,20 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 10):
         lose = g[g["doc_id"].to_numpy() > mn.to_numpy()]
         return lose[["doc_id", "si"]]
 
-    losers = (
+    losers_ds = (
         docs.map_batches(explode, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(losers_in_bucket, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
+    if losers_ds.count() > loser_broadcast_cap:
+        return _segment_dedup_join_regime(docs, losers_ds, seg_tokens)
+    losers = losers_ds.to_pandas()
+    if "doc_id" not in losers.columns:  # zero-row datasets lose schema
+        losers = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "si": pd.Series([], dtype="int64")}
+        )
     d = losers["doc_id"].to_numpy().astype(np.int64)
     s = losers["si"].to_numpy().astype(np.int64)
     assert len(s) == 0 or (s.max() < (1 << 20) and d.max() < (1 << 43)), "packed key overflow"
@@ -3739,6 +3747,85 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 10):
         )
 
     return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _segment_dedup_join_regime(docs, losers_ds, seg_tokens: int):
+    """Past-broadcast-cap regime for segment_dedup (the documented
+    scale path, now real): loser (doc_id, si) rows never concentrate —
+    they aggregate into one comma-joined si string per AFFECTED doc
+    (bounded by duplicate volume) and LEFT-OUTER hash-join onto the
+    documents table; unaffected docs get a null and keep every
+    segment.  Forced-regime test asserts row equality."""
+    import math
+
+    def pack_sis(g: pd.DataFrame) -> pa.Table:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "gone_sis": pa.array([], type=pa.string())}
+            )
+        g = g.sort_values(["doc_id", "si"], kind="stable")
+        out = g.groupby("doc_id", as_index=False, sort=False).agg(
+            gone_sis=("si", lambda s: ",".join(map(str, s)))
+        )
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+             "gone_sis": pa.array(out["gone_sis"].tolist(), type=pa.string())}
+        )
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "si": pd.Series([], dtype="int64")}
+            )
+        df = df.copy()
+        df["__db"] = (df["doc_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    packed = (
+        losers_ds.map_batches(rebucket, batch_format="pandas")
+        .groupby("__db")
+        .map_groups(pack_sis, batch_format="pandas")
+    )
+    # the pandas map_groups side carries schemaless EMPTY blocks the
+    # Arrow hash join rejects on its RIGHT (build) side — so packed
+    # joins from the LEFT with right_outer keeping every doc (same
+    # orientation rule as the tfidf join regime)
+    # map_groups emits schemaless EMPTY pandas blocks that poison the
+    # Arrow hash join; repartition concatenates them into typed blocks
+    packed = packed.repartition(8)
+    joined = packed.join(docs, join_type="right_outer", num_partitions=8, on=("doc_id",))
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "lang": [], "n_segs": [], "n_removed": [], "new_text": []}
+        for did, lang, txt, sis in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+            t["text"].to_pylist(), t["gone_sis"].to_pylist(),
+        ):
+            ws = txt.split(" ")
+            nseg = math.ceil(len(ws) / seg_tokens)
+            gone = set(int(x) for x in sis.split(",")) if sis else set()
+            kept = [
+                " ".join(ws[si * seg_tokens : si * seg_tokens + seg_tokens])
+                for si in range(nseg)
+                if si not in gone
+            ]
+            out["doc_id"].append(did)
+            out["lang"].append(lang)
+            out["n_segs"].append(nseg)
+            out["n_removed"].append(len(gone))
+            out["new_text"].append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "n_segs": pa.array(out["n_segs"], type=pa.int64()),
+                "n_removed": pa.array(out["n_removed"], type=pa.int64()),
+                "new_text": pa.array(out["new_text"], type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")
 
 
 # =====================================================================

@@ -444,3 +444,23 @@ def test_pagerank_dataset_regime_matches_broadcast(ray_session):
         .astype({"doc_id": "int64", "rank_scaled": "int64"})
     )
     pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+
+
+def test_segment_dedup_join_regime_matches_broadcast(ray_session, tmp_path):
+    """Force the past-cap loser-join regime; identical output to the
+    broadcast regime including docs with no losers (left-outer null)."""
+    import pandas as pd
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(25))
+    sf = _write_docs(tmp_path, [base, other, base])
+    from crawler_ray.queries import segment_dedup
+
+    a = segment_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        segment_dedup(sf, loser_broadcast_cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
