@@ -73,3 +73,24 @@ def test_parser_never_crashes(html):
     # span offsets always index into the raw string
     for s in dom.extract_spans(html, "http://h.example/"):
         assert 0 <= s["offset"] <= len(html)
+
+
+def test_md5_hash64_equals_duckdb_md5_number_lower_hypothesis():
+    """Many oracles mirror Python hashing with DuckDB's
+    md5_number_lower — property-test the equivalence over arbitrary
+    unicode (the foundation under simhash/kmv/mixture oracles)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_ray.functions.shingles import md5_hash64
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=64).filter(lambda s: "\x00" not in s))
+    def prop(s):
+        want = con.execute("SELECT md5_number_lower(?)", [s]).fetchone()[0]
+        assert md5_hash64(s) == want, repr(s)
+
+    prop()

@@ -464,3 +464,49 @@ def test_segment_dedup_join_regime_matches_broadcast(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_funnel_and_transitions_fuzz_vs_bruteforce(ray_session, tmp_path):
+    """Random event streams: funnel conversion (extreme-timestamp
+    associativity across batch splits) and transition counts vs pure
+    Python."""
+    rng = np.random.default_rng(7777)
+    types = ["click", "purchase", "view", "signup", "error"]
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 1_000_000)),
+            int(rng.integers(0, 60)),
+            types[int(rng.integers(0, len(types)))],
+            1.0,
+        )
+        for i in range(800)
+    ]
+    sf = _write_events(tmp_path, rows)
+    from crawler_ray.queries import event_transitions, funnel_conversion
+
+    f = funnel_conversion(sf).to_pandas().iloc[0]
+    first_click, last_purchase = {}, {}
+    for _e, ts, uid, ty, _v in rows:
+        if ty == "click":
+            first_click[uid] = min(first_click.get(uid, ts), ts)
+        if ty == "purchase":
+            last_purchase[uid] = max(last_purchase.get(uid, ts), ts)
+    conv = sum(
+        1 for u, fc in first_click.items() if u in last_purchase and last_purchase[u] >= fc
+    )
+    assert f["n_clickers"] == len(first_click)
+    assert f["n_purchasers"] == len(last_purchase)
+    assert f["n_converted"] == conv
+
+    tr = event_transitions(sf).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in tr.itertuples()}
+    want: dict[tuple, int] = {}
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, ty, _v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, ty))
+    for uid, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
