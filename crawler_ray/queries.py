@@ -4677,7 +4677,12 @@ def pagerank(sf_dir: str, iters: int = 5, dataset_regime: bool = False):
     "than k distinct values -> the sketch IS exact (both sides "
     "branch identically).",
 )
-def distinct_kmv(sf_dir: str, k: int = 256):
+def distinct_kmv(sf_dir: str, k: int = 256, sketch_only: bool = False):
+    # sketch_only=True is the scale posture: batches prune to their k
+    # smallest per lang (shuffle <= k rows per (lang, batch)) and the
+    # exact column reports -1 — the ESTIMATE is unchanged because the
+    # global k smallest survive any per-batch k-smallest pruning
+    # (union of k-minimum sketches is the k-minimum of the union)
     import hashlib
 
     docs = _read(sf_dir, "documents", columns=["lang", "text"])
@@ -4706,11 +4711,12 @@ def distinct_kmv(sf_dir: str, k: int = 256):
             )
         hv = np.array(hs, dtype=np.uint64)
         df = pd.DataFrame({"lang": pd.Series(ls, dtype="object"), "hv": hv})
-        # NO per-batch k-pruning here: the EXACT side-by-side count
-        # needs every distinct pair, so rows are only deduped within
-        # the batch (vocab-bounded).  A sketch-only deployment prunes
-        # to the k smallest per (lang, batch) — ≤ k rows per batch —
-        # and drops the exact leg entirely.
+        if sketch_only:
+            # prune to the k smallest per (lang, batch): the sketch
+            # union keeps estimates identical, the exact leg is dropped
+            df = df.sort_values("hv", kind="stable").groupby("lang", sort=False).head(k)
+        # else NO pruning: the EXACT side-by-side count needs every
+        # distinct pair (rows are deduped within the batch regardless)
         df["__b"] = (df["hv"].to_numpy() % np.uint64(64)).astype("int32")
         return df
 
@@ -4742,17 +4748,17 @@ def distinct_kmv(sf_dir: str, k: int = 256):
     )
     out_rows = []
     for lang, g in merged.groupby("lang"):
-        exact = int(g["n_exact"].sum())
+        exact = -1 if sketch_only else int(g["n_exact"].sum())
         hv = np.sort(np.unique(g["hv"].to_numpy()))
         # NOTE: per-bucket combiners may under-collect below global k
         # only if a bucket held >k of the k-smallest — impossible to
         # distinguish here, so the union keeps everything the buckets
         # kept; with 64 buckets and k=256 the global k-smallest are
         # always present (each bucket kept its local k-smallest).
-        if exact < k or len(hv) < k:
-            est = exact
+        if len(hv) < k or (not sketch_only and exact < k):
+            est = len(hv) if sketch_only else exact
         else:
-            est = int((255 << 64) // int(hv[k - 1]))
+            est = int(((k - 1) << 64) // int(hv[k - 1]))
         out_rows.append({"lang": lang, "exact_distinct": exact, "kmv_estimate": est})
     out = pd.DataFrame(out_rows)
     return pa.table(

@@ -510,3 +510,21 @@ def test_funnel_and_transitions_fuzz_vs_bruteforce(ray_session, tmp_path):
         for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+def test_distinct_kmv_sketch_only_estimate_unchanged(ray_session, tmp_path):
+    """Per-batch k-pruning (the scale posture) must not change the
+    estimate: the global k smallest hashes survive any per-batch
+    k-smallest pruning."""
+    rng = np.random.default_rng(90210)
+    texts = [
+        " ".join(f"tok{v}" for v in rng.integers(0, 30000, size=150))
+        for _ in range(400)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import distinct_kmv
+
+    full = distinct_kmv(sf).to_pandas().set_index("lang")
+    sk = distinct_kmv(sf, sketch_only=True).to_pandas().set_index("lang")
+    assert int(sk.loc["en", "kmv_estimate"]) == int(full.loc["en", "kmv_estimate"])
+    assert int(sk.loc["en", "exact_distinct"]) == -1  # exact leg dropped
