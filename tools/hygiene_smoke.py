@@ -80,6 +80,8 @@ def main():
         "text_normalize",
         "pii_scrub",
         "mixture_resample",
+        "typo_pairs",
+        "distinct_kmv",
     ):
         r0 = _rss_mb()
         t0 = time.time()
