@@ -5365,3 +5365,95 @@ def pivot_events(sf_dir: str):
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "shuffle_shards",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id)
+             - 1 AS BIGINT) AS pos,
+           CAST((row_number() OVER (
+             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id)
+             - 1) // 64 AS BIGINT) AS shard
+    FROM documents
+    """,
+    doc="Deterministic training-order shuffle + sharding (the data-"
+    "ordering step before LLM training: a reproducible global "
+    "permutation, cut into fixed-size shards): order = md5(doc_id) — "
+    "a seeded permutation both engines derive identically — realized "
+    "as a distributed RANGE-PARTITIONED SORT on the hash key plus the "
+    "two-phase block-offset rank scan (global_rank's machinery: one "
+    "(first-key, count) summary per block to the driver, offsets "
+    "back).  Shard id = pos // shard_size, so shards are written "
+    "independently by whichever worker holds the block — the "
+    "partitioned-export layout.  No row data concentrates; the "
+    "permutation is stable across runs and cluster sizes (it depends "
+    "only on doc_id).",
+)
+def shuffle_shards(sf_dir: str, shard_size: int = 64):
+    import ray
+    from crawler_ray.functions.shingles import md5_hash64
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = np.array([md5_hash64(str(i)) for i in ids], dtype=np.uint64)
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h)})
+
+    ds = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(add_key, batch_format="pyarrow")
+        .sort(["h", "doc_id"])
+        .materialize()
+    )
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.uint64()),
+                    "eid": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "h": pa.array([t["h"][0].as_py()], type=pa.uint64()),
+                "eid": pa.array([t["doc_id"][0].as_py()], type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64()),
+            }
+        )
+
+    summ = (
+        ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["h", "eid"])
+    )
+    n_arr = summ["n"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(n_arr)[:-1]])
+    omap = dict(zip(summ["eid"].to_numpy(dtype=np.int64).tolist(), offs.tolist()))
+    oref = ray.put(omap)
+
+    def add_pos(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "shard": pa.array([], type=pa.int64()),
+                }
+            )
+        m = ray.get(oref)
+        first = int(t["doc_id"][0].as_py())
+        assert first in m, "shuffle_shards block boundaries diverged"
+        pos = m[first] + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": pa.array(pos),
+                "shard": pa.array(pos // shard_size),
+            }
+        )
+
+    return ds.map_batches(add_pos, batch_format="pyarrow", batch_size=None)
