@@ -5457,3 +5457,100 @@ def shuffle_shards(sf_dir: str, shard_size: int = 64):
         )
 
     return ds.map_batches(add_pos, batch_format="pyarrow", batch_size=None)
+
+
+@register(
+    "ohlc_hourly",
+    """
+    WITH b AS (
+      SELECT event_id, ts, epoch_us(ts) // 3600000000 AS hb,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    r AS (
+      SELECT hb, vc,
+             row_number() OVER (PARTITION BY hb ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY hb ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b)
+    SELECT hb AS hour_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN vc END)/100.0 AS open,
+           max(vc)/100.0 AS high,
+           min(vc)/100.0 AS low,
+           max(CASE WHEN rn_d = 1 THEN vc END)/100.0 AS close
+    FROM r GROUP BY hb
+    """,
+    doc="Temporal downsampling to hourly OHLC bars (the resample shape "
+    "with FIRST/LAST-by-time semantics, not just min/max/sum): open = "
+    "value at the bin's earliest (ts, event_id), close = at its "
+    "latest.  The interesting bit is the MERGEABLE ARGMIN/ARGMAX "
+    "combiner: each batch reduces every bin it touches to one partial "
+    "row (earliest key + its value, latest key + its value, lo, hi, "
+    "n) — first/last merge associatively by comparing keys, so the "
+    "shuffle carries one row per (bin, batch) and a per-bin-bucket "
+    "merge finishes.  Exact integer cents; tie-break by event_id "
+    "mirrored in both engines.",
+)
+def ohlc_hourly(sf_dir: str):
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        vc = cents(t["value"]).to_numpy()
+        hb = us // HOUR
+        df = pd.DataFrame({"hb": hb, "ts": us, "eid": eid, "vc": vc})
+        df = df.sort_values(["hb", "ts", "eid"], kind="stable")
+        g = df.groupby("hb", sort=False)
+        out = pd.DataFrame(
+            {
+                "hb": g["hb"].first().to_numpy(dtype=np.int64),
+                "ots": g["ts"].first().to_numpy(dtype=np.int64),
+                "oeid": g["eid"].first().to_numpy(dtype=np.int64),
+                "ovc": g["vc"].first().to_numpy(dtype=np.int64),
+                "cts": g["ts"].last().to_numpy(dtype=np.int64),
+                "ceid": g["eid"].last().to_numpy(dtype=np.int64),
+                "cvc": g["vc"].last().to_numpy(dtype=np.int64),
+                "lo": g["vc"].min().to_numpy(dtype=np.int64),
+                "hi": g["vc"].max().to_numpy(dtype=np.int64),
+                "n": g.size().to_numpy(dtype=np.int64),
+            }
+        )
+        out["__b"] = (out["hb"].to_numpy() % 64).astype("int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "hour_bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "open": pd.Series([], dtype="float64"),
+                    "high": pd.Series([], dtype="float64"),
+                    "low": pd.Series([], dtype="float64"),
+                    "close": pd.Series([], dtype="float64"),
+                }
+            )
+        # pick each bin's partial with the earliest (ots, oeid) for
+        # open and the latest (cts, ceid) for close — associative merge
+        g = g.sort_values(["hb", "ots", "oeid"], kind="stable")
+        opens = g.groupby("hb", sort=False).first()
+        g2 = g.sort_values(["hb", "cts", "ceid"], kind="stable")
+        closes = g2.groupby("hb", sort=False).last()
+        agg = g.groupby("hb", sort=False).agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+        return pd.DataFrame(
+            {
+                "hour_bucket": agg.index.to_numpy(dtype=np.int64),
+                "n": agg["n"].to_numpy(dtype=np.int64),
+                "open": opens["ovc"].to_numpy(dtype=np.int64) / 100.0,
+                "high": agg["hi"].to_numpy(dtype=np.int64) / 100.0,
+                "low": agg["lo"].to_numpy(dtype=np.int64) / 100.0,
+                "close": closes["cvc"].to_numpy(dtype=np.int64) / 100.0,
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+    )

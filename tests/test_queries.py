@@ -18,7 +18,7 @@ SAMPLE = [
     "duplicate_substrings", "kmeans_clusters",
     "group_topk", "segment_dedup", "pii_scrub",
     "asof_join", "running_window", "semantic_dedup",
-    "pagerank", "distinct_kmv", "session_coverage", "typo_pairs", "rolling_hour_sum", "pivot_events", "shuffle_shards",
+    "pagerank", "distinct_kmv", "session_coverage", "typo_pairs", "rolling_hour_sum", "pivot_events", "shuffle_shards", "ohlc_hourly",
 ]
 
 
