@@ -51,17 +51,66 @@ def test_incremental_ingest_rounds(ray_session, tmp_path):
     assert r2b["skipped"] is True
     assert _corpus_rows(corpus) == [1, 2, 11]
 
-    # crash convergence: fingerprints written but manifest lost
-    # (delete the manifest entry) — re-running the round accepts 0 and
-    # the corpus converges (no duplicate text ever ingested twice)
+    # crash recovery: fingerprints committed but manifest lost (crash
+    # between the two renames) — the round dir holds the ONLY accepted
+    # copies, so re-running must commit it back, not delete it
     import json
 
     m = json.load(open(os.path.join(corpus, "_manifest.json")))
     del m["rounds"]["2"]
     json.dump(m, open(os.path.join(corpus, "_manifest.json"), "w"))
     r2c = incremental_ingest(_ds([(11, "cc")]), corpus, 2)
-    assert r2c["ingested"] == 0 and r2c["dup_existing"] == 1
-    assert _corpus_rows(corpus) == [1, 2]  # round dir rewritten empty... 
+    assert r2c["recovered"] is True and r2c["ingested"] == 1
+    assert _corpus_rows(corpus) == [1, 2, 11]  # no data loss
+    # and the recovered commit is durable: a re-run now skips
+    r2d = incremental_ingest(_ds([(11, "cc")]), corpus, 2)
+    assert r2d["skipped"] is True
+    assert _corpus_rows(corpus) == [1, 2, 11]
+
+
+def test_ingest_crash_before_fp_commit_redoes_round(ray_session, tmp_path):
+    """Orphan round dir whose fingerprints were NEVER committed (crash
+    between write_parquet and the fp rename): the dir is deleted and
+    the round redone from the input — nothing blocks re-ingest."""
+    from crawler_ray.pipelines.ingest import incremental_ingest
+
+    corpus = str(tmp_path / "corpus")
+    incremental_ingest(_ds([(1, "aa")]), corpus, 1)
+
+    # simulate: round 2's data landed but the fp rename never happened
+    round_dir = os.path.join(corpus, "round=0002")
+    os.makedirs(round_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "text": pa.array(["orphan-text"], type=pa.string()),
+            }
+        ),
+        os.path.join(round_dir, "part-0.parquet"),
+    )
+    r2 = incremental_ingest(_ds([(5, "bb"), (6, "aa")]), corpus, 2)
+    assert r2 == {"ingested": 1, "dup_existing": 1, "dup_within": 0, "skipped": False}
+    assert _corpus_rows(corpus) == [1, 5]  # orphan replaced by the redo
+
+
+def test_ingest_recovery_join_regime(ray_session, tmp_path):
+    """Recovery's fp-coverage check also works in the past-cap join
+    regime (fp_broadcast_cap=0 forces it)."""
+    import json
+
+    from crawler_ray.pipelines.ingest import incremental_ingest
+
+    corpus = str(tmp_path / "corpus")
+    incremental_ingest(_ds([(1, "aa"), (2, "bb")]), corpus, 1, fp_broadcast_cap=0)
+    incremental_ingest(_ds([(3, "cc"), (4, "aa")]), corpus, 2, fp_broadcast_cap=0)
+    mpath = os.path.join(corpus, "_manifest.json")
+    m = json.load(open(mpath))
+    del m["rounds"]["2"]
+    json.dump(m, open(mpath, "w"))
+    r = incremental_ingest(_ds([(3, "cc"), (4, "aa")]), corpus, 2, fp_broadcast_cap=0)
+    assert r["recovered"] is True and r["ingested"] == 1
+    assert _corpus_rows(corpus) == [1, 2, 3]
 
 
 def test_incremental_ingest_fuzz_vs_dict_oracle(ray_session, tmp_path):
