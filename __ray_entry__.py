@@ -65,13 +65,36 @@ def entry() -> Any:
     )
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+# The driver's per-round oracle sweep is capped (r3 certified exactly
+# the first 50 of 72 registry entries, in dict order), so expose the
+# entries it has NOT yet certified first: r3's last 22 plus anything
+# new this round.  The r3-certified 50 follow in registry order.
+_CERTIFY_FIRST = [
+    "pii_scrub", "tfidf_top_terms", "segment_dedup", "asof_join",
+    "running_window", "semantic_dedup", "global_rank", "partitioned_export",
+    "chunk_documents", "text_normalize", "funnel_conversion", "pagerank",
+    "distinct_kmv", "event_transitions", "bloom_semi_join",
+    "session_coverage", "inverted_index", "typo_pairs", "rolling_hour_sum",
+    "pivot_events", "shuffle_shards", "ohlc_hourly",
+]
+
+
+def _ordered_registry():
     from crawler_ray.queries import REGISTRY
 
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    head = [n for n in _CERTIFY_FIRST if n in REGISTRY]
+    return {n: REGISTRY[n] for n in head} | {
+        n: qd for n, qd in REGISTRY.items() if n not in head
+    }
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {name: qd.fn for name, qd in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from crawler_ray.queries import REGISTRY
-
-    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+    return {
+        name: qd.sql
+        for name, qd in _ordered_registry().items()
+        if qd.sql is not None
+    }

@@ -71,6 +71,16 @@ _WINDOW_C = np.array(
 )
 _FMIX = np.uint64(0xFF51AFD7ED558CCD)
 
+# Wire-format version of the gram-hash family.  Near-dup index
+# snapshots store raw _shingle_hashes values; a checkpoint written
+# under one hash family silently under-reports Jaccard against grams
+# computed under another, so every snapshot embeds this version and
+# restore REFUSES a mismatch (rebuild the index from the corpus
+# instead).  Bump whenever _shingle_hashes' output values change:
+#   1 = per-gram blake2b (rounds 1-2)
+#   2 = position-weighted window combine + murmur finalizer (round 3+)
+SHINGLE_WIRE_VERSION = 2
+
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
     """Stable 31-bit shingle hashes (uint64 dtype for overflow-free math).

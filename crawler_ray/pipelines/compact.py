@@ -9,7 +9,9 @@ into ``target_rows_per_file`` blocks, and write back worker-parallel.
 Atomic publish: output lands in ``<out_dir>.tmp`` and is renamed into
 place only after a row-count audit, so a killed compaction never
 replaces good fragments with a partial output (the same publish
-convention as state/checkpoint.py).
+convention as state/checkpoint.py).  A pre-existing compacted output
+is parked at ``<out_dir>.old`` across the swap and deleted last, so no
+crash point loses it either.
 
 Compaction preserves ROWS, not order — callers that need an order have
 a sort key in the data (the repo convention; e.g. the corpus carries
@@ -62,8 +64,16 @@ def compact_dir(
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} in, {rows_after} out"
         )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # publish: park any previous output aside FIRST, then rename the
+    # audited tmp into place, then drop the parked copy — no crash
+    # point loses the previous output (a crash between the renames
+    # leaves it recoverable under <out_dir>.old)
+    old = out_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return {
         "rows": rows_after,
         "files_before": len(files),

@@ -1426,6 +1426,8 @@ def _ngram_jaccard_pipeline(
         a = m["rk_a"].to_numpy()
         b = m["rk_b"].to_numpy()
         keep = a < b
+        if keep.any():
+            assert b[keep].max() < (1 << 32), "pair rank packing overflow"
         packed = (a[keep] << 32) | b[keep]
         pk, pi = np.unique(packed, return_counts=True)
         return pd.DataFrame(
@@ -2387,6 +2389,9 @@ def duplicate_substrings(sf_dir: str):
         a = m["doc_id_a"].to_numpy()
         b = m["doc_id_b"].to_numpy()
         keep = a < b
+        if keep.any():
+            assert a[keep].min() >= 0 and b[keep].max() < (1 << 32), \
+                "doc_id pair packing overflow"
         pk, c = np.unique((a[keep] << 32) | b[keep], return_counts=True)
         return pd.DataFrame(
             {

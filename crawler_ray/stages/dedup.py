@@ -38,6 +38,22 @@ def minhash_stage(num_perm: int = 64, ngram: int = 4, text_col: str = "text", ou
     return fn
 
 
+def _check_shingle_wire(got: int) -> None:
+    """Refuse to restore a near-dup snapshot written under a DIFFERENT
+    gram-hash family: mixed families compare near-zero Jaccard and
+    silently miss duplicates (ADVICE r3).  Rebuild the index from the
+    corpus (re-crawl or re-ingest the checkpointed rounds) instead."""
+    from ..functions.shingles import SHINGLE_WIRE_VERSION
+
+    if got != SHINGLE_WIRE_VERSION:
+        raise RuntimeError(
+            f"near-dup snapshot uses shingle wire format v{got}, this build "
+            f"writes v{SHINGLE_WIRE_VERSION}; restoring would mix gram-hash "
+            "families and silently miss duplicates — rebuild the index from "
+            "the corpus instead of restoring this snapshot"
+        )
+
+
 @ray.remote
 class NearDupIndex:
     """Incremental LSH index: band_key → [(url, shingle set)].
@@ -75,13 +91,17 @@ class NearDupIndex:
         return out
 
     def snapshot(self) -> dict:
+        from ..functions.shingles import SHINGLE_WIRE_VERSION
+
         return {
             "threshold": self.threshold,
             "bands": self.bands,
+            "wire": SHINGLE_WIRE_VERSION,
             "index": {k: [(u, g.tolist()) for u, g in v] for k, v in self.index.items()},
         }
 
     def restore(self, snap: dict) -> None:
+        _check_shingle_wire(snap.get("wire", 1))
         self.threshold = snap["threshold"]
         self.bands = snap["bands"]
         import numpy as np
@@ -250,14 +270,18 @@ class NearDupShardActor:
         return self.process_table(tbl)
 
     def snapshot(self) -> dict:
+        from ..functions.shingles import SHINGLE_WIRE_VERSION
+
         return {
             "sid": self.sid,
             "n": self.n,
             "threshold": self.threshold,
+            "wire": SHINGLE_WIRE_VERSION,
             "index": {k: [g.tolist() for g in v] for k, v in self.index.items()},
         }
 
     def restore(self, snap: dict) -> None:
+        _check_shingle_wire(snap.get("wire", 1))
         self.sid, self.n, self.threshold = snap["sid"], snap["n"], snap["threshold"]
         self.index = {
             int(k): [np.asarray(g, dtype=np.uint64) for g in v]
@@ -283,11 +307,14 @@ class NearDupShardActor:
                     arr_pos[gid] = len(arrs)
                     arrs.append(g)
                 refs.append(arr_pos[gid])
+        from ..functions.shingles import SHINGLE_WIRE_VERSION
+
         lens = np.array([len(a) for a in arrs], dtype=np.int64)
         flat = np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.uint64)
         with open(path, "wb") as f:
             np.savez(
                 f,
+                wire=np.array([SHINGLE_WIRE_VERSION], dtype=np.int64),
                 meta=np.array([self.sid, self.n], dtype=np.int64),
                 threshold=np.array([self.threshold], dtype=np.float64),
                 band_keys=np.array(band_keys, dtype=np.uint64),
@@ -302,6 +329,7 @@ class NearDupShardActor:
 
     def restore_from(self, path: str) -> None:
         z = np.load(path)
+        _check_shingle_wire(int(z["wire"][0]) if "wire" in z else 1)
         self.sid, self.n = (int(x) for x in z["meta"])
         self.threshold = float(z["threshold"][0])
         lens = z["lens"]
@@ -1013,6 +1041,8 @@ def try_hybrid_jaccard(
         m = df.merge(df, on="gh", suffixes=("_a", "_b"))
         a, b = m["rk_a"].to_numpy(), m["rk_b"].to_numpy()
         keep = a < b
+        if keep.any():
+            assert b[keep].max() < (1 << 32), "cold-pair rank packing overflow"
         packed = (a[keep] << 32) | b[keep]
         pk, pi = np.unique(packed, return_counts=True)
         return pd.DataFrame(
@@ -1116,6 +1146,7 @@ def try_hybrid_jaccard(
         if len(cpk):
             lo = np.minimum(ra[:, None], rb[None, :]).astype(np.int64)
             hi = np.maximum(ra[:, None], rb[None, :]).astype(np.int64)
+            assert int(hi.max(initial=0)) < (1 << 32), "grid rank packing overflow"
             grid = (lo << 32) | hi
             pos = np.clip(np.searchsorted(cpk, grid), 0, len(cpk) - 1)
             hit = cpk[pos] == grid

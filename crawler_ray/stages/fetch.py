@@ -233,10 +233,12 @@ class Fetcher:
 
         overlay: dict[str, tuple[str, int]] = {}
         pending_sets: dict[str, str] = {}
+        jar_queried: set[str] = set()  # hosts whose shard was consulted
         wc = self.wave_ctx
         rkeys = None
         if any(_path(u).startswith((SYNTH_LOGIN_PATH, SYNTH_SESSION_PREFIX)) for u in urls):
             hosts = sorted({url_host(u) for u in urls})
+            jar_queried.update(hosts)
             if self.cookie_shards:
                 gets = ray.get(
                     [
@@ -262,8 +264,28 @@ class Fetcher:
             # a redirect may still land on a gated page even when the
             # frontier batch shows no session URLs (stages/seen.py's
             # wave scan never sees aliased session URLs): fall back to
-            # legacy jar-presence semantics for those rows
+            # legacy jar-presence semantics for those rows, with the
+            # jar entry fetched LAZILY below when such a row appears
             wc = None
+
+        def jar_entry(h: str):
+            # lazy single-host jar fetch: a redirect can resolve to a
+            # gated page for a host the pre-pass never covered (no
+            # session URL in the raw batch, or a cross-host redirect)
+            if h not in overlay and h not in jar_queried:
+                jar_queried.add(h)
+                if self.cookie_shards:
+                    overlay.update(
+                        ray.get(
+                            self.cookie_shards[
+                                host_hash(h, len(self.cookie_shards))
+                            ].get_many.remote([h])
+                        )
+                    )
+                elif h in self._local_jar:
+                    overlay[h] = self._local_jar[h]
+            return overlay.get(h)
+
         status, redirects, bodies = [], [], []
         for ri, u in enumerate(urls):
             if self.robots.disallowed(u):
@@ -294,13 +316,13 @@ class Fetcher:
                         # login for the host with a smaller (depth, seq)
                         # key than this row — ≡ the sequential jar at
                         # any wave parallelism / fetch timing
-                        ent = overlay.get(fhost)
+                        ent = jar_entry(fhost)
                         visible = ent is not None and ent[1] < wc["wave"]
                         if not visible:
                             lk = wc["login_keys"].get(fhost)
                             visible = lk is not None and lk < int(rkeys[ri])
                     else:
-                        visible = fhost in overlay
+                        visible = jar_entry(fhost) is not None
                     if not visible:
                         body = SYNTH_LOGIN_WALL  # no session → login wall
             bodies.append(body)

@@ -76,6 +76,45 @@ def test_in_batch_login_order(ray_session, session_graph):
     assert "account dashboard" in out.column("body")[1].as_py()
 
 
+def test_redirect_to_gated_page_sees_live_session(ray_session):
+    """A batch with NO session-prefixed frontier URL skips the cookie
+    pre-pass; if a redirect then resolves to a gated /account page, the
+    jar entry must be fetched lazily — a live session serves the real
+    body, not the login wall (ADVICE r3: the fallback used to check an
+    always-empty overlay)."""
+    pages = pa.table(
+        {
+            "doc_id": pa.array(
+                [
+                    "http://hx.example.com/login",
+                    "http://hx.example.com/account/0",
+                    "http://hx.example.com/promo",
+                ]
+            ),
+            "html": pa.array(
+                ["<html><body>login ok</body></html>",
+                 "<html><body>account dashboard 0</body></html>",
+                 ""]
+            ),
+            "redirect_to": pa.array(["", "", "http://hx.example.com/account/0"]),
+        }
+    )
+    graph_ref = ray.put(pages)
+    shards = [CookieStore.options(num_cpus=0).remote() for _ in range(2)]
+    fa = Fetcher(graph_ref, cookie_shards=shards)
+    fb = Fetcher(graph_ref, cookie_shards=shards)
+    promo = "http://hx.example.com/promo"
+
+    # no session yet: the aliased gated page serves the wall
+    assert fb(_batch([promo])).column("body")[0].as_py() == SYNTH_LOGIN_WALL
+    fa(_batch(["http://hx.example.com/login"]))  # session established
+    # a DIFFERENT fetcher, batch contains only the alias (no /login or
+    # /account URL) — the lazy jar fetch must surface the session
+    body = fb(_batch([promo])).column("body")[0].as_py()
+    assert body != SYNTH_LOGIN_WALL
+    assert "account dashboard" in body
+
+
 def test_wave_parallel_sessions_match_sequential(ray_session, session_graph):
     """The deterministic gated-visibility rule (stages/fetch.py
     wave_ctx): a WAVE-PARALLEL crawl over a session-gated graph serves

@@ -106,3 +106,41 @@ def test_bloom_batch_add_matches_scalar():
     assert np.array_equal(bf1.bits, bf2.bits)
     # second batch: everything seen
     assert not bloom_add_batch(bf2, urls[:100]).any()
+
+
+def test_neardup_snapshot_wire_version_refused(ray_session, tmp_path):
+    """A near-dup snapshot written under a DIFFERENT gram-hash family
+    must be refused at restore, not silently compared (mixed families
+    report near-zero Jaccard and miss duplicates)."""
+    import pytest
+    import ray
+
+    from crawler_ray.functions import shingles
+    from crawler_ray.stages.dedup import NearDupShardActor, NearDupShards
+
+    # dict-form snapshot (NearDupShards.snapshot/restore path)
+    nd = NearDupShards(n_shards=2, threshold=0.9)
+    nd.process([("u1", shingles.shingle_hash_set("a b c d e f g", 4),
+                 shingles.lsh_band_keys(shingles.minhash_signature("a b c d e f g"), 16))])
+    snaps = nd.snapshot()
+    assert all(s["wire"] == shingles.SHINGLE_WIRE_VERSION for s in snaps)
+    stale = [dict(s, wire=1) for s in snaps]
+    nd2 = NearDupShards(n_shards=2, threshold=0.9)
+    with pytest.raises(Exception, match="wire format"):
+        nd2.restore(stale)
+
+    # npz-form snapshot (snapshot_to/restore_from path)
+    a = NearDupShardActor.options(num_cpus=0).remote(0, 1, 0.9)
+    p = str(tmp_path / "shard.npz")
+    ray.get(a.snapshot_to.remote(p))
+    import numpy as np
+
+    z = dict(np.load(p).items())
+    z["wire"] = np.array([1], dtype=np.int64)  # forge the old family
+    with open(p, "wb") as f:
+        np.savez(f, **z)
+    with pytest.raises(Exception, match="wire format"):
+        ray.get(a.restore_from.remote(p))
+    # current-version round-trip still works
+    ray.get(a.snapshot_to.remote(p))
+    ray.get(a.restore_from.remote(p))
