@@ -186,14 +186,19 @@ def run_queries() -> dict:
     """Best-of-2 per query (like the crawl leg): ambient load on this
     box swings single timings ±2× across minutes, which round 2 showed
     masquerading as regressions on untouched code."""
-    from crawler_ray.queries import REGISTRY
+    from crawler_ray.queries import REGISTRY, pagerank
+
+    # forced-regime legs benched alongside their default dispatch
+    # (pagerank auto-switches to the Dataset regime past the node cap;
+    # the bench graph is under it, so force the scale path once here)
+    extra = {"pagerank_dataset": lambda sf: pagerank(sf, dataset_regime=True)}
 
     out = {}
-    for name in BENCH_QUERIES:
+    for name, fn in [(n, REGISTRY[n].fn) for n in BENCH_QUERIES] + list(extra.items()):
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            r = REGISTRY[name].fn(SF_DIR)
+            r = fn(SF_DIR)
             if hasattr(r, "to_pandas"):
                 r = r.to_pandas()
             best = min(best, time.time() - t0)

@@ -306,15 +306,21 @@ class FetchEnrichWorker:
         )
         order = np.lexsort((prio, cand_depth))
         cand = cand.take(pa.array(order))
-        import pandas as pd
-
-        urls = cand.column("url").to_pylist()
-        first = ~pd.Series(urls, dtype=object).duplicated(keep="first").to_numpy()
-        if not first.all():
+        # Arrow-native first-wins: dictionary-encode once, mask the
+        # first occurrence of each code (rows are already in global
+        # (depth, prio) order), and hash only the DICTIONARY for shard
+        # routing — no per-occurrence PyObject boxing on the per-link
+        # hot path (VERDICT r3 item 4)
+        enc = cand.column("url").dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy()
+        _, fi = np.unique(codes, return_index=True)
+        if len(fi) != len(codes):
+            first = np.zeros(len(codes), dtype=bool)
+            first[fi] = True
             cand = cand.filter(pa.array(first))
-            urls = [u for u, f in zip(urls, first) if f]
+            codes = codes[first]
         shards = ctx["seen_shards"]
-        sid = shard_route(urls, len(shards))
+        sid = shard_route(enc.dictionary.to_pandas(), len(shards))[codes]
         acks = []
         for s in range(len(shards)):
             sel = np.where(sid == s)[0]

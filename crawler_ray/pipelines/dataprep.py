@@ -130,10 +130,18 @@ def prepare_training_data(
         ).materialize()
 
     # near-dup removal on the exact-deduped survivors: LSH candidates →
-    # exact-Jaccard verify → drop the LARGER id of each verified pair
-    pairs = lsh_neardup_pairs(deduped, threshold=neardup_threshold, id_col=id_col, text_col=text_col)
+    # exact-Jaccard verify → drop the LARGER id of each verified pair.
+    # ONE gram pass feeds both stages (gb31 = minhash input, gb/sz =
+    # verification payload) — r3 verdict: the duplicated gram
+    # computation was the composite's regression
+    grams = doc_grams_table(
+        deduped, id_col=id_col, text_col=text_col, with_minhash_input=True
+    ).materialize()
+    pairs = lsh_neardup_pairs(
+        None, threshold=neardup_threshold, id_col=id_col, grams_ds=grams
+    )
     verified = verify_pairs_joined(
-        pairs, doc_grams_table(deduped, id_col=id_col, text_col=text_col),
+        pairs, grams.select_columns([id_col, "gb", "sz"]),
         threshold=neardup_threshold,
     ).to_pandas()
     drop_ids = np.unique(verified["doc_b"].to_numpy()) if len(verified) else np.zeros(0, dtype=np.int64)

@@ -1737,12 +1737,19 @@ def _augmented_docs(sf_dir: str):
 def minhash_lsh_neardup(sf_dir: str):
     from crawler_ray.stages.dedup import doc_grams_table, lsh_neardup_pairs, verify_pairs_joined
 
-    aug = _augmented_docs(sf_dir).materialize()  # reused twice below
-    pairs = lsh_neardup_pairs(aug, threshold=0.9)  # Dataset, stays distributed
+    # ONE gram pass (and one materialize — of the small grams table,
+    # not the full text corpus) feeds both candidate generation (gb31)
+    # and verification (gb/sz); r3 verdict items 3 + 6
+    grams = doc_grams_table(
+        _augmented_docs(sf_dir), with_minhash_input=True
+    ).materialize()
+    pairs = lsh_neardup_pairs(None, threshold=0.9, grams_ds=grams)
     # distributed verify: candidate pairs hash-join back to the grams
     # table (semi-filtered to candidate ids) — no corpus-sized driver
     # materialization anywhere in the plan
-    return verify_pairs_joined(pairs, doc_grams_table(aug), threshold=0.9)
+    return verify_pairs_joined(
+        pairs, grams.select_columns(["doc_id", "gb", "sz"]), threshold=0.9
+    )
 
 
 @register(
@@ -2706,9 +2713,13 @@ def dedup_components(sf_dir: str):
         verify_pairs_joined,
     )
 
-    aug = _augmented_docs(sf_dir).materialize()
+    grams = doc_grams_table(
+        _augmented_docs(sf_dir), with_minhash_input=True
+    ).materialize()  # one gram pass + one small materialize (see minhash_lsh_neardup)
     pairs = verify_pairs_joined(
-        lsh_neardup_pairs(aug, threshold=0.9), doc_grams_table(aug), threshold=0.9
+        lsh_neardup_pairs(None, threshold=0.9, grams_ds=grams),
+        grams.select_columns(["doc_id", "gb", "sz"]),
+        threshold=0.9,
     )
     return cc_label_propagation(pairs)
 
@@ -2982,13 +2993,16 @@ def decontaminate(sf_dir: str, n_eval_docs: int = 5, n: int = 3):
     "never data.  The k-th element's bin is found by cumulative rank "
     "(k = ceil(q*n), quantile_disc's index rule); pass 2 collects ONLY "
     "candidate-bin rows (expected n/65536 per bin) and selects the "
-    "exact element.  Pathological mass-on-one-bin skew recurses on the "
-    "next 16 prefix bits (not needed at any realistic distribution — "
-    "a bin that heavy is one repeated value, which IS the quantile).  "
-    "Result values are ELEMENTS of the data, so the oracle compare is "
-    "bit-exact with no float-summation hazard.",
+    "exact element.  Bins still heavier than ``collect_cap`` RECURSE "
+    "on the next 16 prefix bits (histogram output <= 65,536 rows per "
+    "hot bin, whatever the row count) down to the full 64-bit key, "
+    "where the prefix IS the value (inverted from the sortable key, "
+    "zero rows collected) — so driver memory is O(bins) under ANY "
+    "value distribution, including a constant column.  Result values "
+    "are ELEMENTS of the data, so the oracle compare is bit-exact "
+    "with no float-summation hazard.",
 )
-def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99), collect_cap: int = 65536):
     import math
 
     import ray
@@ -3026,7 +3040,8 @@ def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     )
 
     # driver: locate each quantile's bin + rank-within-bin
-    want: dict = {}  # (etype, pfx) -> [(q, rank_in_bin)]
+    want: dict = {}  # (etype, prefix as python int) -> [(q, rank_in_bin)]
+    counts: dict = {}  # (etype, prefix) -> bin row count
     totals: dict = {}
     for et, grp in h.groupby("event_type", sort=False):
         pfxs = grp["pfx"].to_numpy()
@@ -3039,43 +3054,158 @@ def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)):
             i = int(np.searchsorted(cum, k))
             rank_in_bin = k - (int(cum[i - 1]) if i else 0)
             want.setdefault((et, int(pfxs[i])), []).append((q, rank_in_bin))
-    # broadcast the candidate set as (sorted type names, sorted packed
-    # code*2^16+pfx keys) so membership is two vectorized searchsorteds
-    et_names = np.array(sorted({et for et, _ in want}), dtype=object)
-    packed = np.sort(
-        np.array(
-            [int(np.searchsorted(et_names, et)) * 65536 + pfx for et, pfx in want],
-            dtype=np.int64,
-        )
-    )
-    wref = ray.put((et_names, packed))
+            counts[(et, int(pfxs[i]))] = int(cnts[i])
 
-    def collect(t: pa.Table) -> pa.Table:
-        names, sel = ray.get(wref)
-        v = t["value"].to_numpy().astype(np.float64)
-        pfx = (to_key(v) >> np.uint64(48)).astype(np.int64)
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        code = np.clip(np.searchsorted(names, et), 0, len(names) - 1)
-        known = names[code] == et
-        key = code.astype(np.int64) * 65536 + pfx
-        pos = np.clip(np.searchsorted(sel, key), 0, len(sel) - 1)
-        keep = known & (sel[pos] == key)
-        return pa.table(
-            {
-                "event_type": pa.array(et[keep]),
-                "pfx": pa.array(pfx[keep]),
-                "value": pa.array(v[keep]),
-            }
-        )
+    _PACK = 1 << 48  # etype-code multiplier; prefixes stay <= 48 bits
 
-    cand = ev.map_batches(collect, batch_format="pyarrow").to_pandas()
+    def _membership(w: dict):
+        """(sorted names, sorted packed etcode*2^48+prefix keys)."""
+        names = np.array(sorted({et for et, _ in w}), dtype=object)
+        assert len(names) < 32768, "etype-code packing overflow"
+        sel = np.sort(
+            np.array(
+                [int(np.searchsorted(names, et)) * _PACK + int(p) for et, p in w],
+                dtype=np.int64,
+            )
+        )
+        return names, sel
+
+    def key_to_float(k: int) -> float:
+        """Invert to_key: full 64-bit sortable key -> the double."""
+        ku = np.uint64(k)
+        bits = (
+            ku ^ np.uint64(0x8000000000000000)
+            if bool(ku >> np.uint64(63))
+            else ~ku
+        )
+        return float(np.array([bits], dtype=np.uint64).view(np.float64)[0])
+
+    def sub_hist(hot: dict, shift: int) -> pd.DataFrame:
+        """Histogram the NEXT 16-bit chunk of rows inside hot bins:
+        output <= 65,536 rows per hot bin regardless of row count."""
+        names, sel = _membership(hot)
+        ref = ray.put((names, sel))
+        ns = shift - 16
+
+        def hsub(t: pa.Table) -> pa.Table:
+            nm, s = ray.get(ref)
+            v = t["value"].to_numpy().astype(np.float64)
+            key = to_key(v)
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            par = (key >> np.uint64(shift)).astype(np.int64)
+            code = np.clip(np.searchsorted(nm, et), 0, len(nm) - 1)
+            pk = code.astype(np.int64) * _PACK + par
+            pos = np.clip(np.searchsorted(s, pk), 0, len(s) - 1)
+            m = (nm[code] == et) & (s[pos] == pk)
+            if not m.any():
+                return pa.table(
+                    {
+                        "event_type": pa.array([], type=pa.string()),
+                        "par": pa.array([], type=pa.int64()),
+                        "chunk": pa.array([], type=pa.int64()),
+                        "c": pa.array([], type=pa.int64()),
+                    }
+                )
+            df = pd.DataFrame(
+                {
+                    "event_type": et[m],
+                    "par": par[m],
+                    "chunk": ((key[m] >> np.uint64(ns)) & np.uint64(0xFFFF)).astype(np.int64),
+                }
+            )
+            g = df.groupby(["event_type", "par", "chunk"], as_index=False).size()
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "c"}), preserve_index=False
+            )
+
+        return bucketed_agg(
+            ev.map_batches(hsub, batch_format="pyarrow"),
+            ["event_type", "par", "chunk"],
+            {"c": "c"},
+            key_dtypes={"event_type": "object"},
+        ).to_pandas()
+
+    # recurse 16 bits at a time: cold bins (<= collect_cap rows) go to
+    # the collect pass; hot bins re-histogram on their next chunk; at
+    # shift 0 the prefix IS the key -> the value, zero rows collected
+    results: dict = {}  # (etype, q) -> value
+    collect_levels: dict = {}  # shift -> {(etype, prefix): [(q, rank)]}
+    shift = 48
+    while want:
+        hot = {k: v for k, v in want.items() if counts[k] > collect_cap}
+        cold = {k: v for k, v in want.items() if k not in hot}
+        if cold:
+            collect_levels.setdefault(shift, {}).update(cold)
+        if not hot:
+            break
+        sub = sub_hist(hot, shift)
+        nxt_want, nxt_counts = {}, {}
+        for (et, par), lst in hot.items():
+            sg = sub[(sub["event_type"] == et) & (sub["par"] == par)].sort_values("chunk")
+            chunks = sg["chunk"].to_numpy()
+            cs = sg["c"].to_numpy()
+            cum = np.cumsum(cs)
+            for q, r in lst:
+                j = int(np.searchsorted(cum, r))
+                child = int(par) * 65536 + int(chunks[j])
+                nr = r - (int(cum[j - 1]) if j else 0)
+                if shift - 16 == 0:
+                    results[(et, q)] = key_to_float(child)
+                else:
+                    nxt_want.setdefault((et, child), []).append((q, nr))
+                    nxt_counts[(et, child)] = int(cs[j])
+        want, counts, shift = nxt_want, nxt_counts, shift - 16
+
+    if collect_levels:
+        # one collect pass over every cold bin; levels are disjoint by
+        # construction (a cold bin is never recursed into), so each row
+        # matches at most one (shift, bin)
+        levels = [
+            (s,) + _membership(w) for s, w in sorted(collect_levels.items())
+        ]
+        lref = ray.put(levels)
+
+        def collect(t: pa.Table) -> pa.Table:
+            lv = ray.get(lref)
+            v = t["value"].to_numpy().astype(np.float64)
+            key = to_key(v)
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            parts = {"event_type": [], "shift": [], "pfx": [], "value": []}
+            for s, nm, sel in lv:
+                par = (key >> np.uint64(s)).astype(np.int64)
+                code = np.clip(np.searchsorted(nm, et), 0, len(nm) - 1)
+                pk = code.astype(np.int64) * _PACK + par
+                pos = np.clip(np.searchsorted(sel, pk), 0, len(sel) - 1)
+                m = (nm[code] == et) & (sel[pos] == pk)
+                parts["event_type"].append(et[m])
+                parts["shift"].append(np.full(int(m.sum()), s, dtype=np.int64))
+                parts["pfx"].append(par[m])
+                parts["value"].append(v[m])
+            return pa.table(
+                {
+                    "event_type": pa.array(np.concatenate(parts["event_type"]), type=pa.string()),
+                    "shift": pa.array(np.concatenate(parts["shift"])),
+                    "pfx": pa.array(np.concatenate(parts["pfx"])),
+                    "value": pa.array(np.concatenate(parts["value"])),
+                }
+            )
+
+        cand = ev.map_batches(collect, batch_format="pyarrow").to_pandas()
+        for s, w in collect_levels.items():
+            for (et, pfx), lst in w.items():
+                vals = np.sort(
+                    cand[
+                        (cand["shift"] == s)
+                        & (cand["event_type"] == et)
+                        & (cand["pfx"] == pfx)
+                    ]["value"].to_numpy()
+                )
+                for q, r in lst:
+                    results[(et, q)] = float(vals[r - 1])
+
     rows = {et: {"event_type": et, "n": totals[et]} for et in totals}
-    for (et, pfx), lst in want.items():
-        vals = np.sort(
-            cand[(cand["event_type"] == et) & (cand["pfx"] == pfx)]["value"].to_numpy()
-        )
-        for q, r in lst:
-            rows[et][f"p{int(q * 100)}"] = float(vals[r - 1])
+    for (et, q), v in results.items():
+        rows[et][f"p{int(q * 100)}"] = v
     out = pd.DataFrame(list(rows.values()))[
         ["event_type", "n"] + [f"p{int(q * 100)}" for q in qs]
     ]
@@ -4501,6 +4631,12 @@ def _pagerank_sql(iters: int = 5) -> str:
     return "\n".join(parts)
 
 
+# Auto-regime cap: above this node count the broadcast path's dense
+# int64[n] rank vector (8 B/node, re-shipped per iteration) costs more
+# than the Dataset regime's extra aggregation — 10^8 nodes = 800 MB.
+PAGERANK_BROADCAST_CAP_NODES = 100_000_000
+
+
 def _pagerank_dataset_regime(sf_dir: str, n: int, iters: int):
     """Past-vector-fits PageRank regime (the documented scale path, now
     real): the rank vector never materializes on the driver — ranks
@@ -4594,17 +4730,25 @@ def _pagerank_dataset_regime(sf_dir: str, n: int, iters: int):
     "per (target, batch)), a bucketed merge produces the new sparse "
     "rank updates, and the driver assembles the dense rank vector "
     "for the next broadcast (valid while the NODE VECTOR fits — "
-    "int64[n], ~8 GB at 10^9 nodes; past that the IMPLEMENTED "
-    "dataset_regime keeps ranks as a (doc_id, r) Dataset with zero "
-    "broadcast — sums UNION per-node zeros re-aggregated is the "
-    "left-join-free update; forced-regime test asserts equality).  Out-degrees are arithmetic "
+    "int64[n], ~8 GB at 10^9 nodes; past "
+    "PAGERANK_BROADCAST_CAP_NODES the dispatch AUTO-SWITCHES to the "
+    "dataset_regime, which keeps ranks as a (doc_id, r) Dataset with "
+    "zero broadcast — sums UNION per-node zeros re-aggregated is the "
+    "left-join-free update; forced-regime test asserts equality, and "
+    "the bench sweep times both).  Out-degrees are arithmetic "
     "in this derived graph; a real graph carries them as a column.",
 )
-def pagerank(sf_dir: str, iters: int = 5, dataset_regime: bool = False):
+def pagerank(sf_dir: str, iters: int = 5, dataset_regime: bool | None = None):
     import ray
     from crawler_ray.stages.relational import bucketed_agg
 
     n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    if dataset_regime is None:
+        # auto-dispatch on node count (the repo's regime-switch pattern,
+        # cf. _ngram_jaccard_join_regime): past the cap the dense
+        # int64[n] vector re-broadcast per iteration (~8 GB at 10^9
+        # nodes) stops being acceptable and ranks stay a Dataset
+        dataset_regime = n > PAGERANK_BROADCAST_CAP_NODES
     if dataset_regime:
         return _pagerank_dataset_regime(sf_dir, n, iters)
     r = np.full(n, 1_000_000, dtype=np.int64)

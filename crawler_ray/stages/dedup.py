@@ -446,6 +446,7 @@ def lsh_neardup_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    grams_ds=None,
 ):
     """Corpus-wide MinHash-LSH candidate generation:
 
@@ -456,7 +457,12 @@ def lsh_neardup_pairs(
     4e-8 — the sweep is exact for practical purposes (the oracle-checked
     query relies on this).  Returns a DATASET of distinct (doc_a, doc_b)
     rows — the pairs never materialize on the driver; verify them with
-    ``verify_pairs_joined`` (hash-join back to the grams table)."""
+    ``verify_pairs_joined`` (hash-join back to the grams table).
+
+    ``grams_ds``: a ``doc_grams_table(..., with_minhash_input=True)``
+    Dataset — band keys then derive from its precomputed ``gb31``
+    column (byte-identical 31-bit gram hashes), skipping the second
+    corpus-wide gram pass entirely; ``ds``/``text_col`` are ignored."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -464,15 +470,9 @@ def lsh_neardup_pairs(
 
     N_BUCKETS = 32
 
-    def band_rows(t: pa.Table) -> pa.Table:
+    def _bands_from_hashes(pairs_iter):
         ids, keys = [], []
-        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            h = np.unique(
-                np.fromiter(
-                    (shingles.stable_hash64(g) & 0x7FFFFFFF for g in grams4_raw(txt)),
-                    dtype=np.uint64,
-                )
-            ) if txt else np.zeros(0, dtype=np.uint64)
+        for did, h in pairs_iter:
             sig = shingles.minhash_from_hashes(h, num_perm=num_perm, params=params)
             for k in shingles.lsh_band_keys(sig, bands=bands):
                 ids.append(did)
@@ -483,8 +483,6 @@ def lsh_neardup_pairs(
                 "band": pa.array(keys, type=pa.uint64()),
             }
         )
-        import pyarrow.compute as pc
-
         return out.append_column(
             "bucket",
             pc.cast(
@@ -493,7 +491,31 @@ def lsh_neardup_pairs(
             ),
         )
 
-    band_tbl = ds.map_batches(band_rows, batch_format="pyarrow")
+    def band_rows(t: pa.Table) -> pa.Table:
+        return _bands_from_hashes(
+            (
+                did,
+                np.unique(
+                    np.fromiter(
+                        (shingles.stable_hash64(g) & 0x7FFFFFFF for g in grams4_raw(txt)),
+                        dtype=np.uint64,
+                    )
+                ) if txt else np.zeros(0, dtype=np.uint64),
+            )
+            for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist())
+        )
+
+    def band_rows_precomputed(t: pa.Table) -> pa.Table:
+        return _bands_from_hashes(
+            (did, np.frombuffer(gb, dtype=np.uint64))
+            for did, gb in zip(t[id_col].to_pylist(), t["gb31"].to_pylist())
+        )
+
+    band_tbl = (
+        grams_ds.map_batches(band_rows_precomputed, batch_format="pyarrow")
+        if grams_ds is not None
+        else ds.map_batches(band_rows, batch_format="pyarrow")
+    )
 
     # band→bucket coarsening: one vectorized self-merge per BUCKET of
     # bands (a Ray group per distinct band key would pay ~2 ms/group on
@@ -520,31 +542,45 @@ def lsh_neardup_pairs(
     ).select_columns(["doc_a", "doc_b"])
 
 
-def doc_grams_table(ds, id_col: str = "doc_id", text_col: str = "text"):
+def doc_grams_table(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_minhash_input: bool = False,
+):
     """(doc_id, gb, sz) Dataset: gb = the doc's sorted unique 63-bit
     gram hashes serialized to bytes (Arrow joins reject list columns),
     sz = gram-set cardinality.  The join-side payload for distributed
-    pair verification."""
+    pair verification.
+
+    ``with_minhash_input`` additionally emits ``gb31`` — the sorted
+    unique 31-bit masks of the SAME base hashes, byte-identical to what
+    ``lsh_neardup_pairs`` computes from raw text — so one gram pass
+    (grams4_raw + blake2b per gram, the dominant cost) feeds BOTH LSH
+    candidate generation and pair verification (r3 verdict: the two
+    passes doubled the corpus-wide gram work)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids, gbs, szs = [], [], []
+        ids, gbs, szs, g31s = [], [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            h = np.unique(
-                np.fromiter(
-                    (shingles.stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams4_raw(txt)),
-                    dtype=np.uint64,
-                )
+            base = np.fromiter(
+                (shingles.stable_hash64(g) for g in grams4_raw(txt)),
+                dtype=np.uint64,
             ) if txt else np.zeros(0, dtype=np.uint64)
+            h = np.unique(base & np.uint64(0x7FFFFFFFFFFFFFFF))
             ids.append(did)
             gbs.append(h.tobytes())
             szs.append(len(h))
-        return pa.table(
-            {
-                id_col: pa.array(ids, type=pa.int64()),
-                "gb": pa.array(gbs, type=pa.binary()),
-                "sz": pa.array(szs, type=pa.int64()),
-            }
-        )
+            if with_minhash_input:
+                g31s.append(np.unique(base & np.uint64(0x7FFFFFFF)).tobytes())
+        cols = {
+            id_col: pa.array(ids, type=pa.int64()),
+            "gb": pa.array(gbs, type=pa.binary()),
+            "sz": pa.array(szs, type=pa.int64()),
+        }
+        if with_minhash_input:
+            cols["gb31"] = pa.array(g31s, type=pa.binary())
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

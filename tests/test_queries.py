@@ -286,3 +286,51 @@ def test_value_quantiles_negative_and_dup_heavy(ray_session, tmp_path):
     assert len(got) == len(want) == 3
     for c in got.columns:
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_value_quantiles_degenerate_bounded(ray_session, tmp_path):
+    """Degenerate distributions (constant column, 3-value column) must
+    resolve via bounded prefix recursion — with collect_cap=1 NO bin is
+    ever collected wholesale (a constant column recurses to the full
+    64-bit key, where the prefix IS the value), so driver memory stays
+    O(bins) whatever the skew.  Results stay bit-exact vs quantile_disc."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.queries import value_quantiles
+
+    rng = np.random.default_rng(99)
+    cases = {
+        "const": np.full(5000, 3.141592653589793),
+        "three": rng.choice([-1.5, 0.0, 7e300], size=5000),
+        "mixed": np.concatenate([np.full(4000, -2.5), rng.normal(0, 1, 1000)]),
+    }
+    vals = np.concatenate(list(cases.values()))
+    types = np.concatenate([np.full(len(v), k, dtype=object) for k, v in cases.items()])
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(vals)), type=pa.int64()),
+            "event_type": pa.array(types.tolist()),
+            "value": pa.array(vals, type=pa.float64()),
+        }),
+        os.path.join(d, "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    want = con.sql("""
+        SELECT event_type, count(*) AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """).df().sort_values("event_type").reset_index(drop=True)
+    for cap in (1, 64, 65536):  # full recursion / mixed / default
+        got = value_quantiles(d, collect_cap=cap)
+        got = (got.to_pandas() if hasattr(got, "to_pandas") else got).sort_values(
+            "event_type"
+        ).reset_index(drop=True)[want.columns]
+        for c in got.columns:
+            assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), (cap, c)

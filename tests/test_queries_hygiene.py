@@ -445,6 +445,24 @@ def test_pagerank_dataset_regime_matches_broadcast(ray_session):
     )
     pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
 
+    # auto-dispatch: past the node cap the DEFAULT call must pick the
+    # dataset regime (data decides, not the caller)
+    import crawler_ray.queries as Q
+
+    old = Q.PAGERANK_BROADCAST_CAP_NODES
+    try:
+        Q.PAGERANK_BROADCAST_CAP_NODES = 0
+        c = (
+            pagerank(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype(b.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(c, b)
+    finally:
+        Q.PAGERANK_BROADCAST_CAP_NODES = old
+
 
 def test_segment_dedup_join_regime_matches_broadcast(ray_session, tmp_path):
     """Force the past-cap loser-join regime; identical output to the
