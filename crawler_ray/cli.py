@@ -234,8 +234,14 @@ def main(argv=None):
         if args.mode in ("execute", "execute-budget"):
             if not args.model:
                 p.error("execute modes require --model")
-            with open(args.model) as f:
-                model = json.load(f)
+            if args.model.endswith((".model", ".edn")):
+                # reference-shipped EDN artifact (model.clj:14-17 read-model)
+                from crawler_ray.sources.edn import read_model_file
+
+                model = read_model_file(args.model)
+            else:
+                with open(args.model) as f:
+                    model = json.load(f)
             from crawler_ray.pipelines.execute import execute_model
 
             budget = args.budget if args.mode == "execute-budget" else 10**9
