@@ -20,6 +20,14 @@ In this sandbox "fetching" is a row lookup in the synthetic site graph
 object store ONCE (``ray.put``) and each Fetcher actor builds its
 url→row index in ``__init__`` — zero-copy read, one index build per
 actor, never per batch.
+
+The network is PLUGGABLE: Fetcher takes either a SITE_PAGES table/ref
+(wrapped in SyntheticTransport) or any transport object exposing
+``resolve(url, hops)`` + ``body(final_url)``.  HTTPTransport is the
+real-web implementation (stdlib urllib, manual redirect hops so the
+alias-chain contract matches the synthetic transport; utils.clj:205-208
+is the reference's live fetch) — exercised against a loopback
+http.server in tests, since this sandbox has no outbound network.
 """
 from __future__ import annotations
 
@@ -118,6 +126,103 @@ class RobotsCache:
         return any(path.startswith(p) for p in self.rules[host])
 
 
+class SyntheticTransport:
+    """The in-sandbox 'network': URL → row lookup in the SITE_PAGES
+    table, redirect chains via the ``redirect_to`` column.  One index
+    build per actor (zero-copy plasma read), never per batch."""
+
+    def __init__(self, table: pa.Table):
+        urls = table.column("doc_id").to_pylist()
+        self.idx = {u: i for i, u in enumerate(urls)}
+        self.bodies = table.column("html").to_pylist()
+        self.redirect = table.column("redirect_to").to_pylist()
+
+    def resolve(self, url: str, hops: list[str]) -> tuple[str, str, list[str]]:
+        cur = url
+        for _ in range(5):
+            i = self.idx.get(cur)
+            if i is None:
+                return "missing", cur, hops
+            tgt = self.redirect[i]
+            if not tgt:
+                return ("redirect" if hops[1:] else "ok"), cur, hops
+            hops.append(tgt)
+            cur = tgt
+        return "redirect_loop", cur, hops
+
+    def body(self, final_url: str) -> str:
+        i = self.idx.get(final_url)
+        return self.bodies[i] if i is not None else ""
+
+
+class HTTPTransport:
+    """Live-web transport (utils.clj:205-208 is the reference's real
+    fetch): stdlib urllib GET with MANUAL redirect hops so the alias
+    chain matches SyntheticTransport's contract, errors surfaced as
+    status rows (get-and-log, never silent drops).  The final hop's
+    payload is kept so ``body(final)`` after ``resolve`` costs no
+    second request.  Tested against a loopback http.server (this
+    sandbox has no outbound network); per-host politeness/robots stay
+    Fetcher-level concerns."""
+
+    MAX_HOPS = 5
+
+    def __init__(self, timeout: float = 10.0, headers: dict | None = None, max_body_bytes: int = 4 << 20):
+        self.timeout = timeout
+        self.headers = {"User-Agent": "crawler-ray/0.4"} | (headers or {})
+        self.max_body_bytes = max_body_bytes
+        self._last: tuple[str, str] | None = None  # (final_url, body)
+        import urllib.request as _ur
+
+        class _NoRedirect(_ur.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):  # surface 3xx to us
+                return None
+
+        self._opener = _ur.build_opener(_NoRedirect)
+
+    def _get(self, url: str):
+        import urllib.error as _ue
+        import urllib.request as _ur
+
+        req = _ur.Request(url, headers=self.headers)
+        try:
+            with self._opener.open(req, timeout=self.timeout) as r:
+                raw = r.read(self.max_body_bytes)
+                ctype = r.headers.get_content_charset() or "utf-8"
+                return r.status, None, raw.decode(ctype, errors="replace")
+        except _ue.HTTPError as e:
+            loc = e.headers.get("Location") if e.headers else None
+            return e.code, loc, ""
+        except (_ue.URLError, TimeoutError, OSError) as e:
+            return None, None, f"{type(e).__name__}: {e}"
+
+    def resolve(self, url: str, hops: list[str]) -> tuple[str, str, list[str]]:
+        from urllib.parse import urljoin
+
+        cur = url
+        for _ in range(self.MAX_HOPS):
+            code, loc, payload = self._get(cur)
+            if code is None:
+                return "error", cur, hops  # network/DNS/timeout
+            if code in (301, 302, 303, 307, 308) and loc:
+                cur = urljoin(cur, loc)
+                hops.append(cur)
+                continue
+            if code == 200:
+                self._last = (cur, payload)
+                return ("redirect" if hops[1:] else "ok"), cur, hops
+            if code == 404:
+                return "missing", cur, hops
+            return f"http_{code}", cur, hops
+        return "redirect_loop", cur, hops
+
+    def body(self, final_url: str) -> str:
+        if self._last and self._last[0] == final_url:
+            return self._last[1]
+        code, _, payload = self._get(final_url)
+        return payload if code == 200 else ""
+
+
 class Fetcher:
     """map_batches actor: frontier batch → PAGES-schema batch.
 
@@ -128,12 +233,15 @@ class Fetcher:
     def __init__(self, graph_ref, politeness=None, interval_ms: int = 0, cache_size: int = 0, cookie_shards=None):
         # a ref when constructed via map_batches fn_constructor_args (Ray
         # Data pickles it through); already-dereferenced when passed as a
-        # plain actor constructor arg (Ray auto-resolves ObjectRefs)
-        table: pa.Table = ray.get(graph_ref) if isinstance(graph_ref, ray.ObjectRef) else graph_ref
-        urls = table.column("doc_id").to_pylist()
-        self.idx = {u: i for i, u in enumerate(urls)}
-        self.bodies = table.column("html").to_pylist()
-        self.redirect = table.column("redirect_to").to_pylist()
+        # plain actor constructor arg (Ray auto-resolves ObjectRefs).
+        # Anything exposing resolve/body is used as the transport as-is.
+        if hasattr(graph_ref, "resolve") and hasattr(graph_ref, "body"):
+            self.transport = graph_ref
+        else:
+            table: pa.Table = (
+                ray.get(graph_ref) if isinstance(graph_ref, ray.ObjectRef) else graph_ref
+            )
+            self.transport = SyntheticTransport(table)
         self.robots = RobotsCache()
         self.politeness = politeness or []
         self.interval_ms = interval_ms
@@ -174,8 +282,7 @@ class Fetcher:
                 self._lru.move_to_end(final_url)
                 return b
         self.cache_misses += 1
-        i = self.idx.get(final_url)
-        b = self.bodies[i] if i is not None else ""  # "network" fetch
+        b = self.transport.body(final_url)  # "network" fetch
         if self.cache_size > 0:
             self._lru[final_url] = b
             if len(self._lru) > self.cache_size:
@@ -194,17 +301,7 @@ class Fetcher:
 
     def _resolve(self, url: str, hops: list[str]) -> tuple[str, str, list[str]]:
         """Follow redirect chain; returns (status, final_url, chain)."""
-        cur = url
-        for _ in range(5):
-            i = self.idx.get(cur)
-            if i is None:
-                return "missing", cur, hops
-            tgt = self.redirect[i]
-            if not tgt:
-                return ("redirect" if hops[1:] else "ok"), cur, hops
-            hops.append(tgt)
-            cur = tgt
-        return "redirect_loop", cur, hops
+        return self.transport.resolve(url, hops)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

@@ -20,17 +20,49 @@ import pyarrow as pa
 import ray
 
 from ..functions.urlnorm import url_hash64
-from ..state.bloom import BloomFilter, CuckooFilter, bloom_add_batch
+from ..state.bloom import BloomFilter, CuckooFilter, bloom_add_batch, bloom_contains_batch
+
+
+# Routing wire version: embedded in seen-shard snapshots; restore
+# refuses a mismatch (a filter built under different routing would
+# serve false negatives — same failure mode the near-dup shingle wire
+# version guards against).
+ROUTING_VERSION = "range32-v1"
 
 
 def shard_route(urls: list[str], n: int) -> np.ndarray:
     """Stable url → shard-id routing (pandas siphash — identical across
     processes, so workers and the driver handle agree on key ownership
-    and resume keeps the same shard assignment)."""
+    and resume keeps the same shard assignment).
+
+    RANGE routing on the hash's top 32 bits (shard = h32·n >> 32), not
+    modulo: each shard owns a contiguous hash interval, so a checkpoint
+    written at n shards restores into n' shards by mapping each new
+    shard to the handful of old intervals overlapping its own
+    (shard_route_bounds) — the basis of shard-count elasticity."""
     import pandas as pd
 
     h = pd.util.hash_pandas_object(pd.Series(urls, dtype=object), index=False).to_numpy()
-    return (h % n).astype(np.int64)
+    return (((h >> np.uint64(32)) * np.uint64(n)) >> np.uint64(32)).astype(np.int64)
+
+
+def shard_route_bounds(s: int, n: int) -> tuple[int, int]:
+    """[lo, hi) interval of shard s in the 32-bit routed hash space:
+    shard(h32) = h32·n >> 32 ≥ s  ⇔  h32 ≥ ceil(s·2³² / n)."""
+    lo = (s * (1 << 32) + n - 1) // n
+    hi = ((s + 1) * (1 << 32) + n - 1) // n
+    return lo, hi
+
+
+def overlapping_shards(i: int, n_new: int, n_old: int) -> list[int]:
+    """Old shard ids whose hash interval intersects new shard i's."""
+    lo_i, hi_i = shard_route_bounds(i, n_new)
+    out = []
+    for s in range(n_old):
+        lo_s, hi_s = shard_route_bounds(s, n_old)
+        if lo_i < hi_s and lo_s < hi_i:
+            out.append(s)
+    return out
 
 
 # Candidate-link tables offered to a shard carry these columns; prio is
@@ -117,6 +149,11 @@ class SeenShard:
         self.shard_id = shard_id
         self.filter = BloomFilter(capacity) if kind == "bloom" else CuckooFilter(capacity)
         self.exact = set() if exact_audit else None
+        # read-only membership layers from a re-sharded restore (filters
+        # checkpointed under a DIFFERENT shard count whose hash interval
+        # overlaps this shard's) — consulted by test_and_set/contains,
+        # never written.  Empty in the common same-count lifecycle.
+        self.base_filters: list = []
         self._offers: list[pa.Table] = []
         # shard-resident frontier: depth → [seq-sorted tables in append
         # order] (appends carry monotonically increasing seqs, so each
@@ -383,10 +420,27 @@ class SeenShard:
         pq.write_table(tbl, path)
         return tbl.num_rows
 
+    def _in_base(self, urls: list[str]) -> np.ndarray:
+        """Membership in the read-only re-shard base layers (all-False
+        when there are none — the common case costs one branch)."""
+        if not self.base_filters or not urls:
+            return np.zeros(len(urls), dtype=bool)
+        out = np.zeros(len(urls), dtype=bool)
+        for bf in self.base_filters:
+            if isinstance(bf, BloomFilter):
+                out |= bloom_contains_batch(bf, urls)
+            else:
+                out |= np.array([u in bf for u in urls], dtype=bool)
+        return out
+
     def test_and_set(self, urls: list[str]) -> np.ndarray:
         """Insert all; return bool array: True where the URL was new."""
         if self.exact is None and isinstance(self.filter, BloomFilter):
-            return bloom_add_batch(self.filter, urls)  # vectorized path
+            new = bloom_add_batch(self.filter, urls)  # vectorized path
+            if self.base_filters and new.any():
+                new &= ~self._in_base(urls)
+            return new
+        base = self._in_base(urls)
         out = np.zeros(len(urls), dtype=bool)
         for i, u in enumerate(urls):
             if self.exact is not None:
@@ -394,14 +448,14 @@ class SeenShard:
                 if new:
                     self.exact.add(u)
                     self.filter.add(u)
-                out[i] = new
+                out[i] = new and not base[i]
             else:
-                out[i] = self.filter.add(u)
+                out[i] = self.filter.add(u) and not base[i]
         return out
 
     def contains(self, urls: list[str]) -> np.ndarray:
         src = self.exact if self.exact is not None else self.filter
-        return np.array([u in src for u in urls], dtype=bool)
+        return np.array([u in src for u in urls], dtype=bool) | self._in_base(urls)
 
     def size(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count
@@ -411,16 +465,93 @@ class SeenShard:
         return sorted(self.exact) if self.exact is not None else []
 
     def snapshot(self) -> dict:
+        if self.base_filters:
+            # base layers are read-only restores of OLD-count filters; a
+            # snapshot taken now must stay self-contained, so they are
+            # carried along (their total size is one old checkpoint's).
+            base = [bf.snapshot() for bf in self.base_filters]
+        else:
+            base = []
         return {
             "shard_id": self.shard_id,
+            "routing": ROUTING_VERSION,
             "filter": self.filter.snapshot(),
+            "base_filters": base,
             "exact": sorted(self.exact) if self.exact is not None else None,
         }
 
+    def _check_routing(self, snap: dict) -> None:
+        rv = snap.get("routing")
+        if rv != ROUTING_VERSION:
+            raise RuntimeError(
+                f"seen-shard snapshot routing version {rv!r} != {ROUTING_VERSION!r}: "
+                "a filter built under different url→shard routing would serve "
+                "false negatives — rebuild the seen set from the corpus instead"
+            )
+
     def restore(self, snap: dict) -> None:
+        self._check_routing(snap)
         kind = snap["filter"]["kind"]
         self.filter = (BloomFilter if kind == "bloom" else CuckooFilter).restore(snap["filter"])
+        self.base_filters = [
+            (BloomFilter if b["kind"] == "bloom" else CuckooFilter).restore(b)
+            for b in snap.get("base_filters", [])
+        ]
         self.exact = set(snap["exact"]) if snap["exact"] is not None else None
+
+    def restore_resharded(self, snaps: list[dict], n_new: int) -> None:
+        """Restore from OLD-count snapshots whose hash intervals overlap
+        this shard's (shard-count elasticity).  Two regimes:
+
+          * every snapshot carries exact membership (audit mode):
+            re-partition members by the new routing and rebuild a fresh
+            filter — exact, no approximation cost;
+          * filter-only snapshots (the 10^10-URL posture — members are
+            not enumerable): keep each old filter as a read-only BASE
+            layer.  Queries OR over the layers; no false negatives, and
+            false positives stay bounded by the sum of the layers' own
+            rates (each layer holds only what it held at checkpoint).
+        """
+        for s in snaps:
+            self._check_routing(s)
+        if all(s["exact"] is not None for s in snaps):
+            members = sorted(
+                {u for s in snaps for u in s["exact"]}
+            )
+            mine = (
+                [u for u, sid in zip(members, shard_route(members, n_new)) if sid == self.shard_id]
+                if members
+                else []
+            )
+            if isinstance(self.filter, BloomFilter):
+                # re-sized in case old shards merged (n_new < n_old)
+                self.filter = BloomFilter(max(self.filter.capacity, int(len(mine) * 1.2) + 64))
+                bloom_add_batch(self.filter, mine)
+            else:
+                self.filter = CuckooFilter(max(self.filter.count + len(mine), int(len(mine) * 1.2) + 64))
+                for u in mine:
+                    self.filter.add(u)
+            self.exact = set(mine)
+            self.base_filters = []
+            return
+        self.base_filters = [
+            (BloomFilter if s["filter"]["kind"] == "bloom" else CuckooFilter).restore(s["filter"])
+            for s in snaps
+        ] + [
+            (BloomFilter if b["kind"] == "bloom" else CuckooFilter).restore(b)
+            for s in snaps
+            for b in s.get("base_filters", [])
+        ]
+        self.exact = None
+
+    def restore_resharded_from(self, paths: list[str], n_new: int) -> None:
+        import pickle
+
+        snaps = []
+        for p in paths:
+            with open(p, "rb") as f:
+                snaps.append(pickle.load(f))
+        self.restore_resharded(snaps, n_new)
 
     def snapshot_to(self, path: str) -> int:
         """Shard-side snapshot write (shared storage) — the driver only
@@ -635,12 +766,31 @@ class SeenSet:
         return names
 
     def restore_from(self, dir_path: str, names: list[str]) -> None:
+        """Restore shard snapshots; a checkpoint written at a DIFFERENT
+        shard count re-shards (range routing: each new shard loads only
+        the old snapshots overlapping its hash interval — exact member
+        re-partition in audit mode, read-only base layers otherwise)."""
         import os
 
+        n_old = len(names)
+        if n_old == self.n:
+            ray.get(
+                [
+                    self.shards[i].restore_from.remote(os.path.join(dir_path, nm))
+                    for i, nm in enumerate(names)
+                ]
+            )
+            return
         ray.get(
             [
-                self.shards[i].restore_from.remote(os.path.join(dir_path, nm))
-                for i, nm in enumerate(names)
+                self.shards[i].restore_resharded_from.remote(
+                    [
+                        os.path.join(dir_path, names[s])
+                        for s in overlapping_shards(i, self.n, n_old)
+                    ],
+                    self.n,
+                )
+                for i in range(self.n)
             ]
         )
 

@@ -182,6 +182,18 @@ def _hash_batch(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def bloom_contains_batch(bf: BloomFilter, keys: list[str]) -> np.ndarray:
+    """Vectorized membership probe (no insertion) — the read-only
+    base-layer path of a re-sharded restore (stages/seen.py)."""
+    if not keys:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _hash_batch(keys)
+    i = np.arange(bf.k, dtype=np.uint64)
+    pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(bf.m)
+    word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+    return ((bf.bits[word] & (np.uint64(1) << bit)) != 0).all(axis=1)
+
+
 def bloom_add_batch(bf: BloomFilter, keys: list[str]) -> np.ndarray:
     """Vectorized test-and-set for a batch: one (n × k) position matrix,
     one gather for membership, one scatter-OR for insertion — ~40 µs/URL

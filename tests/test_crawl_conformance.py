@@ -102,6 +102,40 @@ def test_kill_and_resume(ray_session, graph):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.parametrize("audit", [True, False], ids=["exact-audit", "filter-only"])
+def test_resume_into_different_shard_count(ray_session, graph, audit):
+    """Shard-count elasticity: a checkpoint written at 8 seen-shards
+    resumes at 4 and at 16 with an identical crawl (range routing:
+    exact member re-partition in audit mode; read-only base filter
+    layers in the enumerable-members-free filter-only posture)."""
+    pages, seeds = graph
+    base_cfg = dict(wave_size=None, snapshot_every=1, exact_audit=audit)
+    full = crawl(pages, seeds, CrawlConfig(**base_cfg, n_seen_shards=8))
+    for n_resume in (4, 16):
+        tmp = tempfile.mkdtemp(prefix=f"ckpt_elastic_{n_resume}_")
+        try:
+            part = crawl(
+                pages, seeds,
+                CrawlConfig(**base_cfg, n_seen_shards=8, checkpoint_dir=tmp, max_rounds=2),
+            )
+            cont = crawl(
+                pages, seeds,
+                CrawlConfig(**base_cfg, n_seen_shards=n_resume, checkpoint_dir=tmp),
+                resume=True,
+            )
+            combined = [t["url"] for t in part.trace] + [t["url"] for t in cont.trace]
+            assert combined == [t["url"] for t in full.trace], n_resume
+            assert cont.metrics["leaves"] == full.metrics["leaves"]
+            from crawler_ray.state.checkpoint import CheckpointStore
+
+            corpus = CheckpointStore(tmp).corpus_table()
+            assert sorted(corpus.column("url").to_pylist()) == sorted(
+                t["url"] for t in full.trace
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_redirects_and_robots_in_seen(ray_session, graph):
     pages, seeds = graph
     oracle = crawl_bfs_oracle(pages, seeds)

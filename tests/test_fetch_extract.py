@@ -132,3 +132,78 @@ def test_extract_above_average_richest():
     # mean score = (8+4+1)/3 ≈ 4.33 → only the 8-link group survives
     assert [g["xpath"] for g in kept] == ["//div/a"]
     assert extract_above_average_richest({"total_nav_info": 0, "xpath_nav_info": []}) == []
+
+
+def test_http_transport_loopback():
+    """HTTPTransport (the live-web transport) against a loopback
+    http.server: ok / redirect-chain / missing / server-error statuses
+    and bodies match the SyntheticTransport contract, and the Fetcher
+    consumes the transport object directly (pluggable network)."""
+    import http.server
+    import threading
+
+    import pyarrow as pa
+
+    from crawler_ray.stages.fetch import Fetcher, HTTPTransport
+
+    PAGES = {
+        "/index.html": "<html><body><a href='/leaf.html'>leaf</a></body></html>",
+        "/leaf.html": "<html><body><p>leafy</p></body></html>",
+    }
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path in PAGES:
+                body = PAGES[self.path].encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/alias":
+                self.send_response(302)
+                self.send_header("Location", "/hop2")
+                self.end_headers()
+            elif self.path == "/hop2":
+                self.send_response(301)
+                self.send_header("Location", "/leaf.html")
+                self.end_headers()
+            elif self.path == "/boom":
+                self.send_error(500)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        tr = HTTPTransport(timeout=5.0)
+        st, final, hops = tr.resolve(f"{base}/index.html", [f"{base}/index.html"])
+        assert (st, final) == ("ok", f"{base}/index.html")
+        assert tr.body(final) == PAGES["/index.html"]
+
+        st, final, hops = tr.resolve(f"{base}/alias", [f"{base}/alias"])
+        assert st == "redirect" and final == f"{base}/leaf.html"
+        assert hops == [f"{base}/alias", f"{base}/hop2", f"{base}/leaf.html"]
+        assert tr.body(final) == PAGES["/leaf.html"]
+
+        assert tr.resolve(f"{base}/nope", [f"{base}/nope"])[0] == "missing"
+        assert tr.resolve(f"{base}/boom", [f"{base}/boom"])[0] == "http_500"
+        # connection refused → error status, not an exception
+        assert HTTPTransport(timeout=0.5).resolve(
+            "http://127.0.0.1:1/x", ["http://127.0.0.1:1/x"]
+        )[0] == "error"
+
+        # the Fetcher consumes a transport object in place of the graph
+        f = Fetcher(tr)
+        out = f(pa.table({"url": [f"{base}/index.html", f"{base}/alias", f"{base}/gone"]}))
+        assert out.column("status").to_pylist() == ["ok", "redirect", "missing"]
+        assert out.column("body").to_pylist()[0] == PAGES["/index.html"]
+        assert out.column("redirects").to_pylist()[1][-1] == f"{base}/leaf.html"
+    finally:
+        srv.shutdown()
+        srv.server_close()
