@@ -1,0 +1,595 @@
+"""Pure-stdlib/numpy compressed image codecs: PNG and baseline JPEG.
+
+The container ships no image libraries (PIL/ffmpeg absent — probed in
+stages/media.py), but compressed formats are ~100% of real multimodal
+corpora, so the decode stage needs REAL codecs, not a stub:
+
+  * PNG — full encoder/decoder for 8-bit truecolor RGB/RGBA (+ gray),
+    non-interlaced: zlib (stdlib) + the five scanline filters.
+    Lossless → byte-exact roundtrip, and the decoder handles any
+    filter choice a real encoder makes.
+  * JPEG — baseline sequential DCT (ITU T.81): YCbCr 4:4:4, standard
+    Annex K quantization + Huffman tables, quality scaling per the
+    common libjpeg convention.  Encoder + decoder pair; the roundtrip
+    is lossy by design and verified by PSNR bound in tests.
+
+Both are deliberately scope-limited (the subsets our encoder emits
+plus the common cases: PNG color types 0/2/6 at 8-bit, JPEG baseline
+4:4:4/4:2:0 single-scan) and raise ValueError with the unsupported
+feature named — progressive JPEG, 16-bit PNG and palettes are out of
+scope for a sandbox codec.  Everything is numpy-vectorized per
+block/scanline; actor-pool stages construct codec state once per actor
+(stages/media.py).
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ===================================================================== PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w) uint8 gray, (h, w, 3) RGB or (h, w, 4) RGBA → PNG bytes.
+    Rows use filter 0 (None); zlib does the heavy lifting."""
+    if arr.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8")
+    if arr.ndim == 2:
+        color, channels = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, channels = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    raw[:, 0] = 0  # per-row filter byte: None
+    raw[:, 1:] = arr.reshape(h, w * channels)
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Unfilter one Paeth row in place-ish; sequential in x by bpp
+    strides (the predictor needs the already-reconstructed left pixel)."""
+    out = cur.astype(np.int32)
+    n = len(cur)
+    prev32 = prev.astype(np.int32)
+    for i in range(n):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev32[i]
+        c = prev32[i - bpp] if i >= bpp else 0
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+        out[i] = (out[i] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array: (h, w) for gray, (h, w, 3)/(h, w, 4)
+    for RGB/RGBA.  8-bit depth, color types 0/2/6, non-interlaced."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} (palette/alpha-gray)")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    raw = raw.reshape(h, 1 + stride)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = channels
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur, prev = int(ftypes[y]), rows[y], (out[y - 1] if y else zero)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub — cumulative by bpp lanes, vectorized per lane
+            r = cur.reshape(-1, bpp).astype(np.uint32)
+            out[y] = (np.cumsum(r, axis=0, dtype=np.uint32) & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            out[y] = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            o = out[y]
+            for i in range(stride):
+                a = int(o[i - bpp]) if i >= bpp else 0
+                o[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            out[y] = _paeth_row(cur, prev, bpp)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    img = out.reshape(h, w, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+# ============================================================ baseline JPEG
+
+# ITU T.81 Annex K.1/K.2 quantization tables (natural order).
+_Q_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_Q_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+# zigzag scan order: _ZIGZAG[i] = natural index of the i-th zigzagged coeff
+_ZZ = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K.3 standard Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """T.81 C.2: symbol → (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_lut(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+# orthonormal DCT-II matrix
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    C[0] *= 1 / np.sqrt(2)
+    return C * 0.5
+
+
+_C = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128, ycc[..., 2] - 128
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: value → (category ssss, ssss-bit code)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    ssss = a.bit_length()
+    code = v if v > 0 else v + (1 << ssss) - 1
+    return ssss, code
+
+
+def _encode_block(bw_: _BitWriter, zz: np.ndarray, prev_dc: int, dct: dict, act: dict) -> int:
+    """Huffman-emit one zigzagged quantized block; returns its DC."""
+    dc = int(zz[0])
+    ssss, code = _magnitude(dc - prev_dc)
+    hc, hl = dct[ssss]
+    bw_.put(hc, hl)
+    if ssss:
+        bw_.put(code, ssss)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = act[0xF0]  # ZRL
+            bw_.put(hc, hl)
+            run -= 16
+        ssss, code = _magnitude(v)
+        hc, hl = act[(run << 4) | ssss]
+        bw_.put(hc, hl)
+        bw_.put(code, ssss)
+        run = 0
+    if last < 63:
+        hc, hl = act[0x00]  # EOB
+        bw_.put(hc, hl)
+    return dc
+
+
+def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K tables,
+    single interleaved scan).  ``subsampling``: "444" or "420" (box
+    chroma downsample — the common web-JPEG layout)."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("jpeg_encode expects (h, w, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = rgb.shape[:2]
+    ql, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(rgb)
+    samp = [(1, 1), (1, 1), (1, 1)] if subsampling == "444" else [(2, 2), (1, 1), (1, 1)]
+    hmax, vmax = max(s[0] for s in samp), max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    zz_grids = []  # per component: (gh, gw, 64) quantized zigzag grid
+    for ci in range(3):
+        plane = ycc[..., ci]
+        hs, vs = samp[ci]
+        if (hs, vs) != (hmax, vmax):  # chroma downsample (box mean)
+            ph = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+            plane = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+        # pad the component plane to its MCU-covered block grid
+        gh, gw = mcuy * vs, mcux * hs
+        H, W = gh * 8, gw * 8
+        p = np.pad(
+            plane,
+            ((0, H - plane.shape[0]), (0, W - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = p.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coeffs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        q = ql if ci == 0 else qc
+        zz = np.round(coeffs / q).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        zz_grids.append(zz.reshape(gh, gw, 64))
+
+    dc_tabs = (_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA))
+    ac_tabs = (_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA))
+    bw_ = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hs, vs = samp[ci]
+                ti = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = zz_grids[ci][my * vs + by, mx * hs + bx]
+                        prev_dc[ci] = _encode_block(
+                            bw_, zz, prev_dc[ci], dc_tabs[ti], ac_tabs[ti]
+                        )
+    bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tbl.reshape(64)[_ZZ]))
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, ql) + dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hs, vs = samp[ci]
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xFFC0, sof)
+    out += dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
+    out += dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
+    sos = bytes([3])
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:  # a marker: stop feeding real data
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, lut: dict[tuple[int, int], int]) -> int:
+        self._fill()
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(code: int, ssss: int) -> int:
+    if ssss == 0:
+        return 0
+    return code if code >= (1 << (ssss - 1)) else code - (1 << ssss) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB.  Supports single-scan
+    baseline DCT with 4:4:4 or 4:2:0 sampling, 8-bit, custom or Annex K
+    tables (read from the stream)."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    comps = []  # (cid, hsamp, vsamp, tq)
+    h = w = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
+                nat = np.empty(64, dtype=np.int32)
+                nat[_ZZ] = zz
+                qtabs[tid] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (hdc if cls == 0 else hac)[tid] = _huff_lut(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit baseline supported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0xF, body[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
+            data = payload[pos:]
+            break
+    if scan is None or not comps:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(comps) not in (1, 3):
+        raise ValueError("unsupported component count")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+        raise ValueError("unsupported sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(data)
+    prev_dc = {c[0]: 0 for c in comps}
+    # per component: coefficient planes in MCU-padded block grid
+    grids = {
+        c[0]: np.zeros((mcuy * c[2], mcux * c[1], 8, 8), dtype=np.float64) for c in comps
+    }
+    tsel = {cid: (td, ta) for cid, td, ta in scan}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hs, vs, tq in comps:
+                td, ta = tsel[cid]
+                dlut, alut = hdc[td], hac[ta]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int32)
+                        ssss = br.huff(dlut)
+                        diff = _extend(br.bits(ssss), ssss)
+                        prev_dc[cid] += diff
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(alut)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.bits(rs & 0xF), rs & 0xF)
+                            k += 1
+                        nat = np.empty(64, dtype=np.int32)
+                        nat[_ZZ] = zz
+                        grids[cid][my * vs + by, mx * hs + bx] = nat.reshape(8, 8) * qtabs[tq]
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        g = grids[cid]
+        gh, gw = g.shape[:2]
+        blocks = g.reshape(-1, 8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
+        plane = (
+            pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        # upsample subsampled chroma to full resolution
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[cid] = plane[:h, :w]
+    if len(comps) == 1:
+        y = np.clip(planes[comps[0][0]] + 0.5, 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    ycc = np.stack([planes[c[0]] for c in comps], axis=-1)
+    return _ycbcr_to_rgb(ycc)

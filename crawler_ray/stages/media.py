@@ -3,13 +3,15 @@ metadata, with decode / resize / feature-extract / frame-sample as
 actor-pool map_batches stages.
 
 Decoding tiers (the container has no image/audio libraries):
-  * REAL pure-numpy/stdlib codecs for uncompressed formats — PPM (P6)
-    images and RIFF/PCM WAV audio (``wave`` is stdlib) — byte-exact
-    encode→decode roundtrips, tested;
+  * REAL pure-numpy/stdlib codecs — PPM (P6) images, RIFF/PCM WAV
+    audio (``wave`` is stdlib), and the COMPRESSED image formats via
+    stages/codecs.py: PNG (zlib + all five scanline filters, lossless
+    roundtrip) and baseline JPEG (Annex K DCT/Huffman, 4:4:4 and
+    4:2:0), all encode+decode pairs with tests;
   * the deterministic FAKE wire format for fixture payloads;
-  * COMPRESSED codecs (JPEG/PNG/MP4) are probed behind an import-try
-    (``PIL``) and raise a clearly-marked NotImplementedError —
-    swap in a real codec lib in production.
+  * VIDEO codecs (MP4/H.264) are the one remaining stub: probed behind
+    an import-try (``PIL``/ffmpeg absent) with a clearly-marked
+    NotImplementedError — swap in a codec lib in production.
 Everything AROUND the decode — the Arrow schema, batch sizing for
 large binary rows, the actor signature (codec state in ``__init__``),
 and the output layout — is real and tested.
@@ -27,6 +29,7 @@ a seeded deterministic array, so decode → features is reproducible.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -67,7 +70,9 @@ def fake_payload(kind: str, width: int, height: int, frames: int, seed: int) -> 
 def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
     """Deterministic media assets for a list of media_ref URLs (the
     media spans of the synthetic graph): sizes/frames derived from the
-    URL hash, payload = fake wire format."""
+    URL hash.  ``.png``/``.jpg``/``.jpeg`` refs get REAL compressed
+    payloads (stages/codecs.py) so the decode stage runs the actual
+    codecs; other refs get the fake wire format."""
     import hashlib
 
     rows = []
@@ -79,11 +84,19 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
         w = 64 + (h % 192)
         ht = 64 + ((h >> 8) % 192)
         frames = 1 if kind == "image" else 8 + (h >> 16) % 24
+        if ref.endswith((".png", ".jpg", ".jpeg")):
+            from .codecs import jpeg_encode, png_encode
+
+            rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
+            img = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+            payload = png_encode(img) if ref.endswith(".png") else jpeg_encode(img, 85)
+        else:
+            payload = fake_payload(kind, w, ht, frames, (h >> 32) & 0xFFFFFFFF)
         rows.append(
             {
                 "media_ref": ref,
                 "kind": kind,
-                "payload": fake_payload(kind, w, ht, frames, (h >> 32) & 0xFFFFFFFF),
+                "payload": payload,
                 "meta": {"width": w, "height": ht, "frames": frames, "sample_rate": 0},
             }
         )
@@ -139,9 +152,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 class _FakeCodec:
-    """Magic-byte dispatch: real PPM/WAV decoders for uncompressed
-    payloads, the deterministic fake wire format for fixtures, and a
-    clearly-marked NotImplementedError for compressed codecs.
+    """Magic-byte dispatch: real PPM/PNG/JPEG/WAV decoders, the
+    deterministic fake wire format for fixtures, and a clearly-marked
+    NotImplementedError for the remaining stub (video).
 
     Returns (kind, arr): image/video arr is (frames, h, w, 3) uint8;
     audio arr is 1-D int16 samples."""
@@ -150,6 +163,17 @@ class _FakeCodec:
     def decode(payload: bytes) -> tuple[str, np.ndarray]:
         if payload.startswith(b"P6"):
             return "image", decode_ppm(payload)[None]
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            from .codecs import png_decode
+
+            img = png_decode(payload)
+            if img.ndim == 2:  # gray → 3-channel for the featurizers
+                img = np.stack([img] * 3, axis=-1)
+            return "image", img[:, :, :3][None]  # RGBA drops alpha
+        if payload.startswith(b"\xff\xd8"):
+            from .codecs import jpeg_decode
+
+            return "image", jpeg_decode(payload)[None]
         if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
             return "audio", samples
@@ -159,10 +183,10 @@ class _FakeCodec:
             arr = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
             return _BYTE_KIND[kb], arr
         raise NotImplementedError(
-            "compressed media codecs (JPEG/PNG/MP4) are NOT available in "
-            "this sandbox (no PIL/ffmpeg); uncompressed PPM/WAV and the "
-            "deterministic fake wire format decode for real — swap in a "
-            "codec library in production"
+            "video codecs (MP4/H.264) are NOT available in this sandbox "
+            "(no PIL/ffmpeg); PPM/PNG/baseline-JPEG images, PCM WAV audio "
+            "and the deterministic fake wire format decode for real — "
+            "swap in a codec library for video in production"
         )
 
 
@@ -195,7 +219,7 @@ class MediaDecoder:
                     heights.append(arr.shape[1])
                     widths.append(arr.shape[2])
                 ok.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, zlib.error, struct.error):
                 kinds.append("unknown")
                 frames_n.append(0)
                 heights.append(0)
@@ -241,7 +265,7 @@ class MediaFeaturizer:
         for payload in batch["payload"].to_pylist():
             try:
                 _kind, arr = self.codec.decode(payload)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, zlib.error, struct.error):
                 feats.append([0.0] * 6)
                 continue
             if arr.ndim == 1:  # audio: amplitude stats, not pixel stats

@@ -1,0 +1,199 @@
+"""Pure-stdlib/numpy PNG + baseline JPEG codecs (stages/codecs.py).
+
+PNG is lossless → byte-exact roundtrips, plus spec-vector decoding of
+ALL five scanline filters (our encoder emits only filter 0, so the
+filtered vectors are built with an independent reference filterer).
+JPEG is lossy → roundtrips verified by PSNR bound across qualities and
+both subsampling layouts, plus determinism and unsupported-feature
+errors."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from crawler_ray.stages.codecs import (
+    jpeg_decode,
+    jpeg_encode,
+    png_decode,
+    png_encode,
+)
+
+
+def _smooth_rgb(h=96, w=120, seed=0) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            127 + 100 * np.sin(xx / 19) + 20 * np.cos(yy / 11),
+            127 + 90 * np.cos(xx / 23 + yy / 17),
+            127 + 80 * np.sin((xx + yy) / 29),
+        ],
+        axis=-1,
+    )
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+# ------------------------------------------------------------------- PNG
+
+
+@pytest.mark.parametrize(
+    "shape", [(13, 17), (13, 17, 3), (8, 8, 4), (1, 1, 3), (64, 48, 3)]
+)
+def test_png_roundtrip_exact(shape):
+    arr = np.random.RandomState(1).randint(0, 256, size=shape, dtype=np.uint8)
+    out = png_decode(png_encode(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+def _ref_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Independent reference implementation of PNG scanline filtering
+    (the ENCODE direction, RFC 2083 §6) — produces test vectors the
+    decoder must invert for every filter type."""
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y]
+        a = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        b = prev
+        cc = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if ftype == 0:
+            f = cur
+        elif ftype == 1:
+            f = cur - a
+        elif ftype == 2:
+            f = cur - b
+        elif ftype == 3:
+            f = cur - ((a + b) >> 1)
+        else:  # Paeth
+            p = a + b - cc
+            pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, cc))
+            f = cur - pred
+        out.append(ftype)
+        out += (f & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(out)
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4], ids=["none", "sub", "up", "avg", "paeth"])
+def test_png_decoder_inverts_every_filter(ftype):
+    img = np.random.RandomState(2 + ftype).randint(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 9, 11, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_ref_filter(img, ftype)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (png_decode(payload) == img).all()
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # palette color type
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        png_decode(bad)
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("quality", [95, 85, 60])
+def test_jpeg_roundtrip_psnr(sub, quality):
+    img = _smooth_rgb()
+    enc = jpeg_encode(img, quality=quality, subsampling=sub)
+    dec = jpeg_decode(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    p = _psnr(img, dec)
+    assert p > (30 if sub == "444" else 28), (sub, quality, p)
+    # higher quality → larger stream (sanity on quant scaling)
+    assert len(jpeg_encode(img, 95, sub)) > len(jpeg_encode(img, 60, sub))
+
+
+@pytest.mark.parametrize(
+    "shape", [(5, 7, 3), (9, 16, 3), (16, 16, 3), (17, 33, 3), (8, 8, 3)]
+)
+def test_jpeg_odd_sizes(shape):
+    img = np.clip(
+        np.random.RandomState(3).normal(128, 20, shape), 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        dec = jpeg_decode(jpeg_encode(img, 90, sub))
+        assert dec.shape == img.shape
+
+
+def test_jpeg_deterministic_and_errors():
+    img = _smooth_rgb(32, 32)
+    assert jpeg_encode(img, 85) == jpeg_encode(img, 85)
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not jpeg")
+    with pytest.raises(ValueError):
+        jpeg_encode(img.astype(np.int32))
+    # progressive (SOF2) refused with the feature named
+    enc = bytearray(jpeg_encode(img, 85))
+    sof0 = enc.find(b"\xff\xc0")
+    enc[sof0 + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(enc))
+
+
+def test_jpeg_flat_image_tiny_stream():
+    # a constant image quantizes to all-zero AC → near-minimal stream
+    img = np.full((64, 64, 3), 200, dtype=np.uint8)
+    enc = jpeg_encode(img, 85)
+    dec = jpeg_decode(enc)
+    assert _psnr(img, dec) > 40
+    assert len(enc) < 1200
+
+
+def test_media_decoder_runs_real_compressed_codecs(ray_session):
+    """End-to-end: PNG/JPEG payloads flow through the MediaDecoder
+    actor-pool stage — PNG decodes byte-exactly, JPEG within PSNR."""
+    import ray.data as rd
+
+    from crawler_ray.stages.media import MediaDecoder, synth_media_table
+
+    refs = [f"http://m.test/img{i}.png" for i in range(4)] + [
+        f"http://m.test/photo{i}.jpg" for i in range(4)
+    ]
+    tbl = synth_media_table(refs)
+    assert bytes(tbl["payload"][0].as_py())[:4] == b"\x89PNG"
+    assert bytes(tbl["payload"][4].as_py())[:2] == b"\xff\xd8"
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaDecoder, batch_size=4, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(out) == len(refs)
+    assert out["decode_ok"].all()
+    assert (out["decoded_kind"] == "image").all()
+    # decoded dimensions match the generator's meta
+    assert (out["decoded_width"] == out["meta"].map(lambda m: m["width"])).all()
+    assert (out["decoded_height"] == out["meta"].map(lambda m: m["height"])).all()

@@ -67,22 +67,29 @@ def test_featurizer_and_frame_sampling(ray_session):
 
 
 def test_real_payload_raises_clearly():
+    # video remains the one stubbed codec (PNG/JPEG are real now)
     with pytest.raises(NotImplementedError, match="NOT available"):
-        media._FakeCodec.decode(b"\x89PNG\r\n\x1a\nnotfake")
-    # and the stage degrades to decode_ok=False instead of crashing
+        media._FakeCodec.decode(b"\x00\x00\x00\x18ftypmp42notavideo")
+    # a CORRUPT compressed payload raises ValueError from the codec...
+    with pytest.raises(ValueError):
+        media._FakeCodec.decode(b"\x89PNG\r\n\x1a\nnotapng")
+    # ...and the stage degrades to decode_ok=False instead of crashing
     bad = pa.table(
         {
-            "media_ref": ["x"],
-            "kind": ["image"],
-            "payload": pa.array([b"\x89PNGjunk"], type=pa.large_binary()),
+            "media_ref": ["x", "y"],
+            "kind": ["image", "video"],
+            "payload": pa.array(
+                [b"\x89PNG\r\n\x1a\njunk", b"\x00\x00\x00\x18ftypmp42"],
+                type=pa.large_binary(),
+            ),
             "meta": pa.array(
-                [{"width": 0, "height": 0, "frames": 0, "sample_rate": 0}],
+                [{"width": 0, "height": 0, "frames": 0, "sample_rate": 0}] * 2,
                 type=media.MEDIA_META,
             ),
         }
     )
     out = media.MediaDecoder()(bad)
-    assert out.column("decode_ok").to_pylist() == [False]
+    assert out.column("decode_ok").to_pylist() == [False, False]
 
 
 def test_ppm_roundtrip_byte_exact():
@@ -129,7 +136,9 @@ def test_decoder_pool_handles_real_fake_and_unknown(ray_session):
          "meta": {"width": 0, "height": 0, "frames": 0, "sample_rate": 16000}},
         {"media_ref": "c.gif", "kind": "image", "payload": fake_payload("image", 10, 6, 1, 7),
          "meta": {"width": 10, "height": 6, "frames": 1, "sample_rate": 0}},
-        {"media_ref": "d.jpg", "kind": "image", "payload": b"\xff\xd8\xff\xe0 compressed",
+        {"media_ref": "d.jpg", "kind": "image", "payload": b"\xff\xd8\xff\xe0 truncated",
+         "meta": {"width": 0, "height": 0, "frames": 0, "sample_rate": 0}},
+        {"media_ref": "e.mp4", "kind": "video", "payload": b"\x00\x00\x00\x18ftypmp42",
          "meta": {"width": 0, "height": 0, "frames": 0, "sample_rate": 0}},
     ]
     t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
@@ -139,7 +148,8 @@ def test_decoder_pool_handles_real_fake_and_unknown(ray_session):
     assert dec.loc["a.ppm", "decode_ok"] and dec.loc["a.ppm", "decoded_width"] == 12
     assert dec.loc["b.wav", "decode_ok"] and dec.loc["b.wav", "decoded_width"] == 2000
     assert dec.loc["c.gif", "decode_ok"]
-    assert not dec.loc["d.jpg", "decode_ok"]  # compressed: honest stub
+    assert not dec.loc["d.jpg", "decode_ok"]  # corrupt stream: degrade, don't crash
+    assert not dec.loc["e.mp4", "decode_ok"]  # video: the honest stub
 
     feats = ds.map_batches(MediaFeaturizer, batch_size=2, concurrency=1,
                            batch_format="pyarrow").to_pandas().set_index("media_ref")
