@@ -1794,7 +1794,10 @@ def minhash_lsh_neardup(sf_dir: str):
 def training_data_prep(sf_dir: str):
     from crawler_ray.pipelines.dataprep import prepare_training_data
 
-    aug = _augmented_docs(sf_dir).materialize()
+    # NO materialize: prepare_training_data's quality stage is the one
+    # consumer and it materializes its own output — pinning aug too is
+    # a pure extra corpus copy (r3 verdict item 3; A/B: 7.5→6.6 s)
+    aug = _augmented_docs(sf_dir)
     _, drop_ids, stats = prepare_training_data(aug)
     return pa.table(
         {
