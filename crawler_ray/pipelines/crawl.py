@@ -84,6 +84,11 @@ class CrawlConfig:
     leaf_fn: object = None    # Callable[[html, url, state_action], bool]
     extract_fn: object = None  # Callable[[html, url, links], state-action list]
     stop_fn: object = None    # Callable[[metrics dict], bool]
+    # production network hook: a small picklable zero-arg callable
+    # returning a transport (stages/fetch.py HTTPTransport or any
+    # object with resolve/body).  None → SyntheticTransport over the
+    # pages table.  Built once per worker actor, in its process.
+    transport_factory: object = None
     checkpoint_dir: str | None = None
     snapshot_every: int = 5
     max_rounds: int = 10**6
@@ -207,8 +212,14 @@ class FetchEnrichWorker:
     The driver sees just a small meta table (url/status/counters) per
     chunk plus the frontier winners."""
 
-    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None, cache_size=0, cookie_shards=None):
-        self.fetcher = Fetcher(graph_ref, politeness, interval_ms, cache_size=cache_size, cookie_shards=cookie_shards)
+    def __init__(self, graph_ref, politeness, interval_ms, minhash_perms, blacklist, keep_spans=True, leaf_fn=None, extract_fn=None, cache_size=0, cookie_shards=None, transport_factory=None):
+        # transport_factory (a small picklable callable) wins over the
+        # graph table: the production hook for a live network
+        # (stages/fetch.py HTTPTransport) — the transport is built HERE,
+        # once per worker, because transports hold unpicklable state
+        # (urllib openers, sockets)
+        target = transport_factory() if transport_factory is not None else graph_ref
+        self.fetcher = Fetcher(target, politeness, interval_ms, cache_size=cache_size, cookie_shards=cookie_shards)
         self.enrich = make_enrich(minhash_perms, blacklist, keep_spans, leaf_fn, extract_fn)
         self._corpus_cache: dict[tuple[int, int], pa.Table] = {}
 
@@ -362,7 +373,7 @@ def make_workers(graph_ref, cfg: CrawlConfig, politeness=None, cookie_shards=Non
         FetchEnrichWorker.remote(
             graph_ref, politeness or [], cfg.politeness_ms, cfg.minhash_perms,
             cfg.blacklist, cfg.checkpoint_dir is not None, cfg.leaf_fn, cfg.extract_fn,
-            cfg.fetch_cache_size, cookie_shards,
+            cfg.fetch_cache_size, cookie_shards, cfg.transport_factory,
         )
         for _ in range(cfg.fetch_concurrency)
     ]
@@ -376,13 +387,18 @@ def crawl(
     graph_ref=None,
     workers=None,
 ) -> CrawlResult:
-    """Run the BSP crawl over the synthetic site graph ``pages``.
+    """Run the BSP crawl over the synthetic site graph ``pages`` — or,
+    with ``cfg.transport_factory`` set, over whatever network that
+    transport reaches (``pages=None``; the graph table is only the
+    SyntheticTransport's backing store, never consulted by the loop).
 
     Ray must already be initialised (library code never owns the
     session).  Returns the trace + metrics; corpus parquet lands under
     ``cfg.checkpoint_dir`` (or a temp dir) one directory per round."""
-    if graph_ref is None:
+    if graph_ref is None and pages is not None:
         graph_ref = ray.put(pages)
+    if graph_ref is None and cfg.transport_factory is None and workers is None:
+        raise ValueError("crawl() needs pages/graph_ref, a transport_factory, or workers")
     seen = SeenSet(cfg.n_seen_shards, kind=cfg.seen_kind, exact_audit=cfg.exact_audit)
     neardup = NearDupShards(cfg.n_neardup_shards, cfg.neardup_threshold, cfg.lsh_bands)
     politeness = (

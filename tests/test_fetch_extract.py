@@ -207,3 +207,96 @@ def test_http_transport_loopback():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_full_crawl_over_live_http(ray_session):
+    """The BSP crawl runs over a REAL network (loopback http.server)
+    via CrawlConfig.transport_factory, and produces the identical
+    trace/corpus as the same site crawled through SyntheticTransport —
+    transports are interchangeable below the whole pipeline."""
+    import http.server
+    import threading
+
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.stages.fetch import HTTPTransport
+
+    # a small site: index → 3 posts, one redirect alias, one robots-denied
+    def page(links, title):
+        body = "".join(
+            f'<div class="content"><a class="post" href="{u}">{t}</a></div>'
+            for u, t in links
+        )
+        return f"<html><body><h1>{title}</h1>{body}</body></html>"
+
+    srv_holder = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            site = srv_holder["site"]
+            if self.path in site["redirects"]:
+                self.send_response(302)
+                self.send_header("Location", site["redirects"][self.path])
+                self.end_headers()
+            elif self.path in site["pages"]:
+                body = site["pages"][self.path].encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    pages_by_path = {
+        "/index.html": page(
+            [(f"{base}/post{i}.html", f"post {i}") for i in range(3)]
+            + [(f"{base}/alias.html", "alias"), (f"{base}/private/x.html", "private")],
+            "index",
+        ),
+        "/post0.html": page([(f"{base}/post1.html", "next")], "p0"),
+        "/post1.html": page([], "p1"),
+        "/post2.html": page([], "p2"),
+    }
+    srv_holder["site"] = {
+        "pages": pages_by_path,
+        "redirects": {"/alias.html": "/post2.html"},
+    }
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        # equivalent graph table for the synthetic leg
+        rows = [
+            {"doc_id": f"{base}{p}", "html": html, "redirect_to": ""}
+            for p, html in pages_by_path.items()
+        ] + [{"doc_id": f"{base}/alias.html", "html": "", "redirect_to": f"{base}/post2.html"}]
+        graph = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows]),
+                "html": pa.array([r["html"] for r in rows], type=pa.large_string()),
+                "redirect_to": pa.array([r["redirect_to"] for r in rows]),
+            }
+        )
+        seeds = [f"{base}/index.html"]
+        cfg = dict(wave_size=None, fetch_concurrency=2, n_seen_shards=2)
+        synth_res = crawl(graph, seeds, CrawlConfig(**cfg))
+        http_res = crawl(
+            None, seeds, CrawlConfig(**cfg, transport_factory=HTTPTransport)
+        )
+        key = lambda r: sorted((t["url"], t["status"]) for t in r.trace)
+        assert key(http_res) == key(synth_res)
+        assert len(http_res.trace) == len(pages_by_path) + 1 + 1  # +alias +denied
+        statuses = {t["url"]: t["status"] for t in http_res.trace}
+        assert statuses[f"{base}/alias.html"] == "redirect"
+        assert statuses[f"{base}/private/x.html"] == "robots_denied"
+        assert http_res.metrics["fetched"] == synth_res.metrics["fetched"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
