@@ -135,12 +135,17 @@ def test_blog_model_replay_with_pagination():
     assert par.harvested == res.harvested
 
 
-def test_kidneyspace_raw_model_replay():
-    """The raw (frequencies leaf-paths) kidneyspace model — 26 action
-    sequences over SMF forum markup — drives an exact-harvest replay."""
-    m = edn.read_model_file(f"{REF}/www.kidneyspace.com/28-3-2014-15-58.model")
+@pytest.mark.parametrize(
+    "model_path",
+    [f"{b}.model" for b in MODEL_STATE_PAIRS] + [BLOG_MODEL],
+    ids=lambda p: p.rsplit("/", 1)[-1].split("-")[0][:24],
+)
+def test_every_reference_model_replays_exactly(model_path):
+    """EVERY shipped reference model (raw frequencies maps over SMF /
+    nabble / theverge markup + the blog estimated model) drives an
+    exact-harvest replay over a site synthesized from its own xpaths."""
+    m = edn.read_model_file(model_path)
     pages, exp = site_from_model(m, fanout=2)
-    assert pages.num_rows > 40  # the model's prefix tree is non-trivial
     res = replay_sequential(pages, [exp["entry"]], m)
     assert set(res.harvested) == exp["leaf_urls"]
     seqs = {tuple(a["action_seq"]) for a in m["actions"]}
