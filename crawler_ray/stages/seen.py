@@ -454,8 +454,12 @@ class SeenShard:
         return out
 
     def contains(self, urls: list[str]) -> np.ndarray:
-        src = self.exact if self.exact is not None else self.filter
-        return np.array([u in src for u in urls], dtype=bool) | self._in_base(urls)
+        if self.exact is None and isinstance(self.filter, BloomFilter):
+            out = bloom_contains_batch(self.filter, urls)  # vectorized
+        else:
+            src = self.exact if self.exact is not None else self.filter
+            out = np.array([u in src for u in urls], dtype=bool)
+        return out | self._in_base(urls)
 
     def size(self) -> int:
         return len(self.exact) if self.exact is not None else self.filter.count
