@@ -226,6 +226,11 @@ def main(argv=None):
                 mp = os.path.join(args.out, "model.json")
                 with open(mp, "w") as f:
                     json.dump(model, f, indent=1)
+                # reference-interop twin: the same model in the EDN
+                # fixed-model shape crawler.model/read-model loads
+                from crawler_ray.sources.edn import write_model_file
+
+                write_model_file(model, os.path.join(args.out, "model.model"))
                 summary["model"] = mp
                 summary["actions"] = len(model["actions"])
             print(json.dumps(summary))

@@ -298,10 +298,11 @@ def model_from_edn(obj) -> dict:
         for a in obj[":actions"]:
             if isinstance(a, dict):
                 seq = _norm_path(a.get(":actions"))
+                y = a.get(":yield", 1)
                 # reference refinements key off DOM positions of a specific
                 # crawl; they don't transfer to synthetic replays → dropped.
                 actions.append(
-                    {"action_seq": seq, "count": 1, "yield": 1.0, "refined": {}}
+                    {"action_seq": seq, "count": int(y), "yield": float(y), "refined": {}}
                 )
             else:
                 actions.append(
@@ -356,3 +357,78 @@ def read_model_file(path: str) -> dict:
 
 def read_state_file(path: str) -> dict:
     return state_from_edn(read_edn(path))
+
+
+# ---------------------------------------------------------------- writer
+
+
+def dumps(obj, _indent: int = 0) -> str:
+    """Serialize the artifact-relevant Python subset back to EDN
+    (Clojure-readable): dict/tuple/list/set/str/int/float/bool/None/
+    Keyword.  Dict keys print inline; collections one element per line
+    at depth ≥ 1 (matching the reference's pprint-ish layout enough for
+    read, which ignores whitespace)."""
+    pad = " " * _indent
+    if obj is None:
+        return "nil"
+    if obj is True:
+        return "true"
+    if obj is False:
+        return "false"
+    if isinstance(obj, Keyword):
+        return str(obj)
+    if isinstance(obj, str):
+        return '"' + obj.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(obj, (int, float)):
+        return repr(obj)
+    if isinstance(obj, dict):
+        items = [
+            f"{dumps(k, _indent + 1)} {dumps(v, _indent + 1)}" for k, v in obj.items()
+        ]
+        return "{" + ("\n " + pad).join(items) + "}"
+    if isinstance(obj, (tuple, list)):
+        return "(" + ("\n " + pad).join(dumps(v, _indent + 1) for v in obj) + ")"
+    if isinstance(obj, (set, frozenset)):
+        return "#{" + ("\n  " + pad).join(dumps(v, _indent + 1) for v in sorted(obj)) + "}"
+    raise TypeError(f"cannot serialize {type(obj).__name__} to EDN")
+
+
+def reference_format_xpath(xp: str) -> str:
+    """Inverse of normalize_xpath's spacing: this repo's
+    ``contains(@class,'x')`` → the reference's ``contains(@class, 'x')``
+    so exported artifacts byte-match the reference's own printer."""
+    return xp.replace("[contains(@class,'", "[contains(@class, '")
+
+
+def model_to_edn(model: dict) -> str:
+    """crawler_ray model dict → EDN text in the reference's FIXED model
+    shape (main.clj:181-196 writes ``{:fixed true :actions [...]
+    :pagination {...}}``; execute-model-crawler reads it back), so a
+    model learned HERE is loadable by the reference's own
+    ``crawler.model/read-model``.  Paths are re-reversed to the
+    reference's leaf-first order and xpath spacing restored."""
+    actions = tuple(
+        {
+            Keyword(":actions"): tuple(
+                reference_format_xpath(x) for x in reversed(a["action_seq"])
+            ),
+            Keyword(":yield"): a.get("yield", a.get("count", 1)),
+        }
+        for a in model["actions"]
+    )
+    pagination = {}
+    for key, xp in model["pagination"]["paging_actions"].items():
+        src = tuple(reference_format_xpath(x) for x in reversed(key.split("␟"))) if key else None
+        pagination[src] = reference_format_xpath(xp)
+    return dumps(
+        {
+            Keyword(":fixed"): True,
+            Keyword(":actions"): actions,
+            Keyword(":pagination"): pagination,
+        }
+    )
+
+
+def write_model_file(model: dict, path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(model_to_edn(model) + "\n")

@@ -153,3 +153,40 @@ def test_every_reference_model_replays_exactly(model_path):
     par = replay_parallel(pages, [exp["entry"]], m, wave_size=None)
     assert set(par.harvested) == set(res.harvested)
     assert par.visited == res.visited
+
+
+def test_model_export_roundtrip(ray_session):
+    """Interop closure: a model LEARNED HERE exports as reference-shape
+    EDN (fixed-model form, leaf-first paths, reference xpath spacing)
+    and reads back equal through the same reader that parses the
+    reference's own artifacts."""
+    import tempfile
+
+    from crawler_ray import synth
+    from crawler_ray.pipelines.model import learn_model
+    from crawler_ray.pipelines.oracle import crawl_bfs_oracle
+
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=30, seed=11)
+    seeds = synth.seeds_for(pages)
+    oracle = crawl_bfs_oracle(pages, seeds)
+    model = learn_model(oracle.trace, pages)
+
+    with tempfile.NamedTemporaryFile(suffix=".model", mode="w", delete=False) as f:
+        path = f.name
+    edn.write_model_file(model, path)
+    text = open(path).read()
+    assert text.startswith("{:fixed true") and "contains(@class, '" in text
+    back = edn.read_model_file(path)
+    assert [a["action_seq"] for a in back["actions"]] == [
+        a["action_seq"] for a in model["actions"]
+    ]
+    assert (
+        back["pagination"]["paging_actions"] == model["pagination"]["paging_actions"]
+    )
+    # exported yields survive the roundtrip (plan ordering preserved)
+    assert [a["yield"] for a in back["actions"]] == [
+        float(a["yield"]) for a in model["actions"]
+    ]
+    # and the raw EDN parses as a plain form too (Clojure-readable)
+    form = edn.loads(text)
+    assert form[":fixed"] is True and len(form[":actions"]) == len(model["actions"])
