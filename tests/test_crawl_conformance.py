@@ -333,7 +333,11 @@ def test_politeness_parallel_checkpoint_resume(ray_session, graph, tmp_path):
     cfgkw = dict(wave_size=None, politeness_ms=5, snapshot_every=1)
     full = crawl(pages, seeds, CrawlConfig(**cfgkw))
     part = crawl(pages, seeds, CrawlConfig(**cfgkw, checkpoint_dir=ck, max_rounds=2))
-    cont = crawl(pages, seeds, CrawlConfig(**cfgkw, checkpoint_dir=ck), resume=True)
+    # resume at a DIFFERENT seen-shard count: the polite host-grouped
+    # wave pop must survive the frontier/filter re-shard too
+    cont = crawl(
+        pages, seeds, CrawlConfig(**cfgkw, checkpoint_dir=ck, n_seen_shards=7), resume=True
+    )
     combined = [t["url"] for t in part.trace] + [t["url"] for t in cont.trace]
     assert combined == [t["url"] for t in full.trace]
 
