@@ -112,18 +112,41 @@ class PolitenessClock:
 
 
 class RobotsCache:
-    """Per-actor robots.txt cache: one (synthetic) fetch per host,
-    cached for the actor's lifetime (a TTL would refresh it live)."""
+    """Per-actor robots.txt cache: one fetch per host, cached for the
+    actor's lifetime (a TTL would refresh it live).
 
-    def __init__(self):
-        self.rules: dict[str, tuple[str, ...]] = {}
+    With a live transport (HTTPTransport) the REAL ``/robots.txt`` is
+    fetched and parsed via stdlib ``urllib.robotparser``; a missing or
+    unreachable robots file allows everything (the web convention).
+    Without a transport the synthetic convention applies (every host
+    disallows /private)."""
+
+    def __init__(self, transport=None, user_agent: str = "crawler-ray"):
+        self.rules: dict[str, object] = {}
+        self.transport = transport
+        self.user_agent = user_agent
+
+    def _fetch_parser(self, scheme_host: str):
+        import urllib.robotparser
+
+        rp = urllib.robotparser.RobotFileParser()
+        body = self.transport.body(f"{scheme_host}/robots.txt")
+        rp.parse(body.splitlines() if body else ["User-agent: *", "Allow: /"])
+        return rp
 
     def disallowed(self, url: str) -> bool:
         host = url_host(url)
         if host not in self.rules:
-            self.rules[host] = SYNTH_ROBOTS_DISALLOW  # synthetic robots fetch
-        path = url.split(host, 1)[-1] if host else url
-        return any(path.startswith(p) for p in self.rules[host])
+            if self.transport is not None:
+                scheme = url.split("://", 1)[0] if "://" in url else "http"
+                self.rules[host] = self._fetch_parser(f"{scheme}://{host}")
+            else:
+                self.rules[host] = SYNTH_ROBOTS_DISALLOW  # synthetic fetch
+        rule = self.rules[host]
+        if isinstance(rule, tuple):
+            path = url.split(host, 1)[-1] if host else url
+            return any(path.startswith(p) for p in rule)
+        return not rule.can_fetch(self.user_agent, url)
 
 
 class SyntheticTransport:
@@ -242,7 +265,13 @@ class Fetcher:
                 ray.get(graph_ref) if isinstance(graph_ref, ray.ObjectRef) else graph_ref
             )
             self.transport = SyntheticTransport(table)
-        self.robots = RobotsCache()
+        # live transports get REAL robots.txt (fetched + robotparser);
+        # the synthetic graph keeps its /private convention
+        self.robots = RobotsCache(
+            transport=None
+            if isinstance(self.transport, SyntheticTransport)
+            else self.transport
+        )
         self.politeness = politeness or []
         self.interval_ms = interval_ms
         # shared cookie jar shards (None → per-actor jar: each fetcher
