@@ -195,13 +195,20 @@ class HTTPTransport:
         self.headers = {"User-Agent": "crawler-ray/0.4"} | (headers or {})
         self.max_body_bytes = max_body_bytes
         self._last: tuple[str, str] | None = None  # (final_url, body)
+        import http.cookiejar as _cj
         import urllib.request as _ur
 
         class _NoRedirect(_ur.HTTPRedirectHandler):
             def redirect_request(self, *a, **k):  # surface 3xx to us
                 return None
 
-        self._opener = _ur.build_opener(_NoRedirect)
+        # per-transport cookie jar (download-with-cookie,
+        # utils.clj:197-208): Set-Cookie responses persist for the
+        # transport's (= the worker actor's) lifetime, so login-gated
+        # pages fetched later by the same worker carry the session.
+        # Cross-worker continuity is the CookieStore shards' job.
+        self.cookies = _cj.CookieJar()
+        self._opener = _ur.build_opener(_NoRedirect, _ur.HTTPCookieProcessor(self.cookies))
 
     def _get(self, url: str):
         import urllib.error as _ue

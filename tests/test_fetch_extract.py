@@ -359,3 +359,50 @@ def test_robots_cache_live_fetch():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_transport_cookie_session():
+    """download-with-cookie for real: a Set-Cookie from /login persists
+    in the transport's jar, and a gated page serves its content only to
+    a transport holding the session."""
+    import http.server
+    import threading
+
+    from crawler_ray.stages.fetch import HTTPTransport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/login":
+                body = b"<html><body>logged in</body></html>"
+                self.send_response(200)
+                self.send_header("Set-Cookie", "session=tok42; Path=/")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/account":
+                authed = "session=tok42" in (self.headers.get("Cookie") or "")
+                body = b"<html><body>secret</body></html>" if authed else b"<html><body>wall</body></html>"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        fresh = HTTPTransport(timeout=5.0)
+        assert "wall" in fresh.body(f"{base}/account")  # no session yet
+        fresh.resolve(f"{base}/login", [f"{base}/login"])  # sets the cookie
+        assert any(c.name == "session" for c in fresh.cookies)
+        assert "secret" in fresh.body(f"{base}/account")  # session carried
+        # a different transport instance has its own (empty) jar
+        assert "wall" in HTTPTransport(timeout=5.0).body(f"{base}/account")
+    finally:
+        srv.shutdown()
+        srv.server_close()
