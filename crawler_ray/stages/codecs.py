@@ -23,10 +23,28 @@ block/scanline; actor-pool stages construct codec state once per actor
 """
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+
+def _valueerror_on_corruption(fn):
+    """Decode-boundary contract: ANY malformed/truncated stream raises
+    ValueError (web corpora are full of broken bytes — callers handle
+    one exception type; stages degrade to decode_ok=False)."""
+
+    @functools.wraps(fn)
+    def wrapped(payload: bytes, *a, **k):
+        try:
+            return fn(payload, *a, **k)
+        except ValueError:
+            raise
+        except (struct.error, zlib.error, IndexError, KeyError) as e:
+            raise ValueError(f"corrupt or truncated stream: {type(e).__name__}: {e}") from e
+
+    return wrapped
 
 # ===================================================================== PNG
 
@@ -82,6 +100,7 @@ def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+@_valueerror_on_corruption
 def png_decode(payload: bytes) -> np.ndarray:
     """PNG bytes → uint8 array: (h, w) for gray, (h, w, 3)/(h, w, 4)
     for RGB/RGBA.  8-bit depth, color types 0/2/6, non-interlaced."""
@@ -467,6 +486,7 @@ def _extend(code: int, ssss: int) -> int:
     return code if code >= (1 << (ssss - 1)) else code - (1 << ssss) + 1
 
 
+@_valueerror_on_corruption
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB.  Supports single-scan
     baseline DCT with 4:4:4 or 4:2:0 sampling, 8-bit, custom or Annex K

@@ -197,3 +197,21 @@ def test_media_decoder_runs_real_compressed_codecs(ray_session):
     # decoded dimensions match the generator's meta
     assert (out["decoded_width"] == out["meta"].map(lambda m: m["width"])).all()
     assert (out["decoded_height"] == out["meta"].map(lambda m: m["height"])).all()
+
+
+@pytest.mark.parametrize("codec", ["png", "jpeg"])
+def test_truncation_never_escapes_valueerror(codec):
+    """Every truncation point of a valid stream either decodes (JPEG's
+    zero-padded tail is legitimately decodable garbage) or raises
+    ValueError — never IndexError/struct.error/zlib.error, never a
+    hang: the decode-boundary contract for corrupt web payloads."""
+    img = np.clip(
+        np.random.RandomState(0).normal(128, 30, (24, 32, 3)), 0, 255
+    ).astype(np.uint8)
+    enc = png_encode(img) if codec == "png" else jpeg_encode(img, 85)
+    dec = png_decode if codec == "png" else jpeg_decode
+    for k in range(1, len(enc), 3):
+        try:
+            dec(enc[:k])
+        except ValueError:
+            pass
