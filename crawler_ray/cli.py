@@ -70,6 +70,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir")
     p.add_argument("--num-cpus", type=int, default=8)
     p.add_argument("--politeness-ms", type=int, default=0)
+    p.add_argument("--transport", choices=["synthetic", "http"], default="synthetic",
+                   help="http = crawl the REAL network via HTTPTransport "
+                        "(seeds must be reachable URLs; --graph is ignored)")
     args = p.parse_args(argv)
 
     from crawler_ray import synth
@@ -209,14 +212,22 @@ def main(argv=None):
                 from crawler_ray.pipelines.execute import structure_driven_leaf_fn
 
                 leaf_fn = structure_driven_leaf_fn(example_html)
+            transport_factory = None
+            if args.transport == "http":
+                from crawler_ray.stages.fetch import HTTPTransport
+
+                transport_factory = HTTPTransport
+                if not args.start:
+                    p.error("--transport http requires --start (a live seed URL)")
             cfg = CrawlConfig(
                 num_leaves=args.num_leaves,
                 budget=args.budget,
                 politeness_ms=args.politeness_ms,
                 checkpoint_dir=args.checkpoint_dir,
                 leaf_fn=leaf_fn,
+                transport_factory=transport_factory,
             )
-            res = crawl(pages, seeds, cfg)
+            res = crawl(None if transport_factory else pages, seeds, cfg)
             summary = {k: v for k, v in res.metrics.items()}
             if args.mode == "discussion-forum":
                 # learn phase → dump the model (main.clj dump-state-model-corpus)
