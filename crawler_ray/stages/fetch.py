@@ -104,10 +104,14 @@ class PolitenessClock:
         self.interval = interval_ms / 1000.0
         self.next_free: dict[str, float] = {}
 
-    def reserve(self, host: str, n: int) -> float:
+    def reserve(self, host: str, n: int, interval_s: float | None = None) -> float:
+        """``interval_s`` overrides the configured spacing for this host
+        (robots.txt Crawl-delay on live crawls, never below the
+        configured floor)."""
         now = time.monotonic()
+        spacing = max(self.interval, interval_s or 0.0)
         start = max(now, self.next_free.get(host, 0.0))
-        self.next_free[host] = start + n * self.interval
+        self.next_free[host] = start + n * spacing
         return start
 
 
@@ -147,6 +151,19 @@ class RobotsCache:
             path = url.split(host, 1)[-1] if host else url
             return any(path.startswith(p) for p in rule)
         return not rule.can_fetch(self.user_agent, url)
+
+    def crawl_delay_s(self, url: str) -> float | None:
+        """robots.txt Crawl-delay for this host (live transports only;
+        None when absent or in synthetic mode).  Fetches/caches the
+        robots file as a side effect, like disallowed()."""
+        if self.transport is None:
+            return None
+        self.disallowed(url)  # ensure the host's parser is cached
+        rule = self.rules[url_host(url)]
+        if isinstance(rule, tuple):
+            return None
+        d = rule.crawl_delay(self.user_agent)
+        return float(d) if d else None
 
 
 class SyntheticTransport:
@@ -344,13 +361,18 @@ class Fetcher:
         if self.politeness and urls:
             # one reserve per distinct host in the batch
             hosts: dict[str, int] = {}
+            sample: dict[str, str] = {}
             for u in urls:
                 h = url_host(u)
                 hosts[h] = hosts.get(h, 0) + 1
+                sample.setdefault(h, u)
             starts = ray.get(
                 [
-                    # stable host→shard routing (NOT the salted builtin hash)
-                    self.politeness[host_hash(h, len(self.politeness))].reserve.remote(h, n)
+                    # stable host→shard routing (NOT the salted builtin hash);
+                    # live crawls honor robots Crawl-delay per host
+                    self.politeness[host_hash(h, len(self.politeness))].reserve.remote(
+                        h, n, self.robots.crawl_delay_s(sample[h])
+                    )
                     for h, n in hosts.items()
                 ]
             )

@@ -406,3 +406,51 @@ def test_http_transport_cookie_session():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_crawl_delay_honored(ray_session):
+    """robots Crawl-delay drives the politeness spacing on live
+    transports: with Crawl-delay: 1 (and a 0ms configured floor), two
+    sequential fetch batches to one host space out by ≥ the delay."""
+    import http.server
+    import threading
+    import time as _time
+
+    import pyarrow as pa
+    import ray
+
+    from crawler_ray.stages.fetch import Fetcher, HTTPTransport, PolitenessClock
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nCrawl-delay: 1\n"
+            else:
+                body = b"<html><body>p</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        clock = [PolitenessClock.remote(0)]  # configured floor: none
+        f = Fetcher(HTTPTransport(timeout=5.0), politeness=clock)
+
+        def batch(us):
+            return pa.table({"url": pa.array(us)})
+
+        t0 = _time.monotonic()
+        f(batch([f"{base}/a.html", f"{base}/b.html"]))
+        f(batch([f"{base}/c.html"]))
+        elapsed = _time.monotonic() - t0
+        # 3 fetches at ≥1s spacing → the third starts ≥2s after t0
+        assert elapsed >= 1.9, elapsed
+    finally:
+        srv.shutdown()
+        srv.server_close()
