@@ -613,3 +613,93 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         return np.stack([y, y, y], axis=-1)
     ycc = np.stack([planes[c[0]] for c in comps], axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# ======================================================== AVI (MJPEG) video
+
+# Motion-JPEG in the AVI/RIFF container: each frame is an independent
+# baseline JPEG (the codec above), so this is a real, player-compatible
+# compressed video format in pure stdlib/numpy.  Minimal single-stream
+# layout: RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh, strf } },
+# LIST movi { 00dc ... }, idx1 }.
+
+
+def _riff_chunk(tag: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return tag + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(kind: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + data)
+
+
+def avi_mjpeg_encode(frames: np.ndarray, fps: int = 10, quality: int = 85) -> bytes:
+    """(n, h, w, 3) uint8 frames → AVI/MJPEG bytes."""
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("avi_mjpeg_encode expects (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    jpegs = [jpeg_encode(frames[i], quality=quality) for i in range(n)]
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # usec per frame
+        max_bytes * fps,   # max bytes/sec
+        0, 0x10,           # padding, flags (AVIF_HASINDEX)
+        n, 0, 1, max_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0xFFFFFFFF, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_items, idx, off = [], [], 4  # offsets count from the 'movi' tag
+    for j in jpegs:
+        movi_items.append(_riff_chunk(b"00dc", j))
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += len(movi_items[-1])
+    movi = _riff_list(b"movi", b"".join(movi_items))
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@_valueerror_on_corruption
+def avi_mjpeg_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """AVI/MJPEG bytes → ((n, h, w, 3) uint8 frames, fps).  Pulls every
+    video chunk (00dc/00db) from the movi list and decodes each frame
+    via the baseline JPEG decoder above."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"AVI "):
+        raise ValueError("not an AVI")
+    fps = 10
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes):
+        nonlocal fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data = buf[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size % 2)
+            if tag == b"LIST":
+                walk(data[4:])
+            elif tag == b"avih" and len(data) >= 4:
+                (usec,) = struct.unpack_from("<I", data, 0)
+                if usec:
+                    fps = max(1, round(1_000_000 / usec))
+            elif tag in (b"00dc", b"00db") and data[:2] == b"\xff\xd8":
+                frames.append(jpeg_decode(data))
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("AVI holds no decodable MJPEG frames")
+    if len({f.shape for f in frames}) != 1:
+        raise ValueError("AVI frames disagree on dimensions")
+    return np.stack(frames), fps

@@ -78,7 +78,7 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
     rows = []
     for ref in media_refs:
         h = int.from_bytes(hashlib.blake2b(ref.encode(), digest_size=8).digest(), "little")
-        kind = "video" if ref.endswith((".mp4", ".webm")) else (
+        kind = "video" if ref.endswith((".mp4", ".webm", ".avi")) else (
             "audio" if ref.endswith(".mp3") else "image"
         )
         w = 64 + (h % 192)
@@ -90,6 +90,13 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
             rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
             img = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
             payload = png_encode(img) if ref.endswith(".png") else jpeg_encode(img, 85)
+        elif ref.endswith(".avi"):
+            from .codecs import avi_mjpeg_encode
+
+            rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
+            frames = min(frames, 8)  # keep synthetic payloads small
+            vid = rng.randint(0, 256, size=(frames, ht, w, 3), dtype=np.uint8)
+            payload = avi_mjpeg_encode(vid, fps=10, quality=80)
         else:
             payload = fake_payload(kind, w, ht, frames, (h >> 32) & 0xFFFFFFFF)
         rows.append(
@@ -177,16 +184,22 @@ class _FakeCodec:
         if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
             return "audio", samples
+        if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+            from .codecs import avi_mjpeg_decode
+
+            frames, _fps = avi_mjpeg_decode(payload)
+            return "video", frames
         if payload.startswith(b"FAKE"):
             kb, w, h, frames, seed = struct.unpack("<BHHHI", payload[4:15])
             rng = np.random.RandomState(seed)
             arr = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
             return _BYTE_KIND[kb], arr
         raise NotImplementedError(
-            "video codecs (MP4/H.264) are NOT available in this sandbox "
-            "(no PIL/ffmpeg); PPM/PNG/baseline-JPEG images, PCM WAV audio "
-            "and the deterministic fake wire format decode for real — "
-            "swap in a codec library for video in production"
+            "inter-frame video codecs (MP4/H.264) are NOT available in "
+            "this sandbox (no ffmpeg); PPM/PNG/baseline-JPEG images, "
+            "AVI/MJPEG video, PCM WAV audio and the deterministic fake "
+            "wire format all decode for real — swap in a codec library "
+            "for inter-frame formats in production"
         )
 
 

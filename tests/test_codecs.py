@@ -215,3 +215,48 @@ def test_truncation_never_escapes_valueerror(codec):
             dec(enc[:k])
         except ValueError:
             pass
+
+
+def test_avi_mjpeg_roundtrip_and_stage(ray_session):
+    """AVI/MJPEG video: encode/decode roundtrip within PSNR, fps
+    preserved, truncation raises ValueError, and .avi payloads flow
+    through MediaDecoder as real video (per-frame JPEG decode)."""
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import avi_mjpeg_decode, avi_mjpeg_encode
+    from crawler_ray.stages.media import MediaDecoder, synth_media_table
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    frames = np.stack(
+        [
+            np.clip(
+                np.stack(
+                    [127 + 100 * np.sin(xx / 9 + t), 127 + 90 * np.cos(yy / 7 - t),
+                     np.full_like(xx, 60 + 20 * t)],
+                    axis=-1,
+                ),
+                0, 255,
+            ).astype(np.uint8)
+            for t in range(5)
+        ]
+    )
+    enc = avi_mjpeg_encode(frames, fps=12, quality=90)
+    dec, fps = avi_mjpeg_decode(enc)
+    assert fps == 12 and dec.shape == frames.shape
+    assert _psnr(frames, dec) > 32
+    for k in range(1, len(enc), 17):  # truncation never escapes ValueError
+        try:
+            avi_mjpeg_decode(enc[:k])
+        except ValueError:
+            pass
+
+    refs = [f"http://m.test/v{i}.avi" for i in range(3)]
+    tbl = synth_media_table(refs)
+    assert bytes(tbl["payload"][0].as_py())[8:12] == b"AVI "
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaDecoder, batch_size=2, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out["decode_ok"].all() and (out["decoded_kind"] == "video").all()
+    assert (out["decoded_frames"] == out["meta"].map(lambda m: m["frames"])).all()
