@@ -14,12 +14,13 @@ corpora, so the decode stage needs REAL codecs, not a stub:
     is lossy by design and verified by PSNR bound in tests.
 
 Both are deliberately scope-limited (the subsets our encoder emits
-plus the common cases: PNG color types 0/2/6 at 8-bit, JPEG baseline
-4:4:4/4:2:0 single-scan) and raise ValueError with the unsupported
-feature named — progressive JPEG, 16-bit PNG and palettes are out of
-scope for a sandbox codec.  Everything is numpy-vectorized per
-block/scanline; actor-pool stages construct codec state once per actor
-(stages/media.py).
+plus the common cases: PNG color types 0/2/3/6 at 8-bit — palette
+PNGs decode through PLTE — and JPEG baseline 4:4:4/4:2:0 single-scan)
+and raise ValueError with the unsupported feature named — progressive
+JPEG, 16-bit PNG and interlacing are out of scope for a sandbox
+codec.  AVI/MJPEG video (below) reuses the JPEG codec per frame.
+Everything is numpy-vectorized per block/scanline; actor-pool stages
+construct codec state once per actor (stages/media.py).
 """
 from __future__ import annotations
 
@@ -103,10 +104,11 @@ def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
 @_valueerror_on_corruption
 def png_decode(payload: bytes) -> np.ndarray:
     """PNG bytes → uint8 array: (h, w) for gray, (h, w, 3)/(h, w, 4)
-    for RGB/RGBA.  8-bit depth, color types 0/2/6, non-interlaced."""
+    for RGB/RGBA; palette PNGs (type 3) map through PLTE to (h, w, 3).
+    8-bit depth, color types 0/2/3/6, non-interlaced."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
     while pos < len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -114,6 +116,8 @@ def png_decode(payload: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data[: (len(data) // 3) * 3], dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -125,9 +129,11 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if channels is None:
-        raise ValueError(f"unsupported PNG color type {color} (palette/alpha-gray)")
+        raise ValueError(f"unsupported PNG color type {color} (alpha-gray)")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = w * channels
     raw = raw.reshape(h, 1 + stride)
@@ -154,6 +160,11 @@ def png_decode(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {f}")
     img = out.reshape(h, w, channels)
+    if color == 3:  # palette lookup → RGB
+        idxs = img[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idxs]
     return img[:, :, 0] if channels == 1 else img
 
 

@@ -109,8 +109,8 @@ def test_png_decoder_inverts_every_filter(ftype):
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         png_decode(b"not a png at all")
-    # palette color type
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    # gray+alpha (color type 4) stays unsupported
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 4, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -118,6 +118,41 @@ def test_png_rejects_unsupported():
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="color type"):
+        png_decode(bad)
+    # palette PNG missing its PLTE is refused by name
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    bad3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr3)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(bad3)
+
+
+def test_png_palette_decode():
+    """Color type 3 (the common web palette PNG): indices map through
+    PLTE to RGB; out-of-range indices are refused."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert (png_decode(payload) == pal[idx]).all()
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal[:2].tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
         png_decode(bad)
 
 
