@@ -18,7 +18,8 @@ plus the common cases: PNG color types 0/2/3/6 at 8-bit — palette
 PNGs decode through PLTE — and JPEG baseline 4:4:4/4:2:0 single-scan)
 and raise ValueError with the unsupported feature named — progressive
 JPEG, 16-bit PNG and interlacing are out of scope for a sandbox
-codec.  AVI/MJPEG video (below) reuses the JPEG codec per frame.
+codec.  GIF87a/89a (palette + LZW, interlacing undone) and AVI/MJPEG
+video (per-frame JPEG) round out the web-staple formats below.
 Everything is numpy-vectorized per block/scanline; actor-pool stages
 construct codec state once per actor (stages/media.py).
 """
@@ -714,3 +715,187 @@ def avi_mjpeg_decode(payload: bytes) -> tuple[np.ndarray, int]:
     if len({f.shape for f in frames}) != 1:
         raise ValueError("AVI frames disagree on dimensions")
     return np.stack(frames), fps
+
+
+# ================================================================== GIF
+
+# GIF87a/89a, the third web-image staple: palette + LZW.  Decoder
+# handles global/local color tables, interlacing, and extension blocks;
+# it returns the FIRST frame as (h, w, 3) — animation composition
+# (disposal methods, partial frames) is out of scope, documented.
+# The encoder writes a single-frame GIF89a with a real LZW stream and
+# requires ≤256 distinct colors (the format's own constraint).
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with ≤256 distinct colors → single-frame GIF89a."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("gif_encode expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs ≤256 distinct colors, image has {len(colors)}")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    indices = inverse.astype(np.int32)
+
+    # --- LZW encode (variable width, clear=2^min, eoi=clear+1) -------
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nacc
+        acc |= code << nacc  # GIF is LSB-first
+        nacc += width
+        while nacc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table_next = eoi + 1
+    width = min_code + 1
+    dic: dict[tuple[int, int], int] = {}
+    put(clear, width)
+    prev = int(indices[0])
+    for sym in indices[1:]:
+        sym = int(sym)
+        key = (prev, sym)
+        if key in dic:
+            prev = dic[key]
+            continue
+        put(prev, width)
+        dic[key] = table_next
+        table_next += 1
+        if table_next > (1 << width) and width < 12:
+            width += 1
+        if table_next >= 4096:
+            put(clear, width)
+            dic.clear()
+            table_next = eoi + 1
+            width = min_code + 1
+        prev = sym
+    put(prev, width)
+    put(eoi, width)
+    if nacc:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(min_code)
+    data = bytes(out_bits)
+    for off in range(0, len(data), 255):
+        block = data[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@_valueerror_on_corruption
+def gif_decode(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → (h, w, 3) uint8 (first frame; global or
+    local palette; interlaced row order undone)."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF")
+    pos = 6
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        data = b"".join(chunks)
+
+        # --- LZW decode ------------------------------------------------
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        dic: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        acc = nacc = bitpos = 0
+        out = bytearray()
+        prev_entry: bytes | None = None
+        while True:
+            while nacc < width:
+                if bitpos >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[bitpos] << nacc
+                bitpos += 1
+                nacc += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nacc -= width
+            if code == clear:
+                dic = dic[: eoi + 1]
+                width = min_code + 1
+                prev_entry = None
+                continue
+            if code == eoi:
+                break
+            if code < len(dic) and (code <= eoi or dic[code]):
+                entry = dic[code]
+            elif code == len(dic) and prev_entry is not None:
+                entry = prev_entry + prev_entry[:1]
+            else:
+                raise ValueError("bad GIF LZW code")
+            out += entry
+            if prev_entry is not None and len(dic) < 4096:
+                dic.append(prev_entry + entry[:1])
+                if len(dic) == (1 << width) and width < 12:
+                    width += 1
+            prev_entry = entry
+            if len(out) >= w * h:
+                break
+
+        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short of frame size")
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: undo the 4-pass row order
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            undone = np.empty_like(rows)
+            undone[order] = rows
+            rows = undone
+        return table[rows]
+    raise ValueError("GIF holds no image block")

@@ -84,12 +84,17 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
         w = 64 + (h % 192)
         ht = 64 + ((h >> 8) % 192)
         frames = 1 if kind == "image" else 8 + (h >> 16) % 24
-        if ref.endswith((".png", ".jpg", ".jpeg")):
-            from .codecs import jpeg_encode, png_encode
+        if ref.endswith((".png", ".jpg", ".jpeg", ".gif")):
+            from .codecs import gif_encode, jpeg_encode, png_encode
 
             rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
-            img = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
-            payload = png_encode(img) if ref.endswith(".png") else jpeg_encode(img, 85)
+            if ref.endswith(".gif"):  # GIF: ≤256 colors by construction
+                pal = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+                img = pal[rng.randint(0, 32, size=(ht, w))]
+                payload = gif_encode(img)
+            else:
+                img = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+                payload = png_encode(img) if ref.endswith(".png") else jpeg_encode(img, 85)
         elif ref.endswith(".avi"):
             from .codecs import avi_mjpeg_encode
 
@@ -181,6 +186,10 @@ class _FakeCodec:
             from .codecs import jpeg_decode
 
             return "image", jpeg_decode(payload)[None]
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            from .codecs import gif_decode
+
+            return "image", gif_decode(payload)[None]
         if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
             return "audio", samples

@@ -295,3 +295,53 @@ def test_avi_mjpeg_roundtrip_and_stage(ray_session):
     )
     assert out["decode_ok"].all() and (out["decoded_kind"] == "video").all()
     assert (out["decoded_frames"] == out["meta"].map(lambda m: m["frames"])).all()
+
+
+def test_gif_roundtrip_and_stage(ray_session):
+    """GIF (palette + LZW): exact roundtrip incl. dictionary growth and
+    clear codes, interlaced decode, truncation contract, and .gif
+    payloads through MediaDecoder."""
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import gif_decode, gif_encode
+    from crawler_ray.stages.media import MediaDecoder, synth_media_table
+
+    rng = np.random.RandomState(0)
+    pal = rng.randint(0, 256, (19, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 19, (33, 47))]
+    enc = gif_encode(img)
+    assert (gif_decode(enc) == img).all()
+    # large frame: LZW dictionary fills and resets via clear codes
+    big = pal[rng.randint(0, 19, (200, 300))]
+    assert (gif_decode(gif_encode(big)) == big).all()
+    # >256 colors refused by name
+    yy, xx = np.indices((30, 30))
+    many = np.stack([yy, xx, yy ^ xx], axis=-1).astype(np.uint8)  # 900 colors
+    with pytest.raises(ValueError, match="256"):
+        gif_encode(many)
+    # truncation never escapes ValueError
+    for k in range(1, len(enc), 5):
+        try:
+            gif_decode(enc[:k])
+        except ValueError:
+            pass
+    # interlaced variant: permute rows per the 4-pass order and set the flag
+    h = img.shape[0]
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    enc_i = bytearray(gif_encode(img[order]))
+    desc = enc_i.find(b"\x2c")
+    enc_i[desc + 9] |= 0x40  # image-descriptor packed byte: interlace flag
+    assert (gif_decode(bytes(enc_i)) == img).all()
+
+    refs = [f"http://m.test/anim{i}.gif" for i in range(3)]
+    tbl = synth_media_table(refs)
+    assert bytes(tbl["payload"][0].as_py())[:6] == b"GIF89a"
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaDecoder, batch_size=2, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out["decode_ok"].all() and (out["decoded_kind"] == "image").all()
+    assert (out["decoded_width"] == out["meta"].map(lambda m: m["width"])).all()
