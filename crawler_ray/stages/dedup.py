@@ -342,6 +342,30 @@ class NearDupShardActor:
             self.index[int(k)] = [arrs[r] for r in refs[pos:pos + c]]
             pos += c
 
+    def restore_resharded_from(self, paths: list[str], sid: int, n_new: int) -> None:
+        """Shard-count elasticity (mirrors stages/seen.py): band keys
+        are fully enumerable in the snapshots, so a checkpoint written
+        at n_old shards restores EXACTLY at n_new — this shard loads
+        every old file and keeps the bands it owns under the new
+        ``key % n_new`` routing.  Within-band gram order only affects
+        the early-break, never a future verdict (membership OR)."""
+        self.sid, self.n = sid, n_new
+        self.index = {}
+        for p in paths:
+            z = np.load(p)
+            _check_shingle_wire(int(z["wire"][0]) if "wire" in z else 1)
+            self.threshold = float(z["threshold"][0])
+            lens = z["lens"]
+            arrs = np.split(z["flat"], np.cumsum(lens)[:-1]) if len(lens) else []
+            refs = z["refs"]
+            pos = 0
+            for k, c in zip(z["band_keys"], z["band_counts"]):
+                if int(k) % n_new == sid:
+                    self.index.setdefault(int(k), []).extend(
+                        arrs[r] for r in refs[pos:pos + c]
+                    )
+                pos += c
+
 
 class NearDupShards:
     """Driver-side handle: fan a wave's (ordered) entries to every band
@@ -414,12 +438,24 @@ class NearDupShards:
         return names
 
     def restore_from(self, dir_path: str, names: list[str]) -> None:
+        """Restore shard snapshots; a checkpoint written at a DIFFERENT
+        shard count re-shards exactly (band keys are enumerable; every
+        new shard filters all old files by the new modulo routing)."""
         import os
 
+        if len(names) == self.n:
+            ray.get(
+                [
+                    self.shards[i].restore_from.remote(os.path.join(dir_path, nm))
+                    for i, nm in enumerate(names)
+                ]
+            )
+            return
+        paths = [os.path.join(dir_path, nm) for nm in names]
         ray.get(
             [
-                self.shards[i].restore_from.remote(os.path.join(dir_path, nm))
-                for i, nm in enumerate(names)
+                self.shards[i].restore_resharded_from.remote(paths, i, self.n)
+                for i in range(self.n)
             ]
         )
 

@@ -104,14 +104,15 @@ def test_kill_and_resume(ray_session, graph):
 
 @pytest.mark.parametrize("audit", [True, False], ids=["exact-audit", "filter-only"])
 def test_resume_into_different_shard_count(ray_session, graph, audit):
-    """Shard-count elasticity: a checkpoint written at 8 seen-shards
-    resumes at 4 and at 16 with an identical crawl (range routing:
-    exact member re-partition in audit mode; read-only base filter
-    layers in the enumerable-members-free filter-only posture)."""
+    """Shard-count elasticity: a checkpoint written at 8 seen-shards /
+    4 near-dup shards resumes at different counts of BOTH with an
+    identical crawl (seen: range routing — exact member re-partition in
+    audit mode, read-only base filter layers filter-only; near-dup:
+    enumerable band keys re-filtered by the new modulo routing)."""
     pages, seeds = graph
     base_cfg = dict(wave_size=None, snapshot_every=1, exact_audit=audit)
     full = crawl(pages, seeds, CrawlConfig(**base_cfg, n_seen_shards=8))
-    for n_resume in (4, 16):
+    for n_resume, nd_resume in ((4, 3), (16, 6)):
         tmp = tempfile.mkdtemp(prefix=f"ckpt_elastic_{n_resume}_")
         try:
             part = crawl(
@@ -120,12 +121,21 @@ def test_resume_into_different_shard_count(ray_session, graph, audit):
             )
             cont = crawl(
                 pages, seeds,
-                CrawlConfig(**base_cfg, n_seen_shards=n_resume, checkpoint_dir=tmp),
+                CrawlConfig(
+                    **base_cfg, n_seen_shards=n_resume,
+                    n_neardup_shards=nd_resume, checkpoint_dir=tmp,
+                ),
                 resume=True,
             )
             combined = [t["url"] for t in part.trace] + [t["url"] for t in cont.trace]
             assert combined == [t["url"] for t in full.trace], n_resume
             assert cont.metrics["leaves"] == full.metrics["leaves"]
+            # near-dup verdicts survive the near-dup index re-shard
+            # (cumulative metric + per-row flags across the seam)
+            assert cont.metrics["near_dups"] == full.metrics["near_dups"]
+            nd_full = {t["url"]: t["near_dup"] for t in full.trace}
+            for t in part.trace + cont.trace:
+                assert t["near_dup"] == nd_full[t["url"]], t["url"]
             from crawler_ray.state.checkpoint import CheckpointStore
 
             corpus = CheckpointStore(tmp).corpus_table()
