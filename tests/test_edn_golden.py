@@ -190,3 +190,49 @@ def test_model_export_roundtrip(ray_session):
     # and the raw EDN parses as a plain form too (Clojure-readable)
     form = edn.loads(text)
     assert form[":fixed"] is True and len(form[":actions"]) == len(model["actions"])
+
+
+def test_edn_dumps_loads_roundtrip_property():
+    """Property: dumps∘loads is identity over the EDN value space the
+    artifacts use (nested maps/tuples/sets/strings/numbers/keywords)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atoms = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20
+        ),
+        st.builds(
+            edn.Keyword,
+            st.text(alphabet="abcdefghij-?", min_size=2, max_size=8).map(
+                lambda s: ":" + s.strip("-") if not s.startswith(":") else s
+            ).filter(lambda s: len(s) > 1),
+        ),
+    )
+    values = st.recursive(
+        atoms,
+        lambda children: st.one_of(
+            st.lists(children, max_size=4).map(tuple),
+            st.dictionaries(
+                st.one_of(
+                    st.integers(min_value=0, max_value=99),
+                    st.text(alphabet="abc", max_size=4),
+                    st.lists(st.text(alphabet="xy", max_size=3), max_size=3).map(tuple),
+                ),
+                children,
+                max_size=4,
+            ),
+            st.sets(st.integers(min_value=0, max_value=99), max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def check(v):
+        assert edn.loads(edn.dumps(v)) == v
+
+    check()
