@@ -4,21 +4,23 @@ The container ships no image libraries (PIL/ffmpeg absent — probed in
 stages/media.py), but compressed formats are ~100% of real multimodal
 corpora, so the decode stage needs REAL codecs, not a stub:
 
-  * PNG — full encoder/decoder for 8-bit truecolor RGB/RGBA (+ gray),
-    non-interlaced: zlib (stdlib) + the five scanline filters.
-    Lossless → byte-exact roundtrip, and the decoder handles any
-    filter choice a real encoder makes.
+  * PNG — full encoder/decoder over the spec's complete static matrix:
+    color types 0/2/3/4/6 at every legal bit depth (1/2/4/8/16),
+    sequential AND Adam7-interlaced; zlib (stdlib) + the five scanline
+    filters.  Lossless → byte-exact roundtrip, and the decoder handles
+    any filter choice a real encoder makes.
   * JPEG — baseline sequential DCT (ITU T.81): YCbCr 4:4:4, standard
     Annex K quantization + Huffman tables, quality scaling per the
     common libjpeg convention.  Encoder + decoder pair; the roundtrip
     is lossy by design and verified by PSNR bound in tests.
 
-Both are deliberately scope-limited (the subsets our encoder emits
-plus the common cases: PNG color types 0/2/3/6 at 8-bit — palette
-PNGs decode through PLTE — and JPEG baseline 4:4:4/4:2:0 single-scan)
-and raise ValueError with the unsupported feature named — progressive
-JPEG, 16-bit PNG and interlacing are out of scope for a sandbox
-codec.  GIF87a/89a (palette + LZW, interlacing undone) and AVI/MJPEG
+Both are deliberately scope-limited (PNG covers the spec's whole
+static-image matrix — palette PNGs decode through PLTE, 16-bit
+returns uint16, sub-byte gray bit-replicates to uint8 — JPEG covers
+baseline 4:4:4/4:2:0 single-scan) and raise ValueError with the
+unsupported feature named — progressive JPEG and APNG animation are
+out of scope for a sandbox codec.  GIF87a/89a (palette + LZW,
+interlacing undone) and AVI/MJPEG
 video (per-frame JPEG) round out the web-staple formats below.
 Everything is numpy-vectorized per block/scanline; actor-pool stages
 construct codec state once per actor (stages/media.py).
@@ -62,26 +64,67 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
-    """(h, w) uint8 gray, (h, w, 3) RGB or (h, w, 4) RGBA → PNG bytes.
-    Rows use filter 0 (None); zlib does the heavy lifting."""
-    if arr.dtype != np.uint8:
-        raise ValueError("png_encode expects uint8")
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+# legal bit depths per PNG color type (spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_color_for(arr: np.ndarray) -> tuple[int, int]:
+    """array shape/dtype → (color type, channel count)."""
     if arr.ndim == 2:
-        color, channels = 0, 1
-        arr = arr[:, :, None]
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        color, channels = 2, 3
-    elif arr.ndim == 3 and arr.shape[2] == 4:
-        color, channels = 6, 4
-    else:
-        raise ValueError(f"unsupported array shape {arr.shape}")
+        return 0, 1
+    if arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        return {2: 4, 3: 2, 4: 6}[arr.shape[2]], arr.shape[2]
+    raise ValueError(f"unsupported array shape {arr.shape}")
+
+
+def _raw_scanlines(arr: np.ndarray, channels: int, depth: int) -> bytes:
+    """Filter-0-prefixed scanline bytes for one (sub)image."""
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = np.empty((h, 1 + w * channels), dtype=np.uint8)
+    if h == 0 or w == 0:
+        return b""
+    flat = arr.reshape(h, w * channels)
+    if depth == 16:
+        rows = flat.astype(">u2").view(np.uint8).reshape(h, w * channels * 2)
+    else:
+        rows = flat.astype(np.uint8)
+    raw = np.empty((h, 1 + rows.shape[1]), dtype=np.uint8)
     raw[:, 0] = 0  # per-row filter byte: None
-    raw[:, 1:] = arr.reshape(h, w * channels)
-    idat = zlib.compress(raw.tobytes(), level)
+    raw[:, 1:] = rows
+    return raw.tobytes()
+
+
+def png_encode(arr: np.ndarray, level: int = 6, interlace: bool = False) -> bytes:
+    """(h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB or (h, w, 4)
+    RGBA → PNG bytes; uint8 → depth 8, uint16 → depth 16 (big-endian).
+    Rows use filter 0 (None); zlib does the heavy lifting.  With
+    ``interlace=True`` the seven Adam7 sub-images are emitted instead of
+    the sequential scanlines."""
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError("png_encode expects uint8 or uint16")
+    color, channels = _png_color_for(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            _raw_scanlines(arr[y0::dy, x0::dx], channels, depth)
+            for x0, y0, dx, dy in _ADAM7
+        )
+    else:
+        raw = _raw_scanlines(arr, channels, depth)
+    idat = zlib.compress(raw, level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -102,11 +145,71 @@ def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _unfilter(rows: np.ndarray, ftypes: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters over one (sub)image.
+    rows: (h, stride) filtered bytes; bpp = filter stride in BYTES."""
+    h = rows.shape[0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur, prev = int(ftypes[y]), rows[y], (out[y - 1] if y else zero)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub — cumulative by bpp lanes, vectorized per lane
+            pad = (-stride) % bpp
+            r = np.concatenate([cur, np.zeros(pad, np.uint8)]) if pad else cur
+            r = r.reshape(-1, bpp).astype(np.uint32)
+            s = (np.cumsum(r, axis=0, dtype=np.uint32) & 0xFF).astype(np.uint8).reshape(-1)
+            out[y] = s[:stride]
+        elif f == 2:  # Up
+            out[y] = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            o = out[y]
+            for i in range(stride):
+                a = int(o[i - bpp]) if i >= bpp else 0
+                o[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            out[y] = _paeth_row(cur, prev, bpp)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out
+
+
+def _decode_pass(raw: np.ndarray, off: int, w: int, h: int, channels: int, depth: int):
+    """Decode one (sub)image from the decompressed scanline stream at
+    byte offset ``off``.  Returns ((h, w, channels) samples — uint8 for
+    depth ≤ 8 (raw sample values, unscaled), uint16 for 16 — and the
+    new offset."""
+    if w == 0 or h == 0:
+        return np.zeros((h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8), off
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    need = h * (1 + stride)
+    if off + need > len(raw):
+        raise ValueError("PNG scanline data truncated")
+    block = raw[off : off + need].reshape(h, 1 + stride)
+    out = _unfilter(block[:, 1:], block[:, 0], stride, bpp)
+    if depth == 16:
+        samples = out.reshape(h, -1).view(">u2").astype(np.uint16).reshape(h, w, channels)
+    elif depth == 8:
+        samples = out.reshape(h, w, channels)
+    else:  # 1/2/4-bit, MSB-first within each byte
+        bits = np.unpackbits(out, axis=1)[:, : w * channels * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (
+            bits.reshape(h, w * channels, depth).astype(np.uint16) @ weights
+        ).astype(np.uint8).reshape(h, w, channels)
+    return samples, off + need
+
+
 @_valueerror_on_corruption
 def png_decode(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array: (h, w) for gray, (h, w, 3)/(h, w, 4)
-    for RGB/RGBA; palette PNGs (type 3) map through PLTE to (h, w, 3).
-    8-bit depth, color types 0/2/3/6, non-interlaced."""
+    """PNG bytes → array: (h, w) for gray, (h, w, 2) gray+alpha,
+    (h, w, 3)/(h, w, 4) for RGB/RGBA; palette PNGs (type 3) map through
+    PLTE to (h, w, 3).  All spec color-type/bit-depth combinations
+    (depths 1/2/4/8/16) and Adam7 interlacing.  Depth 16 returns
+    uint16; sub-byte gray scales to full-range uint8 (bit replication);
+    everything else uint8."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
@@ -126,46 +229,36 @@ def png_decode(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
-        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    if comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (comp={comp}, filt={filt})")
+    channels = _PNG_CHANNELS.get(color)
     if channels is None:
-        raise ValueError(f"unsupported PNG color type {color} (alpha-gray)")
+        raise ValueError(f"unsupported PNG color type {color}")
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"illegal PNG depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG interlace method {interlace}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * channels
-    raw = raw.reshape(h, 1 + stride)
-    ftypes, rows = raw[:, 0], raw[:, 1:]
-    out = np.empty((h, stride), dtype=np.uint8)
-    bpp = channels
-    zero = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f, cur, prev = int(ftypes[y]), rows[y], (out[y - 1] if y else zero)
-        if f == 0:  # None
-            out[y] = cur
-        elif f == 1:  # Sub — cumulative by bpp lanes, vectorized per lane
-            r = cur.reshape(-1, bpp).astype(np.uint32)
-            out[y] = (np.cumsum(r, axis=0, dtype=np.uint32) & 0xFF).astype(np.uint8).reshape(-1)
-        elif f == 2:  # Up
-            out[y] = cur + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average
-            o = out[y]
-            for i in range(stride):
-                a = int(o[i - bpp]) if i >= bpp else 0
-                o[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            out[y] = _paeth_row(cur, prev, bpp)
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-    img = out.reshape(h, w, channels)
-    if color == 3:  # palette lookup → RGB
+    if interlace == 0:
+        img, _ = _decode_pass(raw, 0, w, h, channels, depth)
+    else:  # Adam7: seven independently filtered sub-images
+        img = np.zeros((h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            sub, off = _decode_pass(raw, off, pw, ph, channels, depth)
+            if pw and ph:
+                img[y0::dy, x0::dx] = sub
+    if color == 3:  # palette lookup → RGB (indices never scale)
         idxs = img[:, :, 0]
         if int(idxs.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idxs]
+    if color == 0 and depth < 8:  # left-bit-replicate to full-range uint8
+        img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return img[:, :, 0] if channels == 1 else img
 
 

@@ -109,16 +109,27 @@ def test_png_decoder_inverts_every_filter(ftype):
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         png_decode(b"not a png at all")
-    # gray+alpha (color type 4) stays unsupported
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 4, 0, 0, 0)
+    # illegal depth/color combination (16-bit palette) refused by name
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x00" * 12)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 40))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        png_decode(bad)
+    # unknown color type refused by name
+    ihdr7 = struct.pack(">IIBBBBB", 4, 4, 8, 7, 0, 0, 0)
+    bad7 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr7)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="color type"):
-        png_decode(bad)
+        png_decode(bad7)
     # palette PNG missing its PLTE is refused by name
     ihdr3 = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     bad3 = (
@@ -129,6 +140,86 @@ def test_png_rejects_unsupported():
     )
     with pytest.raises(ValueError, match="PLTE"):
         png_decode(bad3)
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((9, 7, 2), np.uint8),     # gray+alpha (color type 4)
+        ((9, 7), np.uint16),       # 16-bit gray
+        ((9, 7, 2), np.uint16),    # 16-bit gray+alpha
+        ((9, 7, 3), np.uint16),    # 16-bit RGB
+        ((5, 6, 4), np.uint16),    # 16-bit RGBA
+    ],
+    ids=["ga8", "g16", "ga16", "rgb16", "rgba16"],
+)
+def test_png_roundtrip_extended_matrix(shape, dtype):
+    """Color type 4 and depth 16 (all types) roundtrip bit-exact."""
+    hi = 256 if dtype == np.uint8 else 65536
+    arr = np.random.RandomState(7).randint(0, hi, size=shape).astype(dtype)
+    out = png_decode(png_encode(arr))
+    assert out.shape == arr.shape and out.dtype == dtype and (out == arr).all()
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [((13, 17, 3), np.uint8), ((8, 9), np.uint8), ((10, 5, 4), np.uint16),
+     ((1, 1, 3), np.uint8), ((7, 16, 2), np.uint8)],
+    ids=["rgb", "gray", "rgba16", "onepx", "ga"],
+)
+def test_png_adam7_interlace_roundtrip(shape, dtype):
+    """Adam7: seven independently-filtered sub-images reassemble to the
+    original raster for every supported color/depth."""
+    hi = 256 if dtype == np.uint8 else 65536
+    arr = np.random.RandomState(11).randint(0, hi, size=shape).astype(dtype)
+    payload = png_encode(arr, interlace=True)
+    # byte 28 of the stream is the IHDR interlace flag
+    assert payload[len(b"\x89PNG\r\n\x1a\n") + 8 + 12] == 1
+    out = png_decode(payload)
+    assert out.shape == arr.shape and out.dtype == dtype and (out == arr).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_decode(depth):
+    """1/2/4-bit grayscale: hand-packed scanlines decode with
+    left-bit-replication to full-range uint8 (0 → 0, max → 255)."""
+    w, h = 10, 3
+    maxv = (1 << depth) - 1
+    vals = (np.arange(h * w).reshape(h, w) % (maxv + 1)).astype(np.uint8)
+    rows = bytearray()
+    for y in range(h):
+        bits = "".join(format(v, f"0{depth}b") for v in vals[y])
+        bits += "0" * ((-len(bits)) % 8)
+        rows.append(0)  # filter None
+        rows += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    out = png_decode(payload)
+    assert (out == vals * (255 // maxv)).all()
+
+
+def test_png_subbyte_palette_decode():
+    """2-bit palette indices map through PLTE without scaling."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3, 3], [3, 2, 1, 0, 1]], dtype=np.uint8)
+    rows = bytearray()
+    for y in range(2):
+        bits = "".join(format(v, "02b") for v in idx[y])
+        bits += "0" * ((-len(bits)) % 8)
+        rows.append(0)
+        rows += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (png_decode(payload) == pal[idx]).all()
 
 
 def test_png_palette_decode():
