@@ -813,29 +813,19 @@ def avi_mjpeg_decode(payload: bytes) -> tuple[np.ndarray, int]:
 # ================================================================== GIF
 
 # GIF87a/89a, the third web-image staple: palette + LZW.  Decoder
-# handles global/local color tables, interlacing, and extension blocks;
-# it returns the FIRST frame as (h, w, 3) — animation composition
-# (disposal methods, partial frames) is out of scope, documented.
-# The encoder writes a single-frame GIF89a with a real LZW stream and
-# requires ≤256 distinct colors (the format's own constraint).
+# handles global/local color tables, interlacing, extension blocks AND
+# animation composition: partial frames at (left, top) offsets,
+# transparency, and disposal methods 0/1 (leave), 2 (restore
+# background), 3 (restore previous) — gif_decode_frames returns the
+# fully composited (n, sh, sw, 3) stack.  The encoder writes GIF89a
+# with a real LZW stream (single-frame via gif_encode; multi-frame
+# with per-frame GCEs via gif_encode_animation) and requires ≤256
+# distinct colors per frame (the format's own constraint).
 
 
-def gif_encode(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 with ≤256 distinct colors → single-frame GIF89a."""
-    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("gif_encode expects (h, w, 3) uint8")
-    h, w = arr.shape[:2]
-    flat = arr.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError(f"GIF needs ≤256 distinct colors, image has {len(colors)}")
-    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
-    table = np.zeros((1 << depth, 3), dtype=np.uint8)
-    table[: len(colors)] = colors
-    indices = inverse.astype(np.int32)
-
-    # --- LZW encode (variable width, clear=2^min, eoi=clear+1) -------
-    min_code = max(2, depth)
+def _gif_lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """LZW-encode palette indices (variable width, LSB-first,
+    clear=2^min, eoi=clear+1)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     out_bits = bytearray()
     acc = 0
@@ -876,50 +866,194 @@ def gif_encode(arr: np.ndarray) -> bytes:
     put(eoi, width)
     if nacc:
         out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
 
-    out = bytearray()
-    out += b"GIF89a"
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
-    out += table.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+
+def _gif_palette(arr: np.ndarray, reserve_transparent: bool) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """(h, w, 3) → (padded table, index raster, depth, transparent idx
+    or -1).  The transparent slot (when reserved) sits just past the
+    real colors."""
+    h, w = arr.shape[:2]
+    colors, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+    slots = len(colors) + (1 if reserve_transparent else 0)
+    if slots > 256:
+        raise ValueError(f"GIF needs ≤256 palette slots, frame needs {slots}")
+    depth = max(1, int(np.ceil(np.log2(max(2, slots)))))
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    tidx = len(colors) if reserve_transparent else -1
+    return table, inverse.astype(np.int32).reshape(h, w), depth, tidx
+
+
+def _gif_image_block(out: bytearray, indices: np.ndarray, table: np.ndarray,
+                     depth: int, left: int, top: int, local_table: bool) -> None:
+    """Append one image descriptor (+ optional local color table) and
+    its LZW-compressed sub-blocks."""
+    h, w = indices.shape
+    out += struct.pack(
+        "<BHHHHB", 0x2C, left, top, w, h,
+        (0x80 | (depth - 1)) if local_table else 0,
+    )
+    if local_table:
+        out += table.tobytes()
+    min_code = max(2, depth)
     out.append(min_code)
-    data = bytes(out_bits)
+    data = _gif_lzw_encode(indices.reshape(-1), min_code)
     for off in range(0, len(data), 255):
         block = data[off : off + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"
+    out.append(0)
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with ≤256 distinct colors → single-frame GIF89a."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("gif_encode expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    table, indices, depth, _ = _gif_palette(arr, reserve_transparent=False)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+    out += table.tobytes()
+    _gif_image_block(out, indices, table, depth, 0, 0, local_table=False)
+    out += b"\x3b"
     return bytes(out)
 
 
-@_valueerror_on_corruption
-def gif_decode(payload: bytes) -> np.ndarray:
-    """GIF87a/89a bytes → (h, w, 3) uint8 (first frame; global or
-    local palette; interlaced row order undone)."""
+def gif_encode_animation(frames, size: tuple[int, int] | None = None) -> bytes:
+    """Animated GIF89a writer.
+
+    ``frames`` is either an (n, h, w, 3) uint8 stack (full-canvas
+    frames, disposal 1) or a list of dicts with keys ``image``
+    ((h, w, 3) uint8), and optionally ``left``/``top`` (offsets),
+    ``disposal`` (0-3), ``mask`` ((h, w) bool, False = transparent),
+    ``delay_cs`` (centiseconds).  ``size`` is the (width, height)
+    logical screen; defaults to the first frame's extent."""
+    if isinstance(frames, np.ndarray):
+        frames = [{"image": f} for f in frames]
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    specs = []
+    for f in frames:
+        specs.append({
+            "image": f["image"],
+            "left": int(f.get("left", 0)),
+            "top": int(f.get("top", 0)),
+            "disposal": int(f.get("disposal", 1)),
+            "mask": f.get("mask"),
+            "delay_cs": int(f.get("delay_cs", 4)),
+        })
+    if size is None:
+        size = (specs[0]["image"].shape[1], specs[0]["image"].shape[0])
+    sw, sh = size
+    for s in specs:
+        h, w = s["image"].shape[:2]
+        if s["left"] + w > sw or s["top"] + h > sh:
+            raise ValueError("GIF frame rect exceeds the logical screen")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", sw, sh, 0, 0, 0)  # no global color table
+    # NETSCAPE 2.0 loop-forever extension (the web convention)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for s in specs:
+        table, indices, depth, tidx = _gif_palette(
+            s["image"], reserve_transparent=s["mask"] is not None
+        )
+        if s["mask"] is not None:
+            indices = np.where(s["mask"], indices, tidx)
+        # graphic control extension: disposal + delay + transparency
+        packed = (s["disposal"] << 2) | (1 if s["mask"] is not None else 0)
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, packed,
+                           s["delay_cs"], max(tidx, 0), 0)
+        _gif_image_block(out, indices, table, depth,
+                         s["left"], s["top"], local_table=True)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> bytes:
+    """Inverse of _gif_lzw_encode; decodes exactly ``npix`` indices."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    dic: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    acc = nacc = bitpos = 0
+    out = bytearray()
+    prev_entry: bytes | None = None
+    while True:
+        while nacc < width:
+            if bitpos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[bitpos] << nacc
+            bitpos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            dic = dic[: eoi + 1]
+            width = min_code + 1
+            prev_entry = None
+            continue
+        if code == eoi:
+            break
+        if code < len(dic) and (code <= eoi or dic[code]):
+            entry = dic[code]
+        elif code == len(dic) and prev_entry is not None:
+            entry = prev_entry + prev_entry[:1]
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if prev_entry is not None and len(dic) < 4096:
+            dic.append(prev_entry + entry[:1])
+            if len(dic) == (1 << width) and width < 12:
+                width += 1
+        prev_entry = entry
+        if len(out) >= npix:
+            break
+    if len(out) < npix:
+        raise ValueError("GIF pixel data short of frame size")
+    return bytes(out[:npix])
+
+
+def _gif_parse(payload: bytes):
+    """Parse a GIF stream → (sw, sh, gct, bg_index, frames); each frame
+    is a dict with left/top/rows (deinterlaced index raster) /table/
+    disposal/transparent_idx/delay_cs."""
     if not payload.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF")
     pos = 6
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
     pos += 7
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
+    frames = []
+    gce = None  # pending graphic control extension (applies to next image)
     while pos < len(payload):
         b = payload[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                gpacked, delay, tindex = struct.unpack_from("<BHB", payload, pos + 1)
+                gce = {
+                    "disposal": (gpacked >> 2) & 0x07,
+                    "transparent_idx": tindex if gpacked & 0x01 else None,
+                    "delay_cs": delay,
+                }
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         table = gct
         if ipacked & 0x80:
@@ -936,50 +1070,9 @@ def gif_decode(payload: bytes) -> np.ndarray:
             chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1
-        data = b"".join(chunks)
-
-        # --- LZW decode ------------------------------------------------
-        clear, eoi = 1 << min_code, (1 << min_code) + 1
-        width = min_code + 1
-        dic: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
-        acc = nacc = bitpos = 0
-        out = bytearray()
-        prev_entry: bytes | None = None
-        while True:
-            while nacc < width:
-                if bitpos >= len(data):
-                    raise ValueError("truncated GIF LZW stream")
-                acc |= data[bitpos] << nacc
-                bitpos += 1
-                nacc += 8
-            code = acc & ((1 << width) - 1)
-            acc >>= width
-            nacc -= width
-            if code == clear:
-                dic = dic[: eoi + 1]
-                width = min_code + 1
-                prev_entry = None
-                continue
-            if code == eoi:
-                break
-            if code < len(dic) and (code <= eoi or dic[code]):
-                entry = dic[code]
-            elif code == len(dic) and prev_entry is not None:
-                entry = prev_entry + prev_entry[:1]
-            else:
-                raise ValueError("bad GIF LZW code")
-            out += entry
-            if prev_entry is not None and len(dic) < 4096:
-                dic.append(prev_entry + entry[:1])
-                if len(dic) == (1 << width) and width < 12:
-                    width += 1
-            prev_entry = entry
-            if len(out) >= w * h:
-                break
-
-        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
-        if len(idx) < w * h:
-            raise ValueError("GIF pixel data short of frame size")
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), min_code, w * h), dtype=np.uint8
+        )
         if int(idx.max(initial=0)) >= len(table):
             raise ValueError("GIF palette index out of range")
         rows = idx.reshape(h, w)
@@ -990,5 +1083,61 @@ def gif_decode(payload: bytes) -> np.ndarray:
             undone = np.empty_like(rows)
             undone[order] = rows
             rows = undone
-        return table[rows]
-    raise ValueError("GIF holds no image block")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect exceeds the logical screen")
+        frames.append({
+            "left": left, "top": top, "rows": rows, "table": table,
+            "disposal": (gce or {}).get("disposal", 0),
+            "transparent_idx": (gce or {}).get("transparent_idx"),
+            "delay_cs": (gce or {}).get("delay_cs", 0),
+        })
+        gce = None
+    if not frames:
+        raise ValueError("GIF holds no image block")
+    return sw, sh, gct, bg, frames
+
+
+@_valueerror_on_corruption
+def gif_decode_frames(payload: bytes) -> tuple[np.ndarray, list[int]]:
+    """GIF bytes → fully composited animation: ((n, sh, sw, 3) uint8,
+    per-frame delays in centiseconds).  Composition follows the GIF89a
+    rendering model: partial frames draw into the logical screen at
+    their (left, top) rect, transparent pixels leave the canvas
+    untouched, and the PREVIOUS frame's disposal runs before the next
+    draw — 0/1 leave the canvas, 2 restores the frame rect to the
+    background color, 3 restores the canvas as it was before the
+    frame drew."""
+    sw, sh, gct, bg, frames = _gif_parse(payload)
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    out, delays = [], []
+    for fr in frames:
+        saved = canvas.copy() if fr["disposal"] == 3 else None
+        t, l = fr["top"], fr["left"]
+        h, w = fr["rows"].shape
+        region = canvas[t : t + h, l : l + w]
+        colors = fr["table"][fr["rows"]]
+        if fr["transparent_idx"] is not None:
+            m = fr["rows"] != fr["transparent_idx"]
+            region[m] = colors[m]
+        else:
+            region[:] = colors
+        out.append(canvas.copy())
+        delays.append(fr["delay_cs"])
+        if fr["disposal"] == 2:
+            canvas[t : t + h, l : l + w] = bg_rgb
+        elif fr["disposal"] == 3:
+            canvas = saved
+    return np.stack(out), delays
+
+
+@_valueerror_on_corruption
+def gif_decode(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → (sh, sw, 3) uint8: the first frame composited
+    onto the logical screen (global or local palette; interlaced row
+    order undone; transparency over the background color)."""
+    frames, _ = gif_decode_frames(payload)
+    return frames[0]

@@ -187,9 +187,10 @@ class _FakeCodec:
 
             return "image", jpeg_decode(payload)[None]
         if payload.startswith((b"GIF87a", b"GIF89a")):
-            from .codecs import gif_decode
+            from .codecs import gif_decode_frames
 
-            return "image", gif_decode(payload)[None]
+            frames, _delays = gif_decode_frames(payload)
+            return ("video" if frames.shape[0] > 1 else "image"), frames
         if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
             return "audio", samples

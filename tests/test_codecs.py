@@ -436,3 +436,106 @@ def test_gif_roundtrip_and_stage(ray_session):
     )
     assert out["decode_ok"].all() and (out["decoded_kind"] == "image").all()
     assert (out["decoded_width"] == out["meta"].map(lambda m: m["width"])).all()
+
+
+def _compose_reference(specs, sw, sh):
+    """Independent GIF89a rendering-model compositor (the spec's words,
+    not the codec's code): draw rect → emit snapshot → apply the
+    frame's disposal before the next draw.  Background is black (the
+    encoder writes no global color table)."""
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    out = []
+    for s in specs:
+        saved = canvas.copy()
+        t, l = s.get("top", 0), s.get("left", 0)
+        img = s["image"]
+        h, w = img.shape[:2]
+        m = s.get("mask")
+        m = np.ones((h, w), bool) if m is None else m
+        region = canvas[t : t + h, l : l + w]
+        region[m] = img[m]
+        out.append(canvas.copy())
+        d = s.get("disposal", 1)
+        if d == 2:
+            canvas[t : t + h, l : l + w] = 0
+        elif d == 3:
+            canvas = saved
+    return np.stack(out)
+
+
+def test_gif_animation_disposal_composition():
+    """Animated GIF: partial frames at offsets, transparency, and all
+    three disposal behaviors composite exactly per the GIF89a rendering
+    model (checked against an independent reference compositor)."""
+    from crawler_ray.stages.codecs import gif_decode_frames, gif_encode_animation
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+    sw, sh = 16, 12
+
+    def block(h, w):
+        return pal[rng.randint(0, 7, (h, w))]
+
+    mask = rng.rand(5, 6) > 0.4
+    specs = [
+        {"image": block(12, 16), "disposal": 1, "delay_cs": 10},
+        # partial + transparent, then restore-to-background of its rect
+        {"image": block(5, 6), "left": 4, "top": 2, "mask": mask,
+         "disposal": 2, "delay_cs": 7},
+        # draws, then the canvas reverts to the pre-frame state
+        {"image": block(4, 5), "left": 10, "top": 7, "disposal": 3, "delay_cs": 3},
+        # disposal 0 (none): persists like 1
+        {"image": block(3, 4), "left": 0, "top": 8, "disposal": 0, "delay_cs": 4},
+        # last frame sees: frame-1 canvas, minus frame-2's rect (bg),
+        # without frame-3's pixels, plus frame-4's rect
+        {"image": block(2, 3), "left": 12, "top": 0, "disposal": 1, "delay_cs": 4},
+    ]
+    payload = gif_encode_animation(specs, size=(sw, sh))
+    frames, delays = gif_decode_frames(payload)
+    expected = _compose_reference(specs, sw, sh)
+    assert frames.shape == (5, sh, sw, 3)
+    assert delays == [10, 7, 3, 4, 4]
+    assert (frames == expected).all()
+
+    # frame rect outside the screen refused by name, encode and decode
+    with pytest.raises(ValueError, match="logical screen"):
+        gif_encode_animation([{"image": block(4, 4), "left": 14, "top": 10}],
+                             size=(sw, sh))
+
+    # truncation never escapes ValueError
+    for k in range(1, len(payload), 7):
+        try:
+            gif_decode_frames(payload[:k])
+        except ValueError:
+            pass
+
+
+def test_gif_animation_through_media_stage(ray_session):
+    """Multi-frame GIFs classify as video with a real frame count in
+    MediaDecoder (single-frame GIFs stay images)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import gif_encode, gif_encode_animation
+    from crawler_ray.stages.media import MediaDecoder
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    anim = gif_encode_animation(
+        np.stack([pal[rng.randint(0, 5, (10, 14))] for _ in range(4)])
+    )
+    still = gif_encode(pal[rng.randint(0, 5, (10, 14))])
+    tbl = pa.table({
+        "ref": ["a.gif", "b.gif"],
+        "payload": [anim, still],
+        "kind": ["video", "image"],
+    })
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaDecoder, batch_size=2, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("ref")
+    )
+    assert list(out["decoded_kind"]) == ["video", "image"]
+    assert list(out["decoded_frames"]) == [4, 1]
+    assert out["decode_ok"].all()
