@@ -1141,3 +1141,281 @@ def gif_decode(payload: bytes) -> np.ndarray:
     order undone; transparency over the background color)."""
     frames, _ = gif_decode_frames(payload)
     return frames[0]
+
+
+# ================================================================== MP4
+
+# ISO BMFF (MP4) demuxer + MJPEG-in-MP4 encoder/decoder.  The container
+# layer is REAL: box walking (ftyp/moov/trak/mdia/minf/stbl), sample
+# tables (stsd/stts/stsc/stsz/stco+co64), per-sample byte spans into
+# mdat, track metadata (codec fourcc, dimensions, timescale, fps).
+# Samples whose codec is intra-frame JPEG ('jpeg'/'mjpa'/'MJPG' —
+# Motion-JPEG in MP4) decode for real through the baseline JPEG codec
+# above; inter-frame bitstreams (avc1/H.264, hev1/HEVC, vp09, av01)
+# are the ONLY remaining gate and raise NotImplementedError naming the
+# codec — the demux still yields their sample spans and metadata.
+
+
+def _mp4_box(tag: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", len(data) + 8) + tag + data
+
+
+def _mp4_fbox(tag: bytes, version: int, flags: int, data: bytes) -> bytes:
+    return _mp4_box(tag, bytes([version]) + flags.to_bytes(3, "big") + data)
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def mp4_mjpeg_encode(
+    frames: np.ndarray, fps: int = 10, quality: int = 85, samples_per_chunk: int = 0
+) -> bytes:
+    """(n, h, w, 3) uint8 → Motion-JPEG in an ISO BMFF (.mp4) container:
+    one video track, 'jpeg' sample entry, per-sample sizes.  By default
+    all samples sit in one chunk; ``samples_per_chunk`` > 0 splits mdat
+    into chunks of that many samples (exercising multi-entry
+    stsc/stco tables)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("mp4_mjpeg_encode expects (n, h, w, 3) uint8")
+    n, h, w = frames.shape[:3]
+    jpegs = [jpeg_encode(f, quality) for f in frames]
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", b"".join(jpegs))
+    first_sample_off = len(ftyp) + 8  # ftyp then mdat header
+
+    timescale = 1000
+    delta = max(1, round(timescale / fps))
+    dur = n * delta
+    mvhd = _mp4_fbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)   # rate, volume, reserved
+        + b"\x00" * 8 + _MP4_UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),                        # next track id
+    )
+    tkhd = _mp4_fbox(
+        b"tkhd", 0, 3,
+        struct.pack(">IIII", 0, 0, 1, 0)               # track id 1
+        + struct.pack(">I", dur) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _mp4_fbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_fbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    sample_entry = _mp4_box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)             # data-reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32                                 # compressor name
+        + struct.pack(">Hh", 0x18, -1),
+    )
+    stsd = _mp4_fbox(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _mp4_fbox(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    spc = samples_per_chunk if samples_per_chunk > 0 else n
+    chunk_counts = [min(spc, n - i) for i in range(0, n, spc)]
+    chunk_offsets, off, si = [], first_sample_off, 0
+    for cnt in chunk_counts:
+        chunk_offsets.append(off)
+        off += sum(len(j) for j in jpegs[si : si + cnt])
+        si += cnt
+    # stsc runs: consecutive chunks sharing a samples-per-chunk collapse
+    runs = []
+    for i, cnt in enumerate(chunk_counts, start=1):
+        if runs and runs[-1][1] == cnt:
+            continue
+        runs.append((i, cnt))
+    stsc = _mp4_fbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", first, cnt, 1) for first, cnt in runs),
+    )
+    stsz = _mp4_fbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stco = _mp4_fbox(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_fbox(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_fbox(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_walk(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, box_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield tag, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, tag: bytes):
+    for t, s, e in _mp4_walk(buf, start, end):
+        if t == tag:
+            return s, e
+    return None
+
+
+@_valueerror_on_corruption
+def mp4_probe(payload: bytes) -> dict:
+    """Demux an ISO BMFF stream WITHOUT decoding samples: returns
+    {"brand", "tracks": [{kind, codec, width, height, timescale,
+    duration, fps, n_samples, spans=[(offset, size), ...]}]}."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) stream")
+    brand = payload[8:12].decode("latin1")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    tracks = []
+    for t, s, e in _mp4_walk(payload, *moov):
+        if t != b"trak":
+            continue
+        tracks.append(_mp4_track(payload, s, e))
+    if not tracks:
+        raise ValueError("MP4 moov holds no trak")
+    return {"brand": brand, "tracks": tracks}
+
+
+def _mp4_track(buf: bytes, s: int, e: int) -> dict:
+    mdia = _mp4_find(buf, s, e, b"mdia")
+    if mdia is None:
+        raise ValueError("trak missing mdia")
+    mdhd = _mp4_find(buf, *mdia, b"mdhd")
+    hdlr = _mp4_find(buf, *mdia, b"hdlr")
+    minf = _mp4_find(buf, *mdia, b"minf")
+    if mdhd is None or minf is None:
+        raise ValueError("mdia missing mdhd/minf")
+    ver = buf[mdhd[0]]
+    if ver == 1:
+        timescale, duration = struct.unpack_from(">IQ", buf, mdhd[0] + 4 + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", buf, mdhd[0] + 4 + 8)
+    kind = b"????"
+    if hdlr is not None:
+        kind = buf[hdlr[0] + 8 : hdlr[0] + 12]
+    stbl = _mp4_find(buf, *minf, b"stbl")
+    if stbl is None:
+        raise ValueError("minf missing stbl")
+    stsd = _mp4_find(buf, *stbl, b"stsd")
+    stts = _mp4_find(buf, *stbl, b"stts")
+    stsc = _mp4_find(buf, *stbl, b"stsc")
+    stsz = _mp4_find(buf, *stbl, b"stsz")
+    stco = _mp4_find(buf, *stbl, b"stco") or _mp4_find(buf, *stbl, b"co64")
+    if None in (stsd, stts, stsc, stsz, stco):
+        raise ValueError("stbl missing sample tables")
+    # stsd first entry: fourcc + (visual entries) dimensions
+    codec, width, height = "", 0, 0
+    (n_entries,) = struct.unpack_from(">I", buf, stsd[0] + 4)
+    if n_entries >= 1:
+        entry_pos = stsd[0] + 8
+        codec = buf[entry_pos + 4 : entry_pos + 8].decode("latin1")
+        if kind == b"vide" and stsd[1] - entry_pos >= 8 + 28 + 4:
+            width, height = struct.unpack_from(">HH", buf, entry_pos + 8 + 24)
+    # stts → per-sample delta (fps from the FIRST run, the common case)
+    (stts_n,) = struct.unpack_from(">I", buf, stts[0] + 4)
+    delta = 1
+    if stts_n >= 1:
+        _cnt, delta = struct.unpack_from(">II", buf, stts[0] + 8)
+    # stsz → sizes
+    fixed, count = struct.unpack_from(">II", buf, stsz[0] + 4)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", buf, stsz[0] + 12))
+    # stco/co64 → chunk offsets
+    is64 = buf[stco[0] - 8 + 4 : stco[0] - 8 + 8] == b"co64"
+    (nchunks,) = struct.unpack_from(">I", buf, stco[0] + 4)
+    fmt = "Q" if is64 else "I"
+    offsets = list(struct.unpack_from(f">{nchunks}{fmt}", buf, stco[0] + 8))
+    # stsc runs → sample spans
+    (nruns,) = struct.unpack_from(">I", buf, stsc[0] + 4)
+    runs = [struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i) for i in range(nruns)]
+    spans: list[tuple[int, int]] = []
+    si = 0
+    for i, (first, spc, _sdi) in enumerate(runs):
+        last = (runs[i + 1][0] - 1) if i + 1 < len(runs) else nchunks
+        for c in range(first, last + 1):
+            if c - 1 >= len(offsets):
+                raise ValueError("stsc chunk index out of range")
+            off = offsets[c - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                spans.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError("sample tables disagree on sample count")
+    fps = (timescale / delta) if delta else 0.0
+    return {
+        "kind": kind.decode("latin1"),
+        "codec": codec,
+        "width": int(width),
+        "height": int(height),
+        "timescale": int(timescale),
+        "duration": int(duration),
+        "fps": float(fps),
+        "n_samples": len(spans),
+        "spans": spans,
+    }
+
+
+_MP4_INTERFRAME = {"avc1", "avc3", "hev1", "hvc1", "vp09", "av01", "mp4v"}
+
+
+@_valueerror_on_corruption
+def mp4_decode(payload: bytes) -> tuple[np.ndarray, float]:
+    """MP4 → ((n, h, w, 3) uint8 frames, fps) when the video track's
+    samples are intra-frame JPEG; inter-frame codecs raise
+    NotImplementedError naming the codec (the demux itself is real —
+    use mp4_probe for spans/metadata without decoding)."""
+    info = mp4_probe(payload)
+    video = [t for t in info["tracks"] if t["kind"] == "vide"]
+    if not video:
+        raise ValueError("MP4 holds no video track")
+    tr = video[0]
+    if tr["codec"] in _MP4_INTERFRAME:
+        raise NotImplementedError(
+            f"MP4 codec '{tr['codec']}' is an inter-frame bitstream — "
+            "no ffmpeg in this sandbox; the container demux IS real "
+            "(sample spans + metadata via mp4_probe); swap in a codec "
+            "library to decode these samples in production"
+        )
+    if tr["codec"] not in ("jpeg", "mjpa", "MJPG"):
+        raise ValueError(f"unsupported MP4 sample codec '{tr['codec']}'")
+    frames = []
+    for off, size in tr["spans"]:
+        if off + size > len(payload):
+            raise ValueError("MP4 sample span beyond stream end")
+        frames.append(jpeg_decode(payload[off : off + size]))
+    if not frames:
+        raise ValueError("MP4 video track holds no samples")
+    if len({f.shape for f in frames}) != 1:
+        raise ValueError("MP4 frames disagree on dimensions")
+    return np.stack(frames), tr["fps"]

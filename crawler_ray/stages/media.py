@@ -95,13 +95,14 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
             else:
                 img = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
                 payload = png_encode(img) if ref.endswith(".png") else jpeg_encode(img, 85)
-        elif ref.endswith(".avi"):
-            from .codecs import avi_mjpeg_encode
+        elif ref.endswith((".avi", ".mp4")):
+            from .codecs import avi_mjpeg_encode, mp4_mjpeg_encode
 
             rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
             frames = min(frames, 8)  # keep synthetic payloads small
             vid = rng.randint(0, 256, size=(frames, ht, w, 3), dtype=np.uint8)
-            payload = avi_mjpeg_encode(vid, fps=10, quality=80)
+            enc = avi_mjpeg_encode if ref.endswith(".avi") else mp4_mjpeg_encode
+            payload = enc(vid, fps=10, quality=80)
         else:
             payload = fake_payload(kind, w, ht, frames, (h >> 32) & 0xFFFFFFFF)
         rows.append(
@@ -199,17 +200,24 @@ class _FakeCodec:
 
             frames, _fps = avi_mjpeg_decode(payload)
             return "video", frames
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            from .codecs import mp4_decode
+
+            # real ISO BMFF demux; MJPEG samples decode, inter-frame
+            # codecs (avc1/hev1/...) raise NotImplementedError by name
+            frames, _fps = mp4_decode(payload)
+            return "video", frames
         if payload.startswith(b"FAKE"):
             kb, w, h, frames, seed = struct.unpack("<BHHHI", payload[4:15])
             rng = np.random.RandomState(seed)
             arr = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
             return _BYTE_KIND[kb], arr
         raise NotImplementedError(
-            "inter-frame video codecs (MP4/H.264) are NOT available in "
-            "this sandbox (no ffmpeg); PPM/PNG/baseline-JPEG images, "
-            "AVI/MJPEG video, PCM WAV audio and the deterministic fake "
-            "wire format all decode for real — swap in a codec library "
-            "for inter-frame formats in production"
+            "unrecognized media container; PPM/PNG/baseline-JPEG/GIF "
+            "images, AVI-MJPEG and MP4-MJPEG video (the MP4 demux is "
+            "real; only inter-frame bitstreams like H.264 stay gated — "
+            "no ffmpeg), PCM WAV audio and the deterministic fake wire "
+            "format all decode for real"
         )
 
 

@@ -539,3 +539,61 @@ def test_gif_animation_through_media_stage(ray_session):
     assert list(out["decoded_kind"]) == ["video", "image"]
     assert list(out["decoded_frames"]) == [4, 1]
     assert out["decode_ok"].all()
+
+
+# ------------------------------------------------------------------- MP4
+
+
+def test_mp4_mjpeg_roundtrip_and_demux():
+    """ISO BMFF: real box walk + sample tables; MJPEG samples decode
+    within the JPEG codec's PSNR bound; multi-chunk stsc/stco layouts
+    demux identically to the single-chunk default."""
+    from crawler_ray.stages.codecs import mp4_decode, mp4_mjpeg_encode, mp4_probe
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(60, 196, size=(24, 40, 3)).astype(np.float32)
+    frames = np.stack(
+        [np.clip(base + 5 * i, 0, 255).astype(np.uint8) for i in range(7)]
+    )
+    p = mp4_mjpeg_encode(frames, fps=25, quality=90)
+    info = mp4_probe(p)
+    t = info["tracks"][0]
+    assert (t["codec"], t["kind"], t["width"], t["height"], t["n_samples"]) == (
+        "jpeg", "vide", 40, 24, 7,
+    )
+    out, fps = mp4_decode(p)
+    assert out.shape == frames.shape and abs(fps - 25) < 1
+    mse = ((out.astype(np.float32) - frames.astype(np.float32)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 28
+
+    # multi-chunk container (3 chunks incl. a short tail) → same frames
+    p3 = mp4_mjpeg_encode(frames, fps=25, quality=90, samples_per_chunk=3)
+    t3 = mp4_probe(p3)["tracks"][0]
+    assert t3["n_samples"] == 7 and len(t3["spans"]) == 7
+    out3, _ = mp4_decode(p3)
+    assert (out3 == out).all()
+
+    # truncation at any cut raises ValueError (moov trails mdat)
+    for k in range(1, len(p), 53):
+        with pytest.raises((ValueError, NotImplementedError)):
+            mp4_decode(p[:k])
+
+
+def test_mp4_through_media_stage(ray_session):
+    """.mp4 refs in synth_media_table carry real MP4-MJPEG payloads and
+    decode through the actor-pool stage with true frame counts."""
+    import ray.data as rd
+
+    from crawler_ray.stages.media import MediaDecoder, synth_media_table
+
+    refs = [f"http://m.test/clip{i}.mp4" for i in range(3)]
+    tbl = synth_media_table(refs)
+    assert bytes(tbl["payload"][0].as_py())[4:8] == b"ftyp"
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaDecoder, batch_size=2, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out["decode_ok"].all() and (out["decoded_kind"] == "video").all()
+    assert (out["decoded_frames"] == out["meta"].map(lambda m: m["frames"])).all()
+    assert (out["decoded_width"] == out["meta"].map(lambda m: m["width"])).all()

@@ -67,9 +67,22 @@ def test_featurizer_and_frame_sampling(ray_session):
 
 
 def test_real_payload_raises_clearly():
-    # video remains the one stubbed codec (PNG/JPEG are real now)
-    with pytest.raises(NotImplementedError, match="NOT available"):
+    # truncated MP4: the demux is real, so this is a corrupt stream
+    with pytest.raises(ValueError):
         media._FakeCodec.decode(b"\x00\x00\x00\x18ftypmp42notavideo")
+    # inter-frame bitstream (avc1/H.264): the one remaining gate,
+    # refused by codec name while the container demux still works
+    import numpy as np
+
+    from crawler_ray.stages.codecs import mp4_mjpeg_encode, mp4_probe
+
+    vid = np.zeros((2, 16, 16, 3), dtype=np.uint8)
+    avc = mp4_mjpeg_encode(vid, fps=10)
+    i = avc.rindex(b"jpeg")  # the stsd sample-entry fourcc
+    avc = avc[:i] + b"avc1" + avc[i + 4 :]
+    assert mp4_probe(avc)["tracks"][0]["codec"] == "avc1"  # demux still real
+    with pytest.raises(NotImplementedError, match="avc1"):
+        media._FakeCodec.decode(avc)
     # a CORRUPT compressed payload raises ValueError from the codec...
     with pytest.raises(ValueError):
         media._FakeCodec.decode(b"\x89PNG\r\n\x1a\nnotapng")
