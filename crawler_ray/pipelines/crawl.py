@@ -443,12 +443,20 @@ def crawl(
         start_round = state["round"] + 1
         if state.get("cookies") and cookie_shards:
             # re-seed session continuity: each host's jar entry goes
-            # back to its owner shard (host_hash routing, fetch.py)
+            # back to its owner shard (host_hash routing, fetch.py);
+            # legacy manifests carry a flat synth map, current ones a
+            # {"synth", "http"} pair (live Set-Cookie jars checkpoint too)
+            ck = state["cookies"]
+            if "synth" not in ck and "http" not in ck:
+                ck = {"synth": ck, "http": {}}
             from ..functions.urlnorm import host_hash
 
+            n = len(cookie_shards)
             per_shard: dict[int, dict] = {}
-            for h, v in state["cookies"].items():
-                per_shard.setdefault(host_hash(h, len(cookie_shards)), {})[h] = v
+            for h, v in ck.get("synth", {}).items():
+                per_shard.setdefault(host_hash(h, n), {"synth": {}, "http": {}})["synth"][h] = v
+            for h, v in ck.get("http", {}).items():
+                per_shard.setdefault(host_hash(h, n), {"synth": {}, "http": {}})["http"][h] = v
             ray.get(
                 [cookie_shards[s].restore.remote(d) for s, d in per_shard.items()]
             )
@@ -700,9 +708,10 @@ def crawl(
             frontier_rows = seen.write_frontier(os.path.join(tmp, "frontier"))
             cookies = None
             if cookie_shards:
-                cookies = {}
+                cookies = {"synth": {}, "http": {}}
                 for d in ray.get([s.dump.remote() for s in cookie_shards]):
-                    cookies.update(d)
+                    cookies["synth"].update(d["synth"])
+                    cookies["http"].update(d["http"])
             path = ckpt.finish_round(
                 rnd, None, metrics, step, next_seq,
                 seen=seen if (rnd % cfg.snapshot_every == 0) else None,

@@ -56,6 +56,20 @@ SYNTH_LOGIN_WALL = (
 )
 
 
+def _portless(host: str) -> str:
+    """Cookie domains carry no port — normalize host:port → host so
+    jar keys and shard routing agree with http.cookiejar's domains."""
+    if ":" in host and host.rsplit(":", 1)[1].isdigit():
+        return host.rsplit(":", 1)[0]
+    return host
+
+
+def _cookie_sig(cookies: list[dict]) -> tuple:
+    """Order-insensitive signature of a host's serialized cookie set
+    (skip shard RPCs when nothing changed)."""
+    return tuple(sorted((c["name"], c.get("path") or "/", c["value"]) for c in cookies))
+
+
 @ray.remote
 class CookieStore:
     """One shard of the shared cookie jar (host-hash sharded like the
@@ -69,6 +83,13 @@ class CookieStore:
         # expire, and the earliest wave stamp is what the deterministic
         # gated-visibility rule needs (Fetcher.__call__).
         self.jar: dict[str, tuple[str, int]] = {}
+        # LIVE-crawl jar: host (no port) → {(name, path): cookie dict}.
+        # Real Set-Cookie semantics — a later cookie with the same
+        # (name, path) REPLACES (unlike the synthetic first-wins jar):
+        # this is how HTTPTransport workers share sessions across the
+        # pool (the reference's single global cookie atom, utils.clj:197,
+        # at actor-pool parallelism).
+        self.http: dict[str, dict[tuple, dict]] = {}
 
     def get_many(self, hosts: list[str]) -> dict:
         return {h: self.jar[h] for h in hosts if h in self.jar}
@@ -77,15 +98,37 @@ class CookieStore:
         for h, v in kv.items():
             self.jar.setdefault(h, (v, wave))
 
+    def get_http(self, hosts: list[str]) -> dict:
+        """host → list of serialized cookies, for the hosts that have any."""
+        return {h: list(self.http[h].values()) for h in hosts if h in self.http}
+
+    def merge_http(self, kv: dict) -> None:
+        """Merge serialized cookies per host; (name, path) replaces."""
+        for h, cookies in kv.items():
+            slot = self.http.setdefault(h, {})
+            for c in cookies:
+                slot[(c["name"], c.get("path") or "/")] = c
+
     def dump(self) -> dict:
-        """Checkpoint view of this shard's jar (tiny: one entry per
+        """Checkpoint view of this shard's jars (tiny: one entry per
         logged-in host) — goes into the round manifest so resume
         restores session continuity exactly."""
-        return dict(self.jar)
+        return {
+            "synth": dict(self.jar),
+            "http": {h: list(v.values()) for h, v in self.http.items()},
+        }
 
     def restore(self, jar: dict) -> None:
-        # JSON round-trips tuples as lists; normalize back
-        self.jar = {h: (v[0], int(v[1])) for h, v in jar.items()}
+        # accepts both the current {"synth": ..., "http": ...} shape and
+        # the legacy flat host→(value, wave) map of older manifests;
+        # JSON round-trips tuples as lists — normalize back
+        if "synth" in jar or "http" in jar:
+            self.jar = {h: (v[0], int(v[1])) for h, v in jar.get("synth", {}).items()}
+            self.http = {}
+            self.merge_http(jar.get("http", {}))
+        else:
+            self.jar = {h: (v[0], int(v[1])) for h, v in jar.items()}
+            self.http = {}
 
 # The reference's politeness budget constants, preserved for
 # conformance-mode runs (BASELINE.md):
@@ -269,6 +312,45 @@ class HTTPTransport:
         code, _, payload = self._get(final_url)
         return payload if code == 200 else ""
 
+    # --- cross-worker session continuity (CookieStore sync) ---------
+    # Each worker's jar is process-local; the Fetcher pushes serialized
+    # cookies to the host's CookieStore shard after a batch and installs
+    # the shard's cookies before the next, so a login on worker A gates
+    # pages open for worker B — the live-crawl equivalent of the
+    # synthetic convention's shared jar.
+
+    _COOKIE_FIELDS = ("version", "name", "value", "port", "domain", "path",
+                      "secure", "expires", "discard", "comment", "comment_url")
+
+    def export_cookies(self) -> dict[str, list[dict]]:
+        """Serialize the jar → {host (cookie domain, no port): [cookie
+        dicts]} for shipping through a CookieStore shard."""
+        out: dict[str, list[dict]] = {}
+        for c in self.cookies:
+            d = {f: getattr(c, f) for f in self._COOKIE_FIELDS}
+            out.setdefault(c.domain, []).append(d)
+        return out
+
+    def install_cookies(self, by_host: dict[str, list[dict]]) -> None:
+        """Inverse of export_cookies: merge shard cookies into the live
+        jar (set_cookie replaces by (domain, path, name))."""
+        import http.cookiejar as _cj
+
+        for lst in by_host.values():
+            for d in lst:
+                self.cookies.set_cookie(_cj.Cookie(
+                    version=d.get("version") or 0,
+                    name=d["name"], value=d["value"],
+                    port=d.get("port"), port_specified=bool(d.get("port")),
+                    domain=d["domain"], domain_specified=bool(d["domain"]),
+                    domain_initial_dot=str(d["domain"]).startswith("."),
+                    path=d.get("path") or "/", path_specified=True,
+                    secure=bool(d.get("secure")), expires=d.get("expires"),
+                    discard=bool(d.get("discard", True)),
+                    comment=d.get("comment"), comment_url=d.get("comment_url"),
+                    rest={},
+                ))
+
 
 class Fetcher:
     """map_batches actor: frontier batch → PAGES-schema batch.
@@ -302,6 +384,10 @@ class Fetcher:
         # keeps its own sessions, the documented single-process fallback)
         self.cookie_shards = cookie_shards or []
         self._local_jar: dict[str, tuple[str, int]] = {}
+        # live-transport cookie sync state: host → signature of the last
+        # cookie set exchanged with its CookieStore shard (skip the RPC
+        # when nothing changed)
+        self._http_synced: dict[str, tuple] = {}
         # wave context, set by the crawl loop's worker per chunk:
         # {"wave": wave index, "login_keys": {host: min packed
         # (depth, seq) key of the host's /login rows in THIS wave}}.
@@ -379,6 +465,26 @@ class Fetcher:
             wait = max(starts) - time.monotonic()
             if wait > 0:
                 time.sleep(wait)
+        # live-transport cookie pre-pass: install the batch hosts'
+        # shard-held cookies into this worker's jar so sessions opened
+        # by OTHER workers apply here (one get_http RPC per owning
+        # shard; skipped entirely for synthetic transports)
+        live_sync = bool(self.cookie_shards) and hasattr(self.transport, "install_cookies")
+        if live_sync and urls:
+            hosts_np = sorted({_portless(url_host(u)) for u in urls})
+            by_shard: dict[int, list[str]] = {}
+            for h in hosts_np:
+                by_shard.setdefault(host_hash(h, len(self.cookie_shards)), []).append(h)
+            merged: dict[str, list[dict]] = {}
+            for g in ray.get(
+                [self.cookie_shards[s].get_http.remote(hs) for s, hs in by_shard.items()]
+            ):
+                merged.update(g)
+            if merged:
+                self.transport.install_cookies(merged)
+                for h, lst in merged.items():
+                    self._http_synced[h] = _cookie_sig(lst)
+
         # session pre-pass: pull the batch's host cookies in one RPC per
         # shard, but ONLY when the batch actually touches session pages
         # (zero overhead on session-free graphs)
@@ -493,6 +599,26 @@ class Fetcher:
             else:
                 for h, v in pending_sets.items():
                     self._local_jar.setdefault(h, (v, wv))
+        # live-transport cookie post-pass: push hosts whose jar changed
+        # this batch (Set-Cookie responses) to their CookieStore shard
+        if live_sync:
+            exported = self.transport.export_cookies()
+            changed = {
+                h: lst for h, lst in exported.items()
+                if self._http_synced.get(h) != _cookie_sig(lst)
+            }
+            if changed:
+                by_shard2: dict[int, dict] = {}
+                for h, lst in changed.items():
+                    by_shard2.setdefault(host_hash(h, len(self.cookie_shards)), {})[h] = lst
+                ray.get(
+                    [
+                        self.cookie_shards[s].merge_http.remote(kv)
+                        for s, kv in by_shard2.items()
+                    ]
+                )
+                for h, lst in changed.items():
+                    self._http_synced[h] = _cookie_sig(lst)
         out = batch.drop_columns([c for c in ("status", "redirects", "body") if c in batch.column_names])
         out = out.append_column("status", pa.array(status, type=pa.string()))
         out = out.append_column("redirects", pa.array(redirects, type=pa.list_(pa.string())))

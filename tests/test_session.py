@@ -186,3 +186,98 @@ def test_crawl_conformance_with_sessions(ray_session, session_graph):
     assert got == want
     acct = [t for t in res.trace if "/account/" in t["url"]]
     assert acct and all(t["n_links"] == 0 for t in acct)
+
+
+def test_live_cookie_continuity_across_workers(ray_session):
+    """Cross-worker session continuity on LIVE crawls: a real
+    Set-Cookie captured by worker A's HTTPTransport jar travels through
+    the CookieStore shards and is PRESENTED by worker B's transport —
+    the server (not the synthetic overlay) decides gated visibility."""
+    import http.server
+    import threading
+
+    from crawler_ray.stages.fetch import HTTPTransport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/robots.txt":
+                self.send_error(404)
+                return
+            if self.path == "/login":
+                body = b"<html><body>logged in</body></html>"
+                self.send_response(200)
+                self.send_header("Set-Cookie", "session=tok99; Path=/")
+            elif self.path == "/account":
+                authed = "session=tok99" in (self.headers.get("Cookie") or "")
+                body = (b"<html><body>secret</body></html>" if authed
+                        else b"<html><body>wall</body></html>")
+                self.send_response(200)
+            else:
+                self.send_error(404)
+                return
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        shards = [CookieStore.options(num_cpus=0).remote() for _ in range(2)]
+        worker_a = Fetcher(HTTPTransport(timeout=5.0), cookie_shards=shards)
+        worker_b = Fetcher(HTTPTransport(timeout=5.0), cookie_shards=shards)
+
+        # B first: no session anywhere → a wall (the server's, or the
+        # synthetic overlay's for the /account convention)
+        out0 = worker_b(pa.table({"url": [f"{base}/account"]}))
+        assert "secret" not in out0["body"][0].as_py()
+
+        # A logs in (Set-Cookie lands in A's jar, post-pass pushes it)
+        out1 = worker_a(pa.table({"url": [f"{base}/login"]}))
+        assert out1["status"][0].as_py() == "ok"
+
+        # B's NEXT batch pre-pass installs the shard cookie → secret
+        out2 = worker_b(pa.table({"url": [f"{base}/account"]}))
+        assert "secret" in out2["body"][0].as_py()
+
+        # a worker OUTSIDE the shard pool still has no session
+        worker_c = Fetcher(HTTPTransport(timeout=5.0), cookie_shards=None)
+        out3 = worker_c(pa.table({"url": [f"{base}/account"]}))
+        assert "wall" in out3["body"][0].as_py() or out3["body"][0].as_py() == SYNTH_LOGIN_WALL
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cookie_store_dump_restore_shapes(ray_session):
+    """CookieStore checkpoints BOTH jars (synthetic + live Set-Cookie)
+    and restores legacy flat manifests from older rounds."""
+    s = CookieStore.options(num_cpus=0).remote()
+    ray.get(s.set_many.remote({"h1.test": "session"}, 3))
+    ray.get(s.merge_http.remote({
+        "h2.test": [{"name": "sid", "value": "a", "path": "/", "domain": "h2.test"}],
+    }))
+    # (name, path) replaces — Set-Cookie semantics, not first-wins
+    ray.get(s.merge_http.remote({
+        "h2.test": [{"name": "sid", "value": "b", "path": "/", "domain": "h2.test"}],
+    }))
+    d = ray.get(s.dump.remote())
+    assert d["synth"] == {"h1.test": ("session", 3)}
+    assert d["http"]["h2.test"][0]["value"] == "b"
+
+    # roundtrip through JSON (the manifest) and back
+    import json
+
+    s2 = CookieStore.options(num_cpus=0).remote()
+    ray.get(s2.restore.remote(json.loads(json.dumps(d))))
+    assert ray.get(s2.get_many.remote(["h1.test"])) == {"h1.test": ("session", 3)}
+    assert ray.get(s2.get_http.remote(["h2.test"]))["h2.test"][0]["value"] == "b"
+
+    # legacy flat manifest (pre-live-jar rounds) still restores
+    s3 = CookieStore.options(num_cpus=0).remote()
+    ray.get(s3.restore.remote({"old.test": ["session", 1]}))
+    assert ray.get(s3.get_many.remote(["old.test"])) == {"old.test": ("session", 1)}
+    assert ray.get(s3.get_http.remote(["old.test"])) == {}
