@@ -70,6 +70,7 @@ def entry() -> Any:
 # entries it has NOT yet certified first: r3's last 22 plus anything
 # new this round.  The r3-certified 50 follow in registry order.
 _CERTIFY_FIRST = [
+    "media_decode_stats",
     "pii_scrub", "tfidf_top_terms", "segment_dedup", "asof_join",
     "running_window", "semantic_dedup", "global_rank", "partitioned_export",
     "chunk_documents", "text_normalize", "funnel_conversion", "pagerank",

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "segment_dedup",
     "chunk_documents",
     "inverted_index",
+    "media_decode_stats",
 ]
 
 

@@ -5706,3 +5706,127 @@ def ohlc_hourly(sf_dir: str):
         .groupby("__b")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# =====================================================================
+# Interleaved-payload axis: media decode over binary columns
+# =====================================================================
+
+
+@register(
+    "media_decode_stats",
+    """
+    WITH m AS (
+      SELECT CASE
+               WHEN doc_id % 6 IN (0, 1, 2) THEN 'image'
+               WHEN doc_id % 6 IN (3, 4) THEN 'video'
+               ELSE 'audio' END AS kind,
+             CASE WHEN doc_id % 6 IN (3, 4) THEN 2 + doc_id % 3
+                  ELSE 1 END AS frames
+      FROM documents)
+    SELECT kind, count(*) AS n_docs, count(*) AS n_ok,
+           CAST(sum(frames) AS BIGINT) AS total_frames
+    FROM m GROUP BY kind
+    """,
+    doc="Interleaved-payload axis (input_hint: media spans as opaque "
+    "binary + typed metadata): every document derives a deterministic "
+    "media payload — extension by doc_id mod 6 over the six REAL "
+    "codecs (PNG / JPEG / GIF / MP4-MJPEG / AVI-MJPEG / WAV, "
+    "stages/codecs.py + media.py), dimensions and frame counts pure "
+    "doc_id arithmetic — then an actor-pool MediaDecoder stage "
+    "(codec state per actor, SMALL batch_size for wide binary rows) "
+    "decodes and per-kind partials aggregate.  The oracle mirrors the "
+    "same arithmetic in SQL; n_ok == n_docs asserts every payload "
+    "actually decoded (a codec regression breaks the value hash).",
+)
+def media_decode_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_payloads(t: pa.Table) -> pa.Table:
+        from .stages.codecs import (
+            avi_mjpeg_encode,
+            gif_encode,
+            jpeg_encode,
+            mp4_mjpeg_encode,
+            png_encode,
+        )
+        from .stages.media import encode_wav
+
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            rng = np.random.RandomState(did % (1 << 31))
+            w = 16 + did % 16
+            h = 12 + (did // 16) % 12
+            sel = did % 6
+            if sel in (3, 4):  # video: frame count is doc_id arithmetic
+                n = 2 + did % 3
+                vid = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+                enc = mp4_mjpeg_encode if sel == 3 else avi_mjpeg_encode
+                payloads.append(enc(vid, fps=10, quality=80))
+            elif sel == 5:  # audio
+                samples = rng.randint(-30000, 30000, size=400 + did % 100).astype(np.int16)
+                payloads.append(encode_wav(samples, 16000))
+            else:  # image: png / jpeg / gif
+                img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                if sel == 0:
+                    payloads.append(png_encode(img))
+                elif sel == 1:
+                    payloads.append(jpeg_encode(img, 85))
+                else:  # GIF needs ≤256 colors: palette-index the noise
+                    pal = rng.randint(0, 256, size=(32, 3)).astype(np.uint8)
+                    payloads.append(gif_encode(pal[rng.randint(0, 32, size=(h, w))]))
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, type=pa.large_binary())}
+        )
+
+    import ray
+
+    from .stages.media import MediaDecoder
+
+    # size the decode pool to the session: reserving every CPU for the
+    # actor pool starves the surrounding stages in small (4-cpu test)
+    # sessions; at 32 cpus this still gives an 8-actor pool
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    decoded = ds.map_batches(synth_payloads, batch_format="pyarrow").map_batches(
+        MediaDecoder,
+        concurrency=max(2, min(8, ncpu // 4)),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "kind": t["decoded_kind"].to_pylist(),
+                "ok": t["decode_ok"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "frames": t["decoded_frames"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("kind", as_index=False).agg(
+            n_p=("ok", "size"), ok_p=("ok", "sum"), fr_p=("frames", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        decoded.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("ok_p", alias_name="n_ok"),
+            Sum("fr_p", alias_name="total_frames"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": t["kind"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_ok": pc.cast(t["n_ok"], pa.int64()),
+                "total_frames": pc.cast(t["total_frames"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

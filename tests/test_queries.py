@@ -19,6 +19,7 @@ SAMPLE = [
     "group_topk", "segment_dedup", "pii_scrub",
     "asof_join", "running_window", "semantic_dedup",
     "pagerank", "distinct_kmv", "session_coverage", "typo_pairs", "rolling_hour_sum", "pivot_events", "shuffle_shards", "ohlc_hourly",
+    "media_decode_stats",
 ]
 
 
