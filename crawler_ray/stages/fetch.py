@@ -273,11 +273,29 @@ class HTTPTransport:
     def _get(self, url: str):
         import urllib.error as _ue
         import urllib.request as _ur
+        import zlib as _zlib
 
-        req = _ur.Request(url, headers=self.headers)
+        req = _ur.Request(
+            url, headers=self.headers | {"Accept-Encoding": "gzip, deflate"}
+        )
         try:
             with self._opener.open(req, timeout=self.timeout) as r:
                 raw = r.read(self.max_body_bytes)
+                enc = (r.headers.get("Content-Encoding") or "").lower()
+                try:
+                    if enc == "gzip":
+                        # bounded decompress (zip-bomb guard: the body
+                        # cap applies to the DECOMPRESSED size too)
+                        d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+                        raw = d.decompress(raw, self.max_body_bytes)
+                    elif enc == "deflate":
+                        try:  # zlib-wrapped (the spec) …
+                            raw = _zlib.decompressobj().decompress(raw, self.max_body_bytes)
+                        except _zlib.error:  # … or raw-deflate (the wild)
+                            d = _zlib.decompressobj(-_zlib.MAX_WBITS)
+                            raw = d.decompress(raw, self.max_body_bytes)
+                except _zlib.error as e:
+                    return None, None, f"ContentDecodingError: {e}"
                 ctype = r.headers.get_content_charset() or "utf-8"
                 return r.status, None, raw.decode(ctype, errors="replace")
         except _ue.HTTPError as e:

@@ -454,3 +454,58 @@ def test_crawl_delay_honored(ray_session):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_transport_content_encoding():
+    """HTTPTransport advertises Accept-Encoding and transparently
+    decompresses gzip / deflate (zlib-wrapped AND raw-deflate) bodies;
+    a corrupt compressed stream degrades to an error status row, never
+    an exception."""
+    import gzip as _gzip
+    import http.server
+    import threading
+    import zlib as _zlib
+
+    from crawler_ray.stages.fetch import HTTPTransport
+
+    html = "<html><body>" + "compressed page " * 50 + "</body></html>"
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            ae = self.headers.get("Accept-Encoding") or ""
+            if self.path == "/gz":
+                assert "gzip" in ae
+                body, enc = _gzip.compress(html.encode()), "gzip"
+            elif self.path == "/zl":
+                body, enc = _zlib.compress(html.encode()), "deflate"
+            elif self.path == "/raw":
+                co = _zlib.compressobj(wbits=-_zlib.MAX_WBITS)
+                body, enc = co.compress(html.encode()) + co.flush(), "deflate"
+            elif self.path == "/bad":
+                body, enc = b"\x1f\x8b not really gzip", "gzip"
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Encoding", enc)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        t = HTTPTransport(timeout=5.0)
+        for path in ("/gz", "/zl", "/raw"):
+            st, final, _ = t.resolve(f"{base}{path}", [f"{base}{path}"])
+            assert st == "ok", (path, st)
+            assert t.body(final) == html, path
+        st, _, _ = t.resolve(f"{base}/bad", [f"{base}/bad"])
+        assert st == "error"
+    finally:
+        srv.shutdown()
+        srv.server_close()
