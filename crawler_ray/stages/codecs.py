@@ -9,17 +9,21 @@ corpora, so the decode stage needs REAL codecs, not a stub:
     sequential AND Adam7-interlaced; zlib (stdlib) + the five scanline
     filters.  Lossless → byte-exact roundtrip, and the decoder handles
     any filter choice a real encoder makes.
-  * JPEG — baseline sequential DCT (ITU T.81): YCbCr 4:4:4, standard
-    Annex K quantization + Huffman tables, quality scaling per the
-    common libjpeg convention.  Encoder + decoder pair; the roundtrip
-    is lossy by design and verified by PSNR bound in tests.
+  * JPEG — baseline sequential DCT (ITU T.81) AND progressive DCT
+    (SOF2: spectral selection + successive approximation, EOB runs):
+    YCbCr 4:4:4/4:2:0 baseline, 4:4:4 progressive; standard Annex K
+    quantization + Huffman tables, quality scaling per the common
+    libjpeg convention.  Encoder + decoder pairs; the progressive
+    encoding of an image decodes BIT-IDENTICAL to its baseline
+    encoding (same quantized coefficients), which is the test.
 
 Both are deliberately scope-limited (PNG covers the spec's whole
 static-image matrix — palette PNGs decode through PLTE, 16-bit
 returns uint16, sub-byte gray bit-replicates to uint8 — JPEG covers
-baseline 4:4:4/4:2:0 single-scan) and raise ValueError with the
-unsupported feature named — progressive JPEG and APNG animation are
-out of scope for a sandbox codec.  GIF87a/89a (palette + LZW,
+baseline 4:4:4/4:2:0 and progressive single-frame streams) and raise
+ValueError with the unsupported feature named — arithmetic-coded
+JPEG, JPEG restart intervals and APNG animation are out of scope for
+a sandbox codec.  GIF87a/89a (palette + LZW,
 interlacing undone) and AVI/MJPEG
 video (per-frame JPEG) round out the web-staple formats below.
 Everything is numpy-vectorized per block/scanline; actor-pool stages
@@ -454,10 +458,10 @@ def _encode_block(bw_: _BitWriter, zz: np.ndarray, prev_dc: int, dct: dict, act:
     return dc
 
 
-def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K tables,
-    single interleaved scan).  ``subsampling``: "444" or "420" (box
-    chroma downsample — the common web-JPEG layout)."""
+def _jpeg_zz_grids(rgb: np.ndarray, quality: int, subsampling: str):
+    """Shared front half of both JPEG encoders: color convert,
+    (optionally) subsample, block, DCT, quantize → per-component
+    (gh, gw, 64) zigzag grids + tables/geometry."""
     if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("jpeg_encode expects (h, w, 3) uint8")
     if subsampling not in ("444", "420"):
@@ -490,6 +494,28 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") ->
         q = ql if ci == 0 else qc
         zz = np.round(coeffs / q).astype(np.int32).reshape(-1, 64)[:, _ZZ]
         zz_grids.append(zz.reshape(gh, gw, 64))
+    return zz_grids, ql, qc, samp, hmax, vmax, mcux, mcuy, h, w
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_dqt(tid: int, tbl: np.ndarray) -> bytes:
+    return _jpeg_seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tbl.reshape(64)[_ZZ]))
+
+
+def _jpeg_dht(cls: int, tid: int, bits, vals) -> bytes:
+    return _jpeg_seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K tables,
+    single interleaved scan).  ``subsampling``: "444" or "420" (box
+    chroma downsample — the common web-JPEG layout)."""
+    zz_grids, ql, qc, samp, hmax, vmax, mcux, mcuy, h, w = _jpeg_zz_grids(
+        rgb, quality, subsampling
+    )
 
     dc_tabs = (_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA))
     ac_tabs = (_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA))
@@ -508,33 +534,167 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") ->
                         )
     bw_.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dqt(tid: int, tbl: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in tbl.reshape(64)[_ZZ]))
-
-    def dht(cls: int, tid: int, bits, vals) -> bytes:
-        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, ql) + dqt(1, qc)
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, ql) + _jpeg_dqt(1, qc)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
     for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
         hs, vs = samp[ci]
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += seg(0xFFC0, sof)
-    out += dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
-    out += dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
+    out += _jpeg_seg(0xFFC0, sof)
+    out += _jpeg_dht(0, 0, *_DC_LUMA) + _jpeg_dht(1, 0, *_AC_LUMA)
+    out += _jpeg_dht(0, 1, *_DC_CHROMA) + _jpeg_dht(1, 1, *_AC_CHROMA)
     sos = bytes([3])
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += bytes([cid, tabs])
     sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
+    out += _jpeg_seg(0xFFDA, sos)
     out += bw_.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JFIF bytes (SOF2, 4:4:4):
+    a 10-scan script with spectral selection AND successive
+    approximation — interleaved DC first (Al=1), per-component AC
+    first scans (luma split into two bands), then DC + AC refinement
+    scans.  Uses the Annex K tables (EOB runs of length 1 only, so no
+    EOBn symbols are needed); decodes to EXACTLY the same pixels as
+    the baseline encoding of the same image/quality, since both code
+    identical quantized coefficients."""
+    zz_grids, ql, qc, samp, hmax, vmax, mcux, mcuy, h, w = _jpeg_zz_grids(
+        rgb, quality, "444"
+    )
+    dc_tabs = (_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA))
+    ac_tabs = (_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA))
+
+    def dc_first(bw_, Al):
+        prev = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    v = int(zz_grids[ci][my, mx][0]) >> Al  # arithmetic
+                    ssss, code = _magnitude(v - prev[ci])
+                    prev[ci] = v
+                    hc, hl = dc_tabs[0 if ci == 0 else 1][ssss]
+                    bw_.put(hc, hl)
+                    if ssss:
+                        bw_.put(code, ssss)
+
+    def dc_refine(bw_, Al):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    bw_.put((int(zz_grids[ci][my, mx][0]) >> Al) & 1, 1)
+
+    def ac_first(bw_, ci, Ss, Se, Al):
+        act = ac_tabs[0 if ci == 0 else 1]
+        grid = zz_grids[ci]
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                zz = grid[by, bx]
+                r = 0
+                wrote = False
+                for k in range(Ss, Se + 1):
+                    c = int(zz[k])
+                    v = (abs(c) >> Al) * (1 if c >= 0 else -1)  # toward zero
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        hc, hl = act[0xF0]  # ZRL
+                        bw_.put(hc, hl)
+                        r -= 16
+                    ssss, code = _magnitude(v)
+                    hc, hl = act[(r << 4) | ssss]
+                    bw_.put(hc, hl)
+                    bw_.put(code, ssss)
+                    r = 0
+                    wrote = True
+                if r or not wrote:
+                    hc, hl = act[0x00]  # EOB (run length 1)
+                    bw_.put(hc, hl)
+
+    def ac_refine(bw_, ci, Ss, Se, Al):
+        """Mirror of the decoder's walk: ZRL consumes exactly 16
+        zero-history slots with corrections for history coefficients
+        passed; (r,1) symbols carry sign then the walked corrections;
+        a trailing EOB carries the remaining corrections."""
+        act = ac_tabs[0 if ci == 0 else 1]
+        grid = zz_grids[ci]
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                zz = grid[by, bx]
+                hist = [(abs(int(zz[k])) >> (Al + 1)) != 0 for k in range(64)]
+                newsig = [
+                    k for k in range(Ss, Se + 1)
+                    if not hist[k] and (abs(int(zz[k])) >> Al) == 1
+                ]
+                i = Ss
+                for p in newsig:
+                    r = sum(1 for k in range(i, p) if not hist[k])
+                    while r > 15:
+                        hc, hl = act[0xF0]  # ZRL: walk 16 zero-history
+                        bw_.put(hc, hl)
+                        consumed = 0
+                        while consumed < 16:
+                            if hist[i]:
+                                bw_.put((abs(int(zz[i])) >> Al) & 1, 1)
+                            else:
+                                consumed += 1
+                            i += 1
+                        r -= 16
+                    hc, hl = act[(r << 4) | 1]
+                    bw_.put(hc, hl)
+                    bw_.put(1 if int(zz[p]) > 0 else 0, 1)
+                    for k in range(i, p):  # corrections along the walk
+                        if hist[k]:
+                            bw_.put((abs(int(zz[k])) >> Al) & 1, 1)
+                    i = p + 1
+                if i <= Se:  # EOB covers the tail with its corrections
+                    hc, hl = act[0x00]
+                    bw_.put(hc, hl)
+                    for k in range(i, Se + 1):
+                        if hist[k]:
+                            bw_.put((abs(int(zz[k])) >> Al) & 1, 1)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, ql) + _jpeg_dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += _jpeg_seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += _jpeg_dht(0, 0, *_DC_LUMA) + _jpeg_dht(1, 0, *_AC_LUMA)
+    out += _jpeg_dht(0, 1, *_DC_CHROMA) + _jpeg_dht(1, 1, *_AC_CHROMA)
+
+    def sos(scomps, Ss, Se, Ah, Al):
+        body = bytes([len(scomps)])
+        for cid, tabs in scomps:
+            body += bytes([cid, tabs])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return _jpeg_seg(0xFFDA, body)
+
+    def scan(hdr: bytes, emit, *args) -> bytes:
+        bw_ = _BitWriter()
+        emit(bw_, *args)
+        bw_.flush()
+        return hdr + bytes(bw_.out)
+
+    all_dc = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    out += scan(sos(all_dc, 0, 0, 0, 1), dc_first, 1)
+    out += scan(sos([(1, 0x00)], 1, 5, 0, 1), ac_first, 0, 1, 5, 1)
+    out += scan(sos([(1, 0x00)], 6, 63, 0, 1), ac_first, 0, 6, 63, 1)
+    out += scan(sos([(2, 0x01)], 1, 63, 0, 1), ac_first, 1, 1, 63, 1)
+    out += scan(sos([(3, 0x01)], 1, 63, 0, 1), ac_first, 2, 1, 63, 1)
+    out += scan(sos(all_dc, 0, 0, 1, 0), dc_refine, 0)
+    out += scan(sos([(1, 0x00)], 1, 63, 1, 0), ac_refine, 0, 1, 63, 0)
+    out += scan(sos([(2, 0x01)], 1, 63, 1, 0), ac_refine, 1, 1, 63, 0)
+    out += scan(sos([(3, 0x01)], 1, 63, 1, 0), ac_refine, 2, 1, 63, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -591,11 +751,175 @@ def _extend(code: int, ssss: int) -> int:
     return code if code >= (1 << (ssss - 1)) else code - (1 << ssss) + 1
 
 
+def _scan_end(payload: bytes, pos: int) -> int:
+    """First byte offset ≥ pos holding a REAL marker (not FF00 stuffing,
+    not a restart marker) — the end of a scan's entropy data."""
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            b = payload[i + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy):
+    """The single interleaved SOF0 scan: full DC+AC per block."""
+    prev_dc = {c[0]: 0 for c in comps}
+    tsel = {cid: (td, ta) for cid, td, ta in scan}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hs, vs, _tq in comps:
+                td, ta = tsel[cid]
+                dlut, alut = hdc[td], hac[ta]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = grids[cid][my * vs + by, mx * hs + bx]
+                        ssss = br.huff(dlut)
+                        diff = _extend(br.bits(ssss), ssss)
+                        prev_dc[cid] += diff
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(alut)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.bits(rs & 0xF), rs & 0xF)
+                            k += 1
+
+
+def _comp_block_dims(c, h, w, hmax, vmax) -> tuple[int, int]:
+    """TRUE block dims of a component (non-interleaved scans iterate
+    these, NOT the MCU-padded grid — T.81 A.2.2)."""
+    cw = (w * c[1] + hmax - 1) // hmax
+    ch = (h * c[2] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, vmax):
+    """Progressive DC scan: first (Ah=0, diff-coded value << Al) or
+    refinement (one raw bit per block)."""
+    if Ah == 0:
+        prev_dc = {c[0]: 0 for c in scomps}
+    tsel = {cid: td for cid, td, _ta in scan}
+    if len(scomps) > 1:  # interleaved MCU order
+        iters = [
+            (c, by, bx)
+            for c in scomps
+            for by in range(c[2])
+            for bx in range(c[1])
+        ]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, by, bx in iters:
+                    zz = grids[c[0]][my * c[2] + by, mx * c[1] + bx]
+                    if Ah == 0:
+                        ssss = br.huff(hdc[tsel[c[0]]])
+                        prev_dc[c[0]] += _extend(br.bits(ssss), ssss)
+                        zz[0] = prev_dc[c[0]] << Al
+                    else:
+                        zz[0] |= br.bits(1) << Al
+    else:  # single component: its true block raster
+        c = scomps[0]
+        bh, bw = _comp_block_dims(c, h, w, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = grids[c[0]][by, bx]
+                if Ah == 0:
+                    ssss = br.huff(hdc[tsel[c[0]]])
+                    prev_dc[c[0]] += _extend(br.bits(ssss), ssss)
+                    zz[0] = prev_dc[c[0]] << Al
+                else:
+                    zz[0] |= br.bits(1) << Al
+
+
+def _prog_ac_first(br, c, alut, grid, Ss, Se, Al, bh, bw):
+    """Progressive AC first scan (Ah=0) over one component's band."""
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = grid[by, bx]
+            k = Ss
+            while k <= Se:
+                rs = br.huff(alut)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.bits(s), s) << Al
+                k += 1
+
+
+def _prog_ac_refine(br, c, alut, grid, Ss, Se, Al, bh, bw):
+    """Progressive AC refinement (Ah=Al+1 → Al): newly-significant ±1
+    insertions interleaved with correction bits for history-nonzero
+    coefficients (T.81 G.1.2.3 / libjpeg jdphuff semantics)."""
+    p1, m1 = 1 << Al, -1 << Al
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = grid[by, bx]
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = br.huff(alut)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) + (br.bits(r) if r else 0)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        val = p1 if br.bits(1) else m1
+                    while k <= Se:
+                        if zz[k] != 0:  # history-nonzero: correction bit
+                            if br.bits(1) and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                # EOB run covers this block: correction bits only
+                while k <= Se:
+                    if zz[k] != 0:
+                        if br.bits(1) and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
 @_valueerror_on_corruption
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB.  Supports single-scan
-    baseline DCT with 4:4:4 or 4:2:0 sampling, 8-bit, custom or Annex K
-    tables (read from the stream)."""
+    """JFIF bytes → (h, w, 3) uint8 RGB.  Baseline sequential (SOF0,
+    4:4:4 or 4:2:0) AND progressive (SOF2: spectral selection +
+    successive approximation, interleaved or per-component DC scans,
+    EOB runs), 8-bit, custom or Annex K tables read from the stream."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     pos = 2
@@ -604,7 +928,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     hac: dict[int, dict] = {}
     comps = []  # (cid, hsamp, vsamp, tq)
     h = w = 0
-    scan = None
+    mode = None
+    grids: dict[int, np.ndarray] = {}  # cid → (gh, gw, 64) int32 ZIGZAG coeffs
+    mcux = mcuy = hmax = vmax = 0
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -624,9 +951,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 pq, tid = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
-                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
+                zzt = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
                 nat = np.empty(64, dtype=np.int32)
-                nat[_ZZ] = zz
+                nat[_ZZ] = zzt
                 qtabs[tid] = nat.reshape(8, 8)
                 i += 65
         elif marker == 0xC4:
@@ -638,72 +965,71 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 (hdc if cls == 0 else hac)[tid] = _huff_lut(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             if body[0] != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit JPEG supported")
+            mode = marker
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
             comps = [
                 (body[6 + 3 * i], body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0xF, body[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            if len(comps) not in (1, 3):
+                raise ValueError("unsupported component count")
+            if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+                raise ValueError("unsupported sampling factors")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = {
+                c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+                for c in comps
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) JPEG supported")
         elif marker == 0xDA:
+            if mode is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
-            data = payload[pos:]
-            break
-    if scan is None or not comps:
+            scan = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            end = _scan_end(payload, pos)
+            br = _BitReader(payload[pos:end])
+            by_id = {c[0]: c for c in comps}
+            scomps = [by_id[cid] for cid, _t, _a in scan]
+            if mode == 0xC0:
+                _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy)
+            elif Ss == 0:  # progressive DC scan
+                if Se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, vmax)
+            else:  # progressive AC scan: exactly one component
+                if len(scomps) != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                c = scomps[0]
+                alut = hac[scan[0][2]]
+                bh, bw = _comp_block_dims(c, h, w, hmax, vmax)
+                if Ah == 0:
+                    _prog_ac_first(br, c, alut, grids[c[0]], Ss, Se, Al, bh, bw)
+                else:
+                    _prog_ac_refine(br, c, alut, grids[c[0]], Ss, Se, Al, bh, bw)
+            saw_scan = True
+            pos = end
+    if not saw_scan or not comps:
         raise ValueError("JPEG missing SOF/SOS")
-    if len(comps) not in (1, 3):
-        raise ValueError("unsupported component count")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
-        raise ValueError("unsupported sampling factors")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    br = _BitReader(data)
-    prev_dc = {c[0]: 0 for c in comps}
-    # per component: coefficient planes in MCU-padded block grid
-    grids = {
-        c[0]: np.zeros((mcuy * c[2], mcux * c[1], 8, 8), dtype=np.float64) for c in comps
-    }
-    tsel = {cid: (td, ta) for cid, td, ta in scan}
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, hs, vs, tq in comps:
-                td, ta = tsel[cid]
-                dlut, alut = hdc[td], hac[ta]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        ssss = br.huff(dlut)
-                        diff = _extend(br.bits(ssss), ssss)
-                        prev_dc[cid] += diff
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(alut)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.bits(rs & 0xF), rs & 0xF)
-                            k += 1
-                        nat = np.empty(64, dtype=np.int32)
-                        nat[_ZZ] = zz
-                        grids[cid][my * vs + by, mx * hs + bx] = nat.reshape(8, 8) * qtabs[tq]
     planes = {}
     for cid, hs, vs, tq in comps:
-        g = grids[cid]
-        gh, gw = g.shape[:2]
-        blocks = g.reshape(-1, 8, 8)
+        zzg = grids[cid]
+        gh, gw = zzg.shape[:2]
+        nat = np.zeros((gh * gw, 64), dtype=np.float64)
+        nat[:, _ZZ] = zzg.reshape(-1, 64)
+        blocks = nat.reshape(-1, 8, 8) * qtabs[tq]
         pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
         plane = (
             pix.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)

@@ -282,12 +282,54 @@ def test_jpeg_deterministic_and_errors():
         jpeg_decode(b"\x00\x01not jpeg")
     with pytest.raises(ValueError):
         jpeg_encode(img.astype(np.int32))
-    # progressive (SOF2) refused with the feature named
+    # a BASELINE scan header relabeled SOF2 is an invalid progressive
+    # stream (full-band scan with Ss=0): refused by name
     enc = bytearray(jpeg_encode(img, 85))
     sof0 = enc.find(b"\xff\xc0")
     enc[sof0 + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         jpeg_decode(bytes(enc))
+    # arithmetic coding (SOF9) refused by name
+    enc[sof0 + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg_decode(bytes(enc))
+
+
+@pytest.mark.parametrize("quality", [30, 60, 85, 95])
+def test_jpeg_progressive_equals_baseline(quality):
+    """Progressive (SOF2: spectral selection + successive approximation
+    over a 9-scan script) codes the SAME quantized coefficients as
+    baseline, so the decoded pixels must be bit-identical."""
+    from crawler_ray.stages.codecs import jpeg_encode_progressive
+
+    img = _smooth_rgb(41, 53, seed=quality)
+    base = jpeg_decode(jpeg_encode(img, quality, "444"))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_stress_and_truncation():
+    """Refinement-path stress (noise maximizes newly-significant /
+    ZRL / correction-bit interplay; flat maximizes EOB runs) and the
+    decode-boundary contract."""
+    from crawler_ray.stages.codecs import jpeg_encode_progressive
+
+    rng = np.random.RandomState(7)
+    for img in (
+        rng.randint(0, 256, (24, 40, 3)).astype(np.uint8),          # noise
+        np.full((17, 19, 3), 130, np.uint8),                        # flat
+        (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)[..., None].repeat(3, -1),
+        rng.randint(0, 256, (3, 5, 3)).astype(np.uint8),            # sub-block
+    ):
+        for q in (30, 85):
+            base = jpeg_decode(jpeg_encode(img, q, "444"))
+            assert (jpeg_decode(jpeg_encode_progressive(img, q)) == base).all()
+    p = jpeg_encode_progressive(rng.randint(0, 256, (24, 40, 3)).astype(np.uint8), 85)
+    for k in range(2, len(p), 11):
+        try:
+            jpeg_decode(p[:k])
+        except ValueError:
+            pass
 
 
 def test_jpeg_flat_image_tiny_stream():
