@@ -509,10 +509,16 @@ def _jpeg_dht(cls: int, tid: int, bits, vals) -> bytes:
     return _jpeg_seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
 
-def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
+def jpeg_encode(
+    rgb: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K tables,
     single interleaved scan).  ``subsampling``: "444" or "420" (box
-    chroma downsample — the common web-JPEG layout)."""
+    chroma downsample — the common web-JPEG layout).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (DC predictors reset, stream byte-aligned) —
+    the camera-JPEG convention."""
     zz_grids, ql, qc, samp, hmax, vmax, mcux, mcuy, h, w = _jpeg_zz_grids(
         rgb, quality, subsampling
     )
@@ -521,8 +527,16 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") ->
     ac_tabs = (_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA))
     bw_ = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu_i = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                prev_dc = [0, 0, 0]
+            mcu_i += 1
             for ci in range(3):
                 hs, vs = samp[ci]
                 ti = 0 if ci == 0 else 1
@@ -545,6 +559,8 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 85, subsampling: str = "444") ->
     out += _jpeg_seg(0xFFC0, sof)
     out += _jpeg_dht(0, 0, *_DC_LUMA) + _jpeg_dht(1, 0, *_AC_LUMA)
     out += _jpeg_dht(0, 1, *_DC_CHROMA) + _jpeg_dht(1, 1, *_AC_CHROMA)
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += bytes([cid, tabs])
@@ -744,6 +760,20 @@ class _BitReader:
                 return sym
         raise ValueError("bad JPEG Huffman code")
 
+    def restart(self):
+        """Consume an RSTn marker: drop padding bits (byte-align) and
+        step over the two marker bytes.  _fill never advances past a
+        marker, so self.pos is authoritative."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
 
 def _extend(code: int, ssss: int) -> int:
     if ssss == 0:
@@ -767,12 +797,19 @@ def _scan_end(payload: bytes, pos: int) -> int:
     return n
 
 
-def _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy):
-    """The single interleaved SOF0 scan: full DC+AC per block."""
+def _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy, ri=0):
+    """The single interleaved SOF0 scan: full DC+AC per block; ``ri``
+    is the DRI restart interval in MCUs (0 = none) — every Ri MCUs an
+    RSTn marker byte-aligns the stream and resets the DC predictors."""
     prev_dc = {c[0]: 0 for c in comps}
     tsel = {cid: (td, ta) for cid, td, ta in scan}
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.restart()
+                prev_dc = {c[0]: 0 for c in comps}
+            mcu_i += 1
             for cid, hs, vs, _tq in comps:
                 td, ta = tsel[cid]
                 dlut, alut = hdc[td], hac[ta]
@@ -932,6 +969,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     grids: dict[int, np.ndarray] = {}  # cid → (gh, gw, 64) int32 ZIGZAG coeffs
     mcux = mcuy = hmax = vmax = 0
     saw_scan = False
+    ri = 0  # DRI restart interval (MCUs; 0 = none)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -989,6 +1027,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             }
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) and progressive (SOF2) JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if mode is None:
                 raise ValueError("SOS before SOF")
@@ -1003,8 +1043,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             br = _BitReader(payload[pos:end])
             by_id = {c[0]: c for c in comps}
             scomps = [by_id[cid] for cid, _t, _a in scan]
+            if mode == 0xC2 and ri:
+                raise ValueError("restart intervals in progressive JPEG not supported")
             if mode == 0xC0:
-                _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy)
+                _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy, ri)
             elif Ss == 0:  # progressive DC scan
                 if Se != 0:
                     raise ValueError("progressive DC scan with Se != 0")

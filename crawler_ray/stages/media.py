@@ -85,7 +85,12 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
         ht = 64 + ((h >> 8) % 192)
         frames = 1 if kind == "image" else 8 + (h >> 16) % 24
         if ref.endswith((".png", ".jpg", ".jpeg", ".gif")):
-            from .codecs import gif_encode, jpeg_encode, png_encode
+            from .codecs import (
+                gif_encode,
+                jpeg_encode,
+                jpeg_encode_progressive,
+                png_encode,
+            )
 
             rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
             if ref.endswith(".gif"):  # GIF: ≤256 colors by construction
@@ -94,7 +99,12 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
                 payload = gif_encode(img)
             else:
                 img = rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
-                payload = png_encode(img) if ref.endswith(".png") else jpeg_encode(img, 85)
+                if ref.endswith(".png"):
+                    payload = png_encode(img)
+                elif ref.endswith(".jpeg"):  # .jpeg refs get PROGRESSIVE
+                    payload = jpeg_encode_progressive(img, 85)
+                else:
+                    payload = jpeg_encode(img, 85)
         elif ref.endswith((".avi", ".mp4")):
             from .codecs import avi_mjpeg_encode, mp4_mjpeg_encode
 

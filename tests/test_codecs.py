@@ -639,3 +639,33 @@ def test_mp4_through_media_stage(ray_session):
     assert out["decode_ok"].all() and (out["decoded_kind"] == "video").all()
     assert (out["decoded_frames"] == out["meta"].map(lambda m: m["frames"])).all()
     assert (out["decoded_width"] == out["meta"].map(lambda m: m["width"])).all()
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_restart_intervals(subsampling):
+    """DRI/RSTn (the camera-JPEG convention): restart markers
+    byte-align the stream and reset DC predictors; decoded pixels are
+    bit-identical to the no-restart encoding, across the RSTn modulo
+    cycle and both subsampling layouts."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (45, 61, 3)).astype(np.uint8)
+    plain = jpeg_decode(jpeg_encode(img, 80, subsampling))
+    for ri in (1, 2, 7):
+        enc = jpeg_encode(img, 80, subsampling, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        assert (jpeg_decode(enc) == plain).all()
+    # >8 restarts: the RSTn marker index wraps mod 8
+    big = rng.randint(0, 256, (96, 96, 3)).astype(np.uint8)
+    assert (
+        jpeg_decode(jpeg_encode(big, 70, subsampling, restart_interval=2))
+        == jpeg_decode(jpeg_encode(big, 70, subsampling))
+    ).all()
+    # progressive + DRI is the named gate
+    from crawler_ray.stages.codecs import jpeg_encode_progressive
+
+    prog = bytearray(jpeg_encode_progressive(img, 80))
+    sof = prog.find(b"\xff\xc2")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    prog2 = bytes(prog[:sof]) + dri + bytes(prog[sof:])
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_decode(prog2)
