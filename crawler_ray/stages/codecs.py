@@ -571,45 +571,65 @@ def jpeg_encode(
     return bytes(out)
 
 
-def jpeg_encode_progressive(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB → progressive JFIF bytes (SOF2, 4:4:4):
-    a 10-scan script with spectral selection AND successive
+def jpeg_encode_progressive(
+    rgb: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JFIF bytes (SOF2, 4:4:4 or
+    4:2:0): a 9-scan script with spectral selection AND successive
     approximation — interleaved DC first (Al=1), per-component AC
     first scans (luma split into two bands), then DC + AC refinement
-    scans.  Uses the Annex K tables (EOB runs of length 1 only, so no
-    EOBn symbols are needed); decodes to EXACTLY the same pixels as
-    the baseline encoding of the same image/quality, since both code
-    identical quantized coefficients."""
+    scans.  AC scans iterate each component's TRUE block dims (not the
+    MCU-padded grid — T.81 A.2.2).  Uses the Annex K tables (EOB runs
+    of length 1 only, so no EOBn symbols are needed); decodes to
+    EXACTLY the same visible pixels as the baseline encoding of the
+    same image/quality, since both code identical quantized
+    coefficients."""
     zz_grids, ql, qc, samp, hmax, vmax, mcux, mcuy, h, w = _jpeg_zz_grids(
-        rgb, quality, "444"
+        rgb, quality, subsampling
     )
     dc_tabs = (_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA))
     ac_tabs = (_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA))
+
+    def true_dims(ci):
+        hs, vs = samp[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
 
     def dc_first(bw_, Al):
         prev = [0, 0, 0]
         for my in range(mcuy):
             for mx in range(mcux):
                 for ci in range(3):
-                    v = int(zz_grids[ci][my, mx][0]) >> Al  # arithmetic
-                    ssss, code = _magnitude(v - prev[ci])
-                    prev[ci] = v
-                    hc, hl = dc_tabs[0 if ci == 0 else 1][ssss]
-                    bw_.put(hc, hl)
-                    if ssss:
-                        bw_.put(code, ssss)
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(zz_grids[ci][my * vs + by, mx * hs + bx][0]) >> Al
+                            ssss, code = _magnitude(v - prev[ci])
+                            prev[ci] = v
+                            hc, hl = dc_tabs[0 if ci == 0 else 1][ssss]
+                            bw_.put(hc, hl)
+                            if ssss:
+                                bw_.put(code, ssss)
 
     def dc_refine(bw_, Al):
         for my in range(mcuy):
             for mx in range(mcux):
                 for ci in range(3):
-                    bw_.put((int(zz_grids[ci][my, mx][0]) >> Al) & 1, 1)
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bw_.put(
+                                (int(zz_grids[ci][my * vs + by, mx * hs + bx][0]) >> Al) & 1,
+                                1,
+                            )
 
     def ac_first(bw_, ci, Ss, Se, Al):
         act = ac_tabs[0 if ci == 0 else 1]
         grid = zz_grids[ci]
-        for by in range(grid.shape[0]):
-            for bx in range(grid.shape[1]):
+        bh, bw = true_dims(ci)
+        for by in range(bh):
+            for bx in range(bw):
                 zz = grid[by, bx]
                 r = 0
                 wrote = False
@@ -640,8 +660,9 @@ def jpeg_encode_progressive(rgb: np.ndarray, quality: int = 85) -> bytes:
         a trailing EOB carries the remaining corrections."""
         act = ac_tabs[0 if ci == 0 else 1]
         grid = zz_grids[ci]
-        for by in range(grid.shape[0]):
-            for bx in range(grid.shape[1]):
+        bh, bw = true_dims(ci)
+        for by in range(bh):
+            for bx in range(bw):
                 zz = grid[by, bx]
                 hist = [(abs(int(zz[k])) >> (Al + 1)) != 0 for k in range(64)]
                 newsig = [
@@ -681,8 +702,9 @@ def jpeg_encode_progressive(rgb: np.ndarray, quality: int = 85) -> bytes:
     out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _jpeg_dqt(0, ql) + _jpeg_dqt(1, qc)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hs, vs = samp[ci]
+        sof += bytes([cid, (hs << 4) | vs, tq])
     out += _jpeg_seg(0xFFC2, sof)  # SOF2: progressive DCT
     out += _jpeg_dht(0, 0, *_DC_LUMA) + _jpeg_dht(1, 0, *_AC_LUMA)
     out += _jpeg_dht(0, 1, *_DC_CHROMA) + _jpeg_dht(1, 1, *_AC_CHROMA)

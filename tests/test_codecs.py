@@ -296,15 +296,18 @@ def test_jpeg_deterministic_and_errors():
 
 
 @pytest.mark.parametrize("quality", [30, 60, 85, 95])
-def test_jpeg_progressive_equals_baseline(quality):
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_progressive_equals_baseline(quality, subsampling):
     """Progressive (SOF2: spectral selection + successive approximation
     over a 9-scan script) codes the SAME quantized coefficients as
-    baseline, so the decoded pixels must be bit-identical."""
+    baseline, so the decoded pixels must be bit-identical — including
+    4:2:0, where non-interleaved AC scans iterate each component's TRUE
+    block dims, not the MCU-padded grid (the classic decoder bug)."""
     from crawler_ray.stages.codecs import jpeg_encode_progressive
 
-    img = _smooth_rgb(41, 53, seed=quality)
-    base = jpeg_decode(jpeg_encode(img, quality, "444"))
-    prog = jpeg_decode(jpeg_encode_progressive(img, quality))
+    img = _smooth_rgb(41, 53, seed=quality)  # odd dims: padding ≠ true dims
+    base = jpeg_decode(jpeg_encode(img, quality, subsampling))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality, subsampling))
     assert (prog == base).all()
 
 
