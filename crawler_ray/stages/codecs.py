@@ -518,7 +518,10 @@ def jpeg_encode(
     chroma downsample — the common web-JPEG layout).
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     every that many MCUs (DC predictors reset, stream byte-aligned) —
-    the camera-JPEG convention."""
+    the camera-JPEG convention.  A 2-D array encodes as a
+    single-component GRAYSCALE stream (document/scan JPEGs)."""
+    if rgb.ndim == 2:
+        return _jpeg_encode_gray(rgb, quality, restart_interval)
     zz_grids, ql, qc, samp, hmax, vmax, mcux, mcuy, h, w = _jpeg_zz_grids(
         rgb, quality, subsampling
     )
@@ -568,6 +571,46 @@ def jpeg_encode(
     out += _jpeg_seg(0xFFDA, sos)
     out += bw_.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_encode_gray(gray: np.ndarray, quality: int, restart_interval: int = 0) -> bytes:
+    """(h, w) uint8 → single-component baseline JFIF (luma tables)."""
+    if gray.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects uint8")
+    h, w = gray.shape
+    ql, _ = _quality_tables(quality)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    p = np.pad(
+        gray.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    ) - 128.0
+    blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    zz = np.round(coeffs / ql).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+    dct = _huff_codes(*_DC_LUMA)
+    act = _huff_codes(*_AC_LUMA)
+    bw_ = _BitWriter()
+    prev = 0
+    rst_n = 0
+    for i in range(len(zz)):
+        if restart_interval and i and i % restart_interval == 0:
+            bw_.flush()
+            bw_.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) & 7
+            prev = 0
+        prev = _encode_block(bw_, zz[i], prev, dct, act)
+    bw_.flush()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, ql)
+    out += _jpeg_seg(0xFFC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += _jpeg_dht(0, 0, *_DC_LUMA) + _jpeg_dht(1, 0, *_AC_LUMA)
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw_.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1009,13 +1052,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tid = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zzt = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
+                if pq == 0:  # 8-bit precision
+                    zzt = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
+                    i += 65
+                elif pq == 1:  # 16-bit precision (big-endian)
+                    zzt = np.frombuffer(body[i + 1 : i + 129], dtype=">u2").astype(np.int32)
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
                 nat = np.empty(64, dtype=np.int32)
                 nat[_ZZ] = zzt
                 qtabs[tid] = nat.reshape(8, 8)
-                i += 65
         elif marker == 0xC4:
             i = 0
             while i < len(body):

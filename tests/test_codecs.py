@@ -672,3 +672,42 @@ def test_jpeg_restart_intervals(subsampling):
     prog2 = bytes(prog[:sof]) + dri + bytes(prog[sof:])
     with pytest.raises(ValueError, match="restart"):
         jpeg_decode(prog2)
+
+
+def test_jpeg_grayscale_and_16bit_dqt():
+    """Single-component grayscale JPEG (document/scan streams) encodes
+    via the 2-D jpeg_encode path and decodes through the existing
+    1-component branch; 16-bit (Pq=1) quantization tables decode
+    identically to their 8-bit twins."""
+    yy, xx = np.mgrid[0:37, 0:49]
+    gray = np.clip(127 + 90 * np.sin(xx / 6) + 30 * np.cos(yy / 9), 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(gray, 85))
+    assert dec.shape == (37, 49, 3) and (dec[..., 0] == dec[..., 1]).all()
+    assert _psnr(np.stack([gray] * 3, -1), dec) > 40
+    # restart markers in the single-component scan
+    assert (jpeg_decode(jpeg_encode(gray, 85, restart_interval=3)) == dec).all()
+
+    # widen every DQT to Pq=1 (16-bit big-endian): decode must not change
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    data = jpeg_encode(img, 80)
+    ref = jpeg_decode(data)
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF and data[i + 1] == 0xDB:
+            (ln,) = struct.unpack_from(">H", data, i + 2)
+            body = data[i + 4 : i + 2 + ln]
+            nb = bytearray()
+            j = 0
+            while j < len(body):
+                nb.append((1 << 4) | (body[j] & 0xF))
+                for v in body[j + 1 : j + 65]:
+                    nb += struct.pack(">H", v)
+                j += 65
+            out += b"\xff\xdb" + struct.pack(">H", len(nb) + 2) + nb
+            i += 2 + ln
+        else:
+            out.append(data[i])
+            i += 1
+    assert (jpeg_decode(bytes(out)) == ref).all()
