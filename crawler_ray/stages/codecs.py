@@ -614,8 +614,30 @@ def _jpeg_encode_gray(gray: np.ndarray, quality: int, restart_interval: int = 0)
     return bytes(out)
 
 
+class _RestartEmitter:
+    """Per-scan restart bookkeeping for the encoders: every ``ri``
+    units, flush to a byte boundary and emit the cycling RSTn."""
+
+    def __init__(self, bw_, ri: int):
+        self.bw = bw_
+        self.ri = ri
+        self.i = 0
+        self.n = 0
+
+    def tick(self) -> bool:
+        fired = False
+        if self.ri and self.i and self.i % self.ri == 0:
+            self.bw.flush()
+            self.bw.out += bytes([0xFF, 0xD0 + self.n])
+            self.n = (self.n + 1) & 7
+            fired = True
+        self.i += 1
+        return fired
+
+
 def jpeg_encode_progressive(
-    rgb: np.ndarray, quality: int = 85, subsampling: str = "444"
+    rgb: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → progressive JFIF bytes (SOF2, 4:4:4 or
     4:2:0): a 9-scan script with spectral selection AND successive
@@ -641,8 +663,11 @@ def jpeg_encode_progressive(
 
     def dc_first(bw_, Al):
         prev = [0, 0, 0]
+        rst = _RestartEmitter(bw_, restart_interval)
         for my in range(mcuy):
             for mx in range(mcux):
+                if rst.tick():
+                    prev = [0, 0, 0]
                 for ci in range(3):
                     hs, vs = samp[ci]
                     for by in range(vs):
@@ -656,8 +681,10 @@ def jpeg_encode_progressive(
                                 bw_.put(code, ssss)
 
     def dc_refine(bw_, Al):
+        rst = _RestartEmitter(bw_, restart_interval)
         for my in range(mcuy):
             for mx in range(mcux):
+                rst.tick()
                 for ci in range(3):
                     hs, vs = samp[ci]
                     for by in range(vs):
@@ -671,8 +698,10 @@ def jpeg_encode_progressive(
         act = ac_tabs[0 if ci == 0 else 1]
         grid = zz_grids[ci]
         bh, bw = true_dims(ci)
+        rst = _RestartEmitter(bw_, restart_interval)
         for by in range(bh):
             for bx in range(bw):
+                rst.tick()
                 zz = grid[by, bx]
                 r = 0
                 wrote = False
@@ -704,8 +733,10 @@ def jpeg_encode_progressive(
         act = ac_tabs[0 if ci == 0 else 1]
         grid = zz_grids[ci]
         bh, bw = true_dims(ci)
+        rst = _RestartEmitter(bw_, restart_interval)
         for by in range(bh):
             for bx in range(bw):
+                rst.tick()
                 zz = grid[by, bx]
                 hist = [(abs(int(zz[k])) >> (Al + 1)) != 0 for k in range(64)]
                 newsig = [
@@ -751,6 +782,8 @@ def jpeg_encode_progressive(
     out += _jpeg_seg(0xFFC2, sof)  # SOF2: progressive DCT
     out += _jpeg_dht(0, 0, *_DC_LUMA) + _jpeg_dht(1, 0, *_AC_LUMA)
     out += _jpeg_dht(0, 1, *_DC_CHROMA) + _jpeg_dht(1, 1, *_AC_CHROMA)
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def sos(scomps, Ss, Se, Ah, Al):
         body = bytes([len(scomps)])
@@ -908,12 +941,23 @@ def _comp_block_dims(c, h, w, hmax, vmax) -> tuple[int, int]:
     return (ch + 7) // 8, (cw + 7) // 8
 
 
-def _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, vmax):
+def _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, vmax, ri=0):
     """Progressive DC scan: first (Ah=0, diff-coded value << Al) or
-    refinement (one raw bit per block)."""
+    refinement (one raw bit per block).  ``ri``: restart interval in
+    MCUs (interleaved) / blocks (single-component)."""
     if Ah == 0:
         prev_dc = {c[0]: 0 for c in scomps}
     tsel = {cid: td for cid, td, _ta in scan}
+    unit_i = 0
+
+    def maybe_restart():
+        nonlocal unit_i, prev_dc
+        if ri and unit_i and unit_i % ri == 0:
+            br.restart()
+            if Ah == 0:
+                prev_dc = {c[0]: 0 for c in scomps}
+        unit_i += 1
+
     if len(scomps) > 1:  # interleaved MCU order
         iters = [
             (c, by, bx)
@@ -923,6 +967,7 @@ def _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, 
         ]
         for my in range(mcuy):
             for mx in range(mcux):
+                maybe_restart()
                 for c, by, bx in iters:
                     zz = grids[c[0]][my * c[2] + by, mx * c[1] + bx]
                     if Ah == 0:
@@ -936,6 +981,7 @@ def _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, 
         bh, bw = _comp_block_dims(c, h, w, hmax, vmax)
         for by in range(bh):
             for bx in range(bw):
+                maybe_restart()
                 zz = grids[c[0]][by, bx]
                 if Ah == 0:
                     ssss = br.huff(hdc[tsel[c[0]]])
@@ -945,11 +991,16 @@ def _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, 
                     zz[0] |= br.bits(1) << Al
 
 
-def _prog_ac_first(br, c, alut, grid, Ss, Se, Al, bh, bw):
+def _prog_ac_first(br, c, alut, grid, Ss, Se, Al, bh, bw, ri=0):
     """Progressive AC first scan (Ah=0) over one component's band."""
     eobrun = 0
+    blk_i = 0
     for by in range(bh):
         for bx in range(bw):
+            if ri and blk_i and blk_i % ri == 0:
+                br.restart()
+                eobrun = 0  # restart intervals are decode-independent
+            blk_i += 1
             if eobrun:
                 eobrun -= 1
                 continue
@@ -971,14 +1022,19 @@ def _prog_ac_first(br, c, alut, grid, Ss, Se, Al, bh, bw):
                 k += 1
 
 
-def _prog_ac_refine(br, c, alut, grid, Ss, Se, Al, bh, bw):
+def _prog_ac_refine(br, c, alut, grid, Ss, Se, Al, bh, bw, ri=0):
     """Progressive AC refinement (Ah=Al+1 → Al): newly-significant ±1
     insertions interleaved with correction bits for history-nonzero
     coefficients (T.81 G.1.2.3 / libjpeg jdphuff semantics)."""
     p1, m1 = 1 << Al, -1 << Al
     eobrun = 0
+    blk_i = 0
     for by in range(bh):
         for bx in range(bw):
+            if ri and blk_i and blk_i % ri == 0:
+                br.restart()
+                eobrun = 0
+            blk_i += 1
             zz = grid[by, bx]
             k = Ss
             if eobrun == 0:
@@ -1112,14 +1168,12 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             br = _BitReader(payload[pos:end])
             by_id = {c[0]: c for c in comps}
             scomps = [by_id[cid] for cid, _t, _a in scan]
-            if mode == 0xC2 and ri:
-                raise ValueError("restart intervals in progressive JPEG not supported")
             if mode == 0xC0:
                 _decode_baseline_scan(br, comps, scan, grids, hdc, hac, mcux, mcuy, ri)
             elif Ss == 0:  # progressive DC scan
                 if Se != 0:
                     raise ValueError("progressive DC scan with Se != 0")
-                _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, vmax)
+                _prog_dc_scan(br, scomps, scan, grids, hdc, Ah, Al, mcux, mcuy, h, w, hmax, vmax, ri)
             else:  # progressive AC scan: exactly one component
                 if len(scomps) != 1:
                     raise ValueError("progressive AC scan must be single-component")
@@ -1127,9 +1181,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 alut = hac[scan[0][2]]
                 bh, bw = _comp_block_dims(c, h, w, hmax, vmax)
                 if Ah == 0:
-                    _prog_ac_first(br, c, alut, grids[c[0]], Ss, Se, Al, bh, bw)
+                    _prog_ac_first(br, c, alut, grids[c[0]], Ss, Se, Al, bh, bw, ri)
                 else:
-                    _prog_ac_refine(br, c, alut, grids[c[0]], Ss, Se, Al, bh, bw)
+                    _prog_ac_refine(br, c, alut, grids[c[0]], Ss, Se, Al, bh, bw, ri)
             saw_scan = True
             pos = end
     if not saw_scan or not comps:

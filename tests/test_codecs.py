@@ -663,15 +663,15 @@ def test_jpeg_restart_intervals(subsampling):
         jpeg_decode(jpeg_encode(big, 70, subsampling, restart_interval=2))
         == jpeg_decode(jpeg_encode(big, 70, subsampling))
     ).all()
-    # progressive + DRI is the named gate
+    # progressive streams honor restarts too: every scan restarts its
+    # own modulo count (DC predictors / EOB runs reset per interval)
     from crawler_ray.stages.codecs import jpeg_encode_progressive
 
-    prog = bytearray(jpeg_encode_progressive(img, 80))
-    sof = prog.find(b"\xff\xc2")
-    dri = b"\xff\xdd\x00\x04\x00\x02"
-    prog2 = bytes(prog[:sof]) + dri + bytes(prog[sof:])
-    with pytest.raises(ValueError, match="restart"):
-        jpeg_decode(prog2)
+    prog_plain = jpeg_decode(jpeg_encode_progressive(img, 80, subsampling))
+    for ri in (1, 3):
+        enc = jpeg_encode_progressive(img, 80, subsampling, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert (jpeg_decode(enc) == prog_plain).all()
 
 
 def test_jpeg_grayscale_and_16bit_dqt():
