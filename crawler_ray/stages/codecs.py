@@ -22,8 +22,9 @@ static-image matrix — palette PNGs decode through PLTE, 16-bit
 returns uint16, sub-byte gray bit-replicates to uint8 — JPEG covers
 baseline 4:4:4/4:2:0 and progressive single-frame streams) and raise
 ValueError with the unsupported feature named — arithmetic-coded
-JPEG, JPEG restart intervals and APNG animation are out of scope for
-a sandbox codec.  GIF87a/89a (palette + LZW,
+JPEG, hierarchical/lossless modes and APNG animation are out of
+scope for a sandbox codec; restart intervals (DRI/RSTn) work in BOTH
+JPEG modes.  GIF87a/89a (palette + LZW,
 interlacing undone) and AVI/MJPEG
 video (per-frame JPEG) round out the web-staple formats below.
 Everything is numpy-vectorized per block/scanline; actor-pool stages
