@@ -34,8 +34,21 @@ def compact_dir(
 
     Returns {"rows", "files_before", "files_after"}.  Row preservation
     is audited before publish; raises if the compacted output lost or
-    duplicated rows."""
+    duplicated rows.
+
+    Reader-visible gap note: the publish swap is two renames; a reader
+    racing the swap (or a crash between them) can observe ``out_dir``
+    absent for an instant even though the previous output survives at
+    ``<out_dir>.old``.  Entry self-heals that state: if ``out_dir`` is
+    missing but ``.old`` exists, the parked copy is renamed back into
+    place before recompacting."""
     import ray.data
+
+    # self-heal a crash between the publish renames: the previous
+    # output was parked at <out_dir>.old but never republished
+    old = out_dir.rstrip("/") + ".old"
+    if not os.path.isdir(out_dir) and os.path.isdir(old):
+        os.rename(old, out_dir)
 
     files = [
         os.path.join(dp, f)
@@ -68,7 +81,6 @@ def compact_dir(
     # audited tmp into place, then drop the parked copy — no crash
     # point loses the previous output (a crash between the renames
     # leaves it recoverable under <out_dir>.old)
-    old = out_dir.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     if os.path.isdir(out_dir):
         os.rename(out_dir, old)

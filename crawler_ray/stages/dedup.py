@@ -345,10 +345,16 @@ class NearDupShardActor:
     def restore_resharded_from(self, paths: list[str], sid: int, n_new: int) -> None:
         """Shard-count elasticity (mirrors stages/seen.py): band keys
         are fully enumerable in the snapshots, so a checkpoint written
-        at n_old shards restores EXACTLY at n_new — this shard loads
-        every old file and keeps the bands it owns under the new
-        ``key % n_new`` routing.  Within-band gram order only affects
-        the early-break, never a future verdict (membership OR)."""
+        at n_old shards restores EXACTLY at n_new — this shard keeps
+        the bands it owns under the new ``key % n_new`` routing.
+        Within-band gram order only affects the early-break, never a
+        future verdict (membership OR).
+
+        Callers should pass PRE-SPLIT part files (see
+        ``_split_neardup_snapshot``) so total restore I/O is
+        O(snapshot bytes), not O(n_new × snapshot bytes); passing full
+        old snapshots still restores correctly (the modulo filter
+        below drops foreign bands), just with redundant reads."""
         self.sid, self.n = sid, n_new
         self.index = {}
         for p in paths:
@@ -365,6 +371,63 @@ class NearDupShardActor:
                         arrs[r] for r in refs[pos:pos + c]
                     )
                 pos += c
+
+
+@ray.remote(num_cpus=1)
+def _split_neardup_snapshot(path: str, n_new: int, out_dir: str, tag: int) -> list:
+    """Re-shard pre-pass: read ONE old snapshot file and partition its
+    band keys by the new ``key % n_new`` routing into per-new-shard part
+    files (same npz layout).  One task per old file ⇒ total re-shard
+    I/O is O(snapshot bytes); each new shard then reads only the parts
+    that can contain its bands (vs every shard parsing every old file,
+    which is O(n_new × bytes)).  Returns a length-n_new list of part
+    paths (None where a shard gets nothing from this file)."""
+    import os
+
+    z = np.load(path)
+    _check_shingle_wire(int(z["wire"][0]) if "wire" in z else 1)
+    threshold = float(z["threshold"][0])
+    band_keys = z["band_keys"]
+    band_counts = z["band_counts"]
+    refs = z["refs"]
+    lens = z["lens"]
+    arrs = np.split(z["flat"], np.cumsum(lens)[:-1]) if len(lens) else []
+    starts = np.concatenate([[0], np.cumsum(band_counts)]).astype(np.int64)
+    route = (band_keys % np.uint64(n_new)).astype(np.int64)
+    from ..functions.shingles import SHINGLE_WIRE_VERSION
+
+    out: list = [None] * n_new
+    for sid in range(n_new):
+        sel = np.nonzero(route == sid)[0]
+        if len(sel) == 0:
+            continue
+        remap: dict[int, int] = {}
+        part_arrs: list[np.ndarray] = []
+        part_refs: list[int] = []
+        for bi in sel:
+            for r in refs[starts[bi]:starts[bi + 1]]:
+                r = int(r)
+                if r not in remap:
+                    remap[r] = len(part_arrs)
+                    part_arrs.append(arrs[r])
+                part_refs.append(remap[r])
+        part_lens = np.array([len(a) for a in part_arrs], dtype=np.int64)
+        flat = np.concatenate(part_arrs) if part_arrs else np.zeros(0, dtype=np.uint64)
+        pp = os.path.join(out_dir, f"part_{tag}_{sid}.npz")
+        with open(pp, "wb") as f:
+            np.savez(
+                f,
+                wire=np.array([SHINGLE_WIRE_VERSION], dtype=np.int64),
+                meta=np.array([sid, n_new], dtype=np.int64),
+                threshold=np.array([threshold], dtype=np.float64),
+                band_keys=band_keys[sel],
+                band_counts=band_counts[sel],
+                refs=np.array(part_refs, dtype=np.int64),
+                lens=part_lens,
+                flat=flat.astype(np.uint64, copy=False),
+            )
+        out[sid] = pp
+    return out
 
 
 class NearDupShards:
@@ -439,9 +502,12 @@ class NearDupShards:
 
     def restore_from(self, dir_path: str, names: list[str]) -> None:
         """Restore shard snapshots; a checkpoint written at a DIFFERENT
-        shard count re-shards exactly (band keys are enumerable; every
-        new shard filters all old files by the new modulo routing)."""
+        shard count re-shards exactly (band keys are enumerable).  The
+        re-shard path runs a split pre-pass — one task per OLD file
+        partitions its bands into per-new-shard part files — so total
+        restore I/O is O(snapshot bytes), not O(n_new × bytes)."""
         import os
+        import shutil
 
         if len(names) == self.n:
             ray.get(
@@ -451,13 +517,26 @@ class NearDupShards:
                 ]
             )
             return
-        paths = [os.path.join(dir_path, nm) for nm in names]
-        ray.get(
-            [
-                self.shards[i].restore_resharded_from.remote(paths, i, self.n)
-                for i in range(self.n)
-            ]
-        )
+        split_dir = os.path.join(dir_path, f"_reshard_{self.n}")
+        os.makedirs(split_dir, exist_ok=True)
+        try:
+            parts = ray.get(
+                [
+                    _split_neardup_snapshot.remote(
+                        os.path.join(dir_path, nm), self.n, split_dir, t
+                    )
+                    for t, nm in enumerate(names)
+                ]
+            )
+            per_shard = [[p[i] for p in parts if p[i]] for i in range(self.n)]
+            ray.get(
+                [
+                    self.shards[i].restore_resharded_from.remote(per_shard[i], i, self.n)
+                    for i in range(self.n)
+                ]
+            )
+        finally:
+            shutil.rmtree(split_dir, ignore_errors=True)
 
 
 # =====================================================================

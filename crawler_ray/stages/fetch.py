@@ -64,6 +64,21 @@ def _portless(host: str) -> str:
     return host
 
 
+def _cookie_lookup_keys(host: str) -> list[str]:
+    """Shard-map keys under which a cookie applying to `host` may have
+    been exported: the host itself plus each parent domain with ≥2
+    labels (a Domain=.example.com cookie is exported under
+    'example.com' but must reach a worker fetching 'sub.example.com').
+    IP hosts have no parent domains."""
+    keys = [host]
+    labels = host.split(".")
+    if all(p.isdigit() for p in labels):  # IPv4 — no domain hierarchy
+        return keys
+    for i in range(1, len(labels) - 1):
+        keys.append(".".join(labels[i:]))
+    return keys
+
+
 def _cookie_sig(cookies: list[dict]) -> tuple:
     """Order-insensitive signature of a host's serialized cookie set
     (skip shard RPCs when nothing changed)."""
@@ -297,7 +312,13 @@ class HTTPTransport:
                 except _zlib.error as e:
                     return None, None, f"ContentDecodingError: {e}"
                 ctype = r.headers.get_content_charset() or "utf-8"
-                return r.status, None, raw.decode(ctype, errors="replace")
+                try:
+                    return r.status, None, raw.decode(ctype, errors="replace")
+                except LookupError:
+                    # server sent an unknown charset token (charset=bogus
+                    # is common in the wild) — fall back to utf-8 rather
+                    # than letting LookupError kill the worker
+                    return r.status, None, raw.decode("utf-8", errors="replace")
         except _ue.HTTPError as e:
             loc = e.headers.get("Location") if e.headers else None
             return e.code, loc, ""
@@ -341,12 +362,18 @@ class HTTPTransport:
                       "secure", "expires", "discard", "comment", "comment_url")
 
     def export_cookies(self) -> dict[str, list[dict]]:
-        """Serialize the jar → {host (cookie domain, no port): [cookie
-        dicts]} for shipping through a CookieStore shard."""
+        """Serialize the jar → {host (cookie domain, no port, no leading
+        dot): [cookie dicts]} for shipping through a CookieStore shard.
+
+        http.cookiejar stores Domain=-attribute cookies with a leading
+        dot ('.example.com'); the pre-batch install pass queries shards
+        by _portless(url_host(u)) which never has one — normalize the
+        shard-map key here (the cookie dict itself keeps the dotted
+        domain so jar semantics survive the round trip)."""
         out: dict[str, list[dict]] = {}
         for c in self.cookies:
             d = {f: getattr(c, f) for f in self._COOKIE_FIELDS}
-            out.setdefault(c.domain, []).append(d)
+            out.setdefault(c.domain.lstrip("."), []).append(d)
         return out
 
     def install_cookies(self, by_host: dict[str, list[dict]]) -> None:
@@ -489,7 +516,12 @@ class Fetcher:
         # shard; skipped entirely for synthetic transports)
         live_sync = bool(self.cookie_shards) and hasattr(self.transport, "install_cookies")
         if live_sync and urls:
-            hosts_np = sorted({_portless(url_host(u)) for u in urls})
+            # query the batch hosts AND their parent domains so
+            # Domain=-attribute cookies (exported under the registrable
+            # domain, no leading dot) reach subdomain fetches
+            hosts_np = sorted(
+                {k for u in urls for k in _cookie_lookup_keys(_portless(url_host(u)))}
+            )
             by_shard: dict[int, list[str]] = {}
             for h in hosts_np:
                 by_shard.setdefault(host_hash(h, len(self.cookie_shards)), []).append(h)

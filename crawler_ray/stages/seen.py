@@ -503,7 +503,7 @@ class SeenShard:
         ]
         self.exact = set(snap["exact"]) if snap["exact"] is not None else None
 
-    def restore_resharded(self, snaps: list[dict], n_new: int) -> None:
+    def restore_resharded(self, snaps: list[dict], n_new: int, n_old: int | None = None) -> None:
         """Restore from OLD-count snapshots whose hash intervals overlap
         this shard's (shard-count elasticity).  Two regimes:
 
@@ -547,15 +547,31 @@ class SeenShard:
             for b in s.get("base_filters", [])
         ]
         self.exact = None
+        # Shards MERGED (n_new < n_old): this shard now owns an interval
+        # ~n_old/n_new times wider than the per-shard capacity the live
+        # filter was sized for, and the base layers only cover members
+        # known at checkpoint time — continued crawling would push the
+        # live filter past its design load and degrade its FP rate
+        # (silently dropped URLs).  Scale the fresh live filter by the
+        # interval-overlap factor.
+        factor = (
+            -(-n_old // n_new) if n_old is not None and n_old > n_new
+            else max(1, len(snaps) - 1)  # overlap count bounds the factor
+        )
+        if factor > 1 and self.filter.count == 0:
+            if isinstance(self.filter, BloomFilter):
+                self.filter = BloomFilter(self.filter.capacity * factor, self.filter.fp_rate)
+            else:
+                self.filter = CuckooFilter(self.filter.n_buckets * CuckooFilter.SLOTS * factor)
 
-    def restore_resharded_from(self, paths: list[str], n_new: int) -> None:
+    def restore_resharded_from(self, paths: list[str], n_new: int, n_old: int | None = None) -> None:
         import pickle
 
         snaps = []
         for p in paths:
             with open(p, "rb") as f:
                 snaps.append(pickle.load(f))
-        self.restore_resharded(snaps, n_new)
+        self.restore_resharded(snaps, n_new, n_old)
 
     def snapshot_to(self, path: str) -> int:
         """Shard-side snapshot write (shared storage) — the driver only
@@ -793,6 +809,7 @@ class SeenSet:
                         for s in overlapping_shards(i, self.n, n_old)
                     ],
                     self.n,
+                    n_old,
                 )
                 for i in range(self.n)
             ]

@@ -509,3 +509,37 @@ def test_http_transport_content_encoding():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_transport_bogus_charset():
+    """ADVICE r4: a server-supplied unknown charset token
+    (Content-Type: ...; charset=bogus — common in the wild) must fall
+    back to utf-8, not escape as LookupError and kill the worker."""
+    import http.server
+    import threading
+
+    from crawler_ray.stages.fetch import HTTPTransport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = "<html><body>café</body></html>".encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=bogus-charset-token")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        tr = HTTPTransport(timeout=5.0)
+        st, final, _ = tr.resolve(f"{base}/x", [f"{base}/x"])
+        assert st == "ok"
+        assert "café" in tr.body(final)
+    finally:
+        srv.shutdown()
+        srv.server_close()

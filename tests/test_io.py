@@ -73,3 +73,34 @@ def test_compact_dir_merges_fragments_and_preserves_rows(ray_session, tmp_path):
     assert got["v"].sum() == sum(i * 25 for i in range(40))
     # .tmp staging dir must not survive the publish
     assert not os.path.exists(out + ".tmp")
+
+
+def test_compact_dir_self_heals_parked_output(ray_session, tmp_path):
+    """ADVICE r4: a crash between the two publish renames leaves
+    out_dir absent with the previous output parked at <out_dir>.old;
+    the next compact_dir run restores the parked copy on entry (so the
+    window is self-healing, not an operator task)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.compact import compact_dir
+
+    frag = tmp_path / "frag"
+    frag.mkdir()
+    for i in range(4):
+        t = pa.table({"doc_id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64())})
+        pq.write_table(t, str(frag / f"part-{i}.parquet"))
+    out = str(tmp_path / "compacted")
+    compact_dir(str(frag), out, target_rows_per_file=20)
+
+    # simulate the crash window: out_dir renamed away, .old left behind
+    os.rename(out, out + ".old")
+    assert not os.path.isdir(out)
+    stats = compact_dir(str(frag), out, target_rows_per_file=20)
+    assert stats["rows"] == 40
+    assert os.path.isdir(out)
+    assert not os.path.isdir(out + ".old")
+    got = pq.read_table(out).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == list(range(40))

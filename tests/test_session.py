@@ -281,3 +281,74 @@ def test_cookie_store_dump_restore_shapes(ray_session):
     ray.get(s3.restore.remote({"old.test": ["session", 1]}))
     assert ray.get(s3.get_many.remote(["old.test"])) == {"old.test": ("session", 1)}
     assert ray.get(s3.get_http.remote(["old.test"])) == {}
+
+
+def test_domain_attribute_cookie_crosses_workers(ray_session):
+    """ADVICE r4: http.cookiejar stores Domain=-attribute cookies with
+    a leading dot ('.127.0.0.1'), while the pre-batch install pass
+    queries shards by the portless host — the export key must be
+    normalized or the common login-cookie form silently never
+    propagates cross-worker."""
+    import http.server
+    import threading
+
+    from crawler_ray.stages.fetch import HTTPTransport, _cookie_lookup_keys
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/login":
+                body = b"<html><body>logged in</body></html>"
+                self.send_response(200)
+                # Domain attribute → jar stores '.127.0.0.1'
+                self.send_header(
+                    "Set-Cookie", "session=tok42; Path=/; Domain=127.0.0.1"
+                )
+            elif self.path == "/account":
+                authed = "session=tok42" in (self.headers.get("Cookie") or "")
+                body = (b"<html><body>secret</body></html>" if authed
+                        else b"<html><body>wall</body></html>")
+                self.send_response(200)
+            else:
+                self.send_error(404)
+                return
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        shards = [CookieStore.options(num_cpus=0).remote() for _ in range(2)]
+        worker_a = Fetcher(HTTPTransport(timeout=5.0), cookie_shards=shards)
+        worker_b = Fetcher(HTTPTransport(timeout=5.0), cookie_shards=shards)
+
+        out1 = worker_a(_batch([f"{base}/login"]))
+        assert out1["status"][0].as_py() == "ok"
+        # export key is the dot-normalized host, not '.127.0.0.1'
+        exported = worker_a.transport.export_cookies()
+        assert list(exported) == ["127.0.0.1"], exported
+
+        # worker B's pre-pass finds the cookie under the host key
+        out2 = worker_b(_batch([f"{base}/account"]))
+        assert "secret" in out2["body"][0].as_py()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cookie_lookup_keys_parent_domains():
+    """Domain=.example.com cookies are exported under 'example.com';
+    a worker fetching 'sub.example.com' must query that parent key.
+    IP hosts have no domain hierarchy."""
+    from crawler_ray.stages.fetch import _cookie_lookup_keys
+
+    assert _cookie_lookup_keys("a.b.example.com") == [
+        "a.b.example.com", "b.example.com", "example.com",
+    ]
+    assert _cookie_lookup_keys("example.com") == ["example.com"]
+    assert _cookie_lookup_keys("127.0.0.1") == ["127.0.0.1"]
+    assert _cookie_lookup_keys("localhost") == ["localhost"]

@@ -144,3 +144,33 @@ def test_neardup_snapshot_wire_version_refused(ray_session, tmp_path):
     # current-version round-trip still works
     ray.get(a.snapshot_to.remote(p))
     ray.get(a.restore_from.remote(p))
+
+
+def test_merge_reshard_scales_live_filter_capacity(ray_session, tmp_path):
+    """ADVICE r4: filter-only restore at FEWER shards (merges) must
+    scale the fresh live filter's capacity by the interval-overlap
+    factor — the new shard owns a hash interval ~n_old/n_new wider
+    than the per-shard capacity it was constructed for, and the base
+    layers only cover checkpointed members."""
+    from crawler_ray.stages.seen import SeenSet
+
+    cap = 1_000
+    old = SeenSet(n_shards=8, capacity_per_shard=cap, exact_audit=False)
+    urls = [f"http://h{i % 7}.com/p/{i}" for i in range(500)]
+    assert old.test_and_set(urls).all()
+    names = old.snapshot_to(str(tmp_path))
+
+    merged = SeenSet(n_shards=2, capacity_per_shard=cap, exact_audit=False)
+    merged.restore_from(str(tmp_path), names)
+    # no false negatives across the merge
+    assert not merged.test_and_set(urls).any()
+    # each merged shard's LIVE filter was re-sized ×ceil(8/2)=4
+    for snap in merged.snapshot():
+        assert snap["filter"]["capacity"] >= cap * 4, snap["filter"]["capacity"]
+
+    # splits (n_new > n_old) keep the constructed capacity — no blowup
+    split = SeenSet(n_shards=16, capacity_per_shard=cap, exact_audit=False)
+    split.restore_from(str(tmp_path), names)
+    assert not split.test_and_set(urls).any()
+    for snap in split.snapshot():
+        assert snap["filter"]["capacity"] == cap
