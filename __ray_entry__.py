@@ -35,14 +35,18 @@ def entry() -> Any:
     from crawler_ray.pipelines.crawl import CrawlConfig, crawl
     from crawler_ray.state.checkpoint import CheckpointStore
 
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     docs = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
     pages = synth.derive_from_documents(docs)
-    rows = pages.to_pylist()
-    first_per_host: dict[str, str] = {}
-    for r in rows:
-        if not r["is_leaf"] and r["host"] not in first_per_host:
-            first_per_host[r["host"]] = r["doc_id"]
-    seeds = sorted(first_per_host.values())
+    # seed pick: FIRST non-leaf row per host in table order, all Arrow
+    # kernels (no driver-side Python row loop over the pages table)
+    non_leaf = pages.filter(pc.invert(pages["is_leaf"]))
+    non_leaf = non_leaf.append_column("_idx", pa.array(np.arange(non_leaf.num_rows)))
+    first_idx = non_leaf.group_by("host").aggregate([("_idx", "min")])["_idx_min"]
+    seeds = sorted(pc.take(non_leaf["doc_id"], first_idx).to_pylist())
 
     ckpt_dir = tempfile.mkdtemp(prefix="entry_crawl_")
     cfg = CrawlConfig(
@@ -65,18 +69,20 @@ def entry() -> Any:
     )
 
 
-# The driver's per-round oracle sweep is capped (r3 certified exactly
-# the first 50 of 72 registry entries, in dict order), so expose the
-# entries it has NOT yet certified first: r3's last 22 plus anything
-# new this round.  The r3-certified 50 follow in registry order.
+# The driver's per-round oracle sweep is capped at 50 entries (dict
+# order), so rotate: expose the entries whose last driver certification
+# is STALEST first.  r4 certified CORRECTNESS_r04.json's 50; these 23
+# (certified r3, some with code changes since) go first this round, plus
+# anything newly registered.  The r4-certified 50 follow in registry
+# order.
 _CERTIFY_FIRST = [
-    "media_decode_stats",
-    "pii_scrub", "tfidf_top_terms", "segment_dedup", "asof_join",
-    "running_window", "semantic_dedup", "global_rank", "partitioned_export",
-    "chunk_documents", "text_normalize", "funnel_conversion", "pagerank",
-    "distinct_kmv", "event_transitions", "bloom_semi_join",
-    "session_coverage", "inverted_index", "typo_pairs", "rolling_hour_sum",
-    "pivot_events", "shuffle_shards", "ohlc_hourly",
+    "training_data_prep", "simhash_neardup", "langid_heuristic",
+    "rolling_fingerprints", "ann_ivf_topk", "crawl_bfs", "window_rank",
+    "union_distinct", "json_props_stats", "filter_sum_scan",
+    "semi_join_exists", "duplicate_substrings", "stratified_sample",
+    "kmeans_clusters", "heavy_hitters", "dedup_components", "interval_join",
+    "bpe_token_stats", "decontaminate", "value_quantiles", "group_topk",
+    "mixture_resample", "repetition_stats",
 ]
 
 

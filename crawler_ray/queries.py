@@ -4170,12 +4170,37 @@ def running_window(sf_dir: str):
     "so no verdict can flip.  Flags (not a filtered corpus) are "
     "returned so the oracle checks every row's verdict.",
 )
-def semantic_dedup(sf_dir: str, tau: float = 0.4, tile: int = 1024, n_centroids: int = 8):
-    # n_centroids=8 matches the registered oracle; production scales it
-    # with corpus size (the SemDeDup contract: cluster size stays
-    # bounded, so within-cluster work stays linear-ish) — see
-    # tools/embedding_smoke.py for the k=64-at-200k-vectors evidence
+def _semantic_dedup_oracle(sf_dir: str):
+    """Oracle-facing entry: pins n_centroids=8 to match the SQL's
+    ``rn < 8`` quantizer.  The library default (``semantic_dedup``
+    below) auto-scales k with corpus size — the SemDeDup scale
+    contract — so the bounded-cluster path is what users get."""
+    return semantic_dedup(sf_dir, n_centroids=8)
+
+
+# target within-cluster size for the auto-scaled quantizer: per-cluster
+# tiled-BLAS work is O(cluster²/tile) so holding clusters near this
+# bound keeps total work ~linear in corpus size (measured: k=64 at 200k
+# vecs cut 25.8 s → 12.7 s vs pinned k=8; tools/embedding_smoke.py)
+SEMANTIC_DEDUP_TARGET_CLUSTER = 4096
+
+
+def semantic_dedup(
+    sf_dir: str,
+    tau: float = 0.4,
+    tile: int = 1024,
+    n_centroids: int | None = None,
+    target_cluster: int = SEMANTIC_DEDUP_TARGET_CLUSTER,
+):
+    # default posture auto-scales the centroid count so EXPECTED
+    # cluster size stays ~target_cluster regardless of corpus size
+    # (n_centroids=8 pinned only by the oracle wrapper above); the
+    # count() is parquet-metadata-only, no scan
     from crawler_ray.stages.ann import ivf_bucket, list_col_to_matrix
+
+    if n_centroids is None:
+        n_vecs = _read(sf_dir, "embeddings", columns=["vec_id"]).count()
+        n_centroids = max(8, -(-n_vecs // target_cluster))
 
     head = _head_by_id(sf_dir, n_centroids)
     cents = np.array(head["embedding"].to_list(), dtype=np.float64)

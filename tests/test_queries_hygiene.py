@@ -546,3 +546,39 @@ def test_distinct_kmv_sketch_only_estimate_unchanged(ray_session, tmp_path):
     sk = distinct_kmv(sf, sketch_only=True).to_pandas().set_index("lang")
     assert int(sk.loc["en", "kmv_estimate"]) == int(full.loc["en", "kmv_estimate"])
     assert int(sk.loc["en", "exact_distinct"]) == -1  # exact leg dropped
+
+
+def test_semantic_dedup_auto_scales_centroids(ray_session, tmp_path):
+    """r4 verdict: the DEFAULT posture must bound within-cluster work —
+    n_centroids auto-scales as ceil(n_vecs / target_cluster) (floor 8),
+    and the auto path at a given k is row-identical to pinning that k
+    explicitly.  The oracle wrapper stays pinned at k=8."""
+    rng = np.random.default_rng(11)
+    n = 60
+    m = rng.normal(size=(n, 12)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([0] * n, type=pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "embeddings.parquet"))
+    from crawler_ray.queries import _semantic_dedup_oracle, semantic_dedup
+
+    sf = str(tmp_path)
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # target_cluster=5 → k = ceil(60/5) = 12 > floor; auto == pinned-12
+    auto = norm(semantic_dedup(sf, target_cluster=5))
+    pinned = norm(semantic_dedup(sf, n_centroids=12))
+    assert auto.equals(pinned)
+    assert auto["bucket"].max() >= 8  # actually used more than the floor
+
+    # corpus below the target → floor of 8 == the oracle wrapper
+    small = norm(semantic_dedup(sf))  # 60 vecs, default target 4096
+    oracle = norm(_semantic_dedup_oracle(sf))
+    assert small.equals(oracle)
