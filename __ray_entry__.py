@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "date_records_detect",  # new in r5, never certified
     "training_data_prep", "simhash_neardup", "langid_heuristic",
     "rolling_fingerprints", "ann_ivf_topk", "crawl_bfs", "window_rank",
     "union_distinct", "json_props_stats", "filter_sum_scan",

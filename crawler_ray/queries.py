@@ -5855,3 +5855,101 @@ def media_decode_stats(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+@register(
+    "date_records_detect",
+    """
+    WITH m AS (
+      SELECT lang,
+             CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS found,
+             CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 8 + doc_id % 13 END
+               AS n_records
+      FROM documents)
+    SELECT lang, count(*) AS n_pages,
+           CAST(sum(found) AS BIGINT) AS n_detected,
+           CAST(sum(n_records) AS BIGINT) AS total_records
+    FROM m GROUP BY lang
+    """,
+    doc="Date-indexed record discovery as a pipeline stage (the "
+    "reference's results.html experiment, calibrated 20/20 on its "
+    "labeled corpus — records.py + test_reference_pages.py): every "
+    "document derives a deterministic listing page — 8 + doc_id%13 "
+    "records; pages with doc_id%5==0 carry NO date stamps (below the "
+    "0.7 threshold → undetected), all others date every record — then "
+    "detect_records_batch runs the detector per page and per-lang "
+    "partials aggregate (pages counted, listings detected, records "
+    "recovered).  The oracle mirrors the doc_id arithmetic; a detector "
+    "regression (missed page, wrong record count, false positive on "
+    "the undated pages) breaks the value hash.",
+)
+def date_records_detect(sf_dir: str):
+    from .records import detect_records_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def synth_pages(t: pa.Table) -> pa.Table:
+        pages = []
+        for did in t["doc_id"].to_pylist():
+            n = 8 + did % 13
+            dated = did % 5 != 0
+            rows = []
+            for i in range(n):
+                stamp = (
+                    f" <span class='when'>Dec {1 + (did + i) % 28}, 2013</span>"
+                    if dated
+                    else ""
+                )
+                rows.append(
+                    f"<li class='post'><span class='title'>thread "
+                    f"entry {i} alpha</span>{stamp}</li>"
+                )
+            pages.append(
+                "<html><body><div class='wrap'><ul class='listing'>"
+                + "".join(rows)
+                + "</ul></div></body></html>"
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "html": pa.array(pages, type=pa.string())}
+        )
+
+    detected = ds.map_batches(synth_pages, batch_format="pyarrow").map_batches(
+        detect_records_batch, batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "found": t["records_found"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "nr": t["n_records"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            p_p=("found", "size"), d_p=("found", "sum"), r_p=("nr", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        detected.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("p_p", alias_name="n_pages"),
+            Sum("d_p", alias_name="n_detected"),
+            Sum("r_p", alias_name="total_records"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_pages": pc.cast(t["n_pages"], pa.int64()),
+                "n_detected": pc.cast(t["n_detected"], pa.int64()),
+                "total_records": pc.cast(t["total_records"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
