@@ -19,12 +19,13 @@ corpora, so the decode stage needs REAL codecs, not a stub:
 
 Both are deliberately scope-limited (PNG covers the spec's whole
 static-image matrix — palette PNGs decode through PLTE, 16-bit
-returns uint16, sub-byte gray bit-replicates to uint8 — JPEG covers
-baseline 4:4:4/4:2:0 and progressive single-frame streams) and raise
-ValueError with the unsupported feature named — arithmetic-coded
-JPEG, hierarchical/lossless modes and APNG animation are out of
-scope for a sandbox codec; restart intervals (DRI/RSTn) work in BOTH
-JPEG modes.  GIF87a/89a (palette + LZW,
+returns uint16, sub-byte gray bit-replicates to uint8; APNG
+animation chunks acTL/fcTL/fdAT composite per the spec's rendering
+model — JPEG covers baseline 4:4:4/4:2:0 and progressive
+single-frame streams) and raise ValueError with the unsupported
+feature named — arithmetic-coded JPEG and hierarchical/lossless
+modes are out of scope for a sandbox codec; restart intervals
+(DRI/RSTn) work in BOTH JPEG modes.  GIF87a/89a (palette + LZW,
 interlacing undone) and AVI/MJPEG
 video (per-frame JPEG) round out the web-staple formats below.
 Everything is numpy-vectorized per block/scanline; actor-pool stages
@@ -265,6 +266,200 @@ def png_decode(payload: bytes) -> np.ndarray:
     if color == 0 and depth < 8:  # left-bit-replicate to full-range uint8
         img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return img[:, :, 0] if channels == 1 else img
+
+
+# ================================================================== APNG
+
+# Animated PNG (the PNG Third Edition animation chunks: acTL / fcTL /
+# fdAT).  Frames are RGBA rects composited onto the canvas per the
+# spec's rendering model — blend_op SOURCE (0, replace the rect) or
+# OVER (1, Porter-Duff over), then the frame's OWN dispose_op runs
+# before the next frame draws: 0 none, 1 background (clear the rect to
+# fully transparent black), 2 previous (restore the canvas as it was
+# before the frame drew).
+
+_APNG_DISPOSE_NONE, _APNG_DISPOSE_BACKGROUND, _APNG_DISPOSE_PREVIOUS = 0, 1, 2
+_APNG_BLEND_SOURCE, _APNG_BLEND_OVER = 0, 1
+
+
+def png_is_animated(payload: bytes) -> bool:
+    """Chunk-level probe: True iff an acTL chunk precedes the first
+    IDAT (the spec's placement rule) — a byte scan would false-positive
+    on compressed IDAT content."""
+    if not payload.startswith(_PNG_SIG):
+        return False
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"acTL":
+            return True
+        if tag in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + length
+    return False
+
+
+def apng_encode_animation(frames, size: tuple[int, int] | None = None) -> bytes:
+    """Animated PNG writer (same frame-spec convention as
+    gif_encode_animation): ``frames`` is an (n, h, w, 3|4) uint8 stack
+    (full-canvas frames) or a list of dicts with ``image`` ((h, w, 3|4)
+    uint8) and optionally ``left``/``top``, ``dispose`` (0/1/2),
+    ``blend`` (0 source / 1 over), ``delay_ms``.  ``size`` is the
+    (width, height) canvas; the FIRST frame must cover it (spec rule
+    for fcTL sequence 0).  Pixels are stored as RGBA depth 8."""
+    if isinstance(frames, np.ndarray):
+        frames = [{"image": f} for f in frames]
+    if not frames:
+        raise ValueError("animated PNG needs at least one frame")
+    specs = []
+    for f in frames:
+        img = f["image"]
+        if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+            raise ValueError("APNG frames must be (h, w, 3|4) uint8")
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
+            )
+        specs.append(
+            {
+                "image": img,
+                "left": int(f.get("left", 0)),
+                "top": int(f.get("top", 0)),
+                "dispose": int(f.get("dispose", _APNG_DISPOSE_NONE)),
+                "blend": int(f.get("blend", _APNG_BLEND_SOURCE)),
+                "delay_ms": int(f.get("delay_ms", 40)),
+            }
+        )
+    if size is None:
+        size = (specs[0]["image"].shape[1], specs[0]["image"].shape[0])
+    sw, sh = size
+    s0 = specs[0]
+    if s0["left"] or s0["top"] or s0["image"].shape[:2] != (sh, sw):
+        raise ValueError("APNG first frame must cover the full canvas at (0, 0)")
+    for s in specs:
+        h, w = s["image"].shape[:2]
+        if s["left"] + w > sw or s["top"] + h > sh:
+            raise ValueError("APNG frame rect exceeds the canvas")
+        if s["dispose"] not in (0, 1, 2) or s["blend"] not in (0, 1):
+            raise ValueError("bad APNG dispose/blend op")
+
+    def fctl(seq: int, s: dict) -> bytes:
+        h, w = s["image"].shape[:2]
+        return _chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB",
+                seq, w, h, s["left"], s["top"],
+                s["delay_ms"], 1000, s["dispose"], s["blend"],
+            ),
+        )
+
+    ihdr = struct.pack(">IIBBBBB", sw, sh, 8, 6, 0, 0, 0)  # RGBA depth 8
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(specs), 0))  # loop forever
+    seq = 0
+    for i, s in enumerate(specs):
+        out += fctl(seq, s)
+        seq += 1
+        raw = zlib.compress(_raw_scanlines(s["image"], 4, 8), 6)
+        if i == 0:  # the default image doubles as animation frame 0
+            out += _chunk(b"IDAT", raw)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + raw)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+@_valueerror_on_corruption
+def apng_decode_frames(payload: bytes) -> tuple[np.ndarray, list[int]]:
+    """APNG bytes → fully composited animation: ((n, sh, sw, 4) uint8
+    RGBA, per-frame delays in ms).  The canvas starts fully transparent;
+    each frame blends into its rect (SOURCE replaces, OVER composites
+    Porter-Duff) and its dispose op runs before the next frame.  An
+    IDAT not preceded by an fcTL is the standalone default image and is
+    excluded from the animation (spec).  Raises ValueError when no acTL
+    is present (use png_decode) or the fcTL/fdAT sequence numbers are
+    not consecutive from 0."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, actl = len(_PNG_SIG), None, None
+    fctls: list[tuple[int, dict]] = []  # (seq, meta incl. data chunks)
+    idat_is_frame0 = False
+    seen_idat = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            seq, w, h, x, y, dnum, dden, dop, bop = struct.unpack(">IIIIIHHBB", data)
+            fctls.append(
+                # delay_den 0 means 1/100 s per the spec
+                (seq, {"w": w, "h": h, "x": x, "y": y,
+                       "delay_ms": dnum * 1000 // (dden if dden else 100),
+                       "dispose": dop, "blend": bop, "data": [], "dseqs": []})
+            )
+            if not seen_idat:
+                idat_is_frame0 = True
+        elif tag == b"IDAT":
+            seen_idat = True
+            if idat_is_frame0 and fctls:
+                fctls[0][1]["data"].append(data)
+        elif tag == b"fdAT":
+            if not fctls:
+                raise ValueError("APNG fdAT before any fcTL")
+            (dseq,) = struct.unpack_from(">I", data, 0)
+            fctls[-1][1]["data"].append(data[4:])
+            fctls[-1][1]["dseqs"].append(dseq)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if actl is None:
+        raise ValueError("not an APNG (no acTL)")
+    sw, sh, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 6, 0, 0, 0):
+        raise ValueError("APNG decoder covers RGBA depth-8 sequential streams")
+    if len(fctls) != actl[0]:
+        raise ValueError("APNG frame count disagrees with acTL")
+    # sequence numbers: fcTL and fdAT share one counter, consecutive from 0
+    seqs = sorted([s for s, _ in fctls] + [d for _, m in fctls for d in m["dseqs"]])
+    if seqs != list(range(len(seqs))):
+        raise ValueError("APNG sequence numbers not consecutive")
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    out, delays = [], []
+    for _seq, m in sorted(fctls, key=lambda t: t[0]):
+        w, h, x, y = m["w"], m["h"], m["x"], m["y"]
+        if x + w > sw or y + h > sh or not m["data"]:
+            raise ValueError("APNG frame rect out of bounds or missing data")
+        raw = np.frombuffer(zlib.decompress(b"".join(m["data"])), dtype=np.uint8)
+        rect, _ = _decode_pass(raw, 0, w, h, 4, 8)
+        saved = canvas.copy() if m["dispose"] == _APNG_DISPOSE_PREVIOUS else None
+        region = canvas[y : y + h, x : x + w]
+        if m["blend"] == _APNG_BLEND_SOURCE:
+            region[:] = rect
+        else:  # OVER: Porter-Duff with 8-bit alpha
+            sa = rect[:, :, 3:4].astype(np.float64) / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = rect[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+            safe = np.maximum(oa, 1e-12)
+            region[:, :, :3] = np.clip(np.rint(rgb / safe), 0, 255).astype(np.uint8)
+            region[:, :, 3:4] = np.clip(np.rint(oa * 255.0), 0, 255).astype(np.uint8)
+        out.append(canvas.copy())
+        delays.append(m["delay_ms"])
+        if m["dispose"] == _APNG_DISPOSE_BACKGROUND:
+            canvas[y : y + h, x : x + w] = 0
+        elif m["dispose"] == _APNG_DISPOSE_PREVIOUS:
+            canvas = saved
+    return np.stack(out), delays
 
 
 # ============================================================ baseline JPEG

@@ -187,8 +187,12 @@ class _FakeCodec:
         if payload.startswith(b"P6"):
             return "image", decode_ppm(payload)[None]
         if payload.startswith(b"\x89PNG\r\n\x1a\n"):
-            from .codecs import png_decode
+            from .codecs import apng_decode_frames, png_decode, png_is_animated
 
+            if png_is_animated(payload):
+                frames, _delays = apng_decode_frames(payload)
+                kind = "video" if frames.shape[0] > 1 else "image"
+                return kind, frames[:, :, :, :3]
             img = png_decode(payload)
             if img.ndim == 2:  # gray → 3-channel for the featurizers
                 img = np.stack([img] * 3, axis=-1)

@@ -711,3 +711,150 @@ def test_jpeg_grayscale_and_16bit_dqt():
             out.append(data[i])
             i += 1
     assert (jpeg_decode(bytes(out)) == ref).all()
+
+
+# ------------------------------------------------------------------- APNG
+
+
+def _apng_reference_compose(specs, sw, sh):
+    """Independent scalar-loop compositor for the APNG rendering model
+    (blend SOURCE/OVER + dispose none/background/previous)."""
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    out = []
+    for s in specs:
+        img = s["image"]
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        x, y = s.get("left", 0), s.get("top", 0)
+        h, w = img.shape[:2]
+        saved = canvas.copy() if s.get("dispose", 0) == 2 else None
+        for r in range(h):
+            for c in range(w):
+                if s.get("blend", 0) == 0:
+                    canvas[y + r, x + c] = img[r, c]
+                else:
+                    sa = img[r, c, 3] / 255.0
+                    da = canvas[y + r, x + c, 3] / 255.0
+                    oa = sa + da * (1 - sa)
+                    if oa > 1e-12:
+                        rgb = (
+                            img[r, c, :3] * sa
+                            + canvas[y + r, x + c, :3] * da * (1 - sa)
+                        ) / oa
+                        canvas[y + r, x + c, :3] = np.clip(np.rint(rgb), 0, 255)
+                    canvas[y + r, x + c, 3] = np.clip(np.rint(oa * 255), 0, 255)
+        out.append(canvas.copy())
+        if s.get("dispose", 0) == 1:
+            canvas[y : y + h, x : x + w] = 0
+        elif s.get("dispose", 0) == 2:
+            canvas = saved
+    return np.stack(out)
+
+
+def test_apng_full_canvas_roundtrip_lossless():
+    """Full-canvas SOURCE frames roundtrip byte-exact (APNG is
+    lossless); delays survive; png_is_animated discriminates at the
+    chunk level; plain png_decode still reads the default image."""
+    from crawler_ray.stages.codecs import (
+        apng_decode_frames,
+        apng_encode_animation,
+        png_decode,
+        png_encode,
+        png_is_animated,
+    )
+
+    rng = np.random.RandomState(13)
+    stack = rng.randint(0, 256, size=(4, 9, 11, 4), dtype=np.uint8)
+    stack[0, :, :, 3] = 255  # frame 0 fully opaque (it is the default image)
+    payload = apng_encode_animation(
+        [{"image": f, "delay_ms": 25 * (i + 1)} for i, f in enumerate(stack)]
+    )
+    assert png_is_animated(payload)
+    assert not png_is_animated(png_encode(stack[0]))
+    frames, delays = apng_decode_frames(payload)
+    assert frames.shape == (4, 9, 11, 4)
+    assert (frames == stack).all()
+    assert delays == [25, 50, 75, 100]
+    # the default image (frame 0) is also a plain PNG decode
+    assert (png_decode(payload) == stack[0]).all()
+
+
+def test_apng_blend_dispose_composition():
+    """Partial frames at offsets with OVER blending and all three
+    dispose ops composite exactly per the spec's rendering model
+    (checked against an independent scalar compositor)."""
+    from crawler_ray.stages.codecs import apng_decode_frames, apng_encode_animation
+
+    rng = np.random.RandomState(7)
+    sw, sh = 16, 12
+
+    def block(h, w, alpha=None):
+        img = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+        img[:, :, 3] = 255 if alpha is None else alpha
+        return img
+
+    specs = [
+        {"image": block(12, 16), "dispose": 0, "delay_ms": 10},
+        # semi-transparent over-blend, then clear its rect to transparent
+        {"image": block(5, 6, alpha=128), "left": 4, "top": 2,
+         "blend": 1, "dispose": 1, "delay_ms": 20},
+        # draws, then the canvas reverts to the pre-frame state
+        {"image": block(4, 5), "left": 10, "top": 7, "dispose": 2, "delay_ms": 30},
+        # over-blend onto the now partially-transparent canvas region
+        {"image": block(6, 7, alpha=200), "left": 3, "top": 1,
+         "blend": 1, "dispose": 0, "delay_ms": 40},
+    ]
+    payload = apng_encode_animation(specs, size=(sw, sh))
+    frames, delays = apng_decode_frames(payload)
+    expected = _apng_reference_compose(specs, sw, sh)
+    assert frames.shape == (4, sh, sw, 4)
+    assert delays == [10, 20, 30, 40]
+    assert (frames == expected).all()
+
+    # contract errors refused by name
+    with pytest.raises(ValueError, match="full canvas"):
+        apng_encode_animation([{"image": specs[1]["image"]}], size=(sw, sh))
+    with pytest.raises(ValueError, match="exceeds"):
+        apng_encode_animation(
+            [specs[0], {"image": specs[2]["image"], "left": 14, "top": 10}],
+            size=(sw, sh),
+        )
+
+    # truncation never escapes ValueError
+    for k in range(1, len(payload), 7):
+        try:
+            apng_decode_frames(payload[:k])
+        except ValueError:
+            pass
+
+
+def test_apng_through_media_stage(ray_session):
+    """Multi-frame APNGs classify as video in MediaDecoder (alpha
+    dropped for the featurizers); plain PNGs stay images."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import apng_encode_animation, png_encode
+    from crawler_ray.stages.media import MediaDecoder
+
+    rng = np.random.RandomState(3)
+    anim = apng_encode_animation(
+        rng.randint(0, 256, size=(3, 10, 14, 3), dtype=np.uint8)
+    )
+    still = png_encode(rng.randint(0, 256, size=(10, 14, 3), dtype=np.uint8))
+    tbl = pa.table({
+        "ref": ["a.png", "b.png"],
+        "payload": [anim, still],
+        "kind": ["video", "image"],
+    })
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(MediaDecoder, batch_size=2, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("ref")
+    )
+    assert list(out["decoded_kind"]) == ["video", "image"]
+    assert list(out["decoded_frames"]) == [3, 1]
+    assert out["decode_ok"].all()
