@@ -5755,9 +5755,10 @@ def ohlc_hourly(sf_dir: str):
     """,
     doc="Interleaved-payload axis (input_hint: media spans as opaque "
     "binary + typed metadata): every document derives a deterministic "
-    "media payload — extension by doc_id mod 6 over the six REAL "
-    "codecs (PNG / JPEG / GIF / MP4-MJPEG / AVI-MJPEG / WAV, "
-    "stages/codecs.py + media.py), dimensions and frame counts pure "
+    "media payload — extension by doc_id mod 6 over the seven REAL "
+    "codecs (PNG / JPEG / GIF / MP4-MJPEG / intra-H.264-in-MP4 / "
+    "AVI-MJPEG / WAV, stages/codecs.py + media.py + h264.py), "
+    "dimensions and frame counts pure "
     "doc_id arithmetic — then an actor-pool MediaDecoder stage "
     "(codec state per actor, SMALL batch_size for wide binary rows) "
     "decodes and per-kind partials aggregate.  The oracle mirrors the "
@@ -5772,6 +5773,7 @@ def media_decode_stats(sf_dir: str):
             avi_mjpeg_encode,
             gif_encode,
             jpeg_encode,
+            mp4_h264_encode,
             mp4_mjpeg_encode,
             png_encode,
         )
@@ -5786,6 +5788,13 @@ def media_decode_stats(sf_dir: str):
             if sel in (3, 4):  # video: frame count is doc_id arithmetic
                 n = 2 + did % 3
                 vid = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+                if sel == 3 and w % 2 == 0 and h % 2 == 0:
+                    # even-dim MP4 docs carry intra-only H.264 (avc1,
+                    # stages/h264.py) — same kind/frame arithmetic, so
+                    # the SQL mirror is unchanged and a regression in
+                    # the seventh codec breaks the value hash too
+                    payloads.append(mp4_h264_encode(vid, fps=10))
+                    continue
                 enc = mp4_mjpeg_encode if sel == 3 else avi_mjpeg_encode
                 payloads.append(enc(vid, fps=10, quality=80))
             elif sel == 5:  # audio

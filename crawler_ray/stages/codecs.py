@@ -1832,15 +1832,17 @@ def gif_decode(payload: bytes) -> np.ndarray:
 
 # ================================================================== MP4
 
-# ISO BMFF (MP4) demuxer + MJPEG-in-MP4 encoder/decoder.  The container
-# layer is REAL: box walking (ftyp/moov/trak/mdia/minf/stbl), sample
-# tables (stsd/stts/stsc/stsz/stco+co64), per-sample byte spans into
-# mdat, track metadata (codec fourcc, dimensions, timescale, fps).
-# Samples whose codec is intra-frame JPEG ('jpeg'/'mjpa'/'MJPG' —
-# Motion-JPEG in MP4) decode for real through the baseline JPEG codec
-# above; inter-frame bitstreams (avc1/H.264, hev1/HEVC, vp09, av01)
-# are the ONLY remaining gate and raise NotImplementedError naming the
-# codec — the demux still yields their sample spans and metadata.
+# ISO BMFF (MP4) demuxer + MJPEG-in-MP4 and intra-H.264 encoders.  The
+# container layer is REAL: box walking (ftyp/moov/trak/mdia/minf/stbl),
+# sample tables (stsd/stts/stsc/stsz/stco+co64), per-sample byte spans
+# into mdat, track metadata (codec fourcc, dimensions, timescale, fps,
+# avcC for avc1).  Samples whose codec is intra-frame JPEG
+# ('jpeg'/'mjpa'/'MJPG' — Motion-JPEG in MP4) decode through the
+# baseline JPEG codec above; 'avc1'/'avc3' route through the intra-only
+# H.264 codec (stages/h264.py: NAL/SPS/PPS/slice layer + I_PCM
+# macroblocks).  Inter-frame bitstreams (hev1/HEVC, vp09, av01) and
+# non-intra H.264 features raise NotImplementedError naming the
+# feature — the demux still yields their sample spans and metadata.
 
 
 def _mp4_box(tag: bytes, data: bytes) -> bytes:
@@ -1868,8 +1870,54 @@ def mp4_mjpeg_encode(
         raise ValueError("mp4_mjpeg_encode expects (n, h, w, 3) uint8")
     n, h, w = frames.shape[:3]
     jpegs = [jpeg_encode(f, quality) for f in frames]
+    sample_entry = _mp4_visual_entry(b"jpeg", w, h)
+    return _mp4_container(jpegs, w, h, fps, sample_entry, b"mjpeg\x00", samples_per_chunk)
+
+
+def _mp4_visual_entry(fourcc: bytes, w: int, h: int, extra: bytes = b"") -> bytes:
+    """VisualSampleEntry box (86 bytes + child boxes in ``extra``)."""
+    return _mp4_box(
+        fourcc,
+        b"\x00" * 6 + struct.pack(">H", 1)             # data-reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32                                 # compressor name
+        + struct.pack(">Hh", 0x18, -1)
+        + extra,
+    )
+
+
+def mp4_h264_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 → all-keyframe H.264 in ISO BMFF: 'avc1'
+    sample entry with an avcC configuration record (SPS/PPS), samples
+    are 4-byte-length-prefixed IDR NAL units of I_PCM macroblocks
+    (stages/h264.py) — conformant baseline-profile intra video,
+    lossless in 4:2:0 YCbCr."""
+    from .h264 import h264_encode
+
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("mp4_h264_encode expects (n, h, w, 3) uint8")
+    _n, h, w = frames.shape[:3]
+    sps, pps, aus = h264_encode(frames)
+    avcc = _mp4_box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+    samples = [struct.pack(">I", len(au)) + au for au in aus]
+    entry = _mp4_visual_entry(b"avc1", w, h, extra=avcc)
+    return _mp4_container(samples, w, h, fps, entry, b"h264\x00")
+
+
+def _mp4_container(
+    samples: list[bytes], w: int, h: int, fps: int,
+    sample_entry: bytes, hdlr_name: bytes, samples_per_chunk: int = 0,
+) -> bytes:
+    n = len(samples)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
-    mdat = _mp4_box(b"mdat", b"".join(jpegs))
+    mdat = _mp4_box(b"mdat", b"".join(samples))
     first_sample_off = len(ftyp) + 8  # ftyp then mdat header
 
     timescale = 1000
@@ -1893,16 +1941,7 @@ def mp4_mjpeg_encode(
         b"mdhd", 0, 0,
         struct.pack(">IIII", 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0),
     )
-    hdlr = _mp4_fbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
-    sample_entry = _mp4_box(
-        b"jpeg",
-        b"\x00" * 6 + struct.pack(">H", 1)             # data-reference index
-        + b"\x00" * 16
-        + struct.pack(">HH", w, h)
-        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
-        + b"\x00" * 32                                 # compressor name
-        + struct.pack(">Hh", 0x18, -1),
-    )
+    hdlr = _mp4_fbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + hdlr_name)
     stsd = _mp4_fbox(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     stts = _mp4_fbox(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     spc = samples_per_chunk if samples_per_chunk > 0 else n
@@ -1910,7 +1949,7 @@ def mp4_mjpeg_encode(
     chunk_offsets, off, si = [], first_sample_off, 0
     for cnt in chunk_counts:
         chunk_offsets.append(off)
-        off += sum(len(j) for j in jpegs[si : si + cnt])
+        off += sum(len(j) for j in samples[si : si + cnt])
         si += cnt
     # stsc runs: consecutive chunks sharing a samples-per-chunk collapse
     runs = []
@@ -1925,7 +1964,7 @@ def mp4_mjpeg_encode(
     )
     stsz = _mp4_fbox(
         b"stsz", 0, 0,
-        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in samples),
     )
     stco = _mp4_fbox(
         b"stco", 0, 0,
@@ -2017,13 +2056,20 @@ def _mp4_track(buf: bytes, s: int, e: int) -> dict:
     if None in (stsd, stts, stsc, stsz, stco):
         raise ValueError("stbl missing sample tables")
     # stsd first entry: fourcc + (visual entries) dimensions
-    codec, width, height = "", 0, 0
+    codec, width, height, avcc = "", 0, 0, None
     (n_entries,) = struct.unpack_from(">I", buf, stsd[0] + 4)
     if n_entries >= 1:
         entry_pos = stsd[0] + 8
         codec = buf[entry_pos + 4 : entry_pos + 8].decode("latin1")
         if kind == b"vide" and stsd[1] - entry_pos >= 8 + 28 + 4:
             width, height = struct.unpack_from(">HH", buf, entry_pos + 8 + 24)
+        if codec in ("avc1", "avc3"):
+            # child boxes follow the 86-byte VisualSampleEntry
+            (esize,) = struct.unpack_from(">I", buf, entry_pos)
+            for t2, s2, e2 in _mp4_walk(buf, entry_pos + 86, entry_pos + esize):
+                if t2 == b"avcC":
+                    avcc = buf[s2:e2]
+                    break
     # stts → per-sample delta (fps from the FIRST run, the common case)
     (stts_n,) = struct.unpack_from(">I", buf, stts[0] + 4)
     delta = 1
@@ -2070,23 +2116,77 @@ def _mp4_track(buf: bytes, s: int, e: int) -> dict:
         "fps": float(fps),
         "n_samples": len(spans),
         "spans": spans,
+        "avcC": avcc,
     }
 
 
-_MP4_INTERFRAME = {"avc1", "avc3", "hev1", "hvc1", "vp09", "av01", "mp4v"}
+_MP4_INTERFRAME = {"hev1", "hvc1", "vp09", "av01", "mp4v"}
+
+
+def _mp4_decode_avc(payload: bytes, tr: dict) -> np.ndarray:
+    """Decode an avc1/avc3 track's samples via the intra-only H.264
+    codec (stages/h264.py): parse SPS/PPS out of the avcC record, then
+    walk each sample's length-prefixed NAL units.  Non-intra features
+    raise NotImplementedError at the exact syntax element."""
+    from .h264 import h264_decode_frame, parse_pps, parse_sps, _unebsp
+
+    avcc = tr.get("avcC")
+    if not avcc or len(avcc) < 7:
+        raise ValueError("avc1 track missing avcC configuration record")
+    nal_len = (avcc[4] & 3) + 1
+    pos, sps, pps = 5, None, None
+    n_sps = avcc[pos] & 0x1F
+    pos += 1
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        sps = parse_sps(_unebsp(avcc[pos + 2 + 1 : pos + 2 + ln]))
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        pps = parse_pps(_unebsp(avcc[pos + 2 + 1 : pos + 2 + ln]))
+        pos += 2 + ln
+    if sps is None or pps is None:
+        raise ValueError("avcC carries no SPS/PPS")
+    frames = []
+    for off, size in tr["spans"]:
+        if off + size > len(payload):
+            raise ValueError("MP4 sample span beyond stream end")
+        sample, p = payload[off : off + size], 0
+        while p + nal_len <= len(sample):
+            ln = int.from_bytes(sample[p : p + nal_len], "big")
+            nal = sample[p + nal_len : p + nal_len + ln]
+            if len(nal) != ln:
+                raise ValueError("truncated NAL unit in MP4 sample")
+            p += nal_len + ln
+            t = nal[0] & 0x1F
+            if t in (1, 5):
+                frames.append(h264_decode_frame(nal, sps, pps))
+            elif t == 7:
+                sps = parse_sps(_unebsp(nal[1:]))
+            elif t == 8:
+                pps = parse_pps(_unebsp(nal[1:]))
+    if not frames:
+        raise ValueError("avc1 track holds no decodable slices")
+    return np.stack(frames)
 
 
 @_valueerror_on_corruption
 def mp4_decode(payload: bytes) -> tuple[np.ndarray, float]:
     """MP4 → ((n, h, w, 3) uint8 frames, fps) when the video track's
-    samples are intra-frame JPEG; inter-frame codecs raise
-    NotImplementedError naming the codec (the demux itself is real —
-    use mp4_probe for spans/metadata without decoding)."""
+    samples are intra-frame JPEG or intra-only H.264 (avc1 with I_PCM
+    macroblocks — stages/h264.py); inter-frame codecs and non-intra
+    H.264 features raise NotImplementedError naming the feature (the
+    demux itself is real — use mp4_probe for spans/metadata without
+    decoding)."""
     info = mp4_probe(payload)
     video = [t for t in info["tracks"] if t["kind"] == "vide"]
     if not video:
         raise ValueError("MP4 holds no video track")
     tr = video[0]
+    if tr["codec"] in ("avc1", "avc3"):
+        return _mp4_decode_avc(payload, tr), tr["fps"]
     if tr["codec"] in _MP4_INTERFRAME:
         raise NotImplementedError(
             f"MP4 codec '{tr['codec']}' is an inter-frame bitstream — "

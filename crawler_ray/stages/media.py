@@ -106,10 +106,26 @@ def synth_media_table(media_refs: list[str], seed: int = 42) -> pa.Table:
                 else:
                     payload = jpeg_encode(img, 85)
         elif ref.endswith((".avi", ".mp4")):
-            from .codecs import avi_mjpeg_encode, mp4_mjpeg_encode
+            from .codecs import avi_mjpeg_encode, mp4_h264_encode, mp4_mjpeg_encode
 
             rng = np.random.RandomState((h >> 32) & 0xFFFFFFFF)
             frames = min(frames, 8)  # keep synthetic payloads small
+            if ref.endswith(".mp4") and (h >> 16) & 1:
+                # half the .mp4 refs carry intra-only H.264 (avc1 +
+                # avcC) instead of MJPEG, exercising the h264.py
+                # keyframe path through the same stage; 4:2:0 crop
+                # units can't express odd display dims, so evenize
+                # (w parity tracks h parity, so a dim-parity gate
+                # would never fire — gate on an independent hash bit)
+                w, ht = w & ~1, ht & ~1
+                vid = rng.randint(0, 256, size=(frames, ht, w, 3), dtype=np.uint8)
+                rows.append({
+                    "media_ref": ref, "kind": kind,
+                    "payload": mp4_h264_encode(vid, fps=10),
+                    "meta": {"width": w, "height": ht, "frames": frames,
+                             "sample_rate": 0},
+                })
+                continue
             vid = rng.randint(0, 256, size=(frames, ht, w, 3), dtype=np.uint8)
             enc = avi_mjpeg_encode if ref.endswith(".avi") else mp4_mjpeg_encode
             payload = enc(vid, fps=10, quality=80)
@@ -217,8 +233,10 @@ class _FakeCodec:
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
             from .codecs import mp4_decode
 
-            # real ISO BMFF demux; MJPEG samples decode, inter-frame
-            # codecs (avc1/hev1/...) raise NotImplementedError by name
+            # real ISO BMFF demux; MJPEG and intra-only H.264 (avc1
+            # I_PCM, stages/h264.py) samples decode; inter-frame
+            # codecs (hev1/vp09/...) and non-intra H.264 features
+            # raise NotImplementedError by name
             frames, _fps = mp4_decode(payload)
             return "video", frames
         if payload.startswith(b"FAKE"):
@@ -227,11 +245,12 @@ class _FakeCodec:
             arr = rng.randint(0, 256, size=(frames, h, w, 3), dtype=np.uint8)
             return _BYTE_KIND[kb], arr
         raise NotImplementedError(
-            "unrecognized media container; PPM/PNG/baseline-JPEG/GIF "
-            "images, AVI-MJPEG and MP4-MJPEG video (the MP4 demux is "
-            "real; only inter-frame bitstreams like H.264 stay gated — "
-            "no ffmpeg), PCM WAV audio and the deterministic fake wire "
-            "format all decode for real"
+            "unrecognized media container; PPM/PNG/APNG/baseline-and-"
+            "progressive-JPEG/GIF images, AVI-MJPEG, MP4-MJPEG and "
+            "intra-only H.264 (avc1 I_PCM) video (the MP4 demux is "
+            "real; inter-frame bitstreams like HEVC/VP9 and non-intra "
+            "H.264 stay gated — no ffmpeg), PCM WAV audio and the "
+            "deterministic fake wire format all decode for real"
         )
 
 

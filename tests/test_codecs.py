@@ -858,3 +858,133 @@ def test_apng_through_media_stage(ray_session):
     assert list(out["decoded_kind"]) == ["video", "image"]
     assert list(out["decoded_frames"]) == [3, 1]
     assert out["decode_ok"].all()
+
+
+# ------------------------------------------------------------ intra H.264
+
+
+def test_h264_ipcm_roundtrip_bit_exact():
+    """Intra-only H.264 (stages/h264.py): I_PCM macroblock streams
+    reconstruct BIT-EXACTLY against the 4:2:0 conversion reference
+    path (everything between — NAL escaping, SPS/PPS, slice headers,
+    macroblock walk, cropping — is lossless by construction); smooth
+    content survives chroma subsampling at high PSNR."""
+    from crawler_ray.stages.h264 import (
+        _from_420,
+        _to_420,
+        h264_decode,
+        h264_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    # random bytes force 00 00 runs in PCM data → EBSP escaping is hot
+    frames = rng.randint(0, 256, size=(3, 38, 54, 3), dtype=np.uint8)
+    frames[0, :8, :8] = 0  # guaranteed zero runs
+    sps, pps, aus = h264_encode(frames)
+    dec = h264_decode([sps, pps] + aus)
+    expected = np.stack([_from_420(*_to_420(f), 54, 38) for f in frames])
+    assert dec.shape == (3, 38, 54, 3)
+    assert (dec == expected).all()
+
+    # smooth gradient: chroma subsampling is the only loss
+    xx, yy = np.meshgrid(np.linspace(0, 255, 64), np.linspace(0, 255, 32))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=-1).astype(np.uint8)[None]
+    s, p, a = h264_encode(smooth)
+    rec = h264_decode([s, p] + a)
+    err = (rec.astype(float) - smooth.astype(float)) ** 2
+    psnr = 10 * np.log10(255**2 / max(err.mean(), 1e-9))
+    assert psnr > 38, psnr
+
+    # 4:2:0 cropping units make odd display dims inexpressible
+    with pytest.raises(ValueError, match="even"):
+        h264_encode(rng.randint(0, 256, size=(1, 37, 53, 3), dtype=np.uint8))
+
+
+def test_h264_named_gates():
+    """Unsupported bitstream features are refused at the exact syntax
+    element, by name: CABAC (PPS), inter slices (slice_type), and
+    transform-coded intra macroblocks (mb_type) — the documented
+    boundary of the keyframe-sampling decoder."""
+    from crawler_ray.stages.h264 import (
+        _BitWriter,
+        _ebsp,
+        _pps_rbsp,
+        _sps_rbsp,
+        _unebsp,
+        h264_decode,
+        h264_decode_frame,
+        parse_pps,
+        parse_sps,
+    )
+
+    sps = parse_sps(_sps_rbsp(32, 32))
+    pps = parse_pps(_pps_rbsp(26))
+
+    # CABAC: PPS entropy_coding_mode_flag = 1
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(0); bw.u(1, 1)  # pps/sps id, CABAC
+    bw.u(0, 1); bw.ue(0); bw.ue(0); bw.ue(0)
+    bw.u(0, 1); bw.u(0, 2); bw.se(0); bw.se(0); bw.se(0)
+    bw.u(1, 1); bw.u(0, 1); bw.u(0, 1); bw.trailing()
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        parse_pps(bw.bytes())
+
+    # inter slice: slice_type 0 (P) in a non-IDR NAL
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(0)  # first_mb, slice_type P
+    bw.ue(0); bw.u(0, 4)
+    bw.trailing()
+    with pytest.raises(NotImplementedError, match="inter"):
+        h264_decode_frame(b"\x61" + _ebsp(bw.bytes()), sps, pps)
+
+    # transform-coded intra macroblock: mb_type 1 (Intra_16x16)
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+    bw.u(0, 1); bw.u(0, 1); bw.se(0); bw.ue(1)
+    bw.ue(1)  # mb_type Intra_16x16
+    bw.trailing()
+    with pytest.raises(NotImplementedError, match="CAVLC"):
+        h264_decode_frame(b"\x65" + _ebsp(bw.bytes()), sps, pps)
+
+    # EBSP escaping is reversible on adversarial zero runs
+    probe = b"\x00\x00\x00\x00\x01\x00\x00\x02\x00\x00\x03\x03"
+    assert _unebsp(_ebsp(probe)) == probe
+
+
+def test_mp4_h264_roundtrip_and_stage(ray_session):
+    """avc1-in-MP4: avcC configuration record parsed from the sample
+    entry, length-prefixed NAL samples decode bit-exactly, and .mp4
+    payloads flow through MediaDecoder as real video; truncation never
+    escapes ValueError."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import mp4_decode, mp4_h264_encode, mp4_probe
+    from crawler_ray.stages.h264 import _from_420, _to_420
+    from crawler_ray.stages.media import MediaDecoder
+
+    rng = np.random.RandomState(21)
+    frames = rng.randint(0, 256, size=(4, 24, 32, 3), dtype=np.uint8)
+    payload = mp4_h264_encode(frames, fps=12)
+    tr = mp4_probe(payload)["tracks"][0]
+    assert tr["codec"] == "avc1" and tr["avcC"] is not None
+    assert (tr["width"], tr["height"], tr["n_samples"]) == (32, 24, 4)
+    dec, fps = mp4_decode(payload)
+    expected = np.stack([_from_420(*_to_420(f), 32, 24) for f in frames])
+    assert (dec == expected).all()
+    assert abs(fps - 12.0) < 0.1
+
+    out = (
+        rd.from_arrow(pa.table({"ref": ["kf.mp4"], "payload": [payload]}))
+        .map_batches(MediaDecoder, batch_size=1, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out["decode_ok"].all()
+    assert list(out["decoded_kind"]) == ["video"]
+    assert list(out["decoded_frames"]) == [4]
+
+    for k in range(1, len(payload), 101):
+        try:
+            mp4_decode(payload[:k])
+        except (ValueError, NotImplementedError):
+            pass

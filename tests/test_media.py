@@ -70,18 +70,23 @@ def test_real_payload_raises_clearly():
     # truncated MP4: the demux is real, so this is a corrupt stream
     with pytest.raises(ValueError):
         media._FakeCodec.decode(b"\x00\x00\x00\x18ftypmp42notavideo")
-    # inter-frame bitstream (avc1/H.264): the one remaining gate,
-    # refused by codec name while the container demux still works
+    # inter-frame bitstream (hev1/HEVC): the remaining gate, refused
+    # by codec name while the container demux still works (avc1 now
+    # decodes through the intra-only H.264 codec, test_codecs)
     import numpy as np
 
     from crawler_ray.stages.codecs import mp4_mjpeg_encode, mp4_probe
 
     vid = np.zeros((2, 16, 16, 3), dtype=np.uint8)
-    avc = mp4_mjpeg_encode(vid, fps=10)
-    i = avc.rindex(b"jpeg")  # the stsd sample-entry fourcc
-    avc = avc[:i] + b"avc1" + avc[i + 4 :]
-    assert mp4_probe(avc)["tracks"][0]["codec"] == "avc1"  # demux still real
-    with pytest.raises(NotImplementedError, match="avc1"):
+    hev = mp4_mjpeg_encode(vid, fps=10)
+    i = hev.rindex(b"jpeg")  # the stsd sample-entry fourcc
+    hev = hev[:i] + b"hev1" + hev[i + 4 :]
+    assert mp4_probe(hev)["tracks"][0]["codec"] == "hev1"  # demux still real
+    with pytest.raises(NotImplementedError, match="hev1"):
+        media._FakeCodec.decode(hev)
+    # an avc1 entry WITHOUT its avcC configuration record is corrupt
+    avc = hev[:i] + b"avc1" + hev[i + 4 :]
+    with pytest.raises(ValueError, match="avcC"):
         media._FakeCodec.decode(avc)
     # a CORRUPT compressed payload raises ValueError from the codec...
     with pytest.raises(ValueError):
