@@ -77,6 +77,8 @@ def entry() -> Any:
 # order.
 _CERTIFY_FIRST = [
     "date_records_detect",  # new in r5, never certified
+    "video_frame_sample",   # new in r5, never certified
+    "media_decode_stats",   # r5 added the intra-H.264 payload mix
     "training_data_prep", "simhash_neardup", "langid_heuristic",
     "rolling_fingerprints", "ann_ivf_topk", "crawl_bfs", "window_rank",
     "union_distinct", "json_props_stats", "filter_sum_scan",

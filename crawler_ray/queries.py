@@ -5865,6 +5865,109 @@ def media_decode_stats(sf_dir: str):
 
     return agg.map_batches(finalize, batch_format="pyarrow")
 
+
+@register(
+    "video_frame_sample",
+    """
+    WITH m AS (
+      SELECT CASE WHEN (doc_id % 16) % 2 = 0
+                   AND ((doc_id // 16) % 12) % 2 = 0
+             THEN 'avc1' ELSE 'jpeg' END AS codec,
+             1 + doc_id % 5 AS frames
+      FROM documents)
+    SELECT codec, count(*) AS n_videos, count(*) AS n_ok,
+           CAST(sum(frames) AS BIGINT) AS total_frames,
+           CAST(sum(LEAST(2, frames)) AS BIGINT) AS sampled_frames
+    FROM m GROUP BY codec
+    """,
+    doc="Selective keyframe sampling — the 100 TB video access "
+    "pattern: every document derives a deterministic MP4 (MJPEG or "
+    "intra-H.264 by doc_id arithmetic, 1-5 frames), then the "
+    "FrameSampler actor pool demuxes the sample table and decodes "
+    "ONLY <=2 evenly-spaced samples per clip "
+    "(mp4_decode(sample_indices=...) — the skipped majority costs no "
+    "codec CPU, unlike MediaFeaturizer's decode-then-sample).  The "
+    "oracle mirrors the codec/frame/min(2,n) arithmetic in SQL; "
+    "n_ok == n_videos makes a selective-decode regression a value-"
+    "hash mismatch.  w = 16 + doc_id%16 is even iff doc_id%16 is "
+    "even (and likewise h), so the codec CASE is pure arithmetic.",
+)
+def video_frame_sample(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_payloads(t: pa.Table) -> pa.Table:
+        from .stages.codecs import mp4_h264_encode, mp4_mjpeg_encode
+
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            rng = np.random.RandomState(did % (1 << 31))
+            w = 16 + did % 16
+            h = 12 + (did // 16) % 12
+            n = 1 + did % 5
+            vid = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+            if w % 2 == 0 and h % 2 == 0:
+                payloads.append(mp4_h264_encode(vid, fps=10))
+            else:
+                payloads.append(mp4_mjpeg_encode(vid, fps=10, quality=80))
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(payloads, type=pa.large_binary())}
+        )
+
+    import ray
+
+    from .stages.media import FrameSampler
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    sampled = ds.map_batches(synth_payloads, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"max_frames": 2},
+        concurrency=max(2, min(8, ncpu // 4)),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "codec": t["codec"].to_pylist(),
+                "ok": t["decode_ok"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "total": t["n_samples"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "sampled": t["n_sampled"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("codec", as_index=False).agg(
+            n_p=("ok", "size"), ok_p=("ok", "sum"),
+            tf_p=("total", "sum"), sf_p=("sampled", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        sampled.map_batches(partial, batch_format="pyarrow")
+        .groupby("codec")
+        .aggregate(
+            Sum("n_p", alias_name="n_videos"),
+            Sum("ok_p", alias_name="n_ok"),
+            Sum("tf_p", alias_name="total_frames"),
+            Sum("sf_p", alias_name="sampled_frames"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "codec": t["codec"],
+                "n_videos": pc.cast(t["n_videos"], pa.int64()),
+                "n_ok": pc.cast(t["n_ok"], pa.int64()),
+                "total_frames": pc.cast(t["total_frames"], pa.int64()),
+                "sampled_frames": pc.cast(t["sampled_frames"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 @register(
     "date_records_detect",
     """

@@ -2123,11 +2123,16 @@ def _mp4_track(buf: bytes, s: int, e: int) -> dict:
 _MP4_INTERFRAME = {"hev1", "hvc1", "vp09", "av01", "mp4v"}
 
 
-def _mp4_decode_avc(payload: bytes, tr: dict) -> np.ndarray:
-    """Decode an avc1/avc3 track's samples via the intra-only H.264
-    codec (stages/h264.py): parse SPS/PPS out of the avcC record, then
-    walk each sample's length-prefixed NAL units.  Non-intra features
-    raise NotImplementedError at the exact syntax element."""
+def _mp4_decode_avc(
+    payload: bytes, tr: dict, spans: list[tuple[int, int]]
+) -> np.ndarray:
+    """Decode the given sample spans of an avc1/avc3 track via the
+    intra-only H.264 codec (stages/h264.py): parse SPS/PPS out of the
+    avcC record, then walk each sample's length-prefixed NAL units.
+    Every supported sample is an independent intra picture, so a
+    filtered span list (keyframe sampling) decodes standalone; in-band
+    SPS/PPS NALs inside decoded samples still take effect.  Non-intra
+    features raise NotImplementedError at the exact syntax element."""
     from .h264 import h264_decode_frame, parse_pps, parse_sps, _unebsp
 
     avcc = tr.get("avcC")
@@ -2150,7 +2155,7 @@ def _mp4_decode_avc(payload: bytes, tr: dict) -> np.ndarray:
     if sps is None or pps is None:
         raise ValueError("avcC carries no SPS/PPS")
     frames = []
-    for off, size in tr["spans"]:
+    for off, size in spans:
         if off + size > len(payload):
             raise ValueError("MP4 sample span beyond stream end")
         sample, p = payload[off : off + size], 0
@@ -2173,20 +2178,38 @@ def _mp4_decode_avc(payload: bytes, tr: dict) -> np.ndarray:
 
 
 @_valueerror_on_corruption
-def mp4_decode(payload: bytes) -> tuple[np.ndarray, float]:
+def mp4_decode(
+    payload: bytes, sample_indices: list[int] | None = None
+) -> tuple[np.ndarray, float]:
     """MP4 → ((n, h, w, 3) uint8 frames, fps) when the video track's
     samples are intra-frame JPEG or intra-only H.264 (avc1 with I_PCM
     macroblocks — stages/h264.py); inter-frame codecs and non-intra
     H.264 features raise NotImplementedError naming the feature (the
     demux itself is real — use mp4_probe for spans/metadata without
-    decoding)."""
+    decoding).
+
+    ``sample_indices`` decodes ONLY the selected samples (sorted,
+    deduplicated) — the keyframe-sampling access pattern: every
+    supported sample is intra-coded, so each decodes independently and
+    the skipped majority costs no codec CPU.  Out-of-range indices
+    raise ValueError."""
     info = mp4_probe(payload)
     video = [t for t in info["tracks"] if t["kind"] == "vide"]
     if not video:
         raise ValueError("MP4 holds no video track")
     tr = video[0]
+    spans = tr["spans"]
+    if sample_indices is not None:
+        idx = sorted({int(i) for i in sample_indices})
+        if not idx:
+            raise ValueError("sample_indices is empty")
+        if idx[0] < 0 or idx[-1] >= len(spans):
+            raise ValueError(
+                f"sample index out of range (track holds {len(spans)} samples)"
+            )
+        spans = [spans[i] for i in idx]
     if tr["codec"] in ("avc1", "avc3"):
-        return _mp4_decode_avc(payload, tr), tr["fps"]
+        return _mp4_decode_avc(payload, tr, spans), tr["fps"]
     if tr["codec"] in _MP4_INTERFRAME:
         raise NotImplementedError(
             f"MP4 codec '{tr['codec']}' is an inter-frame bitstream — "
@@ -2197,7 +2220,7 @@ def mp4_decode(payload: bytes) -> tuple[np.ndarray, float]:
     if tr["codec"] not in ("jpeg", "mjpa", "MJPG"):
         raise ValueError(f"unsupported MP4 sample codec '{tr['codec']}'")
     frames = []
-    for off, size in tr["spans"]:
+    for off, size in spans:
         if off + size > len(payload):
             raise ValueError("MP4 sample span beyond stream end")
         frames.append(jpeg_decode(payload[off : off + size]))

@@ -296,6 +296,68 @@ class MediaDecoder:
         return out.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
 
 
+class FrameSampler:
+    """Actor-pool stage: SELECTIVE keyframe sampling over MP4 payloads
+    — demux the sample table (``mp4_probe``), pick ≤ ``max_frames``
+    evenly-spaced sample indices, and decode ONLY those samples
+    (``mp4_decode(sample_indices=...)``).  Every supported MP4 sample
+    is intra-coded (MJPEG / avc1 I_PCM), so each selected frame
+    decodes standalone and the skipped majority costs no codec CPU —
+    the dominant saving for video corpora at scale, where a pipeline
+    needs 1–4 frames of evidence per clip, not the clip.  (Contrast
+    MediaFeaturizer, which decodes everything THEN samples.)
+
+    Emits per row: ``codec`` fourcc, ``n_samples`` (container total),
+    ``n_sampled``, ``mean_luma`` over the sampled frames (pixel-level
+    evidence the decode ran), ``decode_ok``.  Non-MP4 payloads and
+    corrupt streams degrade to decode_ok=False.  Small batch_size —
+    wide binary rows."""
+
+    def __init__(self, max_frames: int = 2):
+        self.max_frames = max(1, int(max_frames))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import mp4_decode, mp4_probe
+
+        codecs_, n_samples, n_sampled, luma, ok = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                if len(payload) < 12 or payload[4:8] != b"ftyp":
+                    raise ValueError("not an ISO BMFF payload")
+                video = [
+                    t for t in mp4_probe(payload)["tracks"] if t["kind"] == "vide"
+                ]
+                if not video:
+                    raise ValueError("MP4 holds no video track")
+                tr = video[0]
+                n = tr["n_samples"]
+                sel = np.unique(
+                    np.linspace(0, n - 1, min(self.max_frames, n), dtype=int)
+                )
+                frames, _fps = mp4_decode(payload, sample_indices=sel.tolist())
+                y = (
+                    0.299 * frames[..., 0].astype(np.float64)
+                    + 0.587 * frames[..., 1]
+                    + 0.114 * frames[..., 2]
+                )
+                codecs_.append(tr["codec"])
+                n_samples.append(n)
+                n_sampled.append(int(frames.shape[0]))
+                luma.append(float(y.mean()))
+                ok.append(True)
+            except (NotImplementedError, ValueError, zlib.error, struct.error):
+                codecs_.append("unknown")
+                n_samples.append(0)
+                n_sampled.append(0)
+                luma.append(0.0)
+                ok.append(False)
+        out = batch.append_column("codec", pa.array(codecs_, type=pa.string()))
+        out = out.append_column("n_samples", pa.array(n_samples, type=pa.int32()))
+        out = out.append_column("n_sampled", pa.array(n_sampled, type=pa.int32()))
+        out = out.append_column("mean_luma", pa.array(luma, type=pa.float64()))
+        return out.append_column("decode_ok", pa.array(ok, type=pa.bool_()))
+
+
 class MediaFeaturizer:
     """Actor-pool stage: decode → resize (mean-pool to ``target``²) →
     per-channel mean features; video payloads frame-sampled to

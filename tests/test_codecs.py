@@ -988,3 +988,58 @@ def test_mp4_h264_roundtrip_and_stage(ray_session):
             mp4_decode(payload[:k])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_mp4_selective_decode_and_frame_sampler(ray_session):
+    """mp4_decode(sample_indices=...) decodes exactly the selected
+    intra samples (bit-equal to the same frames of a full decode, both
+    MJPEG and avc1), and the FrameSampler stage demux→select→decode
+    path emits true per-clip counts with decode_ok evidence; junk and
+    truncation degrade, never escape."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import (
+        mp4_decode,
+        mp4_h264_encode,
+        mp4_mjpeg_encode,
+    )
+    from crawler_ray.stages.media import FrameSampler
+
+    rng = np.random.RandomState(5)
+    vids = [rng.randint(0, 256, size=(n, 24, 32, 3), dtype=np.uint8) for n in (1, 3, 5)]
+    payloads = [
+        mp4_h264_encode(vids[0], fps=10),
+        mp4_mjpeg_encode(vids[1], fps=10, quality=80),
+        mp4_h264_encode(vids[2], fps=10),
+        b"not a video at all",
+    ]
+    for p, v in zip(payloads[:3], vids):
+        full, _ = mp4_decode(p)
+        k = min(2, v.shape[0])
+        sel = np.unique(np.linspace(0, v.shape[0] - 1, k, dtype=int))
+        got, _ = mp4_decode(p, sample_indices=sel.tolist())
+        assert (got == full[sel]).all()
+    with pytest.raises(ValueError, match="out of range"):
+        mp4_decode(payloads[0], sample_indices=[99])
+
+    out = (
+        rd.from_arrow(pa.table({"payload": payloads}))
+        .map_batches(FrameSampler, fn_constructor_kwargs={"max_frames": 2},
+                     batch_size=2, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert list(out["decode_ok"]) == [True, True, True, False]
+    assert list(out["codec"]) == ["avc1", "jpeg", "avc1", "unknown"]
+    assert list(out["n_samples"]) == [1, 3, 5, 0]
+    assert list(out["n_sampled"]) == [1, 2, 2, 0]
+    assert (out["mean_luma"][:3] > 0).all()
+
+    # truncation at any cut degrades to decode_ok=False, never raises
+    cut = payloads[2][: len(payloads[2]) // 2]
+    out2 = (
+        rd.from_arrow(pa.table({"payload": [cut]}))
+        .map_batches(FrameSampler, batch_size=1, concurrency=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert not out2["decode_ok"].any()
