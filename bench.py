@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "inverted_index",
     "media_decode_stats",
+    "video_frame_sample",
 ]
 
 

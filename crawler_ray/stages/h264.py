@@ -398,7 +398,17 @@ def h264_decode_frame(idr_nal: bytes, sps: dict, pps: dict) -> np.ndarray:
             raise NotImplementedError("adaptive ref pic marking unsupported")
     qp = pps["pic_init_qp"] + br.se()
     if pps["deblocking_control_present"]:
-        br.ue()  # disable_deblocking_filter_idc (reconstruction ignores it)
+        if br.ue() != 1:  # disable_deblocking_filter_idc: deblocking on
+            # alpha/beta offsets follow in the header.  No filtering
+            # ever applies to the pictures this decoder can produce:
+            # every decodable MB is I_PCM, whose QpY is 0 (clause
+            # 8.7.2), so the edge-average QP index is <= 12 even at
+            # the maximal +6 slice offsets — below 16, where the
+            # spec's alpha table is 0 and filterSamplesFlag is never
+            # set.  Consuming the offsets and emitting unfiltered
+            # samples is therefore EXACT, not an approximation.
+            br.se()
+            br.se()
     del qp  # I_PCM carries no coefficients; kept for the header walk
     wmb, hmb = sps["wmb"], sps["hmb"]
     y = np.zeros((hmb * 16, wmb * 16), dtype=np.uint8)

@@ -1043,3 +1043,47 @@ def test_mp4_selective_decode_and_frame_sampler(ray_session):
         .to_pandas()
     )
     assert not out2["decode_ok"].any()
+
+
+def test_h264_deblocking_on_header_is_exact():
+    """A conformant stream may leave deblocking ON (idc != 1, alpha/
+    beta offsets in the header): no filtering ever applies to all-
+    I_PCM pictures (QpY=0 -> edge QP index <= 12 < 16 -> alpha 0), so
+    the decoder consumes the offsets and reconstructs bit-exactly."""
+    from crawler_ray.stages.h264 import (
+        _BitWriter,
+        _ebsp,
+        _encode_frame_ipcm,
+        _pps_rbsp,
+        _sps_rbsp,
+        _to_420,
+        h264_decode_frame,
+        parse_pps,
+        parse_sps,
+    )
+
+    rng = np.random.RandomState(17)
+    frame = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    y, cb, cr = _to_420(frame)
+    sps = parse_sps(_sps_rbsp(48, 32))
+    pps = parse_pps(_pps_rbsp(26))
+
+    # rebuild the encoder's slice but with deblocking ON + max offsets
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+    bw.u(0, 1); bw.u(0, 1); bw.se(0)
+    bw.ue(0)          # disable_deblocking_filter_idc = 0 (ON)
+    bw.se(6); bw.se(6)  # max alpha/beta offsets
+    for my in range(2):
+        for mx in range(3):
+            bw.ue(25)
+            bw.align_zero()
+            bw.raw_bytes(y[my*16:my*16+16, mx*16:mx*16+16].tobytes())
+            bw.raw_bytes(cb[my*8:my*8+8, mx*8:mx*8+8].tobytes())
+            bw.raw_bytes(cr[my*8:my*8+8, mx*8:mx*8+8].tobytes())
+    bw.trailing()
+    dec = h264_decode_frame(b"\x65" + _ebsp(bw.bytes()), sps, pps)
+
+    # reference: the encoder's own (deblocking-off) slice
+    ref = h264_decode_frame(b"\x65" + _ebsp(_encode_frame_ipcm(y, cb, cr)), sps, pps)
+    assert (dec == ref).all()
