@@ -82,11 +82,14 @@ class _TreeBuilder(HTMLParser):
         self.root = Node("#document", {})
         self.stack = [self.root]
         self.skip_depth = 0
-        # line start offsets so getpos() → absolute offset
-        self.line_starts = [0]
-        for i, ch in enumerate(raw):
-            if ch == "\n":
-                self.line_starts.append(i + 1)
+        # line start offsets so getpos() → absolute offset (str.find is
+        # a C-level scan; a per-char Python loop here was 19% of total
+        # parse time on real pages)
+        self.line_starts = starts = [0]
+        pos = raw.find("\n")
+        while pos != -1:
+            starts.append(pos + 1)
+            pos = raw.find("\n", pos + 1)
 
     def _abs(self) -> int:
         line, col = self.getpos()
@@ -138,6 +141,220 @@ def _parse_stdlib(raw_html: str) -> Node:
     tb = _TreeBuilder(raw_html)
     tb.feed(raw_html)
     return tb.root
+
+
+# --------------------------------------------------------- fast tokenizer
+
+# html.parser's own tolerant regexes — REUSED (not re-derived) so the
+# fast path tokenizes byte-for-byte like the stdlib tree builder
+import html.parser as _hp_mod
+from html import unescape as _unescape
+
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _SKIP_TAGS
+}
+_AMP_TAIL_RE = re.compile(r"[\s;]")
+_MARKEDSECTION_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MARKEDSECTION_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKEDSECTION_CLOSE = re.compile(r"]\s*>")
+
+
+def _tolerant_pop(stack: list, tag: str):
+    # tolerant close: pop to nearest matching open tag (builder rule)
+    for idx in range(len(stack) - 1, 0, -1):
+        if stack[idx].tag == tag:
+            del stack[idx:]
+            break
+
+
+def _parse_fast(raw: str) -> Node:
+    """Offset-native single-pass tokenizer fused with the tree-builder
+    actions.  Tokenization mirrors one ``HTMLParser.feed(raw)`` with
+    ``convert_charrefs=True`` and NO ``close()`` — same tolerant
+    regexes (imported from html.parser, not re-derived), same
+    incomplete-construct-at-EOF drops, same junk-start-tag literal
+    data, same script/style CDATA scan — but skips the stdlib's
+    buffering, line/col bookkeeping (updatepos/getpos) and bound-method
+    dispatch, which is ~50% of its wall time.  Char offsets come free
+    from the scan position.  Tree equality vs _parse_stdlib is pinned
+    by tests over every fixture, the saved reference pages, and
+    generated tag soup."""
+    root = Node("#document", {})
+    stack = [root]
+    n = len(raw)
+    i = 0
+    find = raw.find
+    startswith = raw.startswith
+    tagfind = _hp_mod.tagfind_tolerant.match
+    attrfind = _hp_mod.attrfind_tolerant.match
+    locatestart = _hp_mod.locatestarttagend_tolerant.match
+    endtagfind = _hp_mod.endtagfind.match
+    commentclose = _hp_mod.commentclose.search
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            # possibly-cut charref near EOF: stdlib holds (drops) the tail
+            amppos = raw.rfind("&", max(i, n - 34))
+            if amppos >= 0 and not _AMP_TAIL_RE.search(raw, amppos):
+                return root
+            j = n
+        if i < j:
+            data = raw[i:j]
+            if "&" in data:
+                data = _unescape(data)
+            if data:
+                stack[-1].content.append(("text", data, i))
+        i = j
+        if i >= n:
+            break
+        c = raw[i + 1 : i + 2]
+        if c.isascii() and c.isalpha():
+            # ---- start tag (parse_starttag + check_for_whole_start_tag)
+            m = locatestart(raw, i)
+            j2 = m.end()
+            nxt = raw[j2 : j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                if startswith("/>", j2):
+                    endpos = j2 + 2
+                else:
+                    return root  # stdlib: incomplete (-1) → tail dropped
+            elif nxt == "":
+                return root  # end of input mid-tag
+            elif nxt in (
+                "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            ):
+                return root  # stdlib: end of input in attribute value
+            else:
+                endpos = j2 if j2 > i else i + 1
+            mt = tagfind(raw, i + 1)
+            k = mt.end()
+            tag = mt.group(1).lower()
+            attrs: dict = {}
+            while k < endpos:
+                ma = attrfind(raw, k)
+                if not ma:
+                    break
+                attrname, rest, attrvalue = ma.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs[attrname.lower()] = attrvalue
+                k = ma.end()
+            end_str = raw[k:endpos].strip()
+            if end_str not in (">", "/>"):
+                # junk start tag → literal data, NOT unescaped (stdlib)
+                data = raw[i:endpos]
+                if data:
+                    stack[-1].content.append(("text", data, i))
+                i = endpos
+                continue
+            if end_str == "/>":
+                if tag not in _SKIP_TAGS:
+                    node = Node(tag, attrs, parent=stack[-1], offset=i)
+                    stack[-1].children.append(node)
+                    stack[-1].content.append(("node", node, i))
+                i = endpos
+                continue
+            if tag in _SKIP_TAGS:
+                # CDATA content element: content dropped (skip_depth),
+                # scan straight to the close tag like set_cdata_mode
+                mc = _CDATA_CLOSE[tag].search(raw, endpos)
+                if not mc:
+                    return root  # unclosed CDATA: stdlib drops the tail
+                i = mc.end()
+                continue
+            node = Node(tag, attrs, parent=stack[-1], offset=i)
+            stack[-1].children.append(node)
+            stack[-1].content.append(("node", node, i))
+            if tag not in _VOID_TAGS:
+                stack.append(node)
+            i = endpos
+        elif startswith("</", i):
+            # ---- end tag (parse_endtag, cdata never active here)
+            gt = find(">", i + 1)
+            if gt < 0:
+                return root
+            me = endtagfind(raw, i)
+            if me:
+                tag = me.group(1).lower()
+                if tag not in _SKIP_TAGS:  # stray </script>: no pop
+                    _tolerant_pop(stack, tag)
+                i = gt + 1
+                continue
+            mn = tagfind(raw, i + 2)
+            if not mn:
+                if startswith("</>", i):
+                    i += 3
+                else:  # bogus comment: consume through '>'
+                    pos = find(">", i + 2)
+                    if pos < 0:
+                        return root
+                    i = pos + 1
+                continue
+            tag = mn.group(1).lower()
+            gt2 = find(">", mn.end())
+            if tag not in _SKIP_TAGS:
+                _tolerant_pop(stack, tag)
+            i = gt2 + 1
+        elif startswith("<!--", i):
+            mc2 = commentclose(raw, i + 4)
+            if not mc2:
+                return root
+            i = mc2.end()
+        elif startswith("<?", i):
+            gt = find(">", i + 2)
+            if gt < 0:
+                return root
+            i = gt + 1
+        elif startswith("<!", i):
+            if startswith("<![", i):
+                # marked section (<![CDATA[ / <![if ...): name decides
+                # the close pattern; a failed name scan degrades to a
+                # bogus-comment skip (stdlib raises there)
+                mn2 = _MARKEDSECTION_NAME.match(raw, i + 3)
+                name = mn2.group().lower() if mn2 else ""
+                pat = (
+                    _MS_MARKEDSECTION_CLOSE
+                    if name in ("if", "else", "endif")
+                    else _MARKEDSECTION_CLOSE
+                )
+                mc3 = pat.search(raw, i + 3)
+                if not mc3:
+                    return root
+                i = mc3.end()
+            elif raw[i : i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+                if gt < 0:
+                    return root
+                i = gt + 1
+            else:  # bogus comment
+                pos = find(">", i + 2)
+                if pos < 0:
+                    return root
+                i = pos + 1
+        elif i + 1 < n:
+            stack[-1].content.append(("text", "<", i))
+            i += 1
+        else:
+            break
+    return root
+
+
+def _parse_fast_safe(raw: str) -> Node:
+    """Fast tokenizer with a stdlib fallback on ANY internal error —
+    the conservative default backend."""
+    try:
+        return _parse_fast(raw)
+    except Exception:
+        return _parse_stdlib(raw)
 
 
 def _parse_lxml(raw_html: str) -> Node:  # pragma: no cover — lxml absent here
@@ -225,23 +442,26 @@ def _probe_backends() -> dict:
 
 
 PARSER_BACKENDS = _probe_backends()
-# Opt-in (env or per-call): alternative backends carry NO char offsets,
-# so they accelerate xpath/link-only workloads (replay/model pipelines);
-# span extraction — the golden input_hint invariant — always parses via
-# the stdlib builder whatever this says.
+PARSER_BACKENDS["fast"] = _parse_fast_safe  # always available, offset-native
+# 'fast' (default) carries char offsets like stdlib, so it serves the
+# span path too; C backends (selectolax/lxml), where installed, carry
+# NO offsets and accelerate xpath/link-only workloads — span
+# extraction always routes through an offset-carrying backend.
 import os as _os
 
-DOM_BACKEND = _os.environ.get("CRAWLER_RAY_DOM_BACKEND", "stdlib")
+DOM_BACKEND = _os.environ.get("CRAWLER_RAY_DOM_BACKEND", "fast")
 
 
 def parse_page(raw_html: str, backend: str | None = None) -> Node:
     """``process-page`` (dom.clj:19-25): parse, prune script/style.
 
-    ``backend``: None → the DOM_BACKEND module default ('stdlib' unless
-    CRAWLER_RAY_DOM_BACKEND selects a probed backend); 'lxml' /
-    'selectolax' parse ~5-20x faster where installed but produce
-    offset-free trees (xpath/link semantics identical, asserted by the
-    backend-parametrized dom tests)."""
+    ``backend``: None → the DOM_BACKEND module default ('fast', the
+    offset-native tokenizer mirroring html.parser's tolerance with an
+    automatic stdlib fallback; CRAWLER_RAY_DOM_BACKEND=stdlib pins the
+    HTMLParser tree builder); 'lxml' / 'selectolax' parse faster still
+    where installed but produce offset-free trees (xpath/link
+    semantics identical, asserted by the backend-parametrized dom
+    tests)."""
     b = backend or DOM_BACKEND
     fn = PARSER_BACKENDS.get(b) if b != "stdlib" else None
     return fn(raw_html) if fn else _parse_stdlib(raw_html)
@@ -405,7 +625,10 @@ def extract_spans(raw_html: str, page_url: str = "") -> list[dict]:
     produce offset-free trees, and offsets are part of the golden
     span invariant.
     """
-    return extract_spans_from_root(parse_page(raw_html, backend="stdlib"), page_url)
+    # pinned to an OFFSET-CARRYING backend (fast == stdlib tree with
+    # stdlib fallback) regardless of DOM_BACKEND: the C backends have
+    # no offsets and offsets are part of the golden span invariant
+    return extract_spans_from_root(parse_page(raw_html, backend="fast"), page_url)
 
 
 def extract_spans_from_root(root: Node, page_url: str = "") -> list[dict]:
