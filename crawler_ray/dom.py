@@ -210,6 +210,9 @@ def _parse_fast(raw: str) -> Node:
         c = raw[i + 1 : i + 2]
         if c.isascii() and c.isalpha():
             # ---- start tag (parse_starttag + check_for_whole_start_tag)
+            # (a tried single-regex fast path for attr-less tags was
+            # NET SLOWER: real pages are attribute-heavy, so the extra
+            # failed match per attributed tag outweighed the win)
             m = locatestart(raw, i)
             j2 = m.end()
             nxt = raw[j2 : j2 + 1]
