@@ -617,8 +617,11 @@ def crawl(
         red = wave_meta.column("redirects").combine_chunks()
         multi = np.where(pc.list_value_length(red).to_numpy(zero_copy_only=False) > 1)[0]
         if len(multi):
-            hop_urls = pc.list_flatten(red.take(pa.array(multi))).to_pylist()
-            seen.test_and_set(list(dict.fromkeys(hop_urls)))
+            # pc.unique keeps first-occurrence order, so this matches the
+            # previous dict.fromkeys dedup while staying Arrow-side until
+            # the shard RPC (which routes Python strings anyway).
+            hops = pc.unique(pc.list_flatten(red.take(pa.array(multi))))
+            seen.test_and_set(hops.to_pylist())
 
         # ---- trace + metrics (vectorized, trace stays Arrow) ----------
         statuses_arr = trace_meta.column("status").combine_chunks()
