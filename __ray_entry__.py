@@ -76,6 +76,9 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "snapshot_diff",        # new in r5, never certified
+    "term_cooccurrence",    # new in r5, never certified
+    "leakage_safe_split",   # new in r5, never certified
     "date_records_detect",  # new in r5, never certified
     "video_frame_sample",   # new in r5, never certified
     "media_decode_stats",   # r5 added the intra-H.264 payload mix

@@ -6065,3 +6065,255 @@ def date_records_detect(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# =====================================================================
+# Round-5 additions: incremental snapshot diff, co-occurrence mining,
+# leakage-safe split assignment
+# =====================================================================
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH oldv AS (
+      SELECT doc_id, md5_number_lower(text) % 4611686018427387904 AS fp
+      FROM documents WHERE doc_id % 10 < 8),
+    newv AS (
+      SELECT doc_id,
+             md5_number_lower(CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text
+                                   ELSE text END) % 4611686018427387904 AS fp
+      FROM documents WHERE doc_id % 10 >= 2)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+    """,
+    doc="Incremental recrawl snapshot diff (the re-crawl companion to "
+    "pipelines/ingest.py): two corpus snapshots (old = doc_id%10<8, "
+    "new = doc_id%10>=2 with a simulated edit on doc_id%7==0) are read "
+    "as SEPARATE datasets, each row reduced to a (doc_id, side, "
+    "fingerprint) triple batch-side — md5_number_lower-compatible "
+    "(functions/shingles.py md5_hash64), masked to 2^62 so int64 sums "
+    "never overflow — then one hash-partitioned union-aggregate on "
+    "doc_id classifies every doc added/removed/changed/unchanged.  "
+    "Document text NEVER crosses the shuffle; at 100 TB the exchange "
+    "is 24 bytes/doc regardless of page size, and either side may be "
+    "a different storage generation (the real recrawl case).",
+)
+def snapshot_diff(sf_dir: str):
+    from .functions.shingles import md5_hash64
+    from .stages.relational import bucketed_agg
+
+    MASK = 1 << 62
+
+    def _fps(texts: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (md5_hash64(s) % MASK for s in texts), dtype=np.int64, count=len(texts)
+        )
+
+    def old_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        keep = (did % 10) < 8
+        texts = [s for s, k in zip(t["text"].to_pylist(), keep) if k]
+        fp = _fps(texts)
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "fp_old": pa.array(fp),
+                "fp_new": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def new_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        keep = (did % 10) >= 2
+        texts = [
+            ("v2 " + s) if d % 7 == 0 else s
+            for s, d, k in zip(t["text"].to_pylist(), did, keep)
+            if k
+        ]
+        fp = _fps(texts)
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "side": pa.array(np.full(n, 2, dtype=np.int64)),
+                "fp_old": pa.array(np.zeros(n, dtype=np.int64)),
+                "fp_new": pa.array(fp),
+            }
+        )
+
+    ds_old = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        old_side, batch_format="pyarrow"
+    )
+    ds_new = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        new_side, batch_format="pyarrow"
+    )
+    # each doc appears once per side, so per-key sums ARE the values
+    agg = bucketed_agg(
+        ds_old.union(ds_new),
+        keys=["doc_id"],
+        sum_cols={"side": "side_sum", "fp_old": "fp_old", "fp_new": "fp_new"},
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        side = t["side_sum"].to_numpy()
+        fo = t["fp_old"].to_numpy()
+        fn_ = t["fp_new"].to_numpy()
+        status = np.where(
+            side == 2,
+            "added",
+            np.where(side == 1, "removed", np.where(fo == fn_, "unchanged", "changed")),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "status": pa.array(status.astype(object), type=pa.string())}
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+@register(
+    "term_cooccurrence",
+    """
+    WITH d AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    f AS (
+      SELECT doc_id, term FROM d WHERE length(term) >= 4
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY term) <= 12),
+    p AS (
+      SELECT a.term AS t1, b.term AS t2
+      FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term)
+    SELECT t1, t2, count(*) AS n FROM p GROUP BY t1, t2
+    ORDER BY n DESC, t1, t2 LIMIT 100
+    """,
+    doc="Term co-occurrence mining (the counting core of PMI/word-"
+    "association features): per doc the 12 lexicographically-first "
+    "distinct terms of length>=4 form unordered pairs (a<b), counted "
+    "corpus-wide.  The pair space is bounded batch-side by a Counter "
+    "COMBINER (<=66 pairs/doc, merged within the batch before "
+    "anything shuffles), global sums via the bucketed high-cardinality "
+    "path, and a local top-k prune caps the all-to-all sort at 100 "
+    "rows per block.  The per-doc cap is the documented skew guard: "
+    "pair count grows O(k^2), so k is fixed, not corpus-dependent.",
+)
+def term_cooccurrence(sf_dir: str):
+    from collections import Counter
+
+    from .stages.relational import bucketed_agg
+
+    def pairs(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            terms = sorted({w for w in txt.split(" ") if len(w) >= 4})[:12]
+            for i in range(len(terms)):
+                for j in range(i + 1, len(terms)):
+                    c[(terms[i], terms[j])] += 1
+        if not c:
+            return pa.table(
+                {
+                    "t1": pa.array([], type=pa.string()),
+                    "t2": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        t1, t2 = zip(*c.keys())
+        return pa.table(
+            {
+                "t1": pa.array(list(t1), type=pa.string()),
+                "t2": pa.array(list(t2), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    agg = bucketed_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        keys=["t1", "t2"],
+        sum_cols={"n": "n"},
+        key_dtypes={"t1": "object", "t2": "object"},
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "t1", "t2"], ascending=[False, True, True]
+        ).head(100)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        agg.map_batches(prune, batch_format="pyarrow")
+        .sort(["n", "t1", "t2"], descending=[True, False, False])
+        .limit(100)
+    )
+
+
+@register(
+    "leakage_safe_split",
+    """
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN md5_number_lower(source) % 10 < 8 THEN 'train'
+                  WHEN md5_number_lower(source) % 10 = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, lang
+    """,
+    doc="Leakage-safe train/valid/test assignment: the split key is the "
+    "doc's SOURCE (the registrable-domain analog), hashed with the "
+    "md5_number_lower-compatible md5_hash64, so exact and near "
+    "duplicates — which overwhelmingly share a source — land on the "
+    "same side of the split by construction (no eval contamination). "
+    "Deterministic across runs and cluster sizes; per-batch the "
+    "unique-source dictionary is hashed once, then a (split, lang) "
+    "partial-sum combiner keeps the shuffle at O(splits x langs x "
+    "batches).  Reports per-cell doc and char counts for mixture "
+    "audit.",
+)
+def leakage_safe_split(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .functions.shingles import md5_hash64
+    from .stages.relational import make_partial_agg
+
+    def assign(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        buckets = {s: md5_hash64(s) % 10 for s in set(src)}
+        b = np.fromiter((buckets[s] for s in src), dtype=np.int64, count=len(src))
+        split = np.where(b < 8, "train", np.where(b == 8, "valid", "test"))
+        out = pa.table(
+            {
+                "split": pa.array(split.astype(object), type=pa.string()),
+                "lang": t["lang"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+        return make_partial_agg(["split", "lang"], ["n_chars"])(out)
+
+    agg = (
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(
+            Sum("partial_n", alias_name="n_docs"),
+            Sum("n_chars_sum", alias_name="total_chars"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": t["split"],
+                "lang": t["lang"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "total_chars": pc.cast(t["total_chars"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -20,6 +20,7 @@ SAMPLE = [
     "asof_join", "running_window", "semantic_dedup",
     "pagerank", "distinct_kmv", "session_coverage", "typo_pairs", "rolling_hour_sum", "pivot_events", "shuffle_shards", "ohlc_hourly",
     "media_decode_stats",
+    "snapshot_diff", "term_cooccurrence", "leakage_safe_split",
 ]
 
 

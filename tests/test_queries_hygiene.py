@@ -582,3 +582,80 @@ def test_semantic_dedup_auto_scales_centroids(ray_session, tmp_path):
     small = norm(semantic_dedup(sf))  # 60 vecs, default target 4096
     oracle = norm(_semantic_dedup_oracle(sf))
     assert small.equals(oracle)
+
+
+def test_snapshot_diff_classifies_all_four_statuses(ray_session, tmp_path):
+    # doc_id 0..13: old side = id%10<8, new side = id%10>=2, edit on id%7==0.
+    # id 0,10 -> old only? no: 0%10<8 and 0%10<2 -> removed; 0%7==0 edit
+    # irrelevant (not on new side).  id 8,9 -> added.  id 7 -> both sides,
+    # 7%7==0 -> changed.  id 2..6 -> both, unchanged.
+    texts = [f"doc body number {i} stable content" for i in range(14)]
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import snapshot_diff
+
+    out = snapshot_diff(sf).to_pandas().set_index("doc_id")["status"]
+    expect = {}
+    for i in range(14):
+        old, new = i % 10 < 8, i % 10 >= 2
+        if old and not new:
+            expect[i] = "removed"
+        elif new and not old:
+            expect[i] = "added"
+        elif old and new:
+            expect[i] = "changed" if i % 7 == 0 else "unchanged"
+    assert dict(out) == expect
+    # every status class is actually exercised by this corpus
+    assert set(expect.values()) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_term_cooccurrence_counts_and_caps(ray_session, tmp_path):
+    # "alpha beta" co-occur in docs 0 and 1 (count 2); "gamma" only in
+    # doc 1; short tokens (<4 chars) never pair; the 12-term cap keeps
+    # the pair space bounded for a pathological wide-vocab doc.
+    texts = [
+        "alpha beta xy z",
+        "alpha beta gamma",
+        " ".join(f"word{i:02d}" for i in range(40)),  # 40 distinct terms
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import term_cooccurrence
+
+    out = term_cooccurrence(sf).to_pandas()
+    top = out.iloc[0]
+    assert (top["t1"], top["t2"], top["n"]) == ("alpha", "beta", 2)
+    assert not ((out["t1"] == "xy") | (out["t2"] == "xy")).any()
+    # wide doc contributes exactly C(12,2)=66 pairs, not C(40,2)
+    wide = out[out["t1"].str.startswith("word")]
+    assert len(wide) == 66 and (wide["n"] == 1).all()
+    assert ((out["t1"] < out["t2"]).all())
+
+
+def test_leakage_safe_split_is_group_atomic(ray_session, tmp_path):
+    # all docs of one source land in ONE split — the no-leakage contract
+    import pyarrow.parquet as pq_
+
+    n = 60
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(["x"] * n, type=pa.string()),
+            "lang": pa.array(["en", "fr"] * (n // 2), type=pa.string()),
+            "source": pa.array([f"host{i % 6}.example" for i in range(n)], type=pa.string()),
+            "n_chars": pa.array([1] * n, type=pa.int64()),
+        }
+    )
+    pq_.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    from crawler_ray.functions.shingles import md5_hash64
+    from crawler_ray.queries import leakage_safe_split
+
+    out = leakage_safe_split(str(tmp_path)).to_pandas()
+    # recompute the expected per-(split,lang) counts from the contract
+    exp = {}
+    for i in range(n):
+        b = md5_hash64(f"host{i % 6}.example") % 10
+        split = "train" if b < 8 else ("valid" if b == 8 else "test")
+        key = (split, "en" if i % 2 == 0 else "fr")
+        exp[key] = exp.get(key, 0) + 1
+    got = {(r["split"], r["lang"]): r["n_docs"] for _, r in out.iterrows()}
+    assert got == exp
+    assert int(out["n_docs"].sum()) == n and int(out["total_chars"].sum()) == n
