@@ -30,6 +30,7 @@ _PUNCT = set(".,;:!?'\"()-")
 
 def leaf_features(html: str) -> np.ndarray:
     root = dom.parse_page(html)
+    memo = dom.XPathMemo()
     text_xp: dict[str, list[int]] = {}
     anchor_xp: dict[str, list[int]] = {}
     fmt_count = p_count = br_count = 0
@@ -45,7 +46,7 @@ def leaf_features(html: str) -> np.ndarray:
         if n.tag == "br":
             br_count += 1
         if n.tag == "a":
-            xp = dom.path_to_xpath(n, with_position=False)
+            xp = memo.nopos(n)
             t = n.text()
             anchor_xp.setdefault(xp, []).append(len(t))
             anchor_chars += len(t)
@@ -55,7 +56,7 @@ def leaf_features(html: str) -> np.ndarray:
             if kind == "text":
                 s = payload.strip()
                 if s:
-                    xp = dom.path_to_xpath(n, with_position=False)
+                    xp = memo.nopos(n)
                     text_xp.setdefault(xp, []).append(len(s))
                     all_text.append(s)
             else:

@@ -133,6 +133,7 @@ def xpath_text_signature(html: str) -> dict[str, Counter]:
     `structural_similarity` page representation reconstructed from call
     sites (page-text-xpaths + char-frequency-representation)."""
     root = dom.parse_page(html)
+    memo = dom.XPathMemo()
     sig: dict[str, Counter] = {}
 
     def walk(n: dom.Node):
@@ -140,7 +141,7 @@ def xpath_text_signature(html: str) -> dict[str, Counter]:
             if kind == "text":
                 stripped = payload.strip()
                 if stripped:
-                    xp = dom.path_to_xpath(n, with_position=False)
+                    xp = memo.nopos(n)
                     sig.setdefault(xp, Counter()).update(stripped)
             else:
                 walk(payload)

@@ -38,9 +38,12 @@ def candidate_record_xpaths(
 ) -> list[dict]:
     """All qualifying record-xpath candidates, unfiltered for ancestry:
     ``{"xpath", "n_records", "n_dated", "frac_dated", "depth"}``."""
+    from .dom import XPathMemo
+
+    memo = XPathMemo()
     groups: dict[str, list[Node]] = {}
     for n in _iter_elements(root):
-        groups.setdefault(path_to_xpath(n, with_position=False), []).append(n)
+        groups.setdefault(memo.nopos(n), []).append(n)
     out = []
     for xp, nodes in groups.items():
         if len(nodes) < min_records:
