@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import html as _html
 import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 # Media-extension regex — the reference defines it but never uses it
@@ -35,9 +36,20 @@ def canonicalize(href: str, base_url: str = "") -> str:
     Normalization: lowercase scheme+host, drop default ports, keep path
     and query verbatim, empty path → "/".  Returns "" for unusable hrefs
     (bad scheme, empty).
-    """
+
+    Memoized (pure function): site nav/footer hrefs repeat on every
+    page of a host, and absolute hrefs resolve independently of the
+    base, so those cache on the href alone."""
     if not href:
         return ""
+    low = href[:8].lower()
+    if low.startswith("http://") or low.startswith("https://"):
+        return _canonicalize_cached(href, "")
+    return _canonicalize_cached(href, base_url)
+
+
+@lru_cache(maxsize=1 << 16)
+def _canonicalize_cached(href: str, base_url: str) -> str:
     href = _html.unescape(href).strip()
     if not href or _BAD_SCHEME_RE.match(href):
         return ""
@@ -59,8 +71,11 @@ def canonicalize(href: str, base_url: str = "") -> str:
     return urlunsplit((scheme, netloc, path, parts.query, ""))
 
 
+@lru_cache(maxsize=1 << 16)
 def url_host(url: str) -> str:
-    """Lowercased host of a canonical URL ('' when relative)."""
+    """Lowercased host of a canonical URL ('' when relative).
+    Memoized: ``same_host`` re-reads the page URL's host once per
+    anchor on the page."""
     try:
         return urlsplit(url).netloc.lower()
     except ValueError:
