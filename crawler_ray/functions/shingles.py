@@ -21,6 +21,7 @@ import re
 from functools import lru_cache
 
 import numpy as np
+import pandas as pd
 
 _PUNCT_RE = re.compile(r"[^\w\s]+", re.U)
 _WS_RE = re.compile(r"\s+")
@@ -41,10 +42,18 @@ def normalize_text(text: str) -> str:
     return _WS_RE.sub(" ", _PUNCT_RE.sub("", text.lower())).strip()
 
 
+def normalize_tokens(text: str) -> list[str]:
+    """``normalize_text(text).split()`` without the redundant
+    whitespace-collapse regex pass (``str.split()`` already splits on
+    runs) — 2.4x on the crawl's leaf pages; list-equal by contract
+    (asserted across the soak corpus)."""
+    return _PUNCT_RE.sub("", text.lower()).split()
+
+
 def token_ngrams(text: str, n: int = 4) -> set[str]:
     """``html-doc-4-grams`` (shingles.clj:16-26): set of space-joined
     token n-grams of the normalized text."""
-    toks = normalize_text(text).split()
+    toks = normalize_tokens(text)
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -101,24 +110,18 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     only — the sequential oracle shares this function, and the SQL
     oracles hash raw gram strings on their own path)."""
     assert n <= len(_WINDOW_C), "extend _WINDOW_C for larger shingle sizes"
-    toks = normalize_text(text).split()
+    toks = normalize_tokens(text)
     if not toks:
         return np.zeros(1, dtype=np.uint64)
-    # vocab dict loop beats np.unique here (measured 121 vs 314 us/page
-    # at 725 tokens / 73 distinct: the numpy string sort costs more
-    # than the Python inserts); stable_hash64 is memoized so repeated
-    # tokens across pages cost a dict hit, not a blake2b
-    vocab: dict[str, int] = {}
-    ids = np.empty(len(toks), dtype=np.int64)
-    th: list[int] = []
-    for i, t in enumerate(toks):
-        v = vocab.get(t)
-        if v is None:
-            v = len(vocab)
-            vocab[t] = v
-            th.append(stable_hash64(t))
-        ids[i] = v
-    h = np.array(th, dtype=np.uint64)[ids]
+    # hash-based C-speed vocab mapping, insertion-ordered exactly like
+    # the old dict loop (np.unique's string SORT measured slower);
+    # stable_hash64 is memoized so repeated tokens across pages cost a
+    # dict hit, not a blake2b
+    codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+    th = np.fromiter(
+        (stable_hash64(t) for t in uniques), dtype=np.uint64, count=len(uniques)
+    )
+    h = th[codes]
     with np.errstate(over="ignore"):
         if len(toks) < n:
             acc = np.zeros(1, dtype=np.uint64)
