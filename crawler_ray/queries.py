@@ -6317,3 +6317,105 @@ def leakage_safe_split(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "cross_corpus_neardup",
+    """
+    WITH ev AS (
+      SELECT doc_id, regexp_replace(text, '^[^ ]+', 'evalword') AS text
+      FROM documents WHERE doc_id % 3 = 0),
+    tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    te AS (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+    gt AS (
+      SELECT DISTINCT doc_id, t[j]||' '||t[j+1]||' '||t[j+2]||' '||t[j+3] AS g
+      FROM tt, unnest(generate_series(1, len(t)-3)) AS s(j)),
+    ge AS (
+      SELECT DISTINCT doc_id, t[j]||' '||t[j+1]||' '||t[j+2]||' '||t[j+3] AS g
+      FROM te, unnest(generate_series(1, len(t)-3)) AS s(j)),
+    szt AS (SELECT doc_id, count(*) AS sz FROM gt GROUP BY doc_id),
+    sze AS (SELECT doc_id, count(*) AS sz FROM ge GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS i
+      FROM gt a JOIN ge b ON a.g = b.g GROUP BY 1, 2)
+    SELECT train_id AS doc_id, count(*) AS n_eval_matches
+    FROM inter
+    JOIN szt ON train_id = szt.doc_id
+    JOIN sze ON eval_id = sze.doc_id
+    WHERE i/(1.0*(szt.sz + sze.sz - i)) >= 0.9
+    GROUP BY train_id
+    """,
+    doc="Cross-corpus near-dup contamination sweep (the fuzzy "
+    "complement of n-gram decontaminate): eval set = every third doc "
+    "with its first token rewritten (a guaranteed J>=0.9 twin of its "
+    "train original), train = the full corpus; report each train doc "
+    "near-duplicate (4-gram Jaccard >= 0.9) to at least one eval doc "
+    "with its eval-match count.  Pipeline: eval ids offset into a "
+    "disjoint range, ONE union grams pass (stages/dedup.py "
+    "doc_grams_table), banded-LSH candidate generation, distributed "
+    "exact-Jaccard verify, then a cross-side filter + per-train-doc "
+    "count — same-side (train-train / eval-eval) near-dups are "
+    "dropped before anything aggregates.  ORACLE-CHECKED via the "
+    "exhaustive cross-side similarity join (LSH miss probability at "
+    "J>=0.9 is ~1e-25, the minhash_lsh_neardup recall argument).",
+)
+def cross_corpus_neardup(sf_dir: str):
+    import re as _re
+
+    from ray.data.aggregate import Count
+
+    from crawler_ray.stages.dedup import (
+        doc_grams_table,
+        lsh_neardup_pairs,
+        verify_pairs_joined,
+    )
+
+    _EVAL_BASE = 10_000_000
+
+    def eval_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        keep = (did % 3) == 0
+        txts = [
+            _re.sub(r"^[^ ]+", "evalword", x, count=1)
+            for x, k in zip(t["text"].to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep] + _EVAL_BASE),
+                "text": pa.array(txts, type=pa.string()),
+            }
+        )
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ev = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        eval_side, batch_format="pyarrow"
+    )
+    grams = doc_grams_table(train.union(ev), with_minhash_input=True).materialize()
+    pairs = lsh_neardup_pairs(None, threshold=0.9, grams_ds=grams)
+    verified = verify_pairs_joined(
+        pairs, grams.select_columns(["doc_id", "gb", "sz"]), threshold=0.9
+    )
+
+    def cross_side(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        cross = (a < _EVAL_BASE) != (b < _EVAL_BASE)
+        train_id = np.where(a < _EVAL_BASE, a, b)[cross]
+        return pa.table({"doc_id": pa.array(train_id)})
+
+    agg = (
+        verified.map_batches(cross_side, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_eval_matches"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_eval_matches": pc.cast(t["n_eval_matches"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -659,3 +659,20 @@ def test_leakage_safe_split_is_group_atomic(ray_session, tmp_path):
     got = {(r["split"], r["lang"]): r["n_docs"] for _, r in out.iterrows()}
     assert got == exp
     assert int(out["n_docs"].sum()) == n and int(out["total_chars"].sum()) == n
+
+
+def test_cross_corpus_neardup_flags_only_cross_side(ray_session, tmp_path):
+    # doc 0 (eval twin exists): long doc -> one-token rewrite keeps J>=0.9
+    # doc 1 (id%3!=0): NEVER flagged even though doc 2 is its exact copy
+    # (same-side train-train near-dups are out of scope for this sweep)
+    long = " ".join(f"tok{i}" for i in range(60))
+    texts = [long, long + " tail", long + " tail"]  # ids 0,1,2
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import cross_corpus_neardup
+
+    out = cross_corpus_neardup(sf).to_pandas().set_index("doc_id")
+    # id 0's eval twin matches id 0 (and ids 1,2, which share its prefix)
+    assert 0 in out.index
+    # every flagged id is a TRAIN id (no offset eval ids leak through)
+    assert (out.index < 10_000_000).all()
+    assert (out["n_eval_matches"] >= 1).all()
