@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "inverted_index",
     "media_decode_stats",
     "video_frame_sample",
+    "snapshot_diff",
+    "term_cooccurrence",
+    "cross_corpus_neardup",
 ]
 
 
