@@ -47,8 +47,10 @@ def main(argv=None):
     p.add_argument("mode", choices=[
         "bfs", "structure-driven", "discussion-forum", "execute",
         "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
-        "fix-model", "prep-data", "compact", "ingest",
+        "fix-model", "prep-data", "compact", "ingest", "diff",
     ])
+    p.add_argument("--old", help="old checkpoint dir (diff)")
+    p.add_argument("--new", help="new checkpoint dir (diff)")
     p.add_argument("--target-rows", type=int, default=1_000_000,
                    help="rows per output file (compact)")
     p.add_argument("--round-id", type=int, default=1,
@@ -128,6 +130,35 @@ def main(argv=None):
             docs = rd.read_parquet(args.input)
             stats = incremental_ingest(docs, args.out, args.round_id)
             print(json.dumps({**stats, "out": args.out}))
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.mode == "diff":
+        # incremental recrawl diff: classify every URL of two crawl
+        # checkpoints added/removed/changed/unchanged by span-content
+        # fingerprint (pipelines/diff.py; spans never cross the shuffle)
+        if not args.old or not args.new:
+            p.error("diff requires --old and --new (checkpoint dirs)")
+        _init_ray(args.num_cpus)
+        import ray
+
+        from crawler_ray.pipelines.diff import diff_checkpoints
+
+        try:
+            ds = diff_checkpoints(args.old, args.new)
+            os.makedirs(args.out, exist_ok=True)
+            out_dir = os.path.join(args.out, "diff")
+            ds = ds.materialize()
+            counts: dict[str, int] = {}
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                import pyarrow.compute as pc
+
+                vc = pc.value_counts(b.column("status"))
+                for sv, cv in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+                    counts[sv] = counts.get(sv, 0) + cv
+            ds.write_parquet(out_dir)
+            print(json.dumps({**counts, "rows": ds.count(), "out": out_dir}))
             return 0
         finally:
             ray.shutdown()

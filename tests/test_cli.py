@@ -97,3 +97,40 @@ def test_prep_data_cli_subprocess(tmp_path):
 
     kept = pq.read_table(os.path.join(out, "kept"))
     assert kept.num_rows == summary["n_kept"]
+
+
+def test_diff_cli(tmp_path, ray_session):
+    """diff mode: two in-process crawls (edited leaf between them), then
+    the CLI classifies the edit + its redirect alias as changed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray import synth
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=18, seed=6,
+                                      leaf_text_words=25, leaves_per_index=5)
+    ids = pages.column("doc_id").to_pylist()
+    leaf = pages.column("is_leaf").to_pylist()
+    target = [u for u, lf in zip(ids, leaf) if lf][0]
+    htmls = pages.column("html").to_pylist()
+    pages2 = pages.set_column(
+        pages.schema.get_field_index("html"), "html",
+        pa.array([h.replace("</body>", "<p>edited</p></body>") if u == target else h
+                  for u, h in zip(ids, htmls)]),
+    )
+    ck_a, ck_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for pg, ck in [(pages, ck_a), (pages2, ck_b)]:
+        crawl(pg, synth.seeds_for(pg),
+              CrawlConfig(n_seen_shards=2, fetch_concurrency=2, checkpoint_dir=ck))
+
+    out = str(tmp_path / "out")
+    rc = cli.main(["diff", "--old", ck_a, "--new", ck_b, "--out", out, "--num-cpus", "4"])
+    assert rc == 0
+    parts = pq.read_table(os.path.join(out, "diff"))
+    st = dict(zip(parts.column("url").to_pylist(), parts.column("status").to_pylist()))
+    assert st[target] == "changed"
+    rto = dict(zip(ids, pages.column("redirect_to").to_pylist()))
+    for u, s in st.items():
+        want = "changed" if (u == target or rto.get(u) == target) else "unchanged"
+        assert s == want, (u, s)
