@@ -75,6 +75,9 @@ def main(argv=None):
     p.add_argument("--transport", choices=["synthetic", "http"], default="synthetic",
                    help="http = crawl the REAL network via HTTPTransport "
                         "(seeds must be reachable URLs; --graph is ignored)")
+    p.add_argument("--seeds-from-sitemap", action="store_true",
+                   help="expand --start into the host's sitemap URLs "
+                        "(robots.txt Sitemap: lines, fallback /sitemap.xml)")
     args = p.parse_args(argv)
 
     from crawler_ray import synth
@@ -250,6 +253,11 @@ def main(argv=None):
                 transport_factory = HTTPTransport
                 if not args.start:
                     p.error("--transport http requires --start (a live seed URL)")
+                if args.seeds_from_sitemap:
+                    from crawler_ray.sources.sitemap import discover_seeds
+
+                    found = discover_seeds(args.start, HTTPTransport())
+                    seeds = found or seeds  # fall back to --start alone
             cfg = CrawlConfig(
                 num_leaves=args.num_leaves,
                 budget=args.budget,
