@@ -118,3 +118,34 @@ def test_discover_seeds_loopback_and_crawl(ray_session):
         assert res.metrics["fetched"] >= 3  # all sitemap seeds fetched
     finally:
         srv.shutdown()
+
+
+def test_discover_seeds_bounded_against_hostile_feeds():
+    """A cyclic/self-referential sitemapindex and an over-long urlset
+    stay bounded by max_sitemaps / max_urls."""
+
+    class FakeTransport:
+        def __init__(self):
+            self.fetches = 0
+
+        def resolve(self, url, hops):
+            self.fetches += 1
+            return "ok", url, hops
+
+        def body(self, url):
+            if url.endswith("/robots.txt"):
+                return "Sitemap: http://h.com/a.xml\n"
+            if url.endswith("/a.xml"):  # cycle: a -> b -> a
+                return (f'<sitemapindex><sitemap><loc>http://h.com/b.xml</loc>'
+                        f'</sitemap><sitemap><loc>http://h.com/a.xml</loc>'
+                        f'</sitemap></sitemapindex>')
+            if url.endswith("/b.xml"):
+                urls = "".join(
+                    f"<url><loc>http://h.com/p/{i}</loc></url>" for i in range(500))
+                return f"<urlset>{urls}</urlset>"
+            return ""
+
+    tr = FakeTransport()
+    seeds = discover_seeds("http://h.com/", tr, max_sitemaps=10, max_urls=100)
+    assert len(seeds) == 100  # capped
+    assert tr.fetches <= 11  # robots + bounded sitemap fetches, cycle broken
