@@ -73,3 +73,23 @@ def test_textstats():
     fps = textstats.rolling_fingerprints("a b c d e f g h i j", window=8)
     assert len(fps) == 3 and len(set(fps)) == 3
     assert textstats.detect_lang("这是一个中文文档 测试") == "zh"
+
+
+def test_canonicalize_cache_never_collides_across_bases():
+    """The memo keys on (href, base): an identical RELATIVE href from
+    two bases resolves differently; an absolute href resolves the same
+    from any base (keyed base-free on the fast path)."""
+    from crawler_ray.functions.urlnorm import canonicalize
+
+    a = canonicalize("sub/page", "http://one.com/dir/")
+    b = canonicalize("sub/page", "http://two.com/other/")
+    assert a == "http://one.com/dir/sub/page"
+    assert b == "http://two.com/other/sub/page"
+    # warm-cache re-reads stay correct
+    assert canonicalize("sub/page", "http://one.com/dir/") == a
+    assert (
+        canonicalize("http://abs.com/x", "http://one.com/")
+        == canonicalize("http://abs.com/x", "http://two.com/")
+        == canonicalize("http://abs.com/x")
+        == "http://abs.com/x"
+    )
