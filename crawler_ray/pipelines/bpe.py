@@ -1,0 +1,197 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, the
+published subword-NMT algorithm) — the tokenizer-TRAINING stage of a
+training-data pipeline (bpe_token_stats in queries.py only *applies* a
+BPE-ish segmentation; this learns the merge table).
+
+Scale shape: the corpus collapses to a (word, freq) table in ONE
+word-count shuffle — every later round runs over unique words, not
+documents (English-scale text is ~10^6-10^8 unique words at 100 TB vs
+10^12+ tokens).  Each merge round is
+    map_batches(pair partial-counts weighted by freq)
+      -> bucketed groupby sum -> local top-1 prune -> tiny global sort
+      -> driver reads ONE row (the winning pair)
+      -> map_batches(apply merge to symbol lists)
+so driver state is O(n_merges) and each round's shuffle carries pair
+partials, never corpus text.  The same iterate-with-combiner pattern
+as queries.py::kmeans_clusters / pagerank.
+
+Determinism: winner = max count, tie-broken by lexicographically
+smallest (left, right) — both sides of the conformance test implement
+exactly this rule, so the distributed merge SEQUENCE is bit-equal to
+the sequential reference.
+
+Word symbols: characters with a terminal ``</w>`` marker (the paper's
+setup), so merges never cross word boundaries.
+"""
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+
+def _word_symbols(word: str) -> list[str]:
+    syms = list(word)
+    syms[-1] = syms[-1] + "</w>"
+    return syms
+
+
+def train_bpe_sequential(texts: list[str], n_merges: int, min_pair_count: int = 2):
+    """Exact sequential reference (test oracle): same tokenization,
+    same tie-break, plain dicts."""
+    freq: Counter = Counter()
+    for t in texts:
+        freq.update(t.split())
+    words = {w: _word_symbols(w) for w in freq}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        ab = a + b
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def _apply_merge_batch(a: str, b: str):
+    ab = a + b
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for syms in t["syms"].to_pylist():
+            i, ns = 0, []
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    ns.append(ab)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out.append(ns)
+        return pa.table(
+            {
+                "word": t["word"],
+                "freq": t["freq"],
+                "syms": pa.array(out, type=pa.list_(pa.string())),
+            }
+        )
+
+    return fn
+
+
+def _pair_partials(t: pa.Table) -> pa.Table:
+    c: Counter = Counter()
+    freqs = t["freq"].to_numpy()
+    for syms, f in zip(t["syms"].to_pylist(), freqs):
+        f = int(f)
+        for a, b in zip(syms, syms[1:]):
+            c[(a, b)] += f
+    if not c:
+        return pa.table(
+            {
+                "a": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    aa, bb = zip(*c.keys())
+    return pa.table(
+        {
+            "a": pa.array(list(aa), type=pa.string()),
+            "b": pa.array(list(bb), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        }
+    )
+
+
+def train_bpe(docs_ds, n_merges: int = 30, min_pair_count: int = 2):
+    """Distributed BPE training over a Dataset with a ``text`` column.
+
+    Returns ``(merges, word_freq_ds)``: the ordered merge table
+    ``[(left, right, count), ...]`` and the final symbolized word-freq
+    Dataset (word, freq, syms) for downstream vocabulary export."""
+    from ..stages.relational import bucketed_agg
+
+    def words_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt.split())
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), type=pa.string()),
+                "freq": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    wf = bucketed_agg(
+        docs_ds.map_batches(words_partial, batch_format="pyarrow"),
+        keys=["word"],
+        sum_cols={"freq": "freq"},
+        key_dtypes={"word": "object"},
+    )
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": t["word"],
+                "freq": t["freq"],
+                "syms": pa.array(
+                    [_word_symbols(w) for w in t["word"].to_pylist()],
+                    type=pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    wf = wf.map_batches(symbolize, batch_format="pyarrow").materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        agg = bucketed_agg(
+            wf.map_batches(_pair_partials, batch_format="pyarrow"),
+            keys=["a", "b"],
+            sum_cols={"n": "n"},
+            key_dtypes={"a": "object", "b": "object"},
+        )
+
+        def prune(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            df = t.to_pandas().sort_values(
+                ["n", "a", "b"], ascending=[False, True, True]
+            ).head(1)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        top = (
+            agg.map_batches(prune, batch_format="pyarrow")
+            .sort(["n", "a", "b"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, cnt))
+        wf = wf.map_batches(
+            _apply_merge_batch(a, b), batch_format="pyarrow"
+        ).materialize()
+    return merges, wf

@@ -6419,3 +6419,33 @@ def cross_corpus_neardup(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "bpe_train_merges",
+    None,  # iterative re-segmentation after each merge is not SQL-expressible;
+           # the driver records the rows-only check, and the merge SEQUENCE is
+           # bit-equal to an exact sequential reference in tests/test_bpe.py
+    doc="Distributed BPE tokenizer TRAINING (Sennrich et al. 2016; "
+    "bpe_token_stats only applies a segmentation — this learns the "
+    "merge table).  The corpus collapses to a (word, freq) table in "
+    "one shuffle; each of the 25 merge rounds is a pair-count "
+    "combiner -> bucketed sum -> top-1 prune -> one-row driver read "
+    "-> broadcast merge apply, so driver state is O(n_merges) and no "
+    "round touches document text.  Deterministic: max count, then "
+    "lexicographically smallest pair.",
+)
+def bpe_train_merges(sf_dir: str):
+    from crawler_ray.pipelines.bpe import train_bpe
+
+    merges, _ = train_bpe(
+        _read(sf_dir, "documents", columns=["text"]), n_merges=25
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), type=pa.int64()),
+            "left": pa.array([m[0] for m in merges], type=pa.string()),
+            "right": pa.array([m[1] for m in merges], type=pa.string()),
+            "count": pa.array([m[2] for m in merges], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,54 @@
+"""Distributed BPE training (pipelines/bpe.py) vs the exact sequential
+reference — the merge SEQUENCE must be bit-equal (same counts, same
+tie-breaks)."""
+
+import os
+import sys
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from crawler_ray.pipelines.bpe import train_bpe, train_bpe_sequential
+
+
+def _ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+
+
+def test_bpe_matches_sequential_reference(ray_session):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide lowest newest",
+    ] * 3  # repetition across docs exercises the word-count shuffle
+    merges, wf = train_bpe(_ds(texts), n_merges=12)
+    ref = train_bpe_sequential(texts, n_merges=12)
+    assert merges == ref
+    assert len(merges) == 12
+    # learned subwords behave: 'low</w>' must have merged fully (it is
+    # the most frequent word) — its final symbol list is one token
+    rows = {r["word"]: r["syms"] for r in wf.take_all()}
+    assert rows["low"] == ["low</w>"]
+
+
+def test_bpe_tie_break_and_stop(ray_session):
+    # two pairs tied at count 2: lexicographically smallest wins on
+    # BOTH sides; min_pair_count stops before degenerate merges
+    texts = ["ab xy", "ab xy", "q"]
+    merges, _ = train_bpe(_ds(texts), n_merges=10, min_pair_count=2)
+    ref = train_bpe_sequential(texts, n_merges=10, min_pair_count=2)
+    assert merges == ref
+    # ('a','b</w>') < ('x','y</w>') lexicographically -> merged first
+    assert merges[0][:2] == ("a", "b</w>")
+    assert all(m[2] >= 2 for m in merges)
+
+
+def test_bpe_empty_and_single_char_words(ray_session):
+    merges, wf = train_bpe(_ds(["a b c", "a b", ""]), n_merges=5)
+    ref = train_bpe_sequential(["a b c", "a b", ""], n_merges=5)
+    assert merges == ref  # single-char words produce no pairs -> no merges
+    assert merges == []
