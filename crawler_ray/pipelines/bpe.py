@@ -124,6 +124,76 @@ def _pair_partials(t: pa.Table) -> pa.Table:
     )
 
 
+def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment one word by applying the trained merges IN RANK ORDER
+    (each merge once, all occurrences left-to-right) — the exact replay
+    of training, so any word seen at training time reproduces its
+    training segmentation bit-for-bit.  A cheap substring guard skips
+    merges whose fused text cannot occur in the word."""
+    syms = _word_symbols(word)
+    probe = word + "\x00"  # terminal marker stand-in for the guard
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        fused = (a + b).replace("</w>", "\x00")
+        if fused not in probe:
+            continue
+        i, out = 0, []
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class BPEEncoder:
+    """Actor-pool encode stage: pass to ``map_batches(BPEEncoder,
+    fn_constructor_args=(merges,), concurrency=N)``.  The merge table
+    is installed once per actor in ``__init__``; a per-unique-word memo
+    makes Zipfian corpora cheap (most tokens are repeat words).  Input
+    needs a ``text`` column; output adds ``bpe_tokens``
+    (list<string>) and ``n_bpe_tokens``."""
+
+    def __init__(self, merges: list[tuple]):
+        # accept (a, b) or (a, b, count) rows
+        self.merges = [(m[0], m[1]) for m in merges]
+        self._memo: dict[str, list[str]] = {}
+
+    def _word(self, w: str) -> list[str]:
+        got = self._memo.get(w)
+        if got is None:
+            got = self._memo[w] = _encode_word(w, self.merges)
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks, counts = [], np.empty(t.num_rows, dtype=np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            doc: list[str] = []
+            for w in txt.split():
+                doc.extend(self._word(w))
+            toks.append(doc)
+            counts[i] = len(doc)
+        return t.append_column(
+            "bpe_tokens", pa.array(toks, type=pa.list_(pa.string()))
+        ).append_column("n_bpe_tokens", pa.array(counts))
+
+
+def encode_corpus(docs_ds, merges: list[tuple], concurrency: int = 4):
+    """Tokenize a corpus with a trained merge table: actor-pool
+    map_batches so the table and the word memo live once per actor."""
+    return docs_ds.map_batches(
+        BPEEncoder,
+        fn_constructor_args=(merges,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def train_bpe(docs_ds, n_merges: int = 30, min_pair_count: int = 2):
     """Distributed BPE training over a Dataset with a ``text`` column.
 

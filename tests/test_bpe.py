@@ -47,6 +47,50 @@ def test_bpe_tie_break_and_stop(ray_session):
     assert all(m[2] >= 2 for m in merges)
 
 
+def test_bpe_encode_reproduces_training_segmentation(ray_session):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+    ] * 2
+    merges, wf = train_bpe(_ds(texts), n_merges=10)
+    from crawler_ray.pipelines.bpe import encode_corpus
+
+    trained = {r["word"]: r["syms"] for r in wf.take_all()}
+    enc = encode_corpus(_ds(texts), merges, concurrency=2)
+    for row in enc.take_all():
+        words = row["text"].split()
+        # per-word segmentation must equal the training-time final syms
+        got, j = [], 0
+        for w in words:
+            k = len(trained[w])
+            assert row["bpe_tokens"][j : j + k] == trained[w]
+            j += k
+        assert j == len(row["bpe_tokens"]) == row["n_bpe_tokens"]
+
+
+def test_bpe_encode_unseen_word_matches_inorder_replay(ray_session):
+    from crawler_ray.pipelines.bpe import _encode_word, _word_symbols
+
+    merges3, _ = train_bpe(_ds(["low lower lowest low low"] * 2), n_merges=6)
+    pairs = [(a, b) for a, b, _ in merges3]
+    # unseen word: replay merges in rank order by hand (no guard) and
+    # compare to the guarded _encode_word
+    for w in ["slow", "lowly", "owl", "l", "zzz"]:
+        syms = _word_symbols(w)
+        for a, b in pairs:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        assert _encode_word(w, pairs) == syms, w
+
+
 def test_bpe_empty_and_single_char_words(ray_session):
     merges, wf = train_bpe(_ds(["a b c", "a b", ""]), n_merges=5)
     ref = train_bpe_sequential(["a b c", "a b", ""], n_merges=5)
