@@ -29,6 +29,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 
 def _word_symbols(word: str) -> list[str]:
@@ -37,12 +38,10 @@ def _word_symbols(word: str) -> list[str]:
     return syms
 
 
-def train_bpe_sequential(texts: list[str], n_merges: int, min_pair_count: int = 2):
-    """Exact sequential reference (test oracle): same tokenization,
-    same tie-break, plain dicts."""
-    freq: Counter = Counter()
-    for t in texts:
-        freq.update(t.split())
+def _merge_loop(freq: dict, n_merges: int, min_pair_count: int):
+    """The exact merge loop over a (word -> freq) table — shared by the
+    sequential test oracle and the small-vocab single-task regime, so
+    both regimes are the same code by construction."""
     words = {w: _word_symbols(w) for w in freq}
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -70,6 +69,28 @@ def train_bpe_sequential(texts: list[str], n_merges: int, min_pair_count: int = 
                     i += 1
             words[w] = out
     return merges
+
+
+@ray.remote(num_cpus=1)
+def _merge_loop_task(refs, n_merges: int, min_pair_count: int):
+    """Small-vocab regime: the whole merge loop in one task over the
+    collapsed (word, freq) blocks — the vocab never touches the driver."""
+    freq: Counter = Counter()
+    for t in ray.get(refs):
+        if t.num_rows == 0:  # bucketed_agg can emit schemaless empties
+            continue
+        for w, f in zip(t["word"].to_pylist(), t["freq"].to_pylist()):
+            freq[w] += f
+    return _merge_loop(freq, n_merges, min_pair_count)
+
+
+def train_bpe_sequential(texts: list[str], n_merges: int, min_pair_count: int = 2):
+    """Exact sequential reference (test oracle): same tokenization,
+    same tie-break, plain dicts."""
+    freq: Counter = Counter()
+    for t in texts:
+        freq.update(t.split())
+    return _merge_loop(freq, n_merges, min_pair_count)
 
 
 def _apply_merge_batch(a: str, b: str):
@@ -194,12 +215,28 @@ def encode_corpus(docs_ds, merges: list[tuple], concurrency: int = 4):
     )
 
 
-def train_bpe(docs_ds, n_merges: int = 30, min_pair_count: int = 2):
+def train_bpe(
+    docs_ds,
+    n_merges: int = 30,
+    min_pair_count: int = 2,
+    small_vocab_cap: int = 2_000_000,
+):
     """Distributed BPE training over a Dataset with a ``text`` column.
 
     Returns ``(merges, word_freq_ds)``: the ordered merge table
     ``[(left, right, count), ...]`` and the final symbolized word-freq
-    Dataset (word, freq, syms) for downstream vocabulary export."""
+    Dataset (word, freq, syms) for downstream vocabulary export.
+
+    Regime dispatch (same pattern as queries.py::pagerank /
+    ngram_jaccard): after the one word-count shuffle the working set is
+    UNIQUE WORDS, which is tiny relative to the corpus (Heaps' law —
+    ~10^6-10^8 at 100 TB English vs 10^12+ tokens).  If the vocab count
+    (a bounded ``count()``, not a collect) is ≤ ``small_vocab_cap``, the
+    whole merge loop runs inside ONE Ray task over the collapsed table
+    (~2 MB/100k words) — zero per-round dataset overhead, driver state
+    still O(n_merges).  Past the cap, per-round distributed combiner
+    rounds: pair partial-counts -> bucketed sum -> per-block top-1 prune
+    -> driver min over ≤1 row/block -> broadcast merge apply."""
     from ..stages.relational import bucketed_agg
 
     def words_partial(t: pa.Table) -> pa.Table:
@@ -232,6 +269,32 @@ def train_bpe(docs_ds, n_merges: int = 30, min_pair_count: int = 2):
             }
         )
 
+    wf = wf.materialize()
+    if wf.count() <= small_vocab_cap:
+        merges = ray.get(
+            _merge_loop_task.remote(wf.to_arrow_refs(), n_merges, min_pair_count)
+        )
+        pairs = [(a, b) for a, b, _ in merges]
+
+        def replay(t: pa.Table) -> pa.Table:
+            words = (
+                t["word"].to_pylist() if "word" in t.column_names else []
+            )  # schemaless empty block
+            return pa.table(
+                {
+                    "word": pa.array(words, type=pa.string()),
+                    "freq": t["freq"]
+                    if words
+                    else pa.array([], type=pa.int64()),
+                    "syms": pa.array(
+                        [_encode_word(w, pairs) for w in words],
+                        type=pa.list_(pa.string()),
+                    ),
+                }
+            )
+
+        return merges, wf.map_batches(replay, batch_format="pyarrow")
+
     wf = wf.map_batches(symbolize, batch_format="pyarrow").materialize()
 
     merges: list[tuple[str, str, int]] = []
@@ -251,15 +314,14 @@ def train_bpe(docs_ds, n_merges: int = 30, min_pair_count: int = 2):
             ).head(1)
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        top = (
-            agg.map_batches(prune, batch_format="pyarrow")
-            .sort(["n", "a", "b"], descending=[True, False, False])
-            .limit(1)
-            .take_all()
-        )
-        if not top or top[0]["n"] < min_pair_count:
+        # ≤1 row per block after prune — the driver min is O(n_blocks)
+        top = agg.map_batches(prune, batch_format="pyarrow").take_all()
+        if not top:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        best = min(top, key=lambda r: (-r["n"], r["a"], r["b"]))
+        if best["n"] < min_pair_count:
+            break
+        a, b, cnt = best["a"], best["b"], int(best["n"])
         merges.append((a, b, cnt))
         wf = wf.map_batches(
             _apply_merge_batch(a, b), batch_format="pyarrow"

@@ -42,9 +42,27 @@ def test_bpe_tie_break_and_stop(ray_session):
     merges, _ = train_bpe(_ds(texts), n_merges=10, min_pair_count=2)
     ref = train_bpe_sequential(texts, n_merges=10, min_pair_count=2)
     assert merges == ref
+    # min_pair_count stop in the distributed regime too
+    m_dist, _ = train_bpe(
+        _ds(texts), n_merges=10, min_pair_count=2, small_vocab_cap=0
+    )
+    assert m_dist == ref
     # ('a','b</w>') < ('x','y</w>') lexicographically -> merged first
     assert merges[0][:2] == ("a", "b</w>")
     assert all(m[2] >= 2 for m in merges)
+
+
+def test_bpe_regime_equality(ray_session):
+    # the past-cap distributed combiner rounds (small_vocab_cap=0) must
+    # produce the identical merge table AND final segmentation as the
+    # default single-task regime
+    texts = ["low lower lowest low low", "new newer newest new newer"] * 3
+    m_small, wf_small = train_bpe(_ds(texts), n_merges=8)
+    m_dist, wf_dist = train_bpe(_ds(texts), n_merges=8, small_vocab_cap=0)
+    assert m_small == m_dist == train_bpe_sequential(texts, 8)
+    a = {r["word"]: r["syms"] for r in wf_small.take_all()}
+    b = {r["word"]: r["syms"] for r in wf_dist.take_all()}
+    assert a == b
 
 
 def test_bpe_encode_reproduces_training_segmentation(ray_session):
