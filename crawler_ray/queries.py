@@ -6449,3 +6449,140 @@ def bpe_train_merges(sf_dir: str):
             "count": pa.array([m[2] for m in merges], type=pa.int64()),
         }
     )
+
+
+@register(
+    "token_rarity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    rk AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt),
+    doc AS (
+      SELECT t.doc_id,
+             any_value(t.lang) AS lang,
+             count(*) AS n_tokens,
+             sum(CASE WHEN rk.r <= 16 THEN rk.r ELSE 17 END) AS sum_rank
+      FROM toks t JOIN rk ON t.tok = rk.tok
+      GROUP BY t.doc_id
+    )
+    SELECT lang,
+           CAST(LEAST((sum_rank * 8) // (n_tokens * 17), 7) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM doc GROUP BY lang, bucket
+    """,
+    doc="Token-rarity quality scoring (CCNet-style perplexity filtering "
+    "in integer-exact form: a doc's score is the mean Zipf RANK of its "
+    "tokens instead of a float log-prob, so the oracle hash is exact). "
+    "Shape: one token-count shuffle -> per-block top-V prune -> "
+    "bounded top-V (V=1024) rank table broadcast to a scoring "
+    "map_batches (factorize + np.add.reduceat, no per-token Python "
+    "loop); unseen/rare tokens rank V+1; bucket = integer-floor of "
+    "8*mean_rank/(V+1).  At 100 TB the broadcast stays V-bounded no "
+    "matter the corpus vocabulary.  V=16 here so the synthetic "
+    "31-token vocab exercises BOTH the ranked and the capped path; "
+    "real corpora use V~10^5-10^6.",
+)
+def token_rarity_buckets(sf_dir: str, v_cap: int = 16):
+    import heapq
+    from collections import Counter
+
+    from crawler_ray.stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt.split())
+        return pa.table(
+            {
+                "tok": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    cnt = bucketed_agg(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        keys=["tok"],
+        sum_cols={"c": "c"},
+        key_dtypes={"tok": "object"},
+    )
+
+    def local_topv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table(
+                {"tok": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+            )
+        best = heapq.nsmallest(
+            v_cap,
+            zip(t["c"].to_pylist(), t["tok"].to_pylist()),
+            key=lambda kv: (-kv[0], kv[1]),
+        )
+        return pa.table(
+            {
+                "tok": pa.array([tk for _, tk in best], type=pa.string()),
+                "c": pa.array([c for c, _ in best], type=pa.int64()),
+            }
+        )
+
+    # ≤ v_cap rows per block reach the driver; exact global top-V there
+    cand = [
+        (r["c"], r["tok"])
+        for r in cnt.map_batches(local_topv, batch_format="pyarrow").take_all()
+    ]
+    top = heapq.nsmallest(v_cap, cand, key=lambda kv: (-kv[0], kv[1]))
+    rank = {tok: i + 1 for i, (_, tok) in enumerate(top)}
+    unk = v_cap + 1
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = [txt.split() for txt in texts]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array(
+            [w for doc in toks for w in doc], dtype=object
+        )
+        codes, uniq = pd.factorize(flat)
+        uniq_rank = np.array([rank.get(u, unk) for u in uniq], dtype=np.int64)
+        per_tok = uniq_rank[codes] if len(flat) else np.array([], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = (
+            np.add.reduceat(per_tok, offsets)
+            if len(per_tok)
+            else np.zeros(0, dtype=np.int64)
+        )
+        sums = np.where(lens > 0, sums, 0)
+        bucket = np.minimum((sums * 8) // (lens * unk), 7)
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "bucket": bucket,
+                "n_docs": np.ones(len(lens), dtype=np.int64),
+                "total_tokens": lens,
+            }
+        )
+        out = df.groupby(["lang", "bucket"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_tokens", alias_name="total_tokens"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "bucket": pc.cast(t["bucket"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "total_tokens": pc.cast(t["total_tokens"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -6,6 +6,7 @@ import sys
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -337,3 +338,38 @@ def test_value_quantiles_degenerate_bounded(ray_session, tmp_path):
         ).reset_index(drop=True)[want.columns]
         for c in got.columns:
             assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), (cap, c)
+
+
+def test_token_rarity_buckets_crafted(ray_session, tmp_path):
+    """Hand-computed Zipf-rank buckets on a crafted corpus: ranks by
+    (count desc, tok asc), cap at v_cap, unk=v_cap+1, integer bucket
+    floor(8*sum_rank/(n_tokens*(v_cap+1))) clamped to 7."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import REGISTRY
+
+    texts = ["a a a a", "x1 x2 x3 x4", "a b c c", "a x1 a x1"]
+    # counts: a=7? -> a: 4+1+2=7, c=2, b=1, x1=3?? -> x1: 1+2=3
+    # recount: doc1 a*4; doc2 x1,x2,x3,x4; doc3 a,b,c,c; doc4 a,x1,a,x1
+    # a=7, x1=3, c=2, b=1, x2=x3=x4=1
+    # v_cap=3 ranks: a=1, x1=2, c=3; unk=4 (b, x2..x4)
+    d = str(tmp_path / "rar")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 4, type=pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = REGISTRY["token_rarity_buckets"].fn(d, v_cap=3).to_pandas()
+    got = got.sort_values("bucket").reset_index(drop=True)
+    # doc1: s=4,n=4 -> 32//16=2 ; doc2: s=2+4+4+4=14 -> 112//16=7
+    # doc3: s=1+4+3+3=11 -> 88//16=5 ; doc4: s=1+2+1+2=6 -> 48//16=3
+    assert list(got["bucket"]) == [2, 3, 5, 7]
+    assert list(got["n_docs"]) == [1, 1, 1, 1]
+    assert list(got["total_tokens"]) == [4, 4, 4, 4]
+    assert set(got["lang"]) == {"en"}
