@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "global_rank",
     "repetition_stats",
+    "token_rarity_buckets",
+    "bpe_train_merges",
     "pii_scrub",
     "tfidf_top_terms",
     "segment_dedup",

@@ -6548,14 +6548,12 @@ def token_rarity_buckets(sf_dir: str, v_cap: int = 16):
         codes, uniq = pd.factorize(flat)
         uniq_rank = np.array([rank.get(u, unk) for u in uniq], dtype=np.int64)
         per_tok = uniq_rank[codes] if len(flat) else np.array([], dtype=np.int64)
+        # sentinel 0 keeps reduceat offsets in bounds when a zero-token
+        # doc lands at the end of the batch; its garbage sum is masked
+        per_tok = np.append(per_tok, np.int64(0))
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sums = (
-            np.add.reduceat(per_tok, offsets)
-            if len(per_tok)
-            else np.zeros(0, dtype=np.int64)
-        )
-        sums = np.where(lens > 0, sums, 0)
-        bucket = np.minimum((sums * 8) // (lens * unk), 7)
+        sums = np.where(lens > 0, np.add.reduceat(per_tok, offsets)[: len(lens)], 0)
+        bucket = np.minimum((sums * 8) // (np.maximum(lens, 1) * unk), 7)
         df = pd.DataFrame(
             {
                 "lang": t["lang"].to_pylist(),

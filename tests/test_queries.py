@@ -373,3 +373,37 @@ def test_token_rarity_buckets_crafted(ray_session, tmp_path):
     assert list(got["n_docs"]) == [1, 1, 1, 1]
     assert list(got["total_tokens"]) == [4, 4, 4, 4]
     assert set(got["lang"]) == {"en"}
+
+
+def test_token_rarity_buckets_empty_docs(ray_session, tmp_path):
+    """Zero-token docs (empty / whitespace text) anywhere in the batch
+    must neither crash reduceat nor poison neighbouring sums; they land
+    in bucket 0 with 0 tokens."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import REGISTRY
+
+    texts = ["", "a a a a", " ", "a b", ""]
+    d = str(tmp_path / "rar2")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 5, type=pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = (
+        REGISTRY["token_rarity_buckets"].fn(d, v_cap=3)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # ranks: a=1 (count 5), b=2 (count 1); docs: "a a a a" s=4,n=4 ->
+    # 32//16=2 ; "a b" s=3,n=2 -> 24//8=3 ; three empty docs -> bucket 0
+    assert list(got["bucket"]) == [0, 2, 3]
+    assert list(got["n_docs"]) == [3, 1, 1]
+    assert list(got["total_tokens"]) == [0, 4, 2]
