@@ -114,3 +114,63 @@ def test_bpe_empty_and_single_char_words(ray_session):
     ref = train_bpe_sequential(["a b c", "a b", ""], n_merges=5)
     assert merges == ref  # single-char words produce no pairs -> no merges
     assert merges == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=30
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+def test_bpe_encode_fuzz_reproduces_training(words, n_merges):
+    """Pure-python fuzz (no Ray): for ANY corpus, _encode_word on a
+    training word must reproduce the training segmentation, and the
+    guarded encoder must equal the unguarded in-order replay on
+    arbitrary unseen words."""
+    from collections import Counter
+
+    from crawler_ray.pipelines.bpe import (
+        _encode_word,
+        _word_symbols,
+        train_bpe_sequential,
+    )
+
+    texts = [" ".join(words)]
+    merges = train_bpe_sequential(texts, n_merges, min_pair_count=1)
+    pairs = [(a, b) for a, b, _ in merges]
+
+    # replay training by hand to recover per-word final segmentations
+    freq = Counter(words)
+    table = {w: _word_symbols(w) for w in freq}
+    for a, b in pairs:
+        for w, syms in table.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            table[w] = out
+    for w in freq:
+        assert _encode_word(w, pairs) == table[w], (w, pairs)
+    # unseen words: guard must not change the result
+    for w in ["cab", "bbbb", "ac", "a", "abcabc"]:
+        syms = _word_symbols(w)
+        for a, b in pairs:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        assert _encode_word(w, pairs) == syms, (w, pairs)
