@@ -238,6 +238,10 @@ def parse_sps(rbsp: bytes) -> dict:
     br.u(1)  # gaps_in_frame_num
     wmb = br.ue() + 1
     hmb = br.ue() + 1
+    if wmb > 1024 or hmb > 1024:
+        # level 6.2 caps frames at 16,384 px/side (1024 MBs); anything
+        # larger is a corrupt SPS — refuse before allocating frame planes
+        raise ValueError(f"implausible H.264 SPS dimensions ({wmb}x{hmb} MBs)")
     frame_mbs_only = br.u(1)
     if not frame_mbs_only:
         raise NotImplementedError("interlaced H.264 (frame_mbs_only_flag=0) unsupported")

@@ -1087,3 +1087,40 @@ def test_h264_deblocking_on_header_is_exact():
     # reference: the encoder's own (deblocking-off) slice
     ref = h264_decode_frame(b"\x65" + _ebsp(_encode_frame_ipcm(y, cb, cr)), sps, pps)
     assert (dec == ref).all()
+
+
+def test_h264_corruption_never_escapes():
+    """Truncating any NAL at any cut, or flipping any single byte of
+    the stream, must either decode (PCM sample corruption is legal
+    garbage) or raise ValueError/NotImplementedError — never an
+    IndexError/OverflowError/MemoryError (a flipped SPS width field
+    must NOT drive a giant frame allocation: parse_sps refuses >1024
+    MBs per side)."""
+    from crawler_ray.stages.h264 import h264_decode, h264_encode
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(1, 16, 16, 3), dtype=np.uint8)
+    sps, pps, aus = h264_encode(frames)
+    nals = [sps, pps] + aus
+
+    def attempt(mut):
+        try:
+            h264_decode(mut)
+        except (ValueError, NotImplementedError):
+            pass
+
+    for i, nal in enumerate(nals):
+        step = 1 if len(nal) < 64 else 3
+        for k in range(1, len(nal), step):
+            mut = list(nals)
+            mut[i] = nal[:k]
+            attempt(mut)
+        ba = bytearray(nal)
+        for pos in range(0, len(ba), step):
+            orig = ba[pos]
+            for flip in (0x01, 0x5A, 0xFF):
+                ba[pos] = orig ^ flip
+                mut = list(nals)
+                mut[i] = bytes(ba)
+                attempt(mut)
+            ba[pos] = orig
