@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "token_rarity_buckets",
     "bpe_train_merges",
+    "host_quality_filter",
     "pii_scrub",
     "tfidf_top_terms",
     "segment_dedup",

@@ -6584,3 +6584,115 @@ def token_rarity_buckets(sf_dir: str, v_cap: int = 16):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "host_quality_filter",
+    """
+    WITH doc AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','of','to','and'))) AS n_stop
+      FROM documents
+    ),
+    host AS (
+      SELECT source, sum(n_stop) * 1000 >= sum(n_tokens) * 65 AS ok
+      FROM doc GROUP BY source
+    )
+    SELECT d.lang,
+           CAST(sum(CASE WHEN h.ok THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN h.ok THEN d.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN h.ok THEN 0 ELSE 1 END) AS BIGINT) AS dropped_docs
+    FROM doc d JOIN host h USING (source)
+    GROUP BY d.lang
+    """,
+    doc="Host-level quality filtering (RefinedWeb/DCLM-style: drop "
+    "ENTIRE sources whose aggregate stopword ratio < 0.065 — spam "
+    "hosts poison every page they serve, so the filter unit is the "
+    "host, not the document).  Shape: one doc-metric pass with "
+    "per-source partial sums -> bucketed per-source rollup (host "
+    "cardinality ~10^7 at 100 TB, far below docs) -> the (source, ok) "
+    "verdict table broadcast back into a second streaming pass that "
+    "tallies survivors per lang.  Integer-exact: the ratio test is "
+    "sum_stop*1000 >= sum_tokens*65, never a float.",
+)
+def host_quality_filter(sf_dir: str):
+    from crawler_ray.functions import textstats
+    from crawler_ray.stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "source"])
+    stopset = pa.array(list(textstats.STOPWORDS))
+
+    def doc_metrics(t: pa.Table):
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        toks = pc.cast(pc.add(pc.count_substring(txt, " "), 1), pa.int64()).to_numpy()
+        tok_list = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(tok_list)
+        isstop = pc.is_in(flat, value_set=stopset).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        stop = np.bincount(rows, weights=isstop, minlength=len(lens)).astype(np.int64)
+        return toks, stop
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        toks, stop = doc_metrics(t)
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "n_tokens": toks, "n_stop": stop}
+        )
+        out = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    host = bucketed_agg(
+        docs.map_batches(host_partial, batch_format="pyarrow"),
+        keys=["source"],
+        sum_cols={"n_tokens": "n_tokens", "n_stop": "n_stop"},
+        key_dtypes={"source": "object"},
+    )
+    # verdict table: one row per host — tiny relative to docs; broadcast
+    # (past a host-count cap the same shape runs as a semi-join, cf.
+    # decontaminate / the tfidf vocab join)
+    ok_set = {
+        r["source"]
+        for r in host.take_all()
+        if r["n_stop"] * 1000 >= r["n_tokens"] * 65
+    }
+
+    def tally(t: pa.Table) -> pa.Table:
+        toks, _ = doc_metrics(t)
+        srcs = t["source"].to_pylist()
+        ok = np.fromiter((s in ok_set for s in srcs), dtype=bool, count=len(srcs))
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "kept_docs": ok.astype(np.int64),
+                "kept_tokens": np.where(ok, toks, 0),
+                "dropped_docs": (~ok).astype(np.int64),
+            }
+        )
+        out = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(tally, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("kept_docs", alias_name="kept_docs"),
+            Sum("kept_tokens", alias_name="kept_tokens"),
+            Sum("dropped_docs", alias_name="dropped_docs"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "kept_docs": pc.cast(t["kept_docs"], pa.int64()),
+                "kept_tokens": pc.cast(t["kept_tokens"], pa.int64()),
+                "dropped_docs": pc.cast(t["dropped_docs"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

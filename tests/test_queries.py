@@ -407,3 +407,40 @@ def test_token_rarity_buckets_empty_docs(ray_session, tmp_path):
     assert list(got["bucket"]) == [0, 2, 3]
     assert list(got["n_docs"]) == [3, 1, 1]
     assert list(got["total_tokens"]) == [0, 4, 2]
+
+
+def test_host_quality_filter_whole_host_atomicity(ray_session, tmp_path):
+    """The filter unit is the HOST: a stopword-rich doc on a spam host
+    is dropped with its host; a stopword-poor doc on a good host is
+    kept with its host."""
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import REGISTRY
+
+    good = "the a of to and the a of to and"   # ratio 1.0
+    bad = "zz yy xx ww vv uu tt ss rr qq"      # ratio 0.0
+    texts  = [good, good, bad,   bad, bad, good]
+    source = ["h1", "h1", "h1",  "h2", "h2", "h2"]
+    # h1 ratio = 20/30 >= 0.065 -> kept (incl. its bad doc)
+    # h2 ratio = 10/30 ... wait: h2 = bad,bad,good = 10 stop / 30 -> 0.33 kept too
+    # make h2 truly spammy: all bad
+    texts  = [good, good, bad,   bad, bad, bad]
+    d = str(tmp_path / "hq")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 6, type=pa.string()),
+                "source": pa.array(source, type=pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = REGISTRY["host_quality_filter"].fn(d).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # h1 kept WITH its zero-stopword doc; h2 dropped entirely
+    assert (r["kept_docs"], r["dropped_docs"]) == (3, 3)
+    assert r["kept_tokens"] == 30
