@@ -82,6 +82,8 @@ def main():
         "mixture_resample",
         "typo_pairs",
         "distinct_kmv",
+        "token_rarity_buckets",
+        "host_quality_filter",
     ):
         r0 = _rss_mb()
         t0 = time.time()
