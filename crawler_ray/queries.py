@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -6692,6 +6693,151 @@ def host_quality_filter(sf_dir: str):
                 "kept_docs": pc.cast(t["kept_docs"], pa.int64()),
                 "kept_tokens": pc.cast(t["kept_tokens"], pa.int64()),
                 "dropped_docs": pc.cast(t["dropped_docs"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@lru_cache(maxsize=1 << 17)
+def _dsir_bucket(tok: str, n_buckets: int = 64) -> int:
+    from .functions.shingles import md5_hash64
+
+    return md5_hash64(tok) % n_buckets
+
+
+@register(
+    "dsir_resample",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, lang, md5_number_lower(tok) % 64 AS f FROM tk),
+    feat AS (
+      SELECT f, count(*) AS c_src,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM toks GROUP BY f
+    ),
+    tot AS (SELECT sum(c_src) AS s_tot, sum(c_tgt) AS t_tot FROM feat),
+    sc AS (
+      SELECT f,
+             CAST(LEAST((CAST(c_tgt AS HUGEINT) * s_tot * 1024)
+                        // (CAST(c_src AS HUGEINT) * t_tot), 8192) AS BIGINT) AS s
+      FROM feat, tot
+    ),
+    doc AS (
+      SELECT t.doc_id, any_value(t.lang) AS lang,
+             count(*) AS n_tokens, sum(sc.s) AS score
+      FROM toks t JOIN sc USING (f) GROUP BY t.doc_id
+    )
+    SELECT lang,
+           CAST(CASE WHEN score >= n_tokens * 1024 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM doc GROUP BY lang, kept
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169): "
+    "importance-resample raw docs toward a TARGET distribution (here "
+    "lang='en') under a hashed bag-of-ngrams model.  Integer-exact "
+    "quantization so the oracle hash is stable: each hashed feature "
+    "f gets score s(f) = min(Q * p_target(f)/p_source(f), cap) "
+    "computed as exact integer cross-multiplication (Q=1024, cap=8192 = "
+    "an 8x max ratio), and a doc is kept iff its token-mean feature "
+    "score >= Q, i.e. its target likelihood under the hashed model "
+    "is at least the corpus average — the deterministic analog of "
+    "sampling proportional to the likelihood ratio.  Shape: ONE "
+    "streaming pass emits B-bounded (f, c_src, c_tgt) partials "
+    "(B=64 hash buckets here, ~10^4 real; np.bincount per batch, "
+    "never a per-token shuffle) -> groupby over <=B keys -> the "
+    "B-row score table is computed driver-side in Python ints (no "
+    "int64 overflow at any corpus size) and broadcast -> a second "
+    "streaming pass scores docs via factorize + reduceat and "
+    "emits (lang, kept) partial sums.  Token->bucket hashing is "
+    "md5_number_lower-compatible (shingles.md5_hash64) so DuckDB "
+    "derives identical features.  At 100 TB both shuffles are "
+    "O(B x blocks) and O(langs x 2 x blocks); the doc text never "
+    "moves.",
+)
+def dsir_resample(sf_dir: str, n_buckets: int = 64, q: int = 1024, cap: int = 8192):
+    from ray.data.aggregate import Sum
+
+    bucket_of = partial(_dsir_bucket, n_buckets=n_buckets)
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def feat_partial(t: pa.Table) -> pa.Table:
+        toks = [txt.split(" ") for txt in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for doc in toks for w in doc], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        f_of_uniq = np.array([bucket_of(u) for u in uniq], dtype=np.int64)
+        f = f_of_uniq[codes] if len(flat) else np.array([], dtype=np.int64)
+        is_tgt = np.repeat(
+            np.array([l == "en" for l in t["lang"].to_pylist()], dtype=bool), lens
+        )
+        c_src = np.bincount(f, minlength=n_buckets).astype(np.int64)
+        c_tgt = np.bincount(f[is_tgt], minlength=n_buckets).astype(np.int64)
+        keep = c_src > 0
+        return pa.table(
+            {
+                "f": pa.array(np.arange(n_buckets)[keep], type=pa.int64()),
+                "c_src": pa.array(c_src[keep], type=pa.int64()),
+                "c_tgt": pa.array(c_tgt[keep], type=pa.int64()),
+            }
+        )
+
+    feat = (
+        docs.map_batches(feat_partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("c_src", alias_name="c_src"), Sum("c_tgt", alias_name="c_tgt"))
+        .take_all()
+    )  # <= n_buckets rows ever reach the driver, at any corpus size
+    s_tot = sum(r["c_src"] for r in feat)
+    t_tot = sum(r["c_tgt"] for r in feat)
+    # exact Python-int arithmetic: c_tgt*s_tot*q overflows int64 at
+    # ~10^13 tokens, so the B-bounded table stays in bigints here
+    s_arr = np.zeros(n_buckets, dtype=np.int64)
+    for r in feat:
+        s_arr[r["f"]] = min((r["c_tgt"] * s_tot * q) // (r["c_src"] * t_tot), cap)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = [txt.split(" ") for txt in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for doc in toks for w in doc], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        s_of_uniq = np.array([s_arr[bucket_of(u)] for u in uniq], dtype=np.int64)
+        per_tok = s_of_uniq[codes] if len(flat) else np.array([], dtype=np.int64)
+        per_tok = np.append(per_tok, np.int64(0))
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.where(lens > 0, np.add.reduceat(per_tok, offsets)[: len(lens)], 0)
+        kept = (sums >= lens * q).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "kept": kept,
+                "n_docs": np.ones(len(lens), dtype=np.int64),
+                "total_tokens": lens,
+            }
+        )
+        out = df.groupby(["lang", "kept"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .groupby(["lang", "kept"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "kept": pc.cast(t["kept"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "total_tokens": pc.cast(t["total_tokens"], pa.int64()),
             }
         )
 
