@@ -6842,3 +6842,157 @@ def dsir_resample(sf_dir: str, n_buckets: int = 64, q: int = 1024, cap: int = 81
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "bm25_topk",
+    """
+    WITH q(qid, qtext) AS (
+      VALUES (0, 'data batch'), (1, 'sort merge join'), (2, 'filter group key')
+    ),
+    qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q),
+    qtok AS (SELECT DISTINCT tok FROM qt),
+    d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n FROM documents),
+    df AS (
+      SELECT qtok.tok, count(*) AS df
+      FROM qtok JOIN d ON list_contains(d.tk, qtok.tok)
+      GROUP BY qtok.tok
+    ),
+    idf AS (
+      SELECT tok, LEAST((n - df) * 256 // df, 4096) AS idf FROM df, stats
+    ),
+    tf AS (
+      SELECT d.doc_id, qt.qid, qt.tok,
+             len(list_filter(d.tk, x -> x = qt.tok)) AS tf,
+             len(d.tk) AS dl
+      FROM d, qt
+    ),
+    sc AS (
+      SELECT doc_id, qid,
+             sum(idf.idf * tf.tf) * 1024 // (any_value(dl) + 50) AS score
+      FROM tf JOIN idf USING (tok)
+      GROUP BY doc_id, qid
+    ),
+    top AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM sc WHERE score > 0
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(score AS BIGINT) AS score
+    FROM top WHERE rn <= 5
+    """,
+    doc="BM25-style sparse retrieval, integer-quantized so the oracle "
+    "hash is exact: idf(t) = min(256*(N-df)/df, 4096) by integer "
+    "cross-multiplication, doc score = sum(idf*tf) * 1024 // (dl+50) "
+    "(the +50 pivot is the saturation/length-normalization analog of "
+    "BM25's k1/b terms in pure-integer form).  The retrieval core of "
+    "search-based curation and decontamination lookups.  Shape: the "
+    "query set is tiny and BROADCAST; pass 1 streams the corpus once "
+    "emitting per-block (term, df) partials for ONLY the query terms "
+    "(bounded by total query length, never the vocab) -> driver sums; "
+    "pass 2 re-streams scoring every doc against all queries "
+    "vectorized (factorize + isin + bincount, no per-token loop) and "
+    "prunes to a per-block top-k, so <= k x queries x blocks rows "
+    "reach the driver for the exact global top-k.  At 100 TB both "
+    "passes are embarrassingly parallel with O(1) driver state; ties "
+    "break (score desc, doc_id asc) deterministically.",
+)
+def bm25_topk(sf_dir: str, k: int = 5):
+    import heapq
+
+    from ray.data.aggregate import Sum
+
+    queries = [(0, "data batch"), (1, "sort merge join"), (2, "filter group key")]
+    terms = sorted({t for _, qs in queries for t in qs.split(" ")})
+    t_idx = {t: i for i, t in enumerate(terms)}
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = [txt.split(" ") for txt in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for doc in toks for w in doc], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        rows = np.repeat(np.arange(len(toks)), lens)
+        cnt = np.zeros(len(terms), dtype=np.int64)
+        for ti, term in enumerate(terms):
+            hit = np.where(uniq == term)[0]
+            if len(hit):
+                cnt[ti] = len(np.unique(rows[codes == hit[0]]))
+        return pa.table(
+            {
+                "ti": pa.array(np.arange(len(terms)), type=pa.int64()),
+                "df": pa.array(cnt, type=pa.int64()),
+                "n_docs": pa.array(
+                    np.full(len(terms), len(toks), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    dfs = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("ti")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_docs", alias_name="n_docs"))
+        .take_all()
+    )  # <= |query terms| rows, at any corpus size
+    n_corpus = dfs[0]["n_docs"] if dfs else 0
+    idf = np.zeros(len(terms), dtype=np.int64)
+    for r in dfs:
+        if r["df"] > 0:
+            idf[r["ti"]] = min((n_corpus - r["df"]) * 256 // r["df"], 4096)
+
+    # per-query term-index lists, broadcast via closure
+    q_terms = [
+        (qid, np.array([t_idx[t] for t in qs.split(" ")], dtype=np.int64))
+        for qid, qs in queries
+    ]
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        toks = [txt.split(" ") for txt in t["text"].to_pylist()]
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for doc in toks for w in doc], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        rows = np.repeat(np.arange(len(toks)), lens)
+        # tf[ti, doc] for query terms only
+        tf = np.zeros((len(terms), len(toks)), dtype=np.int64)
+        for ti, term in enumerate(terms):
+            hit = np.where(uniq == term)[0]
+            if len(hit):
+                sel = codes == hit[0]
+                tf[ti] = np.bincount(rows[sel], minlength=len(toks))
+        out_q, out_d, out_s = [], [], []
+        for qid, tis in q_terms:
+            num = (idf[tis, None] * tf[tis]).sum(axis=0)
+            score = num * 1024 // (lens + 50)
+            pos = np.where(score > 0)[0]
+            best = heapq.nsmallest(
+                k, zip(score[pos], ids[pos]), key=lambda sv: (-sv[0], sv[1])
+            )
+            out_q.extend(qid for _ in best)
+            out_d.extend(int(d) for _, d in best)
+            out_s.extend(int(s) for s, _ in best)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+    cand = docs.map_batches(score_topk, batch_format="pyarrow").take_all()
+    out_q, out_d, out_s = [], [], []
+    for qid, _ in q_terms:
+        rows_q = [(r["score"], r["doc_id"]) for r in cand if r["qid"] == qid]
+        for s, d in heapq.nsmallest(k, rows_q, key=lambda sv: (-sv[0], sv[1])):
+            out_q.append(qid)
+            out_d.append(d)
+            out_s.append(s)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.int64()),
+        }
+    )

@@ -22,7 +22,7 @@ SAMPLE = [
     "pagerank", "distinct_kmv", "session_coverage", "typo_pairs", "rolling_hour_sum", "pivot_events", "shuffle_shards", "ohlc_hourly",
     "media_decode_stats",
     "snapshot_diff", "term_cooccurrence", "leakage_safe_split",
-    "cross_corpus_neardup", "dsir_resample",
+    "cross_corpus_neardup", "dsir_resample", "bm25_topk",
 ]
 
 
