@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "token_rarity_buckets",
     "bpe_train_merges",
     "host_quality_filter",
+    "dsir_resample",
+    "bm25_topk",
+    "temperature_resample",
     "pii_scrub",
     "tfidf_top_terms",
     "segment_dedup",

@@ -6996,3 +6996,69 @@ def bm25_topk(sf_dir: str, k: int = 5):
             "score": pa.array(out_s, type=pa.int64()),
         }
     )
+
+
+@register(
+    "temperature_resample",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS mn FROM c),
+    h AS (
+      SELECT doc_id, lang,
+             md5_number_lower(CAST(doc_id AS VARCHAR)) % 100000 AS hv
+      FROM documents
+    )
+    SELECT h.doc_id, h.lang
+    FROM h JOIN c USING (lang), m
+    WHERE CAST(h.hv AS HUGEINT) * h.hv * c.n
+          < CAST(m.mn AS HUGEINT) * 100000 * 100000
+    """,
+    doc="Temperature-scaled mixture sampling (the multilingual "
+    "alpha-sampling staple, alpha=1/2: language keep-rate proportional "
+    "to count^(alpha-1), so low-resource languages are up-weighted "
+    "RELATIVE to uniform-rebalancing but high-resource ones are not "
+    "flattened away).  Integer-exact with NO sqrt anywhere: keep iff "
+    "h^2 * n_lang < min_n * M^2 for h = md5(doc_id) % M — "
+    "P(keep) = sqrt(min_n/n_lang) quantized to hash granularity, and "
+    "the inequality is exact integer arithmetic on both sides "
+    "(general rational alpha=p/q runs as h^q * n^(q-p) < mn^(q-p) * "
+    "M^q).  Shape: per-language histogram via the combiner pattern "
+    "-> driver derives per-lang thresholds T = (mn*M^2-1)//n + 1 in "
+    "exact Python ints (T <= M^2+1, so the per-batch int64 test "
+    "h^2 < T never overflows at ANY corpus size) -> one streaming "
+    "filter pass, zero shuffle.  Hash is md5_number_lower-compatible "
+    "so DuckDB derives identical membership.",
+)
+def temperature_resample(sf_dir: str, m_gran: int = 100000):
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "documents", columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    mn = int(counts["n"].min())
+    # h^2*n < mn*M^2  <=>  h^2 < (mn*M^2 - 1)//n + 1 — exact rational
+    # threshold folded into a bounded int64 (<= M^2+1) per language
+    thr = {
+        r["lang"]: (mn * m_gran * m_gran - 1) // int(r["n"]) + 1
+        for _, r in counts.iterrows()
+    }
+    tref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        thr_map = ray.get(tref)
+        ids = t["doc_id"].to_numpy()
+        h = np.array(
+            [shingles.md5_hash64(str(i)) % m_gran for i in ids], dtype=np.int64
+        )
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        lim = np.array([thr_map[l] for l in langs], dtype=np.int64)
+        m = h * h < lim
+        return pa.table({"doc_id": pa.array(ids[m]), "lang": pa.array(langs[m])})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
