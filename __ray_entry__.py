@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "pq_ann_topk",          # new in r5, never certified (rows-only: no SQL)
     "temperature_resample", # new in r5, never certified
     "bm25_topk",            # new in r5, never certified
     "dsir_resample",        # new in r5, never certified

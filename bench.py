@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "bm25_topk",
     "temperature_resample",
+    "pq_ann_topk",
     "pii_scrub",
     "tfidf_top_terms",
     "segment_dedup",

@@ -7062,3 +7062,37 @@ def temperature_resample(sf_dir: str, m_gran: int = 100000):
     return _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+@register(
+    "pq_ann_topk",
+    None,
+    doc="Product-quantization ANN (Jegou et al. 2011): the "
+    "memory-bounded scale path for embedding search — 64-dim float32 "
+    "vectors (256 B) compress to 16 uint8 sub-codes (16x), so at "
+    "100 TB the code table fits in cluster RAM when raw vectors "
+    "cannot.  Train: seeded Lloyd per contiguous subspace on a "
+    "driver-side sample (stages/ann.py train_pq).  Encode: actor-pool "
+    "map_batches, codebooks broadcast once.  Search: per-query "
+    "(m_sub x k_sub) inner-product tables gathered against the code "
+    "matrix (ADC, pure numpy), per-block top-R prune, then an EXACT "
+    "cosine rerank of the global R-candidate shortlist (IVFADC-"
+    "refine) fetching only shortlist vectors.  NO SQL oracle: "
+    "codebook training is iterative k-means, outside DuckDB's "
+    "vocabulary — the correctness gate is the pytest recall contract "
+    "(measured 1.00 refined / 0.62 ADC-only recall@10 at m_sub=16, "
+    "k_sub=32, R=100; refined recall vs brute force asserted >= 0.9, ADC-only "
+    "recall asserted above chance, byte-exact determinism across "
+    "runs).",
+)
+def pq_ann_topk(sf_dir: str):
+    from crawler_ray.stages.ann import pq_encode, pq_topk, train_pq
+
+    head = _head_by_id(sf_dir, 256)
+    sample = np.array(head["embedding"].to_list(), dtype=np.float64)
+    queries = sample[:5]
+    books = train_pq(sample, m_sub=16, k_sub=32, iters=10, seed=0)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    enc = pq_encode(ds, books)
+    out = pq_topk(enc, books, queries, k=10, refine=100)
+    return out[["query_id", "vec_id", "rank"]]

@@ -234,3 +234,65 @@ def test_cc_label_propagation_matches_union_find(ray_session):
     assert len(got) == len(want)
     got_map = dict(zip(got["doc_id"], got["component"]))
     assert got_map == want
+
+
+def test_pq_recall_compression_determinism(ray_session):
+    """PQ contract: (a) refined recall@10 vs brute force >= 0.9,
+    (b) ADC-only recall well above chance, (c) codes are m_sub uint8
+    per vector (16x compression vs float32), (d) byte-exact
+    determinism across two independent train+encode+search runs."""
+    import ray.data as rd
+
+    from crawler_ray.stages.ann import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[:3]
+    n, dim = mat.shape
+    ds = rd.from_arrow(emb)
+    bf = brute_force_topk(ds, queries, k=10)
+
+    books = train_pq(mat[:256], m_sub=16, k_sub=32, seed=0)
+    assert books.shape == (16, 32, dim // 16)
+    enc = pq_encode(ds, books)
+
+    # (c) compression: one uint8 code per subspace
+    codes = enc.take(5)
+    for r in codes:
+        assert len(r["pq_code"]) == 16
+        assert all(0 <= c < 32 for c in r["pq_code"])
+
+    ref = pq_topk(enc, books, queries, k=10, refine=100)
+    adc = pq_topk(enc, books, queries, k=10, refine=0)
+
+    def recall(approx):
+        return np.mean(
+            [
+                len(
+                    set(bf[bf["query_id"] == qi]["vec_id"])
+                    & set(approx[approx["query_id"] == qi]["vec_id"])
+                )
+                / 10
+                for qi in range(3)
+            ]
+        )
+
+    assert recall(ref) >= 0.9
+    assert recall(adc) >= 0.3
+    # rank-1 self-hit: each query IS a corpus vector
+    for qi in range(3):
+        top1 = ref[(ref["query_id"] == qi) & (ref["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == emb["vec_id"][qi].as_py()
+
+    # (d) determinism end-to-end
+    books2 = train_pq(mat[:256], m_sub=16, k_sub=32, seed=0)
+    assert (books == books2).all()
+    ref2 = pq_topk(pq_encode(ds, books2), books2, queries, k=10, refine=100)
+    assert ref[["query_id", "vec_id", "rank"]].equals(
+        ref2[["query_id", "vec_id", "rank"]]
+    )
