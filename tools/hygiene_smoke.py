@@ -84,6 +84,9 @@ def main():
         "distinct_kmv",
         "token_rarity_buckets",
         "host_quality_filter",
+        "dsir_resample",
+        "temperature_resample",
+        "bm25_topk",
     ):
         r0 = _rss_mb()
         t0 = time.time()
