@@ -313,3 +313,27 @@ def pq_topk(encoded_ds, codebooks: np.ndarray, query_vecs: np.ndarray, k: int = 
             rows.append((int(qi), int(ids_g[j]), rank, float(cos[j])))
     out = pd.DataFrame(rows, columns=["query_id", "vec_id", "rank", "cos"])
     return out.reset_index(drop=True)
+
+
+def ivfpq_topk(enc_bucketed_ds, centroids: np.ndarray, codebooks: np.ndarray, query_vecs: np.ndarray, k: int = 10, nprobe: int = 4, refine: int = 100, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF + PQ composed (the FAISS IVFADC layout — the 100 TB answer):
+    vectors live bucketed by coarse centroid AND PQ-encoded, so a query
+    reads only its ``nprobe`` buckets' *code* files (bucket pruning ×
+    16x compression), ADC-scans them, and reranks the shortlist with
+    exact cosine.  Compose the input as
+    ``pq_encode(ivf_bucket(ds, centroids), codebooks)``; at scale,
+    write it partitioned by bucket once and reuse across query sets."""
+    import pyarrow.compute as pc_
+
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    cn = _normalize(centroids)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probes for b in row})
+
+    sub = enc_bucketed_ds.map_batches(
+        lambda t: t.filter(
+            pc_.is_in(t["bucket"], value_set=pa.array(wanted, type=pa.int32()))
+        ),
+        batch_format="pyarrow",
+    )
+    return pq_topk(sub, codebooks, qn, k=k, refine=refine, vec_col=vec_col, id_col=id_col)

@@ -296,3 +296,49 @@ def test_pq_recall_compression_determinism(ray_session):
     assert ref[["query_id", "vec_id", "rank"]].equals(
         ref2[["query_id", "vec_id", "rank"]]
     )
+
+
+def test_ivfpq_composed_recall(ray_session):
+    """IVFADC composition: bucket pruning x PQ codes, refined rerank.
+    nprobe=all must equal the PQ-only result exactly; nprobe=4 keeps
+    recall@10 >= 0.8 vs brute force."""
+    import ray.data as rd
+
+    from crawler_ray.stages.ann import (
+        brute_force_topk,
+        ivf_bucket,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_centroids,
+        train_pq,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    queries = mat[:3]
+    ds = rd.from_arrow(emb)
+    bf = brute_force_topk(ds, queries, k=10)
+
+    cents = train_centroids(mat, n_centroids=8, seed=0)
+    books = train_pq(mat[:256], m_sub=16, k_sub=32, seed=0)
+    enc = pq_encode(ivf_bucket(ds, cents), books)
+
+    full = ivfpq_topk(enc, cents, books, queries, k=10, nprobe=8, refine=100)
+    pq_only = pq_topk(enc, books, queries, k=10, refine=100)
+    assert full[["query_id", "vec_id", "rank"]].equals(
+        pq_only[["query_id", "vec_id", "rank"]]
+    )
+
+    pruned = ivfpq_topk(enc, cents, books, queries, k=10, nprobe=4, refine=100)
+    rec = np.mean(
+        [
+            len(
+                set(bf[bf["query_id"] == qi]["vec_id"])
+                & set(pruned[pruned["query_id"] == qi]["vec_id"])
+            )
+            / 10
+            for qi in range(3)
+        ]
+    )
+    assert rec >= 0.8, rec
