@@ -7096,3 +7096,41 @@ def pq_ann_topk(sf_dir: str):
     enc = pq_encode(ds, books)
     out = pq_topk(enc, books, queries, k=10, refine=100)
     return out[["query_id", "vec_id", "rank"]]
+
+
+@register(
+    "ivfpq_ann_topk",
+    None,
+    doc="IVF + PQ composed (the FAISS IVFADC layout — the full 100 TB "
+    "embedding-search answer): vectors are bucketed by coarse "
+    "centroid (ivf_bucket, ONE shuffle, reused across query sets) AND "
+    "PQ-encoded (16 uint8 codes, 16x compression), so a query touches "
+    "only its nprobe buckets' code columns — bucket pruning multiplies "
+    "with code compression, and at scale the bucketed code table is "
+    "written partitioned-by-bucket parquet so non-probed buckets never "
+    "leave storage.  ADC lookup-table scan inside the probed subset, "
+    "exact-cosine rerank of the global shortlist (fetches shortlist "
+    "vectors only).  NO SQL oracle: PQ codebook training is iterative "
+    "k-means, outside DuckDB's vocabulary — the pytest contract pins "
+    "(a) nprobe=all ≡ pq_topk exactly and (b) recall@10 >= 0.8 vs "
+    "brute force at nprobe=4/8 buckets (stages/ann.py ivfpq_topk, "
+    "tests/test_dedup_ann.py::test_ivfpq_composed_recall).",
+)
+def ivfpq_ann_topk(sf_dir: str):
+    from crawler_ray.stages.ann import (
+        ivf_bucket,
+        ivfpq_topk,
+        pq_encode,
+        train_centroids,
+        train_pq,
+    )
+
+    head = _head_by_id(sf_dir, 256)
+    sample = np.array(head["embedding"].to_list(), dtype=np.float64)
+    queries = sample[:5]
+    cents = train_centroids(sample, n_centroids=8, seed=0)
+    books = train_pq(sample, m_sub=16, k_sub=32, iters=10, seed=0)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    enc = pq_encode(ivf_bucket(ds, cents), books)
+    out = ivfpq_topk(enc, cents, books, queries, k=10, nprobe=4, refine=100)
+    return out[["query_id", "vec_id", "rank"]]
