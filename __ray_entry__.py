@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "bigram_lm_score",      # new in r5 session 6, never certified
+    "ivfpq_ann_topk",       # new in r5 session 6 (rows-only: no SQL)
     "pq_ann_topk",          # new in r5, never certified (rows-only: no SQL)
     "temperature_resample", # new in r5, never certified
     "bm25_topk",            # new in r5, never certified

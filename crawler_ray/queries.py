@@ -7134,3 +7134,339 @@ def ivfpq_ann_topk(sf_dir: str):
     enc = pq_encode(ivf_bucket(ds, cents), books)
     out = ivfpq_topk(enc, cents, books, queries, k=10, nprobe=4, refine=100)
     return out[["query_id", "vec_id", "rank"]]
+
+
+def _adjacent_bigrams(t: pa.Table):
+    """Vectorized adjacent-bigram extraction shared by both
+    bigram_lm_score regimes: split on ' ', gather w1/w2 by global
+    index arithmetic (no Python over tokens), join into 'w1 w2' pair
+    keys (tokens are space-split so the key is unambiguous).  Returns
+    (pair_lens int64 per input row, pair-key StringArray in row
+    order)."""
+    txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+    tok_list = pc.split_pattern(txt, " ")
+    if isinstance(tok_list, pa.ChunkedArray):
+        tok_list = tok_list.combine_chunks()
+    lens = pc.list_value_length(tok_list).to_numpy().astype(np.int64)
+    pair_lens = np.maximum(lens - 1, 0)
+    n = int(pair_lens.sum())
+    if n == 0:
+        return pair_lens, pa.array([], type=pa.string())
+    flat = tok_list.values
+    starts = np.cumsum(lens) - lens
+    pstarts = np.cumsum(pair_lens) - pair_lens
+    idx1 = (
+        np.arange(n, dtype=np.int64)
+        - np.repeat(pstarts, pair_lens)
+        + np.repeat(starts, pair_lens)
+    )
+    w1 = flat.take(pa.array(idx1))
+    w2 = flat.take(pa.array(idx1 + 1))
+    pr = pc.binary_join_element_wise(w1, w2, " ")
+    return pair_lens, pr
+
+
+def _bigram_lm_join_regime(docs, c12, mean_c: int, q_gran: int):
+    """Past-the-broadcast-cap regime for bigram_lm_score: the bigram
+    table stays a Dataset.  Per-doc (pr, k) occurrence counts pick up
+    their quantized conditional probability via a pair-keyed hash join
+    (c1 derived from c12 by a second bucketed sum on w1, joined back on
+    w1), then per-doc sums run in doc-hash buckets.  Integer math is
+    identical to the broadcast path (forced-regime test asserts row
+    equality)."""
+    from crawler_ray.stages.relational import bucketed_agg
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        pair_lens, pr = _adjacent_bigrams(t)
+        n = int(pair_lens.sum())
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "pr": pa.array([], type=pa.string()),
+                    "k": pa.array([], type=pa.int64()),
+                }
+            )
+        rows = np.repeat(np.arange(len(pair_lens), dtype=np.int64), pair_lens)
+        dct = pc.dictionary_encode(pr)
+        codes = dct.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((codes, rows))
+        r_s, c_s = rows[order], codes[order]
+        first = np.flatnonzero(
+            np.concatenate(([True], (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])))
+        )
+        k = np.diff(np.append(first, n)).astype(np.int64)
+        did = t["doc_id"].to_numpy()
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[r_s[first]]),
+                "lang": pa.array(langs[r_s[first]], type=pa.string()),
+                "pr": dct.dictionary.take(pa.array(c_s[first])),
+                "k": pa.array(k),
+            }
+        )
+
+    def add_w1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:  # schemaless empty block from bucketed_agg
+            df = pd.DataFrame(
+                {
+                    "pr": pd.Series([], dtype="object"),
+                    "c": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["w1"] = df["pr"].str.split(" ", n=1).str[0]
+        return df
+
+    c12w = c12.map_batches(add_w1, batch_format="pandas").materialize()
+    c1 = bucketed_agg(
+        c12w, keys=["w1"], sum_cols={"c": "cw"}, key_dtypes={"w1": "object"}
+    )
+
+    def guard_c1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="object"),
+                    "cw": pd.Series([], dtype="int64"),
+                }
+            )
+        return df
+
+    c1 = c1.map_batches(guard_c1, batch_format="pandas").materialize()
+    nparts = int(np.clip(c12w.count() // 25_000, 2, 32))
+    q_ds = c1.join(c12w, join_type="inner", num_partitions=nparts, on=("w1",))
+
+    def add_q(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy().astype(np.int64)
+        cw = t["cw"].to_numpy().astype(np.int64)
+        q = c * q_gran // cw
+        return pa.table({"pr": t["pr"], "q": pa.array(q)})
+
+    q_keep = q_ds.map_batches(add_q, batch_format="pyarrow").materialize()
+    pairs = docs.map_batches(pair_rows, batch_format="pyarrow").materialize()
+    nparts2 = int(np.clip(pairs.count() // 25_000, 2, 32))
+    joined = q_keep.join(pairs, join_type="inner", num_partitions=nparts2, on=("pr",))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame(
+                {
+                    "pr": pd.Series([], dtype="object"),
+                    "q": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "lang": pd.Series([], dtype="object"),
+                    "k": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.copy()
+        df["__b"] = (df["doc_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype="object"),
+                "bucket": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "total_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.shape[1] == 0 or len(g) == 0:
+            return empty
+        g = g.copy()
+        g["kq"] = g["k"].to_numpy() * g["q"].to_numpy()
+        d = g.groupby("doc_id", as_index=False).agg(
+            lang=("lang", "first"), n_pairs=("k", "sum"), sum_q=("kq", "sum")
+        )
+        score = d["sum_q"].to_numpy() // d["n_pairs"].to_numpy()
+        d["bucket"] = np.minimum(score * 4 // mean_c, 7)
+        d["n_docs"] = np.int64(1)
+        out = d.groupby(["lang", "bucket"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_pairs=("n_pairs", "sum")
+        )
+        return out[["lang", "bucket", "n_docs", "total_pairs"]]
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+@register(
+    "bigram_lm_score",
+    """
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+    p AS (
+      SELECT doc_id, lang,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)]) AS w2
+      FROM d WHERE len(ts) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM p GROUP BY w1, w2),
+    c1  AS (SELECT w1, sum(c) AS cw FROM c12 GROUP BY w1),
+    q0  AS (SELECT c12.w1, c12.w2, (c12.c * 1024) // c1.cw AS q, c12.c AS c
+            FROM c12 JOIN c1 USING (w1)),
+    tot AS (SELECT GREATEST(sum(q * c) // sum(c), 1) AS mean_c FROM q0),
+    doc AS (
+      SELECT p.doc_id, any_value(p.lang) AS lang,
+             count(*) AS n_pairs, sum(q0.q) AS sum_q
+      FROM p JOIN q0 ON p.w1 = q0.w1 AND p.w2 = q0.w2
+      GROUP BY p.doc_id
+    )
+    SELECT lang,
+           CAST(LEAST((sum_q // n_pairs) * 4 // tot.mean_c, 7) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_pairs) AS BIGINT) AS total_pairs
+    FROM doc, tot GROUP BY lang, bucket
+    """,
+    doc="Bigram language-model scoring (the CCNet/KenLM perplexity "
+    "filter in integer-exact form): a doc's score is the mean QUANTIZED "
+    "conditional probability of its adjacent token pairs, "
+    "q(w1,w2) = (c12*1024)//c1 with c1 = sum_w2 c12 (so q <= 1024 by "
+    "construction and the LM is trained on the corpus being scored, "
+    "the CCNet in-domain setup); buckets are RELATIVE to the corpus "
+    "mean pair probability (bucket = min(4*score/mean, 7)) so the "
+    "scale is corpus-size independent and every division is exact "
+    "integer arithmetic the DuckDB oracle replays bit-for-bit.  Shape: "
+    "one bigram-count shuffle (per-block value_counts combiner -> "
+    "string-keyed bucketed sum); under bigram_broadcast_cap the "
+    "(pair -> q) table broadcasts once via ray.put and scoring is one "
+    "streaming pass (dictionary-encode per batch, q looked up per "
+    "DISTINCT pair, per-doc sums via reduceat — no Python over "
+    "tokens); past the cap the IMPLEMENTED join regime fires "
+    "(_bigram_lm_join_regime: per-doc (pair, k) rows pick up q via a "
+    "pair-keyed hash join, per-doc sums in doc-hash buckets; "
+    "forced-regime test asserts row equality).  Docs with <2 tokens "
+    "have no pairs and are excluded, matching the SQL's doc CTE.",
+)
+def bigram_lm_score(sf_dir: str, q_gran: int = 1024, bigram_broadcast_cap: int = 2_000_000):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from crawler_ray.stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, pr = _adjacent_bigrams(t)
+        vc = pr.value_counts()
+        return pa.table(
+            {
+                "pr": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    c12 = bucketed_agg(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["pr"],
+        sum_cols={"c": "c"},
+        key_dtypes={"pr": "object"},
+    ).materialize()
+
+    if c12.count() > bigram_broadcast_cap:
+        # exact corpus totals: group c12 rows by w1-hash bucket so each
+        # group sees ALL of a w1's bigrams (cw is the true c1 there),
+        # emit one (sum q*c, sum c) partial per bucket, reduce driver-side
+        def add_w1(df: pd.DataFrame) -> pd.DataFrame:
+            if df.shape[1] == 0:
+                df = pd.DataFrame(
+                    {"pr": pd.Series([], dtype="object"), "c": pd.Series([], dtype="int64")}
+                )
+            df = df.copy()
+            df["w1"] = df["pr"].str.split(" ", n=1).str[0]
+            df["__b"] = (
+                pd.util.hash_pandas_object(df["w1"], index=False).to_numpy() % 64
+            ).astype("int32")
+            return df
+
+        def group_tot(g: pd.DataFrame) -> pd.DataFrame:
+            if g.shape[1] == 0 or len(g) == 0:
+                return pd.DataFrame({"sq": pd.Series([], dtype="int64"), "np_": pd.Series([], dtype="int64")})
+            cw = g.groupby("w1")["c"].transform("sum").to_numpy().astype(np.int64)
+            c = g["c"].to_numpy().astype(np.int64)
+            q = c * q_gran // cw
+            return pd.DataFrame({"sq": [int((q * c).sum())], "np_": [int(c.sum())]})
+
+        tot = (
+            c12.map_batches(add_w1, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(group_tot, batch_format="pandas")
+            .aggregate(Sum("sq", alias_name="sq"), Sum("np_", alias_name="np_"))
+        )
+        mean_c = max(int(tot["sq"]) // max(int(tot["np_"]), 1), 1)
+        raw = _bigram_lm_join_regime(docs, c12, mean_c, q_gran)
+    else:
+        rows = c12.take_all()
+        c1: dict = {}
+        for r in rows:
+            w1 = r["pr"].split(" ", 1)[0]
+            c1[w1] = c1.get(w1, 0) + int(r["c"])
+        qmap = {
+            r["pr"]: int(r["c"]) * q_gran // c1[r["pr"].split(" ", 1)[0]]
+            for r in rows
+        }
+        tot_q = sum(qmap[r["pr"]] * int(r["c"]) for r in rows)
+        tot_n = sum(int(r["c"]) for r in rows)
+        mean_c = max(tot_q // max(tot_n, 1), 1)
+        qref = ray.put(qmap)
+
+        def score(t: pa.Table) -> pa.Table:
+            qm = ray.get(qref)
+            pair_lens, pr = _adjacent_bigrams(t)
+            mask = pair_lens > 0
+            if int(pair_lens.sum()) == 0 or not mask.any():
+                return pa.table(
+                    {
+                        "lang": pa.array([], type=pa.string()),
+                        "bucket": pa.array([], type=pa.int64()),
+                        "n_docs": pa.array([], type=pa.int64()),
+                        "total_pairs": pa.array([], type=pa.int64()),
+                    }
+                )
+            dct = pc.dictionary_encode(pr)
+            codes = dct.indices.to_numpy().astype(np.int64)
+            uq = np.array(
+                [qm[u] for u in dct.dictionary.to_pylist()], dtype=np.int64
+            )
+            per_pair = np.append(uq[codes], np.int64(0))
+            offsets = np.cumsum(pair_lens) - pair_lens
+            sums = np.where(
+                mask, np.add.reduceat(per_pair, offsets)[: len(pair_lens)], 0
+            )
+            score_v = sums[mask] // pair_lens[mask]
+            bucket = np.minimum(score_v * 4 // mean_c, 7)
+            langs = t["lang"].to_numpy(zero_copy_only=False)[mask]
+            df = pd.DataFrame(
+                {
+                    "lang": langs,
+                    "bucket": bucket,
+                    "n_docs": np.ones(int(mask.sum()), dtype=np.int64),
+                    "total_pairs": pair_lens[mask],
+                }
+            )
+            out = df.groupby(["lang", "bucket"], as_index=False).sum()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        raw = docs.map_batches(score, batch_format="pyarrow")
+
+    agg = raw.groupby(["lang", "bucket"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_pairs", alias_name="total_pairs"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "bucket": pc.cast(t["bucket"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "total_pairs": pc.cast(t["total_pairs"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

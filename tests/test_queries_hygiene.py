@@ -676,3 +676,50 @@ def test_cross_corpus_neardup_flags_only_cross_side(ray_session, tmp_path):
     # every flagged id is a TRAIN id (no offset eval ids leak through)
     assert (out.index < 10_000_000).all()
     assert (out["n_eval_matches"] >= 1).all()
+
+
+def test_bigram_lm_join_regime_matches_broadcast(ray_session):
+    """Force the past-the-bigram-cap join regime (pair table as a
+    Dataset + pair-keyed hash join, distributed mean_c fold) and assert
+    row equality with the broadcast path over the real fixture; also
+    pin that short docs (<2 tokens) are excluded like the oracle's doc
+    CTE."""
+    import pandas as pd
+
+    from crawler_ray.queries import bigram_lm_score
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["lang", "bucket"]).reset_index(drop=True)[
+            ["lang", "bucket", "n_docs", "total_pairs"]
+        ]
+
+    a = norm(bigram_lm_score(sf))
+    b = norm(bigram_lm_score(sf, bigram_broadcast_cap=0))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # score/bucket are bounded by construction: q <= q_gran => score <=
+    # q_gran and bucket in [0, 7]
+    assert a["bucket"].between(0, 7).all()
+
+
+def test_bigram_lm_short_doc_exclusion(ray_session, tmp_path):
+    """Docs with <2 tokens yield no pairs and must not appear in any
+    bucket's n_docs (matching the SQL doc CTE), while multi-token docs
+    all do."""
+    import os
+
+    from crawler_ray.queries import bigram_lm_score
+
+    src = tmp_path / "src"
+    os.makedirs(str(src), exist_ok=True)
+    sf = _write_docs(
+        src,
+        ["a b a b a", "solo", "a a a a", "b", "b a b a"],
+        langs=["en", "en", "fr", "fr", "fr"],
+    )
+    out = bigram_lm_score(sf).to_pandas()
+    assert int(out["n_docs"].sum()) == 3  # the two 1-token docs excluded
+    assert int(out["total_pairs"].sum()) == 4 + 3 + 3
