@@ -77,6 +77,7 @@ def entry() -> Any:
 # order.
 _CERTIFY_FIRST = [
     "bigram_lm_score",      # new in r5 session 6, never certified
+    "image_dhash_neardup",  # new in r5 session 6, never certified
     "ivfpq_ann_topk",       # new in r5 session 6 (rows-only: no SQL)
     "pq_ann_topk",          # new in r5, never certified (rows-only: no SQL)
     "temperature_resample", # new in r5, never certified

@@ -7470,3 +7470,100 @@ def bigram_lm_score(sf_dir: str, q_gran: int = 1024, bigram_broadcast_cap: int =
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "image_dhash_neardup",
+    """
+    WITH g AS (
+      SELECT doc_id % 48 AS grp, count(*) AS sz, min(doc_id) AS keeper
+      FROM documents GROUP BY grp
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           count(*) AS n_groups,
+           CAST(sum(keeper) AS BIGINT) AS keepers_sum
+    FROM g GROUP BY sz
+    """,
+    doc="Perceptual image near-dup (dHash): every document derives a "
+    "deterministic image payload — base pixels from seed doc_id % 48, "
+    "a brightness-shift VARIANT (+0/+8/+16 by doc_id arithmetic, "
+    "pixel headroom so nothing clips) and an alternating REAL "
+    "container (PNG for even doc_id, GIF for odd; both lossless, "
+    "stages/codecs.py).  Byte-level exact dedup sees 48*3*2 distinct "
+    "artifacts; the 64-bit difference hash (stages/media.py dhash64 — "
+    "integer luma, 9x8 grid, adjacent-comparison bits, invariant "
+    "under uniform brightness shift and lossless re-encode) collapses "
+    "each seed group across variants AND containers.  Shape: actor-"
+    "pool ImageDHasher (codec per actor, small batches for wide "
+    "binary rows) -> groupby dhash (48 groups regardless of corpus "
+    "size) -> group-size histogram + first-wins keeper sum.  The "
+    "oracle mirrors the intended grouping as doc_id arithmetic; a "
+    "codec or hash regression (groups fragmenting or merging) breaks "
+    "row counts and the keeper sum.  The 48 base hashes are pinned "
+    "pairwise-distinct by test, so hash-grouping == seed-grouping at "
+    "every scale.",
+)
+def image_dhash_neardup(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .stages.media import ImageDHasher
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        from .stages.codecs import gif_encode, png_encode
+
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            grp = did % 48
+            rng = np.random.RandomState(grp)
+            h, w = 24 + grp % 8, 32 + grp % 12
+            base = rng.randint(0, 224, size=(h, w)).astype(np.uint8)
+            shift = np.uint8(((did // 48) % 3) * 8)
+            img = np.stack([base + shift] * 3, axis=-1)
+            payloads.append(png_encode(img) if did % 2 == 0 else gif_encode(img))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        ImageDHasher,
+        concurrency=max(2, min(8, ncpu // 4)),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+    groups = hashed.groupby("dhash").aggregate(
+        Count(alias_name="sz"), Min("doc_id", alias_name="keeper")
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_size": pc.cast(t["sz"], pa.int64()),
+                "n_g": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "keeper": pc.cast(t["keeper"], pa.int64()),
+            }
+        )
+
+    agg = (
+        groups.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("group_size")
+        .aggregate(Sum("n_g", alias_name="n_groups"), Sum("keeper", alias_name="keepers_sum"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_size": pc.cast(t["group_size"], pa.int64()),
+                "n_groups": pc.cast(t["n_groups"], pa.int64()),
+                "keepers_sum": pc.cast(t["keepers_sum"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

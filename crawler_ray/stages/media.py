@@ -421,6 +421,61 @@ class MediaFeaturizer:
         )
 
 
+def dhash64(frame: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of one RGB or grayscale frame:
+    integer luma ((r*299 + g*587 + b*114) // 1000), a 9x8
+    index-sampled grid, bit = left pixel > right pixel.  Every step is
+    invariant under a uniform brightness shift (luma shifts by exactly
+    the same constant, adjacent comparisons are unchanged) and under a
+    lossless re-encode in ANY container — the perceptual property
+    image_dhash_neardup relies on to catch dups that byte-level exact
+    dedup cannot.  Pure integer arithmetic, platform-stable."""
+    f = frame.astype(np.int64)
+    if f.ndim == 3:
+        gray = (f[..., 0] * 299 + f[..., 1] * 587 + f[..., 2] * 114) // 1000
+    else:
+        gray = f
+    h, w = gray.shape
+    rows = (np.arange(8, dtype=np.int64) * h) // 8
+    cols = (np.arange(9, dtype=np.int64) * w) // 9
+    g = gray[rows][:, cols]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def hamming64(a: int, b: int) -> int:
+    """Bit distance between two 64-bit perceptual hashes."""
+    return bin(a ^ b).count("1")
+
+
+class ImageDHasher:
+    """Actor-pool stage: decode image payloads through the REAL codecs
+    (PNG/APNG/JPEG/GIF/PPM via stages/codecs.py) and emit a 64-bit
+    perceptual dHash per row.  Same wide-row guidance as MediaDecoder:
+    small batch_size, codec state per actor.  Failed decodes or
+    non-image payloads get hash_ok=False and dhash=0."""
+
+    def __init__(self):
+        self.codec = _FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                kind, arr = self.codec.decode(payload)
+                if kind != "image":
+                    raise ValueError("not an image payload")
+                # int64 wraparound keeps the full 64 bits as a group key
+                hashes.append(int(np.uint64(dhash64(arr[0])).astype(np.int64)))
+                ok.append(True)
+            except (NotImplementedError, ValueError, zlib.error, struct.error):
+                hashes.append(0)
+                ok.append(False)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("dhash", pa.array(hashes, type=pa.int64()))
+        return out.append_column("hash_ok", pa.array(ok, type=pa.bool_()))
+
+
 def media_refs_from_spans(documents: pa.Table) -> list[str]:
     """Distinct media_ref values of kind='media' spans — the join key
     between the documents table and the media asset table."""

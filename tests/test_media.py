@@ -228,3 +228,54 @@ def test_multimodal_end_to_end_features_to_ann(ray_session):
     got = top.to_pandas() if hasattr(top, "to_pandas") else top
     ids = got.sort_values("rank")["vec_id"].tolist()
     assert ids[0] == 12 and ids[1] == 3  # self, then its twin
+
+
+def test_dhash_brightness_and_container_invariance():
+    """dhash64 must be identical across uniform brightness shifts and
+    across lossless containers (PNG vs GIF) — the property
+    image_dhash_neardup's oracle arithmetic relies on; and the 48
+    synth seed groups must hash pairwise-distinct so hash-grouping ==
+    seed-grouping at every scale."""
+    import numpy as np
+
+    from crawler_ray.stages.codecs import gif_encode, png_decode, png_encode, gif_decode
+    from crawler_ray.stages.media import dhash64, hamming64
+
+    hashes = []
+    for grp in range(48):
+        rng = np.random.RandomState(grp)
+        h, w = 24 + grp % 8, 32 + grp % 12
+        base = rng.randint(0, 224, size=(h, w)).astype(np.uint8)
+        img0 = np.stack([base] * 3, axis=-1)
+        img16 = np.stack([base + np.uint8(16)] * 3, axis=-1)
+        h0 = dhash64(img0)
+        assert dhash64(img16) == h0  # brightness invariance
+        assert dhash64(png_decode(png_encode(img0))) == h0
+        assert dhash64(gif_decode(gif_encode(img16))) == h0
+        hashes.append(h0)
+    assert len(set(hashes)) == 48  # pairwise distinct
+    # distinct images are far apart, same image is distance 0
+    assert hamming64(hashes[0], hashes[0]) == 0
+    assert hamming64(hashes[0], hashes[1]) > 8
+
+
+def test_dhash_survives_lossy_jpeg():
+    """On a structured (strong-edge) image, dHash must be robust to a
+    real lossy JPEG roundtrip — the perceptual-near-dup use case."""
+    import numpy as np
+
+    from crawler_ray.stages.codecs import jpeg_decode, jpeg_encode
+    from crawler_ray.stages.media import dhash64, hamming64
+
+    # 8x9 block grid (8x8-pixel blocks, matching the dHash sample
+    # grid): levels cycle a 3-step ladder so horizontally adjacent
+    # samples always differ by 88 luma — far above JPEG q85 noise
+    ladder = np.array([24, 112, 200], dtype=np.uint8)
+    levels = np.empty((8, 9), dtype=np.uint8)
+    for r in range(8):
+        levels[r] = ladder[(np.arange(9) + r) % 3]
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    rgb = np.stack([img] * 3, axis=-1)
+    h0 = dhash64(rgb)
+    h1 = dhash64(jpeg_decode(jpeg_encode(rgb, 85)))
+    assert hamming64(h0, h1) <= 4, (h0, h1)
