@@ -7567,3 +7567,96 @@ def image_dhash_neardup(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "warc_roundtrip_stats",
+    """
+    SELECT lang, count(*) AS n_records,
+           CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes
+    FROM documents GROUP BY lang
+    """,
+    doc="WARC interchange roundtrip (sources/warc.py — ISO 28500, the "
+    "Common Crawl container, pure stdlib): documents become HTTP "
+    "response records (utf-8 body, lang as the "
+    "WARC-Identified-Content-Language header), sunk worker-side as "
+    "one gzip-member-per-record .warc.gz PER BLOCK (content-hashed "
+    "names, atomic publish — the resumable-output contract), then "
+    "READ BACK via read_binary_files + vectorized record explode and "
+    "aggregated per lang.  The oracle compares against the source "
+    "table directly, so green certifies the bytes on disk roundtrip "
+    "exactly (envelope parsing, Content-Length, member splitting, "
+    "multibyte text) — not the in-flight dataset.",
+)
+def warc_roundtrip_stats(sf_dir: str, out_dir: str | None = None):
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from .sources.warc import read_warc_dataset, write_warc_corpus
+
+    own = out_dir is None
+    if own:
+        out_dir = tempfile.mkdtemp(prefix="crawler_ray_warc_", dir="/tmp")
+    try:
+        docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+        def to_records(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            f"http://corpus.example/doc/{d}"
+                            for d in t["doc_id"].to_pylist()
+                        ],
+                        type=pa.string(),
+                    ),
+                    "payload": pa.array(
+                        [x.encode("utf-8") for x in t["text"].to_pylist()],
+                        type=pa.large_binary(),
+                    ),
+                    "lang": t["lang"],
+                }
+            )
+
+        rec = docs.map_batches(to_records, batch_format="pyarrow")
+        # consume the sink (one tiny row per written file)
+        write_warc_corpus(rec, out_dir, lang_col="lang").materialize()
+
+        back = read_warc_dataset(out_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            blen = pc.binary_length(t["payload"])
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_r": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "b": pc.cast(blen, pa.int64()),
+                }
+            )
+
+        agg = (
+            back.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(
+                Sum("n_r", alias_name="n_records"),
+                Sum("b", alias_name="payload_bytes"),
+            )
+        )
+
+        def finalize(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_records": pc.cast(t["n_records"], pa.int64()),
+                    "payload_bytes": pc.cast(t["payload_bytes"], pa.int64()),
+                }
+            )
+
+        # per-lang rows are tiny; materialize before the tempdir vanishes
+        out = agg.map_batches(finalize, batch_format="pyarrow").to_pandas()
+        return pa.Table.from_pandas(out, preserve_index=False)
+    finally:
+        if own:
+            shutil.rmtree(out_dir, ignore_errors=True)
