@@ -48,7 +48,9 @@ def main(argv=None):
         "bfs", "structure-driven", "discussion-forum", "execute",
         "execute-budget", "seed-replay", "gen-graph", "corpus-to-json",
         "fix-model", "prep-data", "compact", "ingest", "diff",
+        "corpus-to-warc", "warc-to-corpus",
     ])
+    p.add_argument("--warc-dir", help="WARC directory (warc-to-corpus input)")
     p.add_argument("--old", help="old checkpoint dir (diff)")
     p.add_argument("--new", help="new checkpoint dir (diff)")
     p.add_argument("--target-rows", type=int, default=1_000_000,
@@ -224,6 +226,86 @@ def main(argv=None):
     import ray
 
     try:
+        import ray.data  # noqa: F401 (ensure the data subpackage is bound)
+
+        if args.mode == "corpus-to-warc":
+            # checkpointed crawl corpus → WET-style WARC conversion
+            # records (extracted text, one gzip member per record; the
+            # Common Crawl WET convention) — the interchange twin of
+            # corpus-to-json
+            if not args.checkpoint_dir:
+                p.error("corpus-to-warc requires --checkpoint-dir")
+            import pyarrow as pa
+
+            from crawler_ray.sources.warc import write_warc_corpus
+            from crawler_ray.state.checkpoint import CheckpointStore
+
+            corpus = CheckpointStore(args.checkpoint_dir).corpus_table()
+
+            def to_wet(t: pa.Table) -> pa.Table:
+                payloads = []
+                for spans in t.column("spans").to_pylist():
+                    text = "\n".join(
+                        s["text"] for s in spans if s["kind"] == "text"
+                    )
+                    payloads.append(text.encode("utf-8"))
+                return pa.table(
+                    {
+                        "url": t.column("url"),
+                        "payload": pa.array(payloads, type=pa.large_binary()),
+                    }
+                )
+
+            wet_dir = os.path.join(args.out, "wet")
+            os.makedirs(wet_dir, exist_ok=True)
+            wet = ray.data.from_arrow(corpus.select(["url", "spans"])).map_batches(
+                to_wet, batch_format="pyarrow"
+            )
+            stats = write_warc_corpus(wet, wet_dir, warc_type="conversion").to_pandas()
+            print(json.dumps({
+                "records": int(stats["n_records"].sum()),
+                "files": len(stats),
+                "out": wet_dir,
+            }))
+            return 0
+
+        if args.mode == "warc-to-corpus":
+            # WARC archive(s) → documents parquet (doc_id + a single
+            # text span per record): bring third-party crawl archives
+            # into every pipeline that consumes the documents schema
+            if not args.warc_dir:
+                p.error("warc-to-corpus requires --warc-dir")
+            import pyarrow as pa
+
+            from crawler_ray import schemas
+            from crawler_ray.sources.warc import read_warc_dataset
+
+            def to_docs(t: pa.Table) -> pa.Table:
+                spans = [
+                    [{
+                        "kind": "text",
+                        "text": bytes(pl).decode("utf-8", errors="replace"),
+                        "media_ref": "",
+                        "offset": 0,
+                    }]
+                    for pl in t.column("payload").to_pylist()
+                ]
+                return pa.table(
+                    {
+                        "doc_id": t.column("url"),
+                        "spans": pa.array(spans, type=schemas.SPANS_TYPE),
+                    }
+                )
+
+            docs_dir = os.path.join(args.out, "documents")
+            ds = read_warc_dataset(args.warc_dir).map_batches(
+                to_docs, batch_format="pyarrow"
+            )
+            ds.write_parquet(docs_dir)
+            n = ray.data.read_parquet(docs_dir).count()
+            print(json.dumps({"documents": n, "out": docs_dir}))
+            return 0
+
         if args.mode == "seed-replay":
             from crawler_ray.pipelines.seedlist import replay_seed_list
 

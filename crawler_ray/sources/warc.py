@@ -49,22 +49,33 @@ def warc_record_bytes(
     status: int = 200,
     content_type: str = "text/html; charset=utf-8",
     extra_headers: dict[str, str] | None = None,
+    warc_type: str = "response",
 ) -> bytes:
-    """One uncompressed WARC response record: WARC header block, CRLF,
-    HTTP envelope + body (Content-Length bytes), CRLF CRLF."""
-    http_head = (
-        f"HTTP/1.1 {status} OK\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode("ascii")
-    block = http_head + payload
+    """One uncompressed WARC record: WARC header block, CRLF, content
+    block (Content-Length bytes), CRLF CRLF.
+
+    ``warc_type="response"`` wraps the payload in an HTTP/1.1 envelope
+    (a crawler capture).  ``warc_type="conversion"`` stores the payload
+    bare with Content-Type text/plain — the WET convention (extracted
+    text derived from a capture, ISO 28500 §6.8)."""
+    if warc_type == "response":
+        http_head = (
+            f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("ascii")
+        block = http_head + payload
+        block_ctype = "application/http;msgtype=response"
+    else:
+        block = payload
+        block_ctype = "text/plain"
     headers = [
         (_WARC_VERSION.decode(), None),
-        ("WARC-Type", "response"),
+        ("WARC-Type", warc_type),
         ("WARC-Target-URI", url),
         ("WARC-Date", date),
         ("WARC-Record-ID", _record_id(url, payload)),
-        ("Content-Type", "application/http;msgtype=response"),
+        ("Content-Type", block_ctype),
         ("Content-Length", str(len(block))),
     ]
     for k, v in (extra_headers or {}).items():
@@ -249,6 +260,7 @@ def write_warc_corpus(
     url_col: str = "url",
     payload_col: str = "payload",
     lang_col: str | None = None,
+    warc_type: str = "response",
 ):
     """Sink a Dataset to ``out_dir`` as .warc.gz files, ONE PER BLOCK,
     written worker-side inside map_batches.  File names are the md5 of
@@ -279,6 +291,7 @@ def write_warc_corpus(
                     u,
                     bytes(p),
                     extra_headers=extra[i] if extra else None,
+                    warc_type=warc_type,
                 ),
                 mtime=0,
             )

@@ -131,3 +131,46 @@ def test_dataset_roundtrip(ray_session, tmp_path):
     # idempotent re-run: content-hashed names, identical file set
     warc.write_warc_corpus(ds, out, lang_col="lang").materialize()
     assert sorted(os.listdir(out)) == files
+
+
+def test_conversion_record_roundtrip():
+    # WET convention: bare text block, no HTTP envelope
+    raw = warc.warc_record_bytes("http://x/", "été text".encode(), warc_type="conversion")
+    rec = warc.parse_warc_record(raw)
+    assert rec["type"] == "conversion"
+    assert rec["status"] == 0  # no HTTP envelope
+    assert rec["payload"] == "été text".encode()
+    assert rec["headers"]["Content-Type"] == "text/plain"
+
+
+def test_cli_corpus_warc_roundtrip(ray_session, tmp_path):
+    """crawl checkpoint -> corpus-to-warc (WET conversion records) ->
+    warc-to-corpus: per-URL extracted text survives both hops."""
+    from crawler_ray import cli, synth
+    from crawler_ray.pipelines.crawl import CrawlConfig, crawl
+    from crawler_ray.state.checkpoint import CheckpointStore
+
+    pages = synth.generate_site_graph(num_hosts=2, base_pages=16, seed=7)
+    ck = str(tmp_path / "ck")
+    crawl(pages, synth.seeds_for(pages), CrawlConfig(checkpoint_dir=ck))
+
+    out = str(tmp_path / "out")
+    assert cli.main(["corpus-to-warc", "--checkpoint-dir", ck, "--out", out]) == 0
+    wet_dir = os.path.join(out, "wet")
+    assert any(f.endswith(".warc.gz") for f in os.listdir(wet_dir))
+
+    out2 = str(tmp_path / "out2")
+    assert cli.main(["warc-to-corpus", "--warc-dir", wet_dir, "--out", out2]) == 0
+
+    import ray.data
+
+    corpus = CheckpointStore(ck).corpus_table()
+    want = {
+        r["url"]: "\n".join(s["text"] for s in r["spans"] if s["kind"] == "text")
+        for r in corpus.select(["url", "spans"]).to_pylist()
+    }
+    back = ray.data.read_parquet(os.path.join(out2, "documents")).to_pandas()
+    got = {
+        r["doc_id"]: r["spans"][0]["text"] for _, r in back.iterrows()
+    }
+    assert got == want
