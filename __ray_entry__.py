@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "triangle_count",       # new in r5 session 8, never certified
     "warc_roundtrip_stats", # new in r5 session 7, never certified
     "bigram_lm_score",      # new in r5 session 6, never certified
     "image_dhash_neardup",  # new in r5 session 6, never certified

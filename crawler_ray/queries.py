@@ -7660,3 +7660,271 @@ def warc_roundtrip_stats(sf_dir: str, out_dir: str | None = None):
     finally:
         if own:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+TRIANGLE_BROADCAST_CAP_EDGES = 50_000_000  # int64 keys ≈ 400 MB broadcast
+
+
+def _group_pairs(sort_key: np.ndarray, values: np.ndarray):
+    """All unordered within-group pairs, fully vectorized.
+
+    ``sort_key`` must be sorted; ``values`` are the pair elements, sorted
+    within each group.  Returns (owner_index, v, w) where v < w are the
+    values of each pair and owner_index points at the group via any of
+    its rows.  Output size is Σ m_i·(m_i−1)/2 — the wedge count itself,
+    so generation is O(output)."""
+    n = len(sort_key)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], sort_key[1:] != sort_key[:-1])))
+    group_start = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
+    q = np.arange(n) - group_start          # local position within group
+    # row r (local pos q) pairs, as the LATER element, with its q
+    # predecessors in the same group
+    total = int(q.sum())
+    w_idx = np.repeat(np.arange(n), q)
+    v_idx = np.arange(total) - np.repeat(np.cumsum(q) - q, q) + np.repeat(group_start, q)
+    return w_idx, values[v_idx], values[w_idx]
+
+
+def _explode_edge_keys(t: pa.Table, n: int) -> np.ndarray:
+    """Canonical (min·n+max) undirected edge keys of the triangle-test
+    graph: the synthetic link formula (_explode_links — triangle-free
+    in practice, exercises dedup at realistic ~7 degree) PLUS ring and
+    conditional skip edges that provably close triangles with a varied
+    per-node participation histogram:
+
+      i—(i+1)%n            always          (ring)
+      i—(i+2)%n            when i%2 == 0   (even skip-2)
+      i—(i+3)%n            when i%5 == 0   (sparse skip-3)
+
+    Self-loops dropped, batch-unique."""
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    k = (ids % 5 + 3).astype(np.int64)
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a_all = np.concatenate((src, ids, e2, e5))
+    b_all = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    a = np.minimum(a_all, b_all)
+    b = np.maximum(a_all, b_all)
+    m = a != b
+    return np.unique(a[m] * n + b[m])
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 finalizer) — used to
+    RANDOMIZE edge orientation in the join regime so adversarial id
+    ordering can't concentrate wedge generation on one vertex."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+@register(
+    "triangle_count",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM n) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 5 = 0),
+    e AS (
+      SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+      FROM l WHERE src <> target),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pn AS (
+      SELECT v, count(*) AS triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY v)
+    SELECT triangles, count(*) AS n_nodes FROM pn GROUP BY triangles
+    """,
+    doc="Distributed triangle counting over the synthetic link graph "
+    "(per-node triangle participation → histogram).  Wedge-closure "
+    "algorithm: canonical-edge distinct (bucketed_agg, one shuffle) → "
+    "oriented adjacency → within-group pair generation (vectorized, "
+    "O(wedges)) → closure test → per-node counts.  TWO REGIMES: below "
+    "TRIANGLE_BROADCAST_CAP_EDGES the sorted edge-key array broadcasts "
+    "once (ray.put) and closure is a searchsorted inside the wedge "
+    "pass, with DEGREE orientation (lower-degree endpoint owns the "
+    "wedge — bounds per-vertex out-degree by O(√m), the classic wedge "
+    "bound); past the cap, wedges and edges union-shuffle ONCE on the "
+    "closing-edge key and close bucket-side, with splitmix64-hash "
+    "orientation (randomized, stateless — no degree table to "
+    "broadcast).  Regimes are result-equal (orientation only moves "
+    "work).  Key encoding min·n+max requires n < 3·10⁹ per int64; "
+    "shard the key into (hi, lo) columns past that.",
+)
+def triangle_count(sf_dir: str, broadcast: bool | None = None):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    edges = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist = bucketed_agg(edges, keys=["key"], sum_cols={"__count__": "c"})
+
+    if broadcast is None:
+        # bounded count, not a collect: avg degree is ~7 here, but the
+        # dispatch reads the real distinct count
+        broadcast = dist.count() <= TRIANGLE_BROADCAST_CAP_EDGES
+
+    N_BUCKETS = 32
+
+    if broadcast:
+        # ---- broadcast regime: collect the (bounded) edge-key array,
+        # derive degrees, close wedges against the broadcast in-pass
+        parts = [
+            b["key"].to_numpy()
+            for b in dist.select_columns(["key"]).iter_batches(batch_format="pyarrow")
+        ]
+        ekeys = np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+        deg = (
+            np.bincount(ekeys // n, minlength=n) + np.bincount(ekeys % n, minlength=n)
+        ).astype(np.int64)
+        ekeys_ref, deg_ref = ray.put(ekeys), ray.put(deg)
+
+        def orient_deg(t: pa.Table) -> pa.Table:
+            key = t["key"].to_numpy()
+            a, b = key // n, key % n
+            dg = ray.get(deg_ref)
+            swap = (dg[b] < dg[a]) | ((dg[b] == dg[a]) & (b < a))
+            u = np.where(swap, b, a)
+            v = np.where(swap, a, b)
+            return pa.table(
+                {"u": u, "v": v, "__bucket": (u % N_BUCKETS).astype(np.int32)}
+            )
+
+        def wedge_close(g):
+            import pandas as pd
+
+            u = g["u"].to_numpy()
+            v = g["v"].to_numpy()
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            owner, pv, pw = _group_pairs(u, v)
+            ek = ray.get(ekeys_ref)
+            wk = np.minimum(pv, pw) * n + np.maximum(pv, pw)
+            pos = np.searchsorted(ek, wk)
+            closed = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+            nodes = np.concatenate((u[owner[closed]], pv[closed], pw[closed]))
+            uniq, cnt = np.unique(nodes, return_counts=True)
+            return pd.DataFrame({"node": uniq, "t": cnt.astype(np.int64)})
+
+        per_node = (
+            dist.map_batches(orient_deg, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(wedge_close, batch_format="pandas")
+        )
+    else:
+        # ---- join regime: wedges and edges meet in ONE union shuffle
+        # keyed by the closing edge; nothing global on the driver
+        def to_wedges(t: pa.Table) -> pa.Table:
+            key = t["key"].to_numpy()
+            a, b = key // n, key % n
+            ha, hb = _splitmix64(a), _splitmix64(b)
+            swap = (hb < ha) | ((hb == ha) & (b < a))
+            u = np.where(swap, b, a)
+            v = np.where(swap, a, b)
+            return pa.table({"u": u, "v": v})
+
+        # wedge generation needs u-grouped adjacency: one shuffle on u
+        def wedges_of(g):
+            import pandas as pd
+
+            u = g["u"].to_numpy()
+            v = g["v"].to_numpy()
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            owner, pv, pw = _group_pairs(u, v)
+            wk = np.minimum(pv, pw) * n + np.maximum(pv, pw)
+            return pd.DataFrame({"key": wk, "apex": u[owner].astype(np.int64)})
+
+        wedges = (
+            dist.map_batches(to_wedges, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.append_column(
+                    "__bucket",
+                    pa.array((t["u"].to_numpy() % N_BUCKETS).astype(np.int32)),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("__bucket")
+            .map_groups(wedges_of, batch_format="pandas")
+        )
+        edge_rows = dist.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["key"],
+                    "apex": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def close_bucket(g):
+            import pandas as pd
+
+            key = g["key"].to_numpy()
+            apex = g["apex"].to_numpy()
+            is_edge = apex < 0
+            ek = np.unique(key[is_edge])
+            wk, wa = key[~is_edge], apex[~is_edge]
+            if len(ek) == 0 or len(wk) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"), "t": pd.Series([], dtype="int64")}
+                )
+            pos = np.searchsorted(ek, wk)
+            closed = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+            ck = wk[closed]
+            nodes = np.concatenate((wa[closed], ck // n, ck % n))
+            uniq, cnt = np.unique(nodes, return_counts=True)
+            return pd.DataFrame({"node": uniq, "t": cnt.astype(np.int64)})
+
+        def key_bucket(t: pa.Table) -> pa.Table:
+            h = _splitmix64(t["key"].to_numpy())
+            return t.append_column(
+                "__bucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int32))
+            )
+
+        per_node = (
+            wedges.union(edge_rows)
+            .map_batches(key_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(close_bucket, batch_format="pandas")
+        )
+
+    totals = bucketed_agg(per_node, keys=["node"], sum_cols={"t": "t"})
+
+    from ray.data.aggregate import Count
+
+    hist = totals.groupby("t").aggregate(Count(alias_name="n_nodes"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "triangles": pc.cast(t["t"], pa.int64()),
+                "n_nodes": pc.cast(t["n_nodes"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finalize, batch_format="pyarrow")

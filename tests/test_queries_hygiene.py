@@ -723,3 +723,57 @@ def test_bigram_lm_short_doc_exclusion(ray_session, tmp_path):
     out = bigram_lm_score(sf).to_pandas()
     assert int(out["n_docs"].sum()) == 3  # the two 1-token docs excluded
     assert int(out["total_pairs"].sum()) == 4 + 3 + 3
+
+
+def test_triangle_count_join_regime_matches_broadcast(ray_session):
+    """The past-cap union-shuffle regime (splitmix64 orientation, closure
+    bucket-side) must be row-identical to the broadcast regime (degree
+    orientation, searchsorted against the broadcast edge array) — the
+    orientation only moves wedge generation, never the result.  Also pin
+    the auto-dispatch: with the cap forced to 0 the DEFAULT call takes
+    the join regime."""
+    import pandas as pd
+
+    import crawler_ray.queries as Q
+    from crawler_ray.queries import triangle_count
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        return res.to_pandas().sort_values("triangles").reset_index(drop=True)
+
+    a = norm(triangle_count(sf, broadcast=True))
+    b = norm(triangle_count(sf, broadcast=False))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0 and a["n_nodes"].sum() > 0
+
+    old = Q.TRIANGLE_BROADCAST_CAP_EDGES
+    try:
+        Q.TRIANGLE_BROADCAST_CAP_EDGES = 0
+        c = norm(triangle_count(sf))
+        pd.testing.assert_frame_equal(c, a)
+    finally:
+        Q.TRIANGLE_BROADCAST_CAP_EDGES = old
+
+
+def test_group_pairs_vectorized_kernel():
+    """_group_pairs must enumerate exactly the within-group unordered
+    pairs, in predecessor order, for ragged group layouts."""
+    import numpy as np
+
+    from crawler_ray.queries import _group_pairs
+
+    key = np.array([0, 0, 0, 2, 5, 5], dtype=np.int64)
+    val = np.array([10, 11, 12, 20, 30, 31], dtype=np.int64)
+    owner, v, w = _group_pairs(key, val)
+    got = sorted(zip(v.tolist(), w.tolist()))
+    assert got == [(10, 11), (10, 12), (11, 12), (30, 31)]
+    assert (key[owner] == np.array([0, 0, 0, 5])[np.argsort([0, 1, 2, 3])]).all()
+
+    # empty and singleton-groups-only inputs
+    for k, vv in (
+        (np.array([], dtype=np.int64), np.array([], dtype=np.int64)),
+        (np.array([1, 2, 3], dtype=np.int64), np.array([7, 8, 9], dtype=np.int64)),
+    ):
+        o2, v2, w2 = _group_pairs(k, vv)
+        assert len(o2) == len(v2) == len(w2) == 0
