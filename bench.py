@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "term_cooccurrence",
     "cross_corpus_neardup",
+    "triangle_count",
 ]
 
 

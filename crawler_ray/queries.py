@@ -7928,3 +7928,308 @@ def triangle_count(sf_dir: str, broadcast: bool | None = None):
         )
 
     return hist.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    WITH pri AS (
+      SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+             CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 1)
+                  // CAST(greatest(n_chars, 1) AS UBIGINT) AS BIGINT) AS p
+      FROM documents)
+    SELECT doc_id, lang, w, p FROM pri ORDER BY p, doc_id LIMIT 100
+    """,
+    doc="Weight-proportional priority sampling (Duffield/Lund/Thorup "
+    "priority samples, PODS'05 family): each doc draws the "
+    "deterministic 63-bit uniform h = md5(doc_id)>>1 and gets priority "
+    "p = h // w (integer floor, w = max(n_chars,1)) — the k smallest "
+    "priorities form a weighted-without-replacement sample whose "
+    "inclusion probability is ~proportional to w, REPRODUCIBLE across "
+    "runs and engines (hash is md5_number_lower-compatible, division "
+    "is integer-exact, no floats anywhere).  Combiner shape: each "
+    "batch keeps its local k-smallest (the shuffle carries <= k rows "
+    "per batch), one global merge keeps the k-smallest overall — no "
+    "stratum or corpus ever materializes, so the same plan runs at "
+    "any corpus size.",
+)
+def weighted_sample_topk(sf_dir: str, k: int = 100):
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [shingles.md5_hash64(str(i)) for i in df["doc_id"].to_numpy()],
+            dtype=np.uint64,
+        )
+        w = np.maximum(df["n_chars"].to_numpy().astype(np.uint64), 1)
+        p = ((h >> np.uint64(1)) // w).astype(np.int64)
+        df = df.assign(w=w.astype(np.int64), p=p)
+        df = df.sort_values(["p", "doc_id"], kind="stable").head(k)
+        return df[["doc_id", "lang", "w", "p"]]
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["p", "doc_id"], kind="stable").head(k)
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        .map_batches(local_top, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(__one=np.int32(0)), batch_format="pandas"
+        )
+        .groupby("__one")
+        .map_groups(
+            lambda g: final_top(g).reset_index(drop=True), batch_format="pandas"
+        )
+        .select_columns(["doc_id", "lang", "w", "p"])
+    )
+
+
+KCORE_BROADCAST_CAP_NODES = 100_000_000  # dense int64[n] ≈ 800 MB at cap
+
+
+def _h_index_rows(df):
+    """Vectorized per-node H-index over (node, val) rows: with each
+    node's neighbor values sorted descending, h = max_i min(i, v_i)
+    (1-based i) — the update step of the h-index/coreness fixpoint."""
+    import pandas as pd
+
+    if len(df) == 0 or df.shape[1] == 0 or "node" not in df.columns:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "h": pd.Series([], dtype="int64")}
+        )
+    s = df["node"].to_numpy(dtype=np.int64)
+    v = df["val"].to_numpy(dtype=np.int64)
+    order = np.lexsort((-v, s))
+    s, v = s[order], v[order]
+    starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+    gs = np.repeat(starts, np.diff(np.concatenate((starts, [len(s)]))))
+    rank = np.arange(len(s)) - gs + 1
+    hv = np.minimum(rank, v)
+    h = np.maximum.reduceat(hv, starts)
+    return pd.DataFrame({"node": s[starts], "h": h.astype(np.int64)})
+
+
+@register(
+    "kcore_decomposition",
+    None,  # an iterative peel FIXPOINT is not SQL-expressible (recursive
+           # CTEs are monotone-append, peeling is not); the driver records
+           # the rows-only check and coreness is asserted EQUAL to an exact
+           # sequential peeling reference at two graph shapes in
+           # tests/test_queries_hygiene.py
+    doc="k-core decomposition (coreness per node → histogram) of the "
+    "triangle-test graph, via the distributed H-INDEX FIXPOINT (Lü, "
+    "Zhou, Zhang & Stanley 2016: init c=degree; repeat c(v) = H-index "
+    "of neighbors' c — converges exactly to coreness, no sequential "
+    "peel order needed, so every round is ONE bucketed shuffle of "
+    "(node, neighbor-value) pairs + a vectorized per-bucket H-index).  "
+    "TWO REGIMES (pagerank pattern): below KCORE_BROADCAST_CAP_NODES "
+    "the value vector is a dense int64[n] re-broadcast per round "
+    "(ray.put) and edges stream against it; past the cap values live "
+    "as a Dataset and each round is bucketed join (edges ⋈ values on "
+    "dst) → H-index shuffle → bucketed delta count for convergence — "
+    "nothing global ever sits on the driver.  Regimes are "
+    "result-equal; convergence is detected, not assumed (round cap "
+    "raises rather than returning a non-fixpoint).",
+)
+def kcore_decomposition(
+    sf_dir: str, dataset_regime: bool | None = None, max_rounds: int = 100
+):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    if dataset_regime is None:
+        dataset_regime = n > KCORE_BROADCAST_CAP_NODES
+
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        return pa.table(
+            {"src": np.concatenate((a, b)), "dst": np.concatenate((b, a))}
+        )
+
+    edges = dist.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    N_BUCKETS = 32
+
+    def hist_table(vals: np.ndarray, cnts: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "coreness": pa.array(vals.astype(np.int64)),
+                "n_nodes": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    if not dataset_regime:
+        degs = bucketed_agg(
+            edges.map_batches(
+                lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+            ),
+            keys=["node"],
+            sum_cols={"__count__": "d"},
+        ).to_pandas()
+        c = np.zeros(n, dtype=np.int64)
+        if len(degs):
+            c[degs["node"].to_numpy(dtype=np.int64)] = degs["d"].to_numpy(
+                dtype=np.int64
+            )
+        for _ in range(max_rounds):
+            cref = ray.put(c)
+
+            def pairs(t: pa.Table) -> pa.Table:
+                cc = ray.get(cref)
+                src = t["src"].to_numpy()
+                return pa.table(
+                    {
+                        "node": src,
+                        "val": cc[t["dst"].to_numpy()],
+                        "__bucket": (src % N_BUCKETS).astype(np.int32),
+                    }
+                )
+
+            hdf = (
+                edges.map_batches(pairs, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(_h_index_rows, batch_format="pandas")
+            ).to_pandas()
+            new = np.zeros(n, dtype=np.int64)
+            if len(hdf):
+                new[hdf["node"].to_numpy(dtype=np.int64)] = hdf["h"].to_numpy(
+                    dtype=np.int64
+                )
+            if np.array_equal(new, c):
+                break
+            c = new
+        else:
+            raise RuntimeError("kcore: h-index fixpoint not reached in max_rounds")
+        vals, cnts = np.unique(c, return_counts=True)
+        return hist_table(vals, cnts)
+
+    # ---- dataset regime: values live as a Dataset of (node, c) rows
+    vals_ds = bucketed_agg(
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+        ),
+        keys=["node"],
+        sum_cols={"__count__": "c"},
+    ).materialize()
+
+    edges_b = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "c": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "__bucket": pa.array(
+                    (t["dst"].to_numpy() % N_BUCKETS).astype(np.int32)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                "dst": node,
+                "c": t["c"],
+                "__bucket": pa.array((node % N_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def join_group(df):
+        import pandas as pd
+
+        if len(df) == 0 or df.shape[1] == 0 or "src" not in df.columns:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"), "val": pd.Series([], dtype="int64")}
+            )
+        is_val = df["src"].to_numpy() < 0
+        v, e = df[is_val], df[~is_val]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"), "val": pd.Series([], dtype="int64")}
+            )
+        vd = v["dst"].to_numpy(dtype=np.int64)
+        vc = v["c"].to_numpy(dtype=np.int64)
+        o = np.argsort(vd)
+        vd, vc = vd[o], vc[o]
+        ed = e["dst"].to_numpy(dtype=np.int64)
+        # every dst has a value row by construction (its degree >= 1)
+        val = vc[np.searchsorted(vd, ed)]
+        return pd.DataFrame(
+            {"node": e["src"].to_numpy(dtype=np.int64), "val": val}
+        )
+
+    for _ in range(max_rounds):
+        pairs_ds = (
+            edges_b.union(vals_ds.map_batches(val_rows, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(join_group, batch_format="pandas")
+        )
+        new_ds = (
+            pairs_ds.map_batches(
+                lambda df: df.assign(
+                    __bucket=(df["node"].to_numpy() % N_BUCKETS).astype(np.int32)
+                )
+                if len(df) and "node" in df.columns
+                else df,
+                batch_format="pandas",
+            )
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: _h_index_rows(g).rename(columns={"h": "c"}),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        delta = bucketed_agg(
+            vals_ds.map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "s": pc.negate(pc.cast(t["c"], pa.int64()))}
+                ),
+                batch_format="pyarrow",
+            ).union(
+                new_ds.map_batches(
+                    lambda t: pa.table(
+                        {"node": t["node"], "s": pc.cast(t["c"], pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                )
+            ),
+            keys=["node"],
+            sum_cols={"s": "s"},
+        )
+        changed = delta.map_batches(
+            lambda df: df[df["s"] != 0][["node"]]
+            if len(df) and "s" in df.columns
+            else df.iloc[:0][[c_ for c_ in ("node",) if c_ in df.columns]],
+            batch_format="pandas",
+        ).count()
+        vals_ds = new_ds
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("kcore: h-index fixpoint not reached in max_rounds")
+
+    hist = bucketed_agg(
+        vals_ds.map_batches(
+            lambda t: pa.table({"coreness": t["c"]}), batch_format="pyarrow"
+        ),
+        keys=["coreness"],
+        sum_cols={"__count__": "n_nodes"},
+    ).to_pandas()
+    vals = hist["coreness"].to_numpy(dtype=np.int64)
+    cnts = hist["n_nodes"].to_numpy(dtype=np.int64)
+    n_iso = n - int(cnts.sum())
+    if n_iso > 0:
+        vals = np.concatenate(([0], vals))
+        cnts = np.concatenate(([n_iso], cnts))
+    o = np.argsort(vals)
+    return hist_table(vals[o], cnts[o])

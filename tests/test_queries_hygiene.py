@@ -777,3 +777,125 @@ def test_group_pairs_vectorized_kernel():
     ):
         o2, v2, w2 = _group_pairs(k, vv)
         assert len(o2) == len(v2) == len(w2) == 0
+
+
+def _seq_coreness_hist(n):
+    """Exact sequential min-degree peeling (the textbook k-core
+    algorithm) over the same triangle-test graph — the oracle for the
+    distributed h-index fixpoint."""
+    import heapq
+
+    import pyarrow as pa
+
+    from crawler_ray.queries import _explode_edge_keys
+
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    adj = {v: set() for v in range(n)}
+    for k in _explode_edge_keys(t, n).tolist():
+        a, b = divmod(int(k), n)
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in range(n)}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed, core, cur = set(), {}, 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue
+        cur = max(cur, d)
+        core[v] = cur
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    hist = {}
+    for v in range(n):
+        hist[core[v]] = hist.get(core[v], 0) + 1
+    return hist
+
+
+def test_kcore_matches_sequential_peel_and_regimes_agree(ray_session, tmp_path):
+    """Distributed h-index fixpoint == exact sequential peeling, at the
+    fixture graph AND an off-size graph (different wraparound
+    structure); broadcast and dataset regimes row-identical."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import kcore_decomposition
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("coreness").reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+    a = norm(kcore_decomposition(sf, dataset_regime=False))
+    b = norm(kcore_decomposition(sf, dataset_regime=True))
+    pd.testing.assert_frame_equal(a, b)
+    want = _seq_coreness_hist(500)
+    got = dict(zip(a["coreness"].tolist(), a["n_nodes"].tolist()))
+    assert got == want
+    assert max(want) >= 2  # the graph has a non-trivial core
+
+    # off-size corpus: n=137 exercises different modular wraparound
+    d = str(tmp_path / "k137")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(137), type=pa.int64()),
+                "lang": pa.array(["en"] * 137),
+                "source": pa.array(["s"] * 137),
+                "text": pa.array(["t"] * 137),
+                "n_chars": pa.array([1] * 137, type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    a2 = norm(kcore_decomposition(d, dataset_regime=False))
+    b2 = norm(kcore_decomposition(d, dataset_regime=True))
+    pd.testing.assert_frame_equal(a2, b2)
+    got2 = dict(zip(a2["coreness"].tolist(), a2["n_nodes"].tolist()))
+    assert got2 == _seq_coreness_hist(137)
+
+
+def test_weighted_sample_topk_is_weight_biased(ray_session, tmp_path):
+    """Inclusion must track weight: with half the docs at w=2000 and
+    half at w=20, the heavy half dominates the k=100 sample."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import weighted_sample_topk
+
+    n = 2000
+    w = [2000 if i < n // 2 else 20 for i in range(n)]
+    d = str(tmp_path / "ws")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "lang": pa.array(["en"] * n),
+                "text": pa.array(["t"] * n),
+                "n_chars": pa.array(w, type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = weighted_sample_topk(d).to_pandas()
+    assert len(got) == 100
+    heavy = int((got["doc_id"] < n // 2).sum())
+    # E[heavy] ≈ 100·(2000·1000)/(2000·1000+20·1000) ≈ 99
+    assert heavy >= 90
+    # priorities are exactly h>>1 // w (spot-check determinism)
+    from crawler_ray.functions import shingles
+
+    r = got.iloc[0]
+    h = shingles.md5_hash64(str(int(r["doc_id"])))
+    assert int(r["p"]) == (h >> 1) // int(r["w"])
