@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "per_source_cap",       # new in r5 session 9, never certified
+    "graph_bfs_layers",     # new in r5 session 9, never certified
     "weighted_sample_topk", # new in r5 session 9, never certified
     "kcore_decomposition",  # new in r5 session 9 (rows-only: no SQL)
     "triangle_count",       # new in r5 session 8, never certified

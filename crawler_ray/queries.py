@@ -8233,3 +8233,303 @@ def kcore_decomposition(
         cnts = np.concatenate(([n_iso], cnts))
     o = np.argsort(vals)
     return hist_table(vals[o], cnts[o])
+
+
+@register(
+    "per_source_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rk <= 10
+    """,
+    doc="Per-source document cap (the Common-Crawl-style per-host quota: "
+    "no single domain may contribute more than CAP docs to the training "
+    "mix): within each source keep the CAP docs with the smallest "
+    "(md5(doc_id), doc_id) — a deterministic uniform choice that is "
+    "REPRODUCIBLE across engines and independent of row order.  "
+    "Combiner shape: each batch keeps its local per-source CAP-smallest "
+    "(the shuffle carries <= CAP rows per source per batch — never the "
+    "corpus), then one source-bucketed merge keeps the global CAP per "
+    "source.  Skew-safe: a source with 10^9 docs still ships only "
+    "CAP rows per batch.",
+)
+def per_source_cap(sf_dir: str, cap: int = 10):
+    def local_cap(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [shingles.md5_hash64(str(i)) for i in df["doc_id"].to_numpy()],
+            dtype=np.uint64,
+        )
+        df = df.assign(__h=h)
+        df = df.sort_values(["__h", "doc_id"], kind="stable")
+        return df.groupby("source", sort=False).head(cap)
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", "doc_id"], kind="stable").head(cap)
+        return g[["doc_id", "source"]]
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(local_cap, batch_format="pandas")
+        .groupby("source")
+        .map_groups(
+            lambda g: final_cap(g).reset_index(drop=True), batch_format="pandas"
+        )
+        .select_columns(["doc_id", "source"])
+    )
+
+
+BFS_BROADCAST_CAP_NODES = 100_000_000  # dist int32[n] ≈ 400 MB at cap
+
+
+@register(
+    "graph_bfs_layers",
+    """
+    WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM nn) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM nn) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM nn) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM nn) FROM documents
+      WHERE doc_id % 5 = 0),
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l WHERE src <> target),
+    ee AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+    bfs AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      UNION
+      SELECT ee.t, bfs.dist + 1 FROM bfs JOIN ee ON ee.s = bfs.node
+      WHERE bfs.dist < 32
+    ),
+    md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT dist, count(*) AS n_nodes FROM md GROUP BY dist
+    """,
+    doc="Single-source BFS layer histogram over the triangle-test graph "
+    "(distance from node 0 -> node count; depth capped at MAX_DEPTH=32 "
+    "as part of the CONTRACT, so the recursive-CTE oracle's walk bound "
+    "is exact semantics, not an assumption).  This is the iterative-"
+    "frontier showcase WITH a real SQL oracle (kcore's fixpoint is "
+    "rows-only; BFS min-dist is walk-expressible, so DuckDB's "
+    "UNION-distinct recursion mirrors it exactly).  TWO REGIMES "
+    "(pagerank pattern): below BFS_BROADCAST_CAP_NODES the driver "
+    "holds dist int32[n] and each round broadcasts the SORTED frontier "
+    "(ray.put) — edges stream against it with a searchsorted membership "
+    "test, one bucketed-distinct shuffle of candidate nodes per round "
+    "(frontier-proportional, never O(n)); past the cap dist lives as a "
+    "Dataset of (node, dist) rows and each round is edges-join-frontier "
+    "then an anti-join against dist, both as ONE bucketed union-shuffle "
+    "each — the driver sees only per-round counts.  Regimes are "
+    "result-equal (asserted in tests vs an exact sequential BFS).",
+)
+def graph_bfs_layers(
+    sf_dir: str,
+    source_node: int = 0,
+    max_depth: int = 32,
+    dataset_regime: bool | None = None,
+):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    if dataset_regime is None:
+        dataset_regime = n > BFS_BROADCAST_CAP_NODES
+
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist_keys = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        return pa.table(
+            {"src": np.concatenate((a, b)), "dst": np.concatenate((b, a))}
+        )
+
+    edges = dist_keys.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    N_BUCKETS = 32
+
+    def hist_from_pairs(nodes: np.ndarray, dists: np.ndarray) -> pa.Table:
+        vals, cnts = np.unique(dists, return_counts=True)
+        _ = nodes
+        return pa.table(
+            {
+                "dist": pa.array(vals.astype(np.int64)),
+                "n_nodes": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    if not dataset_regime:
+        dist = np.full(n, -1, dtype=np.int32)
+        dist[source_node] = 0
+        frontier = np.array([source_node], dtype=np.int64)
+        for d in range(1, max_depth + 1):
+            fref = ray.put(np.sort(frontier))
+
+            def expand(t: pa.Table) -> pa.Table:
+                f = ray.get(fref)
+                src = t["src"].to_numpy()
+                idx = np.searchsorted(f, src)
+                idx[idx == len(f)] = 0
+                hit = f[idx] == src
+                return pa.table({"node": t["dst"].to_numpy()[hit]})
+
+            cand = bucketed_agg(
+                edges.map_batches(expand, batch_format="pyarrow"),
+                keys=["node"],
+                sum_cols={"__count__": "c"},
+            ).to_pandas()
+            if len(cand) == 0:
+                break
+            nodes = cand["node"].to_numpy(dtype=np.int64)
+            new = nodes[dist[nodes] < 0]
+            if len(new) == 0:
+                break
+            dist[new] = d
+            frontier = new
+        reached = np.flatnonzero(dist >= 0)
+        return hist_from_pairs(reached, dist[reached].astype(np.int64))
+
+    # ---- dataset regime: dist lives as a Dataset of (node, dist) rows
+    dist_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source_node], type=pa.int64()),
+                "dist": pa.array([0], type=pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier_ds = dist_ds
+
+    edges_b = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "__bucket": pa.array(
+                    (t["src"].to_numpy() % N_BUCKETS).astype(np.int32)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def frontier_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return pa.table(
+            {
+                "src": node,
+                "dst": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                "__bucket": pa.array((node % N_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def expand_group(df):
+        if len(df) == 0 or df.shape[1] == 0 or "dst" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        is_f = df["dst"].to_numpy() < 0
+        f = np.sort(df["src"].to_numpy(dtype=np.int64)[is_f])
+        e = df[~is_f]
+        if len(f) == 0 or len(e) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        src = e["src"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(f, src)
+        idx[idx == len(f)] = 0
+        hit = f[idx] == src
+        return pd.DataFrame(
+            {"node": np.unique(e["dst"].to_numpy(dtype=np.int64)[hit])}
+        )
+
+    def seen_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return pa.table(
+            {
+                "node": node,
+                "is_seen": pa.array(np.ones(len(node), dtype=np.int8)),
+                "__bucket": pa.array((node % N_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return pa.table(
+            {
+                "node": node,
+                "is_seen": pa.array(np.zeros(len(node), dtype=np.int8)),
+                "__bucket": pa.array((node % N_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def antijoin_group(df):
+        if len(df) == 0 or df.shape[1] == 0 or "is_seen" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        seen = np.sort(
+            df["node"].to_numpy(dtype=np.int64)[df["is_seen"].to_numpy() == 1]
+        )
+        cand = np.unique(
+            df["node"].to_numpy(dtype=np.int64)[df["is_seen"].to_numpy() == 0]
+        )
+        if len(seen):
+            idx = np.searchsorted(seen, cand)
+            idx[idx == len(seen)] = 0
+            cand = cand[seen[idx] != cand]
+        return pd.DataFrame({"node": cand})
+
+    for d in range(1, max_depth + 1):
+        cand_ds = (
+            edges_b.union(
+                frontier_ds.map_batches(frontier_rows, batch_format="pyarrow")
+            )
+            .groupby("__bucket")
+            .map_groups(expand_group, batch_format="pandas")
+        )
+        new_ds = (
+            dist_ds.map_batches(seen_rows, batch_format="pyarrow")
+            .union(cand_ds.map_batches(cand_rows, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(antijoin_group, batch_format="pandas")
+            .materialize()
+        )
+        n_new = new_ds.count()
+        if n_new == 0:
+            break
+        newd = new_ds.map_batches(
+            lambda t, _d=d: pa.table(
+                {
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dist": pa.array(
+                        np.full(t.num_rows, _d, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist_ds = dist_ds.union(newd).materialize()
+        frontier_ds = newd.materialize()
+
+    hist = bucketed_agg(
+        dist_ds.map_batches(
+            lambda t: pa.table({"dist": t["dist"]}), batch_format="pyarrow"
+        ),
+        keys=["dist"],
+        sum_cols={"__count__": "n_nodes"},
+    ).to_pandas()
+    o = np.argsort(hist["dist"].to_numpy())
+    return pa.table(
+        {
+            "dist": pa.array(hist["dist"].to_numpy(dtype=np.int64)[o]),
+            "n_nodes": pa.array(hist["n_nodes"].to_numpy(dtype=np.int64)[o]),
+        }
+    )

@@ -899,3 +899,130 @@ def test_weighted_sample_topk_is_weight_biased(ray_session, tmp_path):
     r = got.iloc[0]
     h = shingles.md5_hash64(str(int(r["doc_id"])))
     assert int(r["p"]) == (h >> 1) // int(r["w"])
+
+
+def _seq_bfs_hist(n, source=0, max_depth=32):
+    """Exact sequential BFS over the triangle-test graph."""
+    from collections import deque
+
+    import pyarrow as pa
+
+    from crawler_ray.queries import _explode_edge_keys
+
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    adj = {v: [] for v in range(n)}
+    for k in _explode_edge_keys(t, n).tolist():
+        a, b = divmod(int(k), n)
+        adj[a].append(b)
+        adj[b].append(a)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_depth:
+            continue
+        for u in adj[v]:
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                q.append(u)
+    hist = {}
+    for d in dist.values():
+        hist[d] = hist.get(d, 0) + 1
+    return hist
+
+
+def test_graph_bfs_layers_matches_sequential_and_regimes_agree(
+    ray_session, tmp_path
+):
+    """Distributed BFS == exact sequential BFS at two graph shapes;
+    broadcast and dataset regimes row-identical; a tight max_depth cap
+    truncates identically in both regimes (the cap is CONTRACT)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import graph_bfs_layers
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("dist").reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+    a = norm(graph_bfs_layers(sf, dataset_regime=False))
+    b = norm(graph_bfs_layers(sf, dataset_regime=True))
+    pd.testing.assert_frame_equal(a, b)
+    want = _seq_bfs_hist(500)
+    assert dict(zip(a["dist"].tolist(), a["n_nodes"].tolist())) == want
+    assert len(want) >= 3  # non-trivial layering
+
+    # tight cap truncates identically (cap semantics, both regimes)
+    a1 = norm(graph_bfs_layers(sf, max_depth=2, dataset_regime=False))
+    b1 = norm(graph_bfs_layers(sf, max_depth=2, dataset_regime=True))
+    pd.testing.assert_frame_equal(a1, b1)
+    want1 = _seq_bfs_hist(500, max_depth=2)
+    assert dict(zip(a1["dist"].tolist(), a1["n_nodes"].tolist())) == want1
+
+    # off-size graph (different wraparound), non-zero source
+    d = str(tmp_path / "b137")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(137), type=pa.int64()),
+                "lang": pa.array(["en"] * 137),
+                "source": pa.array(["s"] * 137),
+                "text": pa.array(["t"] * 137),
+                "n_chars": pa.array([1] * 137, type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    a2 = norm(graph_bfs_layers(d, source_node=5, dataset_regime=False))
+    b2 = norm(graph_bfs_layers(d, source_node=5, dataset_regime=True))
+    pd.testing.assert_frame_equal(a2, b2)
+    assert dict(zip(a2["dist"].tolist(), a2["n_nodes"].tolist())) == _seq_bfs_hist(
+        137, source=5
+    )
+
+
+def test_per_source_cap_exact_and_batch_invariant(ray_session, tmp_path):
+    """The kept set must be EXACTLY the cap-smallest (md5, doc_id) per
+    source — independent of batch/block layout — and a source smaller
+    than the cap keeps everything."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.functions import shingles
+    from crawler_ray.queries import per_source_cap
+
+    n = 1000
+    src = [f"s{i % 7}" for i in range(n - 3)] + ["tiny"] * 3
+    d = str(tmp_path / "cap")
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "source": pa.array(src),
+                "lang": pa.array(["en"] * n),
+                "text": pa.array(["t"] * n),
+                "n_chars": pa.array([1] * n, type=pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = per_source_cap(d, cap=10).to_pandas()
+    # exact expected set, computed independently
+    by_src = {}
+    for i, s in enumerate(src):
+        by_src.setdefault(s, []).append((shingles.md5_hash64(str(i)), i))
+    want = set()
+    for s, rows in by_src.items():
+        for _, i in sorted(rows)[:10]:
+            want.add((i, s))
+    assert set(zip(got["doc_id"].tolist(), got["source"].tolist())) == want
+    assert (got["source"] == "tiny").sum() == 3  # under-cap source intact
