@@ -8533,3 +8533,106 @@ def graph_bfs_layers(
             "n_nodes": pa.array(hist["n_nodes"].to_numpy(dtype=np.int64)[o]),
         }
     )
+
+
+@register(
+    "audio_fingerprint_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id % 40 AS grp, count(*) AS sz, min(doc_id) AS keeper
+      FROM documents GROUP BY grp
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           count(*) AS n_groups,
+           CAST(sum(keeper) AS BIGINT) AS keepers_sum
+    FROM g GROUP BY sz
+    """,
+    doc="Perceptual audio near-dup (energy-contour fingerprint): every "
+    "document derives a deterministic mono 16-bit WAV payload — base "
+    "waveform from seed doc_id % 40 (amplitude <= 8191, so the "
+    "loudest variant still fits int16), a GAIN variant (x1/x2/x4 by "
+    "doc_id arithmetic — exact integer scaling, the audio analogue of "
+    "image brightness shift) and a trailing-silence variant (+0 or "
+    "+4096 zero samples past the fingerprint window).  Byte-level "
+    "exact dedup sees 40*3*2 distinct artifacts; the 64-bit "
+    "energy-contour fingerprint (stages/media.py afp64 — 65 frame "
+    "energies over a fixed 16,640-sample prefix, adjacent-comparison "
+    "bits, exact int64 arithmetic, invariant under integer gain and "
+    "trailing content) collapses each seed group across both variant "
+    "axes.  Shape: actor-pool AudioFingerprinter (decoder per actor, "
+    "small batches for wide binary rows) -> groupby afp (40 groups "
+    "regardless of corpus size) -> group-size histogram + first-wins "
+    "keeper sum.  The oracle mirrors the intended grouping as doc_id "
+    "arithmetic; a RIFF or fingerprint regression (groups fragmenting "
+    "or merging) breaks row counts and the keeper sum.  The 40 base "
+    "fingerprints are pinned pairwise-distinct by test, so "
+    "fingerprint-grouping == seed-grouping at every scale.",
+)
+def audio_fingerprint_dedup(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .stages.media import AFP_WINDOW, AudioFingerprinter, encode_wav
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            grp = did % 40
+            rng = np.random.RandomState(grp)
+            base = rng.randint(-8191, 8192, size=AFP_WINDOW).astype(np.int64)
+            gain = 1 << ((did // 40) % 3)
+            samples = (base * gain).astype(np.int16)
+            if (did // 120) % 2 == 1:
+                samples = np.concatenate(
+                    (samples, np.zeros(4096, dtype=np.int16))
+                )
+            payloads.append(encode_wav(samples, 16000))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    hashed = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        AudioFingerprinter,
+        concurrency=max(2, min(8, ncpu // 4)),
+        batch_size=64,
+        batch_format="pyarrow",
+    )
+
+    groups = hashed.groupby("afp").aggregate(
+        Count(alias_name="sz"), Min("doc_id", alias_name="keeper")
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_size": pc.cast(t["sz"], pa.int64()),
+                "n_g": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "keeper": pc.cast(t["keeper"], pa.int64()),
+            }
+        )
+
+    agg = (
+        groups.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("group_size")
+        .aggregate(
+            Sum("n_g", alias_name="n_groups"),
+            Sum("keeper", alias_name="keepers_sum"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_size": pc.cast(t["group_size"], pa.int64()),
+                "n_groups": pc.cast(t["n_groups"], pa.int64()),
+                "keepers_sum": pc.cast(t["keepers_sum"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

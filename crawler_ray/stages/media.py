@@ -448,6 +448,57 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+AFP_FRAME = 256          # samples per energy frame
+AFP_FRAMES = 65          # 65 energies -> 64 adjacent comparisons
+AFP_WINDOW = AFP_FRAME * AFP_FRAMES  # fixed 16,640-sample prefix
+
+
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint over a FIXED 16,640-sample prefix
+    (65 frames x 256 samples): frame energy E_i = sum(x^2) in exact
+    int64, bit i = E_{i+1} > E_i.  Invariant under uniform integer
+    gain (x -> g*x scales every E by exactly g^2, comparisons
+    unchanged) and under any trailing content past the window
+    (padding/truncation-at-source never reaches the prefix) — the
+    perceptual property audio_fingerprint_dedup relies on.  Pure
+    integer arithmetic, platform-stable.  Raises ValueError when the
+    clip is shorter than the window (no fingerprint is better than an
+    unstable one)."""
+    if samples.ndim != 1 or len(samples) < AFP_WINDOW:
+        raise ValueError("audio clip shorter than fingerprint window")
+    x = samples[:AFP_WINDOW].astype(np.int64)
+    e = (x * x).reshape(AFP_FRAMES, AFP_FRAME).sum(axis=1)
+    bits = e[1:] > e[:-1]
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: decode WAV payloads through the real RIFF
+    reader and emit the 64-bit energy-contour fingerprint per row.
+    Same wide-row guidance as ImageDHasher: small batch_size, state
+    per actor.  Failed decodes, non-audio payloads, or clips shorter
+    than the fingerprint window get hash_ok=False and afp=0."""
+
+    def __init__(self):
+        self.codec = _FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                kind, arr = self.codec.decode(payload)
+                if kind != "audio":
+                    raise ValueError("not an audio payload")
+                hashes.append(int(np.uint64(afp64(arr)).astype(np.int64)))
+                ok.append(True)
+            except (NotImplementedError, ValueError, zlib.error, struct.error):
+                hashes.append(0)
+                ok.append(False)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("afp", pa.array(hashes, type=pa.int64()))
+        return out.append_column("hash_ok", pa.array(ok, type=pa.bool_()))
+
+
 class ImageDHasher:
     """Actor-pool stage: decode image payloads through the REAL codecs
     (PNG/APNG/JPEG/GIF/PPM via stages/codecs.py) and emit a 64-bit

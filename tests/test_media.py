@@ -279,3 +279,68 @@ def test_dhash_survives_lossy_jpeg():
     h0 = dhash64(rgb)
     h1 = dhash64(jpeg_decode(jpeg_encode(rgb, 85)))
     assert hamming64(h0, h1) <= 4, (h0, h1)
+
+
+def test_afp64_invariances_and_base_distinctness():
+    """The 40 base fingerprints are pairwise distinct; gain x2/x4 and
+    trailing silence leave the fingerprint bit-identical; a clip
+    shorter than the window refuses to fingerprint."""
+    import numpy as np
+    import pytest
+
+    from crawler_ray.stages.media import AFP_WINDOW, afp64, decode_wav, encode_wav
+
+    fps = []
+    for grp in range(40):
+        rng = np.random.RandomState(grp)
+        base = rng.randint(-8191, 8192, size=AFP_WINDOW).astype(np.int64)
+        fp = afp64(base.astype(np.int16))
+        # gain invariance (exact integer scaling, headroom by construction)
+        assert afp64((base * 2).astype(np.int16)) == fp
+        assert afp64((base * 4).astype(np.int16)) == fp
+        # trailing-content invariance
+        padded = np.concatenate(
+            (base.astype(np.int16), np.full(4096, 123, dtype=np.int16))
+        )
+        assert afp64(padded) == fp
+        # WAV roundtrip preserves the fingerprint
+        dec, rate = decode_wav(encode_wav(base.astype(np.int16), 16000))
+        assert rate == 16000 and afp64(dec) == fp
+        fps.append(fp)
+    assert len(set(fps)) == 40
+    with pytest.raises(ValueError):
+        afp64(np.zeros(AFP_WINDOW - 1, dtype=np.int16))
+
+
+def test_audio_fingerprinter_stage_marks_bad_payloads(ray_session):
+    """Corrupt/short/non-audio payloads get hash_ok=False, never an
+    exception out of the actor pool."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.stages.media import (
+        AFP_WINDOW,
+        AudioFingerprinter,
+        encode_wav,
+    )
+
+    good = encode_wav(
+        np.random.RandomState(0)
+        .randint(-8191, 8192, size=AFP_WINDOW)
+        .astype(np.int16),
+        16000,
+    )
+    short = encode_wav(np.zeros(100, dtype=np.int16), 16000)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "payload": pa.array(
+                [good, short, b"RIFFgarbage", b"not audio at all"],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    out = AudioFingerprinter()(batch)
+    ok = out["hash_ok"].to_pylist()
+    assert ok == [True, False, False, False]
+    assert out["afp"].to_pylist()[1:] == [0, 0, 0]
