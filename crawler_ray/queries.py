@@ -8636,3 +8636,264 @@ def audio_fingerprint_dedup(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SRP_AUG_OFF = 1 << 25          # planted-copy id offset (ids must stay < 2^26)
+SRP_PKEY_SHIFT = 27            # pair key = a << 27 | b  (fits int64 to 2^26 ids)
+SRP_BROADCAST_CAP_VECS = 500_000  # 64-dim float64 ≈ 256 MB at cap
+
+
+def _srp_aug(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic near-dup planting shared by both regimes: every
+    vec_id % 4 == 0 vector gets a copy at vec_id + SRP_AUG_OFF scaled
+    per-coordinate by (3 + ((j % 5) - 2)/100) — all factors positive,
+    so the copy's direction moves ~0.006 rad (cosine ≥ 0.9999) while
+    byte-level and exact dedup see a distinct vector.  Mirrored in SQL
+    via list_transform's (x, i) lambda."""
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = list_col_to_matrix(t["embedding"])
+    f = 3.0 + ((np.arange(m.shape[1]) % 5) - 2) / 100.0
+    sel = ids % 4 == 0
+    return (
+        np.concatenate((ids, ids[sel] + SRP_AUG_OFF)),
+        np.vstack((m, m[sel] * f)),
+    )
+
+
+@register(
+    "srp_lsh_neardup",
+    """
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 33554432,
+             list_transform(embedding,
+                            (x, i) -> x * (3 + ((i-1) % 5 - 2)/100.0))
+      FROM embeddings WHERE vec_id % 4 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+    """,
+    doc="Embedding near-dup via SIGNED RANDOM PROJECTION LSH (Charikar "
+    "2002 hyperplane hashing — the cosine analogue of minhash LSH): "
+    "24 bands x 16 sign bits from seeded Gaussian hyperplanes; only "
+    "same-(band, code) pairs are candidates (never all-pairs), "
+    "candidates dedup through one bucketed shuffle on the pair key, "
+    "then exact float64 cosine verify >= 0.98.  The corpus is "
+    "augmented with deterministic planted copies (cosine >= 0.9999; "
+    "base pairs max ~0.6 at every sf, margin asserted in tests), so "
+    "the exhaustive-join oracle equals the sweep: per-bit collision "
+    "prob for a planted pair is >= 0.996, per-band 0.94, miss across "
+    "24 bands < 1e-28.  VERIFY REGIMES: below SRP_BROADCAST_CAP_VECS "
+    "the (ids, matrix) broadcasts once (ray.put) and pairs verify "
+    "in-stream; past the cap vectors never leave the cluster — pairs "
+    "explode to (id, pair_key, side) rows and TWO bucketed union-"
+    "shuffles attach vectors then combine sides (the minhash "
+    "verify_pairs_joined pattern).  Regimes are result-equal.",
+)
+def srp_lsh_neardup(
+    sf_dir: str,
+    threshold: float = 0.98,
+    bands: int = 24,
+    bits: int = 16,
+    broadcast: bool | None = None,
+    seed: int = 7,
+):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = pq.read_metadata(_pq(sf_dir, "embeddings")).num_rows
+    if broadcast is None:
+        broadcast = n + (n // 4 + 1) <= SRP_BROADCAST_CAP_VECS
+
+    def codes(t: pa.Table) -> pa.Table:
+        ids, m = _srp_aug(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "gkey": pa.array([], type=pa.int64()),
+                    "vid": pa.array([], type=pa.int64()),
+                }
+            )
+        r = np.random.RandomState(seed).standard_normal(
+            (m.shape[1], bands * bits)
+        )
+        s = (m @ r > 0).reshape(len(ids), bands, bits)
+        w = (1 << np.arange(bits, dtype=np.int64))[::-1]
+        code = s @ w  # (n, bands) int64
+        band = np.broadcast_to(np.arange(bands, dtype=np.int64), code.shape)
+        return pa.table(
+            {
+                "gkey": (band * (1 << bits) + code).ravel(),
+                "vid": np.repeat(ids, bands),
+            }
+        )
+
+    def group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "vid" not in df.columns:
+            return pd.DataFrame({"pkey": pd.Series([], dtype="int64")})
+        v = np.unique(df["vid"].to_numpy(dtype=np.int64))
+        if len(v) < 2:
+            return pd.DataFrame({"pkey": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(v), k=1)
+        return pd.DataFrame({"pkey": (v[ia] << SRP_PKEY_SHIFT) | v[ib]})
+
+    cand = bucketed_agg(
+        emb.map_batches(codes, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(group_pairs, batch_format="pandas"),
+        keys=["pkey"],
+        sum_cols={"__count__": "c"},
+    )
+
+    def pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+        o = np.lexsort((b, a))
+        return pa.table(
+            {
+                "id_a": pa.array(a[o], type=pa.int64()),
+                "id_b": pa.array(b[o], type=pa.int64()),
+            }
+        )
+
+    if broadcast:
+        refs = [
+            t
+            for t in ray.get(emb.to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+        all_ids, all_m = _srp_aug(pa.concat_tables(refs))
+        o = np.argsort(all_ids)
+        all_ids, all_m = all_ids[o], all_m[o]
+        norms = np.maximum(np.linalg.norm(all_m, axis=1, keepdims=True), 1e-30)
+        vref = ray.put((all_ids, all_m / norms))
+
+        def verify(t: pa.Table) -> pa.Table:
+            ids, mn = ray.get(vref)
+            pk = t["pkey"].to_numpy()
+            a = pk >> SRP_PKEY_SHIFT
+            b = pk & ((1 << SRP_PKEY_SHIFT) - 1)
+            va = mn[np.searchsorted(ids, a)]
+            vb = mn[np.searchsorted(ids, b)]
+            cos = np.einsum("ij,ij->i", va, vb)
+            keep = cos >= threshold
+            return pair_table(a[keep], b[keep])
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
+    # ---- join regime: vectors never leave the cluster
+    N_BUCKETS = 32
+    dim_probe = pq.read_schema(_pq(sf_dir, "embeddings"))
+    _ = dim_probe
+
+    def side_rows(t: pa.Table) -> pd.DataFrame:
+        pk = t["pkey"].to_numpy()
+        a = pk >> SRP_PKEY_SHIFT
+        b = pk & ((1 << SRP_PKEY_SHIFT) - 1)
+        vid = np.concatenate((a, b))
+        return pd.DataFrame(
+            {
+                "vid": vid,
+                "pkey": np.concatenate((pk, pk)),
+                "side": np.concatenate(
+                    (
+                        np.zeros(len(pk), dtype=np.int8),
+                        np.ones(len(pk), dtype=np.int8),
+                    )
+                ),
+                # vectors ride as float64 BYTES (plain object column):
+                # ndarray-valued columns become TensorArray extension
+                # blocks that refuse to concat with the placeholder rows
+                "vec": [b""] * (2 * len(pk)),
+                "__bucket": (vid % N_BUCKETS).astype(np.int32),
+            }
+        )
+
+    def vec_rows(t: pa.Table) -> pd.DataFrame:
+        ids, m = _srp_aug(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.DataFrame(
+            {
+                "vid": ids,
+                "pkey": np.full(len(ids), -1, dtype=np.int64),
+                "side": np.full(len(ids), -1, dtype=np.int8),
+                "vec": [row.tobytes() for row in mn],
+                "__bucket": (ids % N_BUCKETS).astype(np.int32),
+            }
+        )
+
+    def _empty_attach() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pkey": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int8"),
+                "vec": pd.Series([], dtype="object"),
+                "__bucket": pd.Series([], dtype="int32"),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "side" not in df.columns:
+            return _empty_attach()
+        is_vec = df["side"].to_numpy() < 0
+        vtab = df[is_vec]
+        ptab = df[~is_vec]
+        if len(ptab) == 0:
+            return _empty_attach()
+        vid = vtab["vid"].to_numpy(dtype=np.int64)
+        o = np.argsort(vid)
+        vid = vid[o]
+        vecs = vtab["vec"].to_numpy()[o]
+        idx = np.searchsorted(vid, ptab["vid"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "pkey": ptab["pkey"].to_numpy(dtype=np.int64),
+                "side": ptab["side"].to_numpy(),
+                "vec": vecs[idx],
+                "__bucket": (
+                    ptab["pkey"].to_numpy(dtype=np.int64) % N_BUCKETS
+                ).astype(np.int32),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "side" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["pkey", "side"], kind="stable")
+        pk = df["pkey"].to_numpy(dtype=np.int64)[::2]
+        m = np.frombuffer(
+            b"".join(df["vec"].tolist()), dtype=np.float64
+        ).reshape(len(df), -1)
+        cos = np.einsum("ij,ij->i", m[::2], m[1::2])
+        keep = cos >= threshold
+        a = (pk >> SRP_PKEY_SHIFT)[keep]
+        b = (pk & ((1 << SRP_PKEY_SHIFT) - 1))[keep]
+        out = pd.DataFrame({"id_a": a, "id_b": b})
+        return out.sort_values(["id_a", "id_b"], kind="stable")
+
+    joined = (
+        cand.map_batches(side_rows, batch_format="pyarrow")
+        .union(emb.map_batches(vec_rows, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return joined.map_batches(
+        lambda df: df[["id_a", "id_b"]]
+        if len(df) and "id_a" in df.columns
+        else pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

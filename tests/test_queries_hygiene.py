@@ -1026,3 +1026,49 @@ def test_per_source_cap_exact_and_batch_invariant(ray_session, tmp_path):
             want.add((i, s))
     assert set(zip(got["doc_id"].tolist(), got["source"].tolist())) == want
     assert (got["source"] == "tiny").sum() == 3  # under-cap source intact
+
+
+def test_srp_lsh_neardup_regimes_and_margins(ray_session):
+    """Broadcast and join verify regimes are row-identical; the result
+    is exactly the planted pair set; the float margins the oracle
+    relies on hold (planted cosine >= 0.999, best non-planted <= 0.7)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from crawler_ray.queries import SRP_AUG_OFF, _srp_aug, srp_lsh_neardup
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    a = norm(srp_lsh_neardup(sf, broadcast=True))
+    b = norm(srp_lsh_neardup(sf, broadcast=False))
+    pd.testing.assert_frame_equal(a, b)
+
+    t = pq_.read_table(sf + "/embeddings.parquet")
+    want = {
+        (int(v), int(v) + SRP_AUG_OFF)
+        for v in t["vec_id"].to_pylist()
+        if v % 4 == 0
+    }
+    assert set(zip(a["id_a"].tolist(), a["id_b"].tolist())) == want
+
+    # margin audit: exhaustive cosine over the augmented corpus
+    ids, m = _srp_aug(t)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    np.fill_diagonal(cos, -1)
+    planted = np.array(
+        [cos[i, np.flatnonzero(ids == ids[i] + SRP_AUG_OFF)[0]]
+         for i in range(len(ids)) if ids[i] < SRP_AUG_OFF and ids[i] % 4 == 0]
+    )
+    assert planted.min() >= 0.999
+    for i, vid in enumerate(ids):
+        j = np.flatnonzero(ids == vid + SRP_AUG_OFF)
+        if len(j):
+            cos[i, j[0]] = -1
+            cos[j[0], i] = -1
+    assert cos.max() <= 0.7
