@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "interleaved_span_stats",  # new in r5 session 10, never certified
     "srp_lsh_neardup",      # new in r5 session 9, never certified
     "audio_fingerprint_dedup",  # new in r5 session 9, never certified
     "per_source_cap",       # new in r5 session 9, never certified

@@ -8897,3 +8897,218 @@ def srp_lsh_neardup(
         ),
         batch_format="pandas",
     )
+
+
+# =====================================================================
+# Interleaved span documents (the input_hint payload shape) under the
+# SQL-oracle gate
+# =====================================================================
+
+
+def _build_span_column(t: pa.Table) -> pa.Table:
+    """Vectorized construction of the input_hint nested column
+    (spans: list<struct<kind,text,media_ref,offset:int32>>) from the
+    flat documents table.  Synthesis contract (shared with the SQL
+    oracle): doc text tiles into 64-char text spans (offset = j*64);
+    after text span j where (doc_id*31 + j) % 5 == 0 an opaque media
+    span is interleaved (kind = image/audio/video by (doc_id+j)%3,
+    media_ref = media://<doc_id>/<j>, offset = end of the text span).
+
+    ZERO-COPY text children: because consecutive span slices tile each
+    doc's text exactly (media spans are empty strings at the shared
+    boundaries), the span text child is a StringArray whose offsets
+    index straight into the batch's EXISTING utf8 values buffer — no
+    character is copied.  Guarded by an explicit adjacency + ASCII
+    check with a (correct, slow) per-row fallback, so non-ASCII input
+    degrades rather than mis-slices (char offsets == byte offsets only
+    for ASCII; the testdata corpus is ASCII and n_chars == len(text)).
+    """
+    from .schemas import SPAN_STRUCT
+
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "spans": pa.array([], pa.list_(SPAN_STRUCT)),
+            }
+        )
+    doc = t["doc_id"].to_numpy().astype(np.int64)
+    n = t["n_chars"].to_numpy().astype(np.int64)
+    col = t["text"]
+    # combine_chunks COPIES even for one chunk; chunk(0) shares buffers
+    arr = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    voff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+
+    k = (n + 63) // 64  # text spans per doc (0 for empty docs)
+    tot_t = int(k.sum())
+    rows_t = np.repeat(np.arange(len(n), dtype=np.int64), k)
+    j_t = np.arange(tot_t, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+    m_mask = (doc[rows_t] * 31 + j_t) % 5 == 0
+    rows_m, j_m = rows_t[m_mask], j_t[m_mask]
+
+    rows = np.concatenate((rows_t, rows_m))
+    order = np.concatenate((2 * j_t, 2 * j_m + 1))
+    is_media = np.zeros(len(rows), dtype=bool)
+    is_media[tot_t:] = True
+    perm = np.lexsort((order, rows))
+    rows, order, is_media = rows[perm], order[perm], is_media[perm]
+    j_all = order >> 1
+
+    nrow = n[rows]
+    end_off = np.minimum((j_all + 1) * 64, nrow)  # char end of text span j
+    off_doc = np.where(is_media, end_off, j_all * 64)  # span offset field
+    b0 = voff[rows] + off_doc  # byte start (ASCII: char == byte)
+    b1 = voff[rows] + np.where(is_media, off_doc, end_off)
+
+    ascii_ok = bool(
+        np.array_equal(voff[1:] - voff[:-1], n)
+    )  # byte len == char len for every doc
+    adjacent = len(b0) == 0 or bool(np.array_equal(b1[:-1], b0[1:]))
+    if ascii_ok and adjacent:
+        offs = np.append(b0, b1[-1] if len(b1) else voff[0]).astype(np.int32)
+        txt_child = pa.Array.from_buffers(
+            pa.string(),
+            len(rows),
+            [None, pa.py_buffer(offs.tobytes()), arr.buffers()[2]],
+        )
+    else:  # correct-but-copying fallback (non-ASCII or non-tiling input)
+        texts = arr.to_pylist()
+        txt_child = pa.array(
+            [
+                ""
+                if med
+                else texts[r][j * 64 : min((j + 1) * 64, int(n[r]))]
+                for r, j, med in zip(rows, j_all, is_media)
+            ],
+            pa.string(),
+        )
+
+    kind_code = np.where(is_media, (doc[rows] + j_all) % 3 + 1, 0).astype(np.int8)
+    kind = pc.take(
+        pa.array(["text", "image", "audio", "video"]), pa.array(kind_code)
+    )
+    ref_all = pc.binary_join_element_wise(
+        pa.scalar("media://"),
+        pc.cast(pa.array(doc[rows]), pa.string()),
+        pa.scalar("/"),
+        pc.cast(pa.array(j_all), pa.string()),
+        pa.scalar(""),  # separator: plain concatenation
+    )
+    ref = pc.if_else(pa.array(is_media), ref_all, pa.scalar(""))
+
+    struct = pa.StructArray.from_arrays(
+        [kind, txt_child, ref, pa.array(off_doc.astype(np.int32))],
+        fields=list(SPAN_STRUCT),
+    )
+    n_spans_per_doc = k + np.bincount(rows_m, minlength=len(n))
+    list_off = np.zeros(len(n) + 1, dtype=np.int32)
+    np.cumsum(n_spans_per_doc, out=list_off[1:])
+    spans = pa.ListArray.from_arrays(pa.array(list_off), struct)
+    return pa.table({"doc_id": t["doc_id"], "spans": spans})
+
+
+@register(
+    "interleaved_span_stats",
+    """
+    WITH ts AS (
+      SELECT d.doc_id, d.n_chars, t.j
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)
+    ),
+    sp AS (
+      SELECT doc_id, 'text' AS kind,
+             least(64, n_chars - j*64) AS tlen,
+             j*64 AS off
+      FROM ts
+      UNION ALL
+      SELECT doc_id,
+             CASE (doc_id + j) % 3
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END,
+             0,
+             least((j+1)*64, n_chars)
+      FROM ts WHERE (doc_id*31 + j) % 5 = 0
+    )
+    SELECT kind, count(*) AS n_spans,
+           CAST(sum(tlen) AS BIGINT) AS text_chars,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(max(off) AS BIGINT) AS max_offset
+    FROM sp GROUP BY kind
+    """,
+    doc="The input_hint payload shape itself under the SQL gate: build "
+    "the interleaved documents table (doc_id, spans: list<struct<kind, "
+    "text, media_ref, offset:int32>> — schemas.SPAN_STRUCT, the exact "
+    "north-rule schema) as a REAL nested Arrow column, ship it through "
+    "a map_batches boundary (it crosses the object store as "
+    "list<struct>), then explode span-side with pc.list_flatten + "
+    "pc.list_parent_indices and aggregate per kind.  Construction is "
+    "zero-copy: span text children are offset views into the batch's "
+    "existing utf8 buffer (media spans are empty strings at the tile "
+    "boundaries), so no character is copied building OR exploding.  "
+    "The Ray side measures the REAL sliced strings (pc.utf8_length of "
+    "the flattened child) while the oracle derives lengths "
+    "arithmetically — a genuine cross-check that the nested column "
+    "carries the right payload.  Combiner shape: per-batch per-kind "
+    "partial rows (n_docs summable because a doc's spans never leave "
+    "its row), then a 4-group groupby — text never shuffles.",
+)
+def interleaved_span_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    def span_stats(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.string()),
+                "n_spans": pa.array([], pa.int64()),
+                "text_chars": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "max_offset": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sc = t["spans"]
+        spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans)
+        df = pd.DataFrame(
+            {
+                "kind": flat.field("kind").to_pandas(),
+                "tlen": pc.utf8_length(flat.field("text"))
+                .to_numpy()
+                .astype(np.int64),
+                "off": flat.field("offset").to_numpy().astype(np.int64),
+                "row": parent.to_numpy().astype(np.int64),
+            }
+        )
+        g = df.groupby("kind", as_index=False).agg(
+            n_spans=("tlen", "size"),
+            text_chars=("tlen", "sum"),
+            n_docs=("row", "nunique"),
+            max_offset=("off", "max"),
+        )
+        return pa.table(
+            {
+                "kind": pa.array(g["kind"], pa.string()),
+                "n_spans": pa.array(g["n_spans"].to_numpy(np.int64)),
+                "text_chars": pa.array(g["text_chars"].to_numpy(np.int64)),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "max_offset": pa.array(g["max_offset"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(span_stats, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum(on="n_spans", alias_name="n_spans"),
+            Sum(on="text_chars", alias_name="text_chars"),
+            Sum(on="n_docs", alias_name="n_docs"),
+            Max(on="max_offset", alias_name="max_offset"),
+        )
+    )
