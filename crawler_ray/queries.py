@@ -9112,3 +9112,121 @@ def interleaved_span_stats(sf_dir: str):
             Max(on="max_offset", alias_name="max_offset"),
         )
     )
+
+
+@register(
+    "url_pattern_topk",
+    """
+    WITH u AS (
+      SELECT source || '.example.com' AS host,
+             CASE WHEN doc_id % 11 = 0
+                  THEN '/tag/' || lang || '-' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 0
+                  THEN '/c' || CAST(doc_id % 7 AS VARCHAR) || '/item-'
+                       || CAST(doc_id AS VARCHAR) || '?page='
+                       || CAST(doc_id % 50 AS VARCHAR)
+                  ELSE '/c' || CAST(doc_id % 7 AS VARCHAR) || '/item-'
+                       || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents),
+    p AS (
+      SELECT host,
+             regexp_replace('https://' || host || path, '[0-9]+', 'N', 'g')
+               AS pattern,
+             count(*) AS n
+      FROM u GROUP BY 1, 2),
+    r AS (
+      SELECT host, pattern, n,
+             row_number() OVER (
+               PARTITION BY host ORDER BY n DESC, pattern) AS rk
+      FROM p)
+    SELECT host, pattern, n FROM r WHERE rk <= 3
+    """,
+    doc="URL template mining / crawler-trap detection (the frontier "
+    "analysis a crawl operator runs before raising a host's budget: "
+    "generalize every URL by collapsing digit runs to N, count "
+    "distinct templates per host, keep the top-K — a host whose "
+    "template count explodes or whose one template dominates is a "
+    "calendar/session-id trap; reference's media-extension regex "
+    "family, crawler.clj link filtering).  URLs synthesized "
+    "deterministically from documents (three route shapes: tag pages, "
+    "paginated items, plain items).  All-Arrow hot path: "
+    "binary_join_element_wise concat -> ONE RE2 "
+    "replace_substring_regex per batch -> per-batch (host,pattern) "
+    "partial counts, ONE bucketed sum shuffle (counts only, never "
+    "URLs), local per-host top-K prune before a final per-host "
+    "merge — the shuffle carries <= K rows per host per block.",
+)
+def url_pattern_topk(sf_dir: str, k: int = 3):
+    from .stages.relational import bucketed_agg
+
+    def to_patterns(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], pa.string()),
+                 "pattern": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        host = pc.binary_join_element_wise(
+            t["source"], pa.scalar(".example.com"), pa.scalar("")
+        )
+        d_s = pc.cast(pa.array(doc), pa.string())
+        c7 = pc.cast(pa.array(doc % 7), pa.string())
+        p50 = pc.cast(pa.array(doc % 50), pa.string())
+        tag = pc.binary_join_element_wise(
+            pa.scalar("/tag/"), t["lang"], pa.scalar("-"), d_s, pa.scalar("")
+        )
+        item = pc.binary_join_element_wise(
+            pa.scalar("/c"), c7, pa.scalar("/item-"), d_s, pa.scalar("")
+        )
+        paged = pc.binary_join_element_wise(
+            item, pa.scalar("?page="), p50, pa.scalar("")
+        )
+        path = pc.if_else(
+            pa.array(doc % 11 == 0),
+            tag,
+            pc.if_else(pa.array(doc % 3 == 0), paged, item),
+        )
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://"), host, path, pa.scalar("")
+        )
+        pat = pc.replace_substring_regex(url, pattern="[0-9]+", replacement="N")
+        part = (
+            pa.table({"host": host, "pattern": pat})
+            .group_by(["host", "pattern"])
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["host", "pattern", "c"])
+
+    counts = bucketed_agg(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+        .map_batches(to_patterns, batch_format="pyarrow"),
+        keys=["host", "pattern"],
+        sum_cols={"c": "n"},
+        key_dtypes={"host": "object", "pattern": "object"},
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "host" not in df.columns:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="object"),
+                 "pattern": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        df = df.sort_values(
+            ["n", "pattern"], ascending=[False, True], kind="stable"
+        )
+        return df.groupby("host", sort=False).head(k)[["host", "pattern", "n"]]
+
+    return (
+        counts.map_batches(local_topk, batch_format="pandas")
+        .groupby("host")
+        .map_groups(
+            lambda g: g.sort_values(
+                ["n", "pattern"], ascending=[False, True], kind="stable"
+            ).head(k).reset_index(drop=True),
+            batch_format="pandas",
+        )
+        .select_columns(["host", "pattern", "n"])
+    )

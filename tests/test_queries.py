@@ -24,7 +24,7 @@ SAMPLE = [
     "snapshot_diff", "term_cooccurrence", "leakage_safe_split",
     "cross_corpus_neardup", "dsir_resample", "bm25_topk",
     "temperature_resample", "bigram_lm_score", "image_dhash_neardup",
-    "triangle_count", "interleaved_span_stats",
+    "triangle_count", "interleaved_span_stats", "url_pattern_topk",
 ]
 
 
