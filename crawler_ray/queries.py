@@ -9230,3 +9230,289 @@ def url_pattern_topk(sf_dir: str, k: int = 3):
         )
         .select_columns(["host", "pattern", "n"])
     )
+
+
+@register(
+    "containment_join",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    derived AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(t[1:greatest(3, (3*len(t))//5)], ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE doc_id % 10 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM derived),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM u),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j] || ' ' || t[j+1] AS g
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS s(j)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS containee, b.doc_id AS container, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT containee, container, i/(1.0*s.sz) AS containment
+    FROM inter JOIN sizes s ON containee = s.doc_id
+    WHERE i*5 >= 4*s.sz
+    """,
+    doc="Set-containment similarity join (PPJoin-family prefix filter, "
+    "theta=0.8): find documents whose bigram set is >=80% contained in "
+    "another document's — the quote-inclusion / excerpt-dedup case that "
+    "SYMMETRIC near-dup (minhash/simhash LSH) structurally misses: a "
+    "short doc fully quoted inside a 20x longer one has Jaccard ~0.05 "
+    "but containment 1.0.  Planted containees: every doc_id%10==0 doc "
+    "gets a derived excerpt (first max(3, 3n/5) tokens, id+10M) whose "
+    "bigram set is a subset of its source's.  Scale shape: ONE gram "
+    "pass builds (doc_id, sorted-unique 63-bit gram hashes, sz); "
+    "candidates come from an inverted index over the PREFIX only — "
+    "each doc probes its floor(sz/5)+1 smallest hashes (containment "
+    ">= 4/5 leaves at most floor(sz/5) grams outside the container, so "
+    "one probe gram MUST hit: guaranteed-superset recall, ~df^2/5 pair "
+    "volume instead of df^2) while the index side is full postings; "
+    "exact verification intersects the two docs' gram buffers "
+    "(dedup.pair_intersection_counts, one vectorized sort) in an "
+    "actor-pool stage reading a broadcast id->grams map below "
+    "``grams_broadcast_cap`` candidate ids, or via two hash joins that "
+    "attach gram buffers to pair rows past it (both regimes "
+    "result-equal, forced in tests).  The >=4/5 filter is exact "
+    "integer arithmetic (i*5 >= 4*sz) on both sides; the reported "
+    "containment is the same int/int division in both engines.",
+)
+def containment_join(
+    sf_dir: str,
+    grams_broadcast_cap: int = 200_000,
+    forced_regime: Optional[str] = None,
+):
+    import ray
+    import ray.data as rd
+
+    from .stages.dedup import pair_intersection_counts
+    from .stages.relational import bucketed_agg
+
+    OFF = 10_000_000
+    M63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+    N_BUCKETS = 64
+
+    def with_derived(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_ids = list(ids)
+        out_txt = list(texts)
+        for did, txt in zip(ids, texts):
+            if did % 10 == 0:
+                tk = txt.split(" ")
+                k = max(3, (3 * len(tk)) // 5)
+                out_ids.append(int(did) + OFF)
+                out_txt.append(" ".join(tk[:k]))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+                "text": pa.array(out_txt, type=pa.string()),
+            }
+        )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids, gbs, szs = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tk = txt.split(" ")
+            if len(tk) < 2:
+                continue  # oracle's generate_series(1,0) excludes these
+            h = np.unique(
+                np.fromiter(
+                    (shingles.stable_hash64(tk[i] + " " + tk[i + 1]) for i in range(len(tk) - 1)),
+                    dtype=np.uint64,
+                    count=len(tk) - 1,
+                )
+                & M63
+            )
+            ids.append(did)
+            gbs.append(h.tobytes())
+            szs.append(len(h))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "gb": pa.array(gbs, type=pa.binary()),
+                "sz": pa.array(szs, type=pa.int64()),
+            }
+        )
+
+    grams = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(with_derived, batch_format="pyarrow")
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def postings(t: pa.Table) -> pa.Table:
+        ghs, dids, prs = [], [], []
+        for did, gb, sz in zip(
+            t["doc_id"].to_numpy(), t["gb"].to_pylist(), t["sz"].to_numpy()
+        ):
+            h = np.frombuffer(gb, dtype=np.uint64).view(np.int64)
+            p = int(sz) // 5 + 1  # prefix budget at theta = 4/5
+            ghs.append(h)
+            dids.append(np.full(len(h), did, dtype=np.int64))
+            pr = np.zeros(len(h), dtype=np.int8)
+            pr[:p] = 1  # buffers are sorted: the p smallest hashes
+            prs.append(pr)
+        gh = np.concatenate(ghs) if ghs else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh),
+                "doc_id": pa.array(
+                    np.concatenate(dids) if dids else np.zeros(0, dtype=np.int64)
+                ),
+                "probe": pa.array(
+                    np.concatenate(prs) if prs else np.zeros(0, dtype=np.int8)
+                ),
+                "bkt": pa.array((gh % N_BUCKETS).astype(np.int32)),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "gh" not in g.columns:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
+        probe = g[g["probe"] == 1][["gh", "doc_id"]]
+        cand = probe.merge(g[["gh", "doc_id"]], on="gh", suffixes=("_a", "_b"))
+        cand = cand[cand["doc_id_a"] != cand["doc_id_b"]]
+        pk = np.unique(
+            (cand["doc_id_a"].to_numpy() << np.int64(32))
+            | cand["doc_id_b"].to_numpy()
+        )
+        return pd.DataFrame({"pk": pk})
+
+    cand_keys = bucketed_agg(
+        grams.map_batches(postings, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(pairs_in_bucket, batch_format="pandas"),
+        keys=["pk"],
+        sum_cols={"__count__": "c"},
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy() if t.num_rows else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "containee": pa.array(pk >> np.int64(32)),
+                "container": pa.array(pk & np.int64(0xFFFFFFFF)),
+            }
+        )
+
+    pairs = cand_keys.map_batches(unpack, batch_format="pyarrow").materialize()
+
+    empty = pa.table(
+        {
+            "containee": pa.array([], type=pa.int64()),
+            "container": pa.array([], type=pa.int64()),
+            "containment": pa.array([], type=pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    id_parts = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "id": np.unique(
+                    np.concatenate(
+                        [t["containee"].to_numpy(), t["container"].to_numpy()]
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand_ids = np.unique(id_parts.to_pandas()["id"].to_numpy())
+
+    def verdict(
+        ca: np.ndarray, co: np.ndarray, inter: np.ndarray, sa: np.ndarray
+    ) -> pa.Table:
+        keep = inter * 5 >= 4 * sa  # exact integer theta = 4/5
+        return pa.table(
+            {
+                "containee": pa.array(ca[keep], type=pa.int64()),
+                "container": pa.array(co[keep], type=pa.int64()),
+                "containment": pa.array(
+                    inter[keep] / sa[keep].astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    regime = forced_regime or (
+        "broadcast" if len(cand_ids) <= grams_broadcast_cap else "join"
+    )
+    if regime == "broadcast":
+        idref = ray.put(cand_ids)
+
+        class SemiFilter:
+            def __init__(self):
+                self.ids = ray.get(idref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keys = t["doc_id"].to_numpy()
+                idx = np.clip(np.searchsorted(self.ids, keys), 0, len(self.ids) - 1)
+                return t.filter(pa.array(self.ids[idx] == keys))
+
+        cg = grams.map_batches(
+            SemiFilter, batch_format="pyarrow", concurrency=2
+        ).to_pandas()
+        gref = ray.put({i: g for i, g in zip(cg["doc_id"], cg["gb"])})
+
+        class Verify:
+            def __init__(self):
+                self.gmap = ray.get(gref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "containee" not in t.column_names:
+                    return empty
+                ca = t["containee"].to_numpy()
+                co = t["container"].to_numpy()
+                inter, sa, _ = pair_intersection_counts(
+                    [self.gmap[x] for x in ca], [self.gmap[x] for x in co]
+                )
+                return verdict(ca, co, inter, sa)
+
+        return pairs.map_batches(
+            Verify, batch_format="pyarrow", concurrency=2, batch_size=8192
+        )
+
+    # join regime: attach gram buffers to pair rows with two hash joins
+    # (no driver-side grams map; same barrier/partition rules as
+    # dedup.verify_pairs_joined)
+    num_partitions = int(np.clip(pairs.count() // 25_000, 2, 8))
+    j1 = pairs.join(
+        grams,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("containee",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "containee": t["containee"],
+                "container": t["container"],
+                "gb_a": t["gb"],
+                "sz_a": t["sz"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        grams,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("container",),
+        right_on=("doc_id",),
+    )
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "containee" not in t.column_names:
+            return empty
+        ca = t["containee"].to_numpy()
+        co = t["container"].to_numpy()
+        inter, sa, _ = pair_intersection_counts(
+            t["gb_a"].to_pylist(), t["gb"].to_pylist()
+        )
+        return verdict(ca, co, inter, sa)
+
+    return j2.map_batches(verify_joined, batch_format="pyarrow")

@@ -1072,3 +1072,39 @@ def test_srp_lsh_neardup_regimes_and_margins(ray_session):
             cos[i, j[0]] = -1
             cos[j[0], i] = -1
     assert cos.max() <= 0.7
+
+
+def test_containment_join_regimes_and_planted_excerpts(ray_session):
+    """The join-verify regime (gram buffers attached to pair rows via
+    two hash joins) must be row-identical to the broadcast-gmap regime;
+    every planted excerpt doc (doc_id%10==0, first 3n/5 tokens) must be
+    reported fully contained (containment == 1.0) in its source — the
+    prefix filter's guaranteed-superset recall means no planted pair
+    can be missed by candidate generation."""
+    import pandas as pd
+
+    from crawler_ray.queries import containment_join
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        return (
+            res.to_pandas()
+            .sort_values(["containee", "container"])
+            .reset_index(drop=True)
+        )
+
+    a = norm(containment_join(sf, forced_regime="broadcast"))
+    b = norm(containment_join(sf, forced_regime="join"))
+    pd.testing.assert_frame_equal(a, b)
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    planted = {(d + 10_000_000, d) for d in ids if d % 10 == 0}
+    got = set(zip(a["containee"], a["container"]))
+    assert planted <= got
+    by_pair = dict(zip(zip(a["containee"], a["container"]), a["containment"]))
+    assert all(by_pair[p] == 1.0 for p in planted)
