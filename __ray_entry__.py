@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "anchor_text_agg",         # new in r5 session 10, never certified
+    "rrf_fusion",              # new in r5 session 10, never certified
     "containment_join",        # new in r5 session 10, never certified
     "url_pattern_topk",        # new in r5 session 10, never certified
     "interleaved_span_stats",  # new in r5 session 10, never certified

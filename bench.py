@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "term_cooccurrence",
     "cross_corpus_neardup",
     "triangle_count",
+    "url_pattern_topk",
+    "containment_join",
+    "rrf_fusion",
+    "anchor_text_agg",
 ]
 
 

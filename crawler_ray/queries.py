@@ -9516,3 +9516,248 @@ def containment_join(
         return verdict(ca, co, inter, sa)
 
     return j2.map_batches(verify_joined, batch_format="pyarrow")
+
+
+@register(
+    "rrf_fusion",
+    """
+    WITH q(qid, qtext) AS (
+      VALUES (0, 'data batch'), (1, 'sort merge join'), (2, 'filter group key')
+    ),
+    qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS tok FROM q),
+    qtok AS (SELECT DISTINCT tok FROM qt),
+    d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n FROM documents),
+    df AS (
+      SELECT qtok.tok, count(*) AS df
+      FROM qtok JOIN d ON list_contains(d.tk, qtok.tok)
+      GROUP BY qtok.tok),
+    idf AS (SELECT tok, LEAST((n - df) * 256 // df, 4096) AS idf FROM df, stats),
+    tf AS (
+      SELECT d.doc_id, qt.qid, qt.tok,
+             len(list_filter(d.tk, x -> x = qt.tok)) AS tf, len(d.tk) AS dl
+      FROM d, qt),
+    sc AS (
+      SELECT doc_id, qid,
+             sum(idf.idf * tf.tf) * 1024 // (any_value(dl) + 50) AS score
+      FROM tf JOIN idf USING (tok) GROUP BY doc_id, qid),
+    sparse AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc WHERE score > 0 QUALIFY rnk <= 20),
+    qv AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+    dense AS (
+      SELECT qv.qid, e.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY qv.qid
+               ORDER BY list_cosine_similarity(e.embedding, qv.embedding) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings e, qv WHERE e.vec_id != qv.qid QUALIFY rnk <= 20),
+    legs AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+    fused AS (
+      SELECT qid, doc_id, sum(1048576 // (60 + rnk)) AS rrf
+      FROM legs GROUP BY qid, doc_id),
+    ranked AS (
+      SELECT qid, doc_id, CAST(rrf AS BIGINT) AS rrf,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused)
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf FROM ranked WHERE rn <= 10
+    """,
+    doc="Reciprocal-rank fusion of a sparse and a dense retriever "
+    "(Cormack et al. RRF, the standard hybrid-retrieval merge for "
+    "search-based curation): leg A = integer-quantized BM25 top-20 per "
+    "text query (reuses bm25_topk's two-pass broadcast shape: bounded "
+    "df pass + per-block top-k prune), leg B = brute-force cosine "
+    "top-20 per query embedding (query matrix broadcast once, ONE "
+    "batched matmul scores all queries per block, per-query local "
+    "top-k prune -> <= legs x queries x k rows ever reach the driver). "
+    "Fusion is exact integer arithmetic — rrf = sum over legs of "
+    "2^20 // (60 + rank) — so the oracle hash cannot drift; dense "
+    "ranks are FP-stable by the same data margin ann_cosine_topk "
+    "documents (adjacent cosines >= 3e-4 apart vs <= 2e-7 engine "
+    "disagreement).  Queries pair text i with reference embedding "
+    "vec_id i (multi-modal query convention); the query's own vector "
+    "is excluded from its dense leg.",
+)
+def rrf_fusion(sf_dir: str, k: int = 10, leg_k: int = 20):
+    import heapq
+
+    import ray
+
+    RRF_C, Q = 60, 1 << 20
+    sparse = bm25_topk(sf_dir, k=leg_k).to_pandas()
+    # bm25_topk emits rows rank-ordered (score desc, doc_id) within qid
+    sparse["rnk"] = sparse.groupby("qid").cumcount() + 1
+
+    qe = pq.read_table(
+        _pq(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],
+    )
+    q_ids = qe["vec_id"].to_numpy()
+    qm = np.array(qe["embedding"].to_pylist(), dtype=np.float64)
+    qm = qm[np.argsort(q_ids)]
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    qref = ray.put(qm)
+    n_q = len(q_ids)
+
+    class DenseScore:
+        def __init__(self):
+            self.qm = ray.get(qref)  # (n_q, d) normalized
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vids = t["vec_id"].to_numpy()
+            m = list_col_to_matrix(t["embedding"])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cos = mn @ self.qm.T  # (n, n_q): one matmul for all queries
+            out_q, out_d, out_c = [], [], []
+            for qi in range(self.qm.shape[0]):
+                mask = vids != qi  # query's own vector excluded
+                c, v = cos[mask, qi], vids[mask]
+                kk = min(leg_k, len(c))
+                if kk == 0:
+                    continue
+                top = np.argpartition(-c, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_d.append(v[top])
+                out_c.append(c[top])
+            if not out_q:
+                return pa.table(
+                    {"qid": pa.array([], type=pa.int64()),
+                     "doc_id": pa.array([], type=pa.int64()),
+                     "cos": pa.array([], type=pa.float64())}
+                )
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q)),
+                    "doc_id": pa.array(np.concatenate(out_d)),
+                    "cos": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+    cand = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(DenseScore, batch_format="pyarrow", concurrency=2)
+        .take_all()
+    )  # <= n_q * leg_k rows per block
+    dense_rows = []
+    for qi in range(n_q):
+        rows_q = [(r["cos"], r["doc_id"]) for r in cand if r["qid"] == qi]
+        best = heapq.nsmallest(leg_k, rows_q, key=lambda cv: (-cv[0], cv[1]))
+        for rnk, (_, d) in enumerate(best, start=1):
+            dense_rows.append((qi, int(d), rnk))
+    dense = pd.DataFrame(dense_rows, columns=["qid", "doc_id", "rnk"])
+
+    legs = pd.concat(
+        [sparse[["qid", "doc_id", "rnk"]], dense], ignore_index=True
+    )
+    legs["part"] = Q // (RRF_C + legs["rnk"].to_numpy())
+    fused = legs.groupby(["qid", "doc_id"], as_index=False)["part"].sum()
+    fused = fused.rename(columns={"part": "rrf"})
+    fused = fused.sort_values(
+        ["qid", "rrf", "doc_id"], ascending=[True, False, True], kind="stable"
+    )
+    out = fused.groupby("qid", sort=False).head(k).reset_index(drop=True)
+    out["qid"] = out["qid"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["rrf"] = out["rrf"].astype("int64")
+    return out[["qid", "doc_id", "rrf"]]
+
+
+@register(
+    "anchor_text_agg",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    l AS (
+      SELECT (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target,
+             tk[1 + (d.doc_id + j*13) % len(tk)] AS term
+      FROM d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)),
+    cnt AS (SELECT target, term, count(*) AS cnt FROM l GROUP BY 1, 2),
+    r AS (
+      SELECT target, term, cnt,
+             row_number() OVER (PARTITION BY target
+                                ORDER BY cnt DESC, term) AS rk
+      FROM cnt)
+    SELECT target, term, cnt FROM r WHERE rk <= 3
+    """,
+    doc="Anchor-text aggregation per link target (the classic web-corpus "
+    "enrichment: the terms OTHER pages use to link to a URL describe it "
+    "better than its own body — reference's anchor-tags + "
+    "tokenize-anchor-url family, dom.clj / rank.clj): explode each "
+    "doc's outlinks over the shared deterministic edge convention "
+    "(_LINK_SQL_CTE), anchor term = a position-hashed token of the "
+    "SOURCE doc, then per-target top-3 terms by (count desc, term).  "
+    "Scale shape: per-batch (target, term) partial counts combine "
+    "BEFORE the shuffle; ONE bucketed sum on hash(target, term) "
+    "(counts only — anchor strings are bounded, bodies never move); "
+    "then a SECOND coarse shuffle on target%32 buckets co-locates each "
+    "target's term rows for one vectorized per-bucket sort+head — no "
+    "per-target Ray group overhead at web-graph target cardinality.",
+)
+def anchor_text_agg(sf_dir: str, k: int = 3):
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode_terms(t: pa.Table) -> pa.Table:
+        tgts, terms = [], []
+        for did, txt in zip(t["doc_id"].to_numpy(), t["text"].to_pylist()):
+            tk = txt.split(" ")
+            nt = len(tk)
+            nl = int(did) % 5 + 3
+            j = np.arange(nl, dtype=np.int64)
+            tg = (int(did) * 131 + j * 37 + j * j * 11 + 7) % n_docs
+            pos = (int(did) + j * 13) % nt
+            tgts.append(tg)
+            terms.extend(tk[p] for p in pos)
+        tgt = np.concatenate(tgts) if tgts else np.zeros(0, dtype=np.int64)
+        part = (
+            pa.table(
+                {"target": pa.array(tgt), "term": pa.array(terms, type=pa.string())}
+            )
+            .group_by(["target", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["target", "term", "c"])
+
+    counts = bucketed_agg(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            explode_terms, batch_format="pyarrow"
+        ),
+        keys=["target", "term"],
+        sum_cols={"c": "cnt"},
+        key_dtypes={"target": "int64", "term": "object"},
+    )
+
+    def add_tbkt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "target" not in df.columns:
+            return pd.DataFrame(
+                {"target": pd.Series([], dtype="int64"),
+                 "term": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64"),
+                 "tb": pd.Series([], dtype="int32")}
+            )
+        df = df.copy()
+        df["tb"] = (df["target"].to_numpy() % 32).astype("int32")
+        return df
+
+    def topk_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "target" not in g.columns:
+            return pd.DataFrame(
+                {"target": pd.Series([], dtype="int64"),
+                 "term": pd.Series([], dtype="object"),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(
+            ["target", "cnt", "term"], ascending=[True, False, True], kind="stable"
+        )
+        return g.groupby("target", sort=False).head(k)[["target", "term", "cnt"]]
+
+    return (
+        counts.map_batches(add_tbkt, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .select_columns(["target", "term", "cnt"])
+    )

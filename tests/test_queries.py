@@ -25,7 +25,7 @@ SAMPLE = [
     "cross_corpus_neardup", "dsir_resample", "bm25_topk",
     "temperature_resample", "bigram_lm_score", "image_dhash_neardup",
     "triangle_count", "interleaved_span_stats", "url_pattern_topk",
-    "containment_join",
+    "containment_join", "rrf_fusion", "anchor_text_agg",
 ]
 
 
