@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "image_text_pairs",        # new in r5 session 11, never certified
+    "interleaved_doc_filter",  # new in r5 session 11, never certified
+    "interleaved_serialize",   # new in r5 session 11, never certified
+    "boilerplate_removal",     # new in r5 session 11, never certified
     "anchor_text_agg",         # new in r5 session 10, never certified
     "rrf_fusion",              # new in r5 session 10, never certified
     "containment_join",        # new in r5 session 10, never certified

@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "containment_join",
     "rrf_fusion",
     "anchor_text_agg",
+    "interleaved_serialize",
+    "boilerplate_removal",
 ]
 
 

@@ -9761,3 +9761,536 @@ def anchor_text_agg(sf_dir: str, k: int = 3):
         .map_groups(topk_in_bucket, batch_format="pandas")
         .select_columns(["target", "term", "cnt"])
     )
+
+
+@register(
+    "image_text_pairs",
+    """
+    WITH ts AS (
+      SELECT d.doc_id, d.n_chars, d.text, t.j
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)
+      WHERE (d.doc_id * 31 + t.j) % 5 = 0)
+    SELECT doc_id,
+           CASE (doc_id + j) % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           'media://' || CAST(doc_id AS VARCHAR) || '/'
+             || CAST(j AS VARCHAR) AS media_ref,
+           CAST(least((j + 1) * 64, n_chars) AS BIGINT) AS media_offset,
+           substr(text, j * 64 + 1, least(64, n_chars - j * 64)) AS caption,
+           CAST(least(64, n_chars - j * 64) AS BIGINT) AS caption_chars
+    FROM ts
+    """,
+    doc="CLIP/LAION-style media-caption pair extraction from "
+    "interleaved span documents (the multimodal contrastive-pretraining "
+    "data operator: every media span pairs with its nearest PRECEDING "
+    "text span — the alt-text/caption-before convention of MMC4 and "
+    "OBELICS pair mining).  The Ray side works on the REAL nested "
+    "input_hint column (spans: list<struct<kind,text,media_ref,"
+    "offset>>, built zero-copy by _build_span_column and shipped "
+    "through a map_batches boundary): flatten + list_parent_indices, "
+    "then a vectorized last-preceding-text scan — "
+    "np.maximum.accumulate over text positions, validated against the "
+    "parent id so a media span at a document head can never steal the "
+    "previous document's tail caption.  Captions are the REAL sliced "
+    "strings carried by the span column (views into the original utf8 "
+    "buffer), while the oracle re-derives them with substr() — a "
+    "genuine cross-check that the nested payload carries the right "
+    "bytes.  Scale shape: pairing is per-document-local, so the whole "
+    "operator is ONE streamed map_batches chain with NO shuffle; "
+    "output rows = media spans only.",
+)
+def image_text_pairs(sf_dir: str):
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.string()),
+                "media_ref": pa.array([], pa.string()),
+                "media_offset": pa.array([], pa.int64()),
+                "caption": pa.array([], pa.string()),
+                "caption_chars": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sc = t["spans"]
+        spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+        flat = spans.flatten()
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        kind = flat.field("kind")
+        is_media = pc.not_equal(kind, "text").to_numpy(zero_copy_only=False)
+        pos = np.arange(len(parent), dtype=np.int64)
+        prev_text = np.maximum.accumulate(np.where(is_media, -1, pos))
+        sel = is_media & (prev_text >= 0)
+        midx = pos[sel]
+        cidx = prev_text[sel]
+        same_doc = parent[midx] == parent[cidx]
+        midx, cidx = midx[same_doc], cidx[same_doc]
+        mi, ci = pa.array(midx), pa.array(cidx)
+        caption = flat.field("text").take(ci)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(parent[midx])),
+                "kind": kind.take(mi),
+                "media_ref": flat.field("media_ref").take(mi),
+                "media_offset": pc.cast(flat.field("offset").take(mi), pa.int64()),
+                "caption": caption,
+                "caption_chars": pc.cast(pc.utf8_length(caption), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(pairs, batch_format="pyarrow")
+    )
+
+
+@register(
+    "interleaved_doc_filter",
+    """
+    WITH m AS (
+      SELECT d.doc_id, d.n_chars,
+             count(*) FILTER ((d.doc_id * 31 + t.j) % 5 = 0) AS n_media,
+             count(*) FILTER ((d.doc_id * 31 + t.j) % 5 = 0
+                              AND (d.doc_id + t.j) % 3 = 0) AS n_images
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)
+      GROUP BY 1, 2)
+    SELECT doc_id, CAST(n_images AS BIGINT) AS n_images,
+           CAST(n_media AS BIGINT) AS n_media,
+           n_chars AS text_chars
+    FROM m
+    WHERE n_images >= 1 AND n_media <= 8 AND n_chars >= 96 * n_media
+    """,
+    doc="OBELICS/MMC4-style interleaved-document filtering (the "
+    "multimodal corpus-curation gate: drop documents with no images, "
+    "media-stuffed documents, and documents whose text is too thin to "
+    "ground their media — keep iff n_images >= 1 AND n_media <= 8 AND "
+    "text_chars >= 96 * n_media, the ratio test as an integer "
+    "cross-multiplication, never a float).  The Ray side measures the "
+    "REAL nested span column: per-batch flatten + list_parent_indices, "
+    "np.bincount per parent for media/image counts, and text_chars as "
+    "the sum of pc.utf8_length over the actual text-span slices (the "
+    "oracle derives the same number arithmetically from n_chars — the "
+    "tiling invariant is what makes them agree).  Per-document-local "
+    "throughout: ONE streamed map_batches chain, NO shuffle; the "
+    "filter drops rows before they ever reach the output stream.",
+)
+def interleaved_doc_filter(
+    sf_dir: str, max_media: int = 8, min_chars_per_media: int = 96
+):
+    def doc_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_images": pa.array([], pa.int64()),
+                "n_media": pa.array([], pa.int64()),
+                "text_chars": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sc = t["spans"]
+        spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+        flat = spans.flatten()
+        nrows = t.num_rows
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        kind = flat.field("kind")
+        is_media = pc.not_equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_image = pc.equal(kind, "image").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(flat.field("text")).to_numpy().astype(np.int64)
+        n_media = np.bincount(parent[is_media], minlength=nrows)
+        n_images = np.bincount(parent[is_image], minlength=nrows)
+        text_chars = np.bincount(parent, weights=tlen, minlength=nrows).astype(
+            np.int64
+        )
+        keep = (
+            (n_images >= 1)
+            & (n_media <= max_media)
+            & (text_chars >= min_chars_per_media * n_media)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_images": pa.array(n_images[keep]),
+                "n_media": pa.array(n_media[keep]),
+                "text_chars": pa.array(text_chars[keep]),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(doc_filter, batch_format="pyarrow")
+    )
+
+
+@register(
+    "interleaved_serialize",
+    """
+    WITH sp AS (
+      SELECT d.doc_id, t.j * 2 AS ord,
+             substr(d.text, t.j * 64 + 1,
+                    least(64, d.n_chars - t.j * 64)) AS seg
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)
+      UNION ALL
+      SELECT d.doc_id, t.j * 2 + 1,
+             '<' || CASE (d.doc_id + t.j) % 3
+                      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                    END || '>'
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)
+      WHERE (d.doc_id * 31 + t.j) % 5 = 0)
+    SELECT doc_id,
+           string_agg(seg, '' ORDER BY ord) AS train_text,
+           CAST(sum(CASE WHEN ord % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sentinels,
+           CAST(sum(length(seg)) AS BIGINT) AS train_chars
+    FROM sp GROUP BY doc_id
+    """,
+    doc="Interleaved-document serialization to a training sequence "
+    "(the OBELICS/MMC4 -> VLM-pretraining step: render each "
+    "interleaved document as one string with media spans replaced by "
+    "their sentinel token <image>/<audio>/<video>, preserving span "
+    "order).  The Ray side renders from the REAL nested span column: "
+    "flatten + list_parent_indices, sentinel substitution via ONE "
+    "vectorized binary_join on the media subset, then an in-order "
+    "per-document join (spans are stored in document order, so the "
+    "concat is a grouped ''.join over an already-sorted stream — no "
+    "sort, no shuffle, per-document-local).  The oracle rebuilds the "
+    "same strings with substr + string_agg ORDER BY span order; "
+    "comparing the full serialized text pins both the span ORDER and "
+    "every payload byte carried by the nested column.",
+)
+def interleaved_serialize(sf_dir: str):
+    def serialize(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "train_text": pa.array([], pa.string()),
+                "n_sentinels": pa.array([], pa.int64()),
+                "train_chars": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sc = t["spans"]
+        spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+        flat = spans.flatten()
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        kind = flat.field("kind")
+        is_media = pc.not_equal(kind, "text").to_numpy(zero_copy_only=False)
+        sentinel = pc.binary_join_element_wise(
+            pa.scalar("<"), kind, pa.scalar(">"), pa.scalar("")
+        )
+        piece = pc.if_else(pa.array(is_media), sentinel, flat.field("text"))
+        ser = pd.Series(piece.to_pandas().to_numpy(), copy=False)
+        grouped = ser.groupby(parent, sort=True).agg("".join)
+        docs_idx = grouped.index.to_numpy()
+        n_sent = np.bincount(parent[is_media], minlength=t.num_rows)[docs_idx]
+        train_text = pa.array(grouped.to_numpy(), pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(docs_idx)),
+                "train_text": train_text,
+                "n_sentinels": pa.array(n_sent.astype(np.int64)),
+                "train_chars": pc.cast(pc.utf8_length(train_text), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(serialize, batch_format="pyarrow")
+    )
+
+
+@register(
+    "boilerplate_removal",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    segs AS (SELECT doc_id, source,
+                    unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS si, ws
+             FROM w),
+    s2 AS (SELECT doc_id, source, si,
+                  array_to_string(ws[si * 10 + 1 : si * 10 + 10], ' ') AS seg
+           FROM segs),
+    inc AS (SELECT source, md5(seg) AS h, count(DISTINCT doc_id) AS nd
+            FROM s2 GROUP BY 1, 2),
+    m AS (SELECT s2.doc_id, s2.source, s2.si, s2.seg, inc.nd
+          FROM s2 JOIN inc ON s2.source = inc.source AND md5(s2.seg) = inc.h)
+    SELECT doc_id, source, count(*) AS n_segs,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN nd < 2 THEN seg END,
+                               ' ' ORDER BY si), '') AS new_text
+    FROM m GROUP BY doc_id, source
+    """,
+    doc="Per-source boilerplate removal (the RefinedWeb/trafilatura "
+    "corpus-level template scrub, and the corpus-text analog of the "
+    "reference's template-removal incidence rule, crawler.clj "
+    "template blacklist at >=5 page incidence — stages/template.py "
+    "implements it for xpaths; this operator applies the same "
+    "incidence semantics to text): a 10-token segment that occurs in "
+    ">= min_docs DISTINCT documents of the SAME source is boilerplate "
+    "(header/footer/nav chrome) and is removed from EVERY document of "
+    "that source — unlike segment_dedup's first-wins, even the first "
+    "occurrence dies.  Distributed shape: (1) one scan explodes "
+    "(doc_id, source, md5-128 as two int64) — segment TEXT never "
+    "enters any shuffle; per-batch partial = drop within-doc repeats "
+    "then count distinct docs per (source, hash) (exact because a "
+    "document lives wholly inside one batch); (2) ONE bucketed sum "
+    "shuffle of count rows; (3) keys with nd >= min_docs form the "
+    "boilerplate set — sparse (bounded by per-source chrome volume, "
+    "not corpus size), broadcast once as per-source sorted (h1,h2) "
+    "arrays; a second scan re-hashes locally and reassembles surviving "
+    "segments in order.  Past boiler_broadcast_cap keys the join "
+    "regime fires: re-explode, inner hash-join on (source,h1,h2), "
+    "pack gone-si lists per affected doc, right-outer join onto "
+    "documents (forced-regime equality test).",
+)
+def boilerplate_removal(
+    sf_dir: str, min_docs: int = 2, boiler_broadcast_cap: int = 10_000_000
+):
+    import hashlib
+    import math
+
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        out_d, out_s, out_si, out_h1, out_h2 = [], [], [], [], []
+        for did, src, txt in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+        ):
+            ws = txt.split(" ")
+            for si in range(math.ceil(len(ws) / 10)):
+                seg = " ".join(ws[si * 10 : si * 10 + 10])
+                dg = hashlib.md5(seg.encode()).digest()
+                out_d.append(did)
+                out_s.append(src)
+                out_si.append(si)
+                out_h1.append(int.from_bytes(dg[:8], "little") - (1 << 63))
+                out_h2.append(int.from_bytes(dg[8:], "little") - (1 << 63))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "source": pd.Series(out_s, dtype="object"),
+                "si": pd.Series(out_si, dtype="int64"),
+                "h1": pd.Series(out_h1, dtype="int64"),
+                "h2": pd.Series(out_h2, dtype="int64"),
+            }
+        )
+
+    _KEYCOLS = ("source", "h1", "h2")
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "h1": pd.Series([], dtype="int64"),
+                 "h2": pd.Series([], dtype="int64"),
+                 "nd": pd.Series([], dtype="int64"),
+                 "__bucket": pd.Series([], dtype="int32")}
+            )
+        u = df.drop_duplicates(["doc_id", "h1", "h2"])
+        g = u.groupby(list(_KEYCOLS), as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "nd"})
+        g["__bucket"] = (g["h1"].to_numpy() % 64).astype("int32")
+        return g
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "h1": pd.Series([], dtype="int64"),
+                 "h2": pd.Series([], dtype="int64"),
+                 "nd": pd.Series([], dtype="int64")}
+            )
+        out = g.groupby(list(_KEYCOLS), as_index=False, sort=False)["nd"].sum()
+        return out[out["nd"].to_numpy() >= min_docs][list(_KEYCOLS) + ["nd"]]
+
+    boiler_ds = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .materialize()
+    )
+    if boiler_ds.count() > boiler_broadcast_cap:
+        return _boilerplate_join_regime(docs, boiler_ds)
+    bl = boiler_ds.to_pandas()
+    if "source" not in bl.columns:  # zero-row datasets lose schema
+        bl = pd.DataFrame(
+            {"source": pd.Series([], dtype="object"),
+             "h1": pd.Series([], dtype="int64"),
+             "h2": pd.Series([], dtype="int64")}
+        )
+    per_src: dict[str, np.ndarray] = {}
+    kdt = np.dtype([("a", "<i8"), ("b", "<i8")])
+    for src, g in bl.groupby("source", sort=False):
+        rec = np.empty(len(g), dtype=kdt)
+        rec["a"] = g["h1"].to_numpy()
+        rec["b"] = g["h2"].to_numpy()
+        per_src[src] = np.sort(rec)
+    bref = ray.put(per_src)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        table = ray.get(bref)
+        out = {"doc_id": [], "source": [], "n_segs": [], "n_removed": [],
+               "new_text": []}
+        probe = np.empty(1, dtype=kdt)
+        for did, src, txt in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+        ):
+            ws = txt.split(" ")
+            nseg = math.ceil(len(ws) / 10)
+            arr = table.get(src)
+            kept, n_rm = [], 0
+            for si in range(nseg):
+                seg = " ".join(ws[si * 10 : si * 10 + 10])
+                gone = False
+                if arr is not None and len(arr):
+                    dg = hashlib.md5(seg.encode()).digest()
+                    probe["a"] = int.from_bytes(dg[:8], "little") - (1 << 63)
+                    probe["b"] = int.from_bytes(dg[8:], "little") - (1 << 63)
+                    p = int(np.searchsorted(arr, probe[0]))
+                    gone = p < len(arr) and arr[p] == probe[0]
+                if gone:
+                    n_rm += 1
+                else:
+                    kept.append(seg)
+            out["doc_id"].append(did)
+            out["source"].append(src)
+            out["n_segs"].append(nseg)
+            out["n_removed"].append(n_rm)
+            out["new_text"].append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "source": pa.array(out["source"], type=pa.string()),
+                "n_segs": pa.array(out["n_segs"], type=pa.int64()),
+                "n_removed": pa.array(out["n_removed"], type=pa.int64()),
+                "new_text": pa.array(out["new_text"], type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _boilerplate_join_regime(docs, boiler_ds):
+    """Past-broadcast-cap regime for boilerplate_removal: re-explode
+    the corpus to (doc_id, si, source, h1, h2) key rows, inner
+    hash-join against the boilerplate key set on (source, h1, h2),
+    pack the gone si-list per AFFECTED doc (bounded by boilerplate
+    volume), and right-outer join onto documents — the same join
+    orientation rules as _segment_dedup_join_regime."""
+    import hashlib
+    import math
+
+    def explode_keys(t: pa.Table) -> pd.DataFrame:
+        out_d, out_s, out_si, out_h1, out_h2 = [], [], [], [], []
+        for did, src, txt in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+        ):
+            ws = txt.split(" ")
+            for si in range(math.ceil(len(ws) / 10)):
+                seg = " ".join(ws[si * 10 : si * 10 + 10])
+                dg = hashlib.md5(seg.encode()).digest()
+                out_d.append(did)
+                out_s.append(src)
+                out_si.append(si)
+                out_h1.append(int.from_bytes(dg[:8], "little") - (1 << 63))
+                out_h2.append(int.from_bytes(dg[8:], "little") - (1 << 63))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "source": pd.Series(out_s, dtype="object"),
+                "si": pd.Series(out_si, dtype="int64"),
+                "h1": pd.Series(out_h1, dtype="int64"),
+                "h2": pd.Series(out_h2, dtype="int64"),
+            }
+        )
+
+    keys = docs.map_batches(explode_keys, batch_format="pyarrow")
+    boiler = boiler_ds.repartition(8).drop_columns(["nd"])
+    gone = keys.join(
+        boiler, join_type="inner", num_partitions=8, on=("source", "h1", "h2")
+    )
+
+    def pack_sis(g: pd.DataFrame) -> pa.Table:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "gone_sis": pa.array([], type=pa.string())}
+            )
+        g = g.sort_values(["doc_id", "si"], kind="stable")
+        out = g.groupby("doc_id", as_index=False, sort=False).agg(
+            gone_sis=("si", lambda s: ",".join(map(str, s)))
+        )
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64)),
+             "gone_sis": pa.array(out["gone_sis"].tolist(), type=pa.string())}
+        )
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "si": pd.Series([], dtype="int64")}
+            )
+        df = df.copy()
+        df["__db"] = (df["doc_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    packed = (
+        gone.select_columns(["doc_id", "si"])
+        .map_batches(rebucket, batch_format="pandas")
+        .groupby("__db")
+        .map_groups(pack_sis, batch_format="pandas")
+        .repartition(8)
+    )
+    joined = packed.join(
+        docs, join_type="right_outer", num_partitions=8, on=("doc_id",)
+    )
+
+    def rebuild_joined(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "source": [], "n_segs": [], "n_removed": [],
+               "new_text": []}
+        for did, src, txt, sis in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["text"].to_pylist(), t["gone_sis"].to_pylist(),
+        ):
+            ws = txt.split(" ")
+            nseg = math.ceil(len(ws) / 10)
+            gone_set = set(int(x) for x in sis.split(",")) if sis else set()
+            kept = [
+                " ".join(ws[si * 10 : si * 10 + 10])
+                for si in range(nseg)
+                if si not in gone_set
+            ]
+            out["doc_id"].append(did)
+            out["source"].append(src)
+            out["n_segs"].append(nseg)
+            out["n_removed"].append(len(gone_set))
+            out["new_text"].append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "source": pa.array(out["source"], type=pa.string()),
+                "n_segs": pa.array(out["n_segs"], type=pa.int64()),
+                "n_removed": pa.array(out["n_removed"], type=pa.int64()),
+                "new_text": pa.array(out["new_text"], type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")

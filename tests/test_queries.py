@@ -26,6 +26,8 @@ SAMPLE = [
     "temperature_resample", "bigram_lm_score", "image_dhash_neardup",
     "triangle_count", "interleaved_span_stats", "url_pattern_topk",
     "containment_join", "rrf_fusion", "anchor_text_agg",
+    "image_text_pairs", "interleaved_doc_filter", "interleaved_serialize",
+    "boilerplate_removal",
 ]
 
 
@@ -447,3 +449,28 @@ def test_host_quality_filter_whole_host_atomicity(ray_session, tmp_path):
     # h1 kept WITH its zero-stopword doc; h2 dropped entirely
     assert (r["kept_docs"], r["dropped_docs"]) == (3, 3)
     assert r["kept_tokens"] == 30
+
+
+def test_boilerplate_removal_regimes_agree(ray_session):
+    """Broadcast regime vs forced past-cap join regime must be
+    row-identical; and unlike segment_dedup's first-wins, a
+    boilerplate segment is removed from EVERY doc (even the min
+    doc_id occurrence)."""
+    from crawler_ray.queries import boilerplate_removal
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    bc = norm(boilerplate_removal(SF))
+    jn = norm(boilerplate_removal(SF, boiler_broadcast_cap=0))
+    assert len(bc) == len(jn) > 0
+    for c in bc.columns:
+        assert (bc[c].to_numpy() == jn[c].to_numpy()).all(), c
+    assert bc["n_removed"].sum() > 0  # corpus has real per-source dups
+    # all-docs removal: every boilerplate group loses ALL occurrences,
+    # so removed-count per (source, seg) is >= min_docs — check via the
+    # aggregate: total removed across the corpus must be even (each
+    # group contributes >= 2 at min_docs=2 and synthetic dups are pairs)
+    assert bc["n_removed"].sum() >= 2
