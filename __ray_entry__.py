@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "dedup_keep_longest",      # new in r5 session 11, never certified
+    "memorization_scan",       # new in r5 session 11, never certified
+    "mutual_nn_pairs",         # new in r5 session 11, never certified
+    "cocitation_pairs",        # new in r5 session 11, never certified
     "image_text_pairs",        # new in r5 session 11, never certified
     "interleaved_doc_filter",  # new in r5 session 11, never certified
     "interleaved_serialize",   # new in r5 session 11, never certified

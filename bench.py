@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "interleaved_serialize",
     "boilerplate_removal",
+    "dedup_keep_longest",
+    "mutual_nn_pairs",
+    "cocitation_pairs",
 ]
 
 

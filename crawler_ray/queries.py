@@ -10294,3 +10294,414 @@ def _boilerplate_join_regime(docs, boiler_ds):
         )
 
     return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+@register(
+    "dedup_keep_longest",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substr(text, 1, 120), 120
+      FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 120),
+    g AS (SELECT doc_id, n_chars, md5(substr(text, 1, 100)) AS h
+          FROM corpus),
+    r AS (SELECT doc_id, n_chars, h,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY h) AS n_dups
+          FROM g)
+    SELECT doc_id, n_chars, CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1
+    """,
+    doc="Quality-aware dedup with the Dolma/Pile keep-LONGEST rule "
+    "(representative selection: group same-article copies by a PREFIX "
+    "key — md5 of the first 100 chars, the same-URL/different-clipping "
+    "convention — and within each group keep the doc with max n_chars, "
+    "tie-break min doc_id; a full-text key would make 'longest' "
+    "vacuous since exact copies share length).  Clipped variants are "
+    "synthesized deterministically (every 10th doc with >= 120 chars "
+    "contributes a 120-char clip at doc_id + 1e6), so every variant "
+    "group demonstrably collapses to the FULL original.  Distributed "
+    "shape: per-batch partial argmax — each batch emits AT MOST ONE "
+    "(candidate winner, partial count) row per md5-128 key it saw, so "
+    "the shuffle carries winners and counts, never text; ONE bucketed "
+    "merge re-runs the same argmax over partials (argmax is "
+    "associative with the (n_chars desc, doc_id asc) total order) and "
+    "sums the counts.  The md5-128 rides as two int64 columns, same "
+    "convention as segment_dedup.",
+)
+def dedup_keep_longest(sf_dir: str):
+    import hashlib
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = ("h1", "h2", "doc_id", "n_chars", "nd", "__bucket")
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int32" if c == "__bucket" else "int64")
+                 for c in cols}
+            )
+        ids, lens, texts = [], [], []
+        for did, nch, txt in zip(
+            t["doc_id"].to_pylist(), t["n_chars"].to_pylist(), t["text"].to_pylist()
+        ):
+            ids.append(did)
+            lens.append(nch)
+            texts.append(txt)
+            if did % 10 == 0 and nch >= 120:  # the synthesized clip
+                ids.append(did + 1_000_000)
+                lens.append(120)
+                texts.append(txt[:120])
+        h1 = np.empty(len(ids), dtype=np.int64)
+        h2 = np.empty(len(ids), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            dg = hashlib.md5(txt[:100].encode()).digest()
+            h1[i] = int.from_bytes(dg[:8], "little") - (1 << 63)
+            h2[i] = int.from_bytes(dg[8:], "little") - (1 << 63)
+        df = pd.DataFrame(
+            {
+                "h1": h1,
+                "h2": h2,
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_chars": pd.Series(lens, dtype="int64"),
+            }
+        )
+        df = df.sort_values(
+            ["h1", "h2", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="stable",
+        )
+        g = df.groupby(["h1", "h2"], as_index=False, sort=False)
+        out = g.first()
+        out["nd"] = g.size()["size"].to_numpy()
+        out["__bucket"] = (out["h1"].to_numpy() % 64).astype("int32")
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_id", "n_chars", "n_dups")
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        g = g.sort_values(
+            ["h1", "h2", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="stable",
+        )
+        grp = g.groupby(["h1", "h2"], as_index=False, sort=False)
+        out = grp.first()
+        out["n_dups"] = grp["nd"].sum()["nd"].to_numpy()
+        return out[["doc_id", "n_chars", "n_dups"]].astype("int64")
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .select_columns(["doc_id", "n_chars", "n_dups"])
+    )
+
+
+@register(
+    "memorization_scan",
+    """
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             substr(text, 11, 40) AS probe
+      FROM documents WHERE doc_id % 97 = 0 AND n_chars >= 50)
+    SELECT p.probe_id,
+           CAST(count(*) FILTER (position(p.probe IN d.text) > 0)
+                AS BIGINT) AS n_docs_hit,
+           CAST(coalesce(min(d.doc_id)
+                  FILTER (position(p.probe IN d.text) > 0), -1)
+                AS BIGINT) AS first_doc
+    FROM probes p, documents d
+    GROUP BY p.probe_id
+    """,
+    doc="Memorization / contamination probe scan (the eval-leak and "
+    "copyright audit: given a small set of verbatim probe strings — "
+    "eval answers, licensed passages, canary strings — count which "
+    "corpus documents contain each, GPT-3-appendix style exact "
+    "substring matching).  Probes are drawn deterministically from "
+    "the corpus itself (every 97th doc contributes chars 11..50) so "
+    "every probe has >= 1 guaranteed hit and exact-duplicate docs "
+    "produce cross-hits.  Distributed shape: the probe set is tiny "
+    "and BROADCAST once via ray.put; each batch runs ONE vectorized "
+    "pc.match_substring per probe (C-level scan, no Python row loop) "
+    "and emits per-probe partial (hits, min doc_id) rows — a "
+    "fixed-width combiner independent of corpus size; final merge is "
+    "a |probes|-row groupby.  An Aho-Corasick automaton is the drop-in "
+    "upgrade past ~1k probes (single pass instead of per-probe scans); "
+    "at the audit-typical probe count the per-probe kernel wins.",
+)
+def memorization_scan(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    pt = pq.read_table(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"],
+        filters=[("n_chars", ">=", 50)],
+    )
+    mask = pa.array(pt["doc_id"].to_numpy() % 97 == 0)
+    pt = pt.filter(mask)
+    probe_ids = pt["doc_id"].to_pylist()
+    probes = [s[10:50] for s in pt["text"].to_pylist()]
+    pref = ray.put((probe_ids, probes))
+
+    class ProbeScan:
+        def __init__(self):
+            self.ids, self.probes = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_pid, out_hits, out_first = [], [], []
+            docs = t["doc_id"]
+            for pid, probe in zip(self.ids, self.probes):
+                hit = pc.match_substring(t["text"], probe)
+                n = pc.sum(hit).as_py() or 0
+                first = pc.min(docs.filter(hit)).as_py() if n else None
+                out_pid.append(pid)
+                out_hits.append(int(n))
+                out_first.append(first if first is not None else (1 << 62))
+            return pa.table(
+                {
+                    "probe_id": pa.array(out_pid, type=pa.int64()),
+                    "hits": pa.array(out_hits, type=pa.int64()),
+                    "first": pa.array(out_first, type=pa.int64()),
+                }
+            )
+
+    agg = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(ProbeScan, batch_format="pyarrow", concurrency=2)
+        .groupby("probe_id")
+        .aggregate(
+            Sum("hits", alias_name="n_docs_hit"),
+            Min("first", alias_name="first_doc"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        first = t["first_doc"]
+        first = pc.if_else(
+            pc.equal(first, 1 << 62), pa.scalar(-1, pa.int64()), first
+        )
+        return pa.table(
+            {
+                "probe_id": t["probe_id"],
+                "n_docs_hit": t["n_docs_hit"],
+                "first_doc": first,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "mutual_nn_pairs",
+    """
+    WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+    ab AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                 DESC, b.vec_id) AS rk
+      FROM a, b),
+    ba AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                 DESC, a.vec_id) AS rk
+      FROM a, b)
+    SELECT ab.aid, ab.bid
+    FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid
+    WHERE ab.rk = 1 AND ba.rk = 1
+    """,
+    doc="Bitext / parallel-corpus mining by MUTUAL nearest neighbors "
+    "(the MUSE/CCMatrix alignment rule: a cross-lingual pair (a, b) "
+    "is mined iff b is a's top-1 cosine neighbor on the other side "
+    "AND a is b's top-1 — mutuality kills the hub problem without "
+    "the float-fragile Artetxe margin ratio; ranking ties break by "
+    "vec_id).  Sides are label parity (the testdata's two-language "
+    "convention).  Distributed shape: the B side is normalized ONCE "
+    "and broadcast via ray.put (at two-corpora scale, broadcast the "
+    "smaller language and stream the larger; past broadcast size the "
+    "IVF-bucketed form of ivfpq_ann_topk is the drop-in); ONE stream "
+    "over A computes BOTH directions per batch — a->b top-1 is final "
+    "within the batch (all of B is present), b->a accumulates as "
+    "per-b (best_cos, best_aid) partials merged by a bucketed argmax "
+    "(associative under the (cos desc, aid asc) total order).  Only "
+    "int pairs and per-b partials ever shuffle; float64 math and "
+    "rank-only output, same FP-stability contract as ann_cosine_topk.",
+)
+def mutual_nn_pairs(sf_dir: str):
+    import ray
+
+    from crawler_ray.stages.ann import list_col_to_matrix
+
+    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    lab = emb["label"].to_numpy()
+    bm = lab % 2 == 1
+    b_ids = emb["vec_id"].to_numpy()[bm].astype(np.int64)
+    bmat = list_col_to_matrix(emb["embedding"].filter(pa.array(bm)))
+    bn = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-30)
+    bref = ray.put((b_ids, bn))
+
+    class Score:
+        def __init__(self):
+            self.b_ids, self.bn = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cols = {
+                "kind": "int64", "aid": "int64", "bid": "int64",
+                "cos": "float64", "__bucket": "int32",
+            }
+            lab = t["label"].to_numpy()
+            am = lab % 2 == 0
+            a_ids = t["vec_id"].to_numpy()[am].astype(np.int64)
+            if len(a_ids) == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            amat = list_col_to_matrix(t["embedding"].filter(pa.array(am)))
+            an = amat / np.maximum(np.linalg.norm(amat, axis=1, keepdims=True), 1e-30)
+            cos = an @ self.bn.T  # |a| x |b|
+            # a->b top-1 (FINAL: every b is present in this batch).
+            # argmax returns the FIRST max; b_ids ascending == tie by bid
+            ab_best = np.argmax(cos, axis=1)
+            # b->a per-batch partial argmax
+            ba_best = np.argmax(cos, axis=0)
+            out = pd.DataFrame(
+                {
+                    "kind": np.concatenate(
+                        (np.zeros(len(a_ids), np.int64), np.ones(len(self.b_ids), np.int64))
+                    ),
+                    "aid": np.concatenate((a_ids, a_ids[ba_best])),
+                    "bid": np.concatenate((self.b_ids[ab_best], self.b_ids)),
+                    "cos": np.concatenate(
+                        (cos[np.arange(len(a_ids)), ab_best], cos[ba_best, np.arange(len(self.b_ids))])
+                    ),
+                }
+            )
+            out["__bucket"] = (out["bid"].to_numpy() % 64).astype("int32")
+            return out.astype(cols)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("kind", "aid", "bid")
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        ab = g[g["kind"] == 0][["aid", "bid"]]
+        ba = g[g["kind"] == 1].sort_values(
+            ["bid", "cos", "aid"], ascending=[True, False, True], kind="stable"
+        ).groupby("bid", as_index=False, sort=False).first()[["aid", "bid"]]
+        mutual = ab.merge(ba, on=["aid", "bid"], how="inner")
+        mutual.insert(0, "kind", np.int64(2))
+        return mutual.astype("int64")
+
+    return (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+        .map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .select_columns(["aid", "bid"])
+    )
+
+
+@register(
+    "cocitation_pairs",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    lu AS (SELECT DISTINCT src, target FROM l),
+    deg AS (SELECT target FROM lu GROUP BY target HAVING count(*) <= 64),
+    p AS (SELECT x.src AS sa, y.src AS sb
+          FROM lu x JOIN lu y ON x.target = y.target AND x.src < y.src
+          JOIN deg ON deg.target = x.target)
+    SELECT sa, sb, count(*) AS shared
+    FROM p GROUP BY sa, sb HAVING count(*) >= 2
+    """,
+    doc="Co-citation similarity over the web link graph (two pages are "
+    "related if the SAME pages link to both — the classic "
+    "link-structure relatedness signal used for crawl clustering and "
+    "seed expansion; reference's link-extraction family feeding "
+    "cluster-urls, dom.clj + cluster.clj).  Edges follow the shared "
+    "deterministic convention (_LINK_SQL_CTE).  Distributed shape: "
+    "(1) explode + per-doc dedup of (src, target) — int pairs only; "
+    "(2) ONE shuffle co-locates each target's citers (bucket = "
+    "target % 64); hub targets past in-degree 64 are DROPPED "
+    "symmetric with the oracle (the standard hub cap: a page cited "
+    "by everything relates nothing); (3) per-target pair generation "
+    "is fully vectorized (sorted-run arange trick, no Python loop "
+    "over pairs) and bounded by cap^2/2 per target; (4) ONE bucketed "
+    "sum on (sa, sb) counts with the >= 2 co-citation floor applied "
+    "before emit.  Text never appears anywhere — the whole operator "
+    "moves int64 triples.",
+)
+def cocitation_pairs(sf_dir: str, hub_cap: int = 64, min_shared: int = 2):
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+        tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n_docs
+        packed = np.unique(src * np.int64(n_docs) + tgt)
+        src_u, tgt_u = packed // n_docs, packed % n_docs
+        return pd.DataFrame(
+            {
+                "src": pd.Series(src_u, dtype="int64"),
+                "target": pd.Series(tgt_u, dtype="int64"),
+                "__bucket": pd.Series((tgt_u % 64).astype(np.int32), dtype="int32"),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("sa", "sb", "c")
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        g = g.sort_values(["target", "src"], kind="stable")
+        tgt = g["target"].to_numpy()
+        src = g["src"].to_numpy()
+        # run boundaries per target
+        starts = np.flatnonzero(np.r_[True, tgt[1:] != tgt[:-1]])
+        lens = np.diff(np.r_[starts, len(tgt)])
+        ok = lens <= hub_cap  # hub cap, mirrored in the oracle
+        # in-run position p of each row; row pairs with its p predecessors
+        pos = np.arange(len(tgt)) - np.repeat(starts, lens)
+        keep = np.repeat(ok, lens)
+        pos = np.where(keep, pos, 0)
+        total = int(pos.sum())
+        if total == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        b_idx = np.repeat(np.arange(len(tgt)), pos)
+        seq = np.arange(total) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(np.repeat(starts, lens), pos) + seq
+        df = pd.DataFrame({"sa": src[a_idx], "sb": src[b_idx]})
+        out = df.groupby(["sa", "sb"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "c"}).astype("int64")
+
+    pair_counts = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    summed = bucketed_agg(
+        pair_counts.map_batches(
+            lambda df: df.rename(columns={"c": "n"}), batch_format="pandas"
+        ),
+        keys=["sa", "sb"],
+        sum_cols={"n": "shared"},
+        key_dtypes={"sa": "int64", "sb": "int64"},
+    )
+
+    def floor_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "shared" not in t.column_names:
+            return pa.table(
+                {"sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
+                 "shared": pa.array([], pa.int64())}
+            )
+        t = t.filter(pc.greater_equal(t["shared"], min_shared))
+        return t.select(["sa", "sb", "shared"])
+
+    return summed.map_batches(floor_filter, batch_format="pyarrow")

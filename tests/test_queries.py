@@ -27,7 +27,8 @@ SAMPLE = [
     "triangle_count", "interleaved_span_stats", "url_pattern_topk",
     "containment_join", "rrf_fusion", "anchor_text_agg",
     "image_text_pairs", "interleaved_doc_filter", "interleaved_serialize",
-    "boilerplate_removal",
+    "boilerplate_removal", "dedup_keep_longest", "memorization_scan",
+    "mutual_nn_pairs", "cocitation_pairs",
 ]
 
 
