@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dedup_keep_longest",
     "mutual_nn_pairs",
     "cocitation_pairs",
+    "interleaved_data_prep",
 ]
 
 

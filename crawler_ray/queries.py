@@ -10705,3 +10705,269 @@ def cocitation_pairs(sf_dir: str, hub_cap: int = 64, min_shared: int = 2):
         return t.select(["sa", "sb", "shared"])
 
     return summed.map_batches(floor_filter, batch_format="pyarrow")
+
+
+@register(
+    "hll_registers",
+    """
+    WITH h AS (
+      SELECT event_type,
+             md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+      FROM events),
+    r AS (
+      SELECT event_type,
+             CAST(hv % 64 AS BIGINT) AS bucket,
+             59 - length(ltrim(bin(hv // 64), '0')) AS rho
+      FROM h)
+    SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS register
+    FROM r GROUP BY event_type, bucket
+    """,
+    doc="HyperLogLog sketch registers for per-group distinct counting "
+    "(Flajolet et al.: bucket = low 6 hash bits, register = max over "
+    "the group of (leading-zero count of the remaining 58 bits + 1)) "
+    "— the mergeable-sketch pattern for COUNT DISTINCT at 100 TB, "
+    "where the exact distinct (a full shuffle of every key) is the "
+    "thing being avoided; KMV (distinct_kmv) bounds from a sample of "
+    "low hashes, HLL gets the same from 64 bytes/group.  The sketch "
+    "itself is under the SQL gate: registers are EXACT integers "
+    "(md5_number_lower hash both sides; rho via DuckDB's bin() "
+    "bit-length idiom), so the oracle pins every register value, not "
+    "an estimate.  Distributed shape: per-batch partial max per "
+    "(event_type, bucket) — a fixed 64-rows-per-group-per-batch "
+    "combiner regardless of corpus size (max is associative); ONE "
+    "tiny groupby-max merge.  The cardinality estimate "
+    "(alpha_64 * 64^2 / sum 2^-reg) is a driver-side formula over "
+    "the returned registers; the relative-error contract is asserted "
+    "against the exact distinct in tests.",
+)
+def hll_registers(sf_dir: str):
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"event_type": "object", "bucket": "int64", "register": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        uid = t["user_id"].to_numpy()
+        hv = np.empty(len(uid), dtype=np.uint64)
+        for i, u in enumerate(uid):
+            hv[i] = int.from_bytes(
+                hashlib.md5(str(int(u)).encode()).digest()[8:16], "little"
+            )
+        bucket = (hv % 64).astype(np.int64)
+        rest = hv // 64
+        # exact bit_length (float log2 is inexact near powers of two):
+        # vectorized binary-search over the 6 halving steps
+        bl = np.zeros(len(rest), dtype=np.int64)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            v[big] >>= np.uint64(shift)
+        bl[rest != 0] += 1  # bit_length = floor(log2)+1
+        rho = 59 - bl
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas().to_numpy(),
+                "bucket": bucket,
+                "register": rho,
+            }
+        )
+        return df.groupby(["event_type", "bucket"], as_index=False, sort=False)[
+            "register"
+        ].max()
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max("register", alias_name="register"))
+    )
+
+
+@register(
+    "interleaved_data_prep",
+    """
+    WITH ts AS (
+      SELECT d.doc_id, d.n_chars, d.text, t.j
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)),
+    agg AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars,
+             count(*) FILTER ((doc_id * 31 + j) % 5 = 0) AS n_media,
+             count(*) FILTER ((doc_id * 31 + j) % 5 = 0
+                              AND (doc_id + j) % 3 = 0) AS n_images
+      FROM ts GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id FROM agg
+      WHERE n_images >= 1 AND n_media <= 8 AND n_chars >= 96 * n_media),
+    sp AS (
+      SELECT ts.doc_id, ts.j * 2 AS ord,
+             substr(ts.text, ts.j * 64 + 1,
+                    least(64, ts.n_chars - ts.j * 64)) AS seg
+      FROM ts JOIN kept USING (doc_id)
+      UNION ALL
+      SELECT ts.doc_id, ts.j * 2 + 1,
+             '<' || CASE (ts.doc_id + ts.j) % 3
+                      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                    END || '>'
+      FROM ts JOIN kept USING (doc_id)
+      WHERE (ts.doc_id * 31 + ts.j) % 5 = 0),
+    ser AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS train_text,
+             sum(CASE WHEN ord % 2 = 1 THEN 1 ELSE 0 END) AS n_sent,
+             sum(length(seg)) AS train_chars
+      FROM sp GROUP BY doc_id),
+    ded AS (
+      SELECT doc_id, n_sent, train_chars,
+             min(doc_id) OVER (PARTITION BY md5(substr(train_text, 1, 128)))
+               AS fdoc
+      FROM ser),
+    win AS (
+      SELECT doc_id, (train_chars + 3) // 4 + 252 * n_sent AS tok
+      FROM ded WHERE doc_id = fdoc),
+    s AS (
+      SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+               AS cb
+      FROM win),
+    c AS (SELECT tok, cb, cb // 2048 AS fc, (cb + tok - 1) // 2048 AS lc
+          FROM s)
+    SELECT (SELECT count(*) FROM documents) AS n_in,
+           (SELECT count(*) FROM kept) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST((max(cb + tok) + 2047) // 2048 AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN fc != lc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers
+    FROM c
+    """,
+    doc="END-TO-END multimodal (interleaved) training-data prep — the "
+    "VLM-corpus flagship composing this round's interleaved operators "
+    "into one streamed pipeline over the input_hint nested schema: "
+    "(1) build the spans column (zero-copy _build_span_column); "
+    "(2) OBELICS gate per doc (n_images >= 1, n_media <= 8, "
+    "text_chars >= 96*n_media, all integer tests); (3) serialize "
+    "survivors to training text with <image>/<audio>/<video> "
+    "sentinels; (4) cross-corpus first-wins dedup on the HEAD "
+    "fingerprint (md5 of the first 128 serialized chars — the "
+    "same-article/different-tail key; full-text keys never fire on "
+    "real crawls where copies differ in chrome); (5) media-aware "
+    "token costing (ceil(chars/4) + 252 tokens per media sentinel, "
+    "the fixed vision-token budget convention) and concat-and-chunk "
+    "packing at context 2048 via the distributed two-phase prefix "
+    "scan (stages/relational.add_prefix_sum).  Stages (1)-(4) are "
+    "ONE fused map_batches chain per batch — text never crosses a "
+    "shuffle: the dedup moves only (fp128, doc_id, tok) int rows "
+    "through a bucketed min merge, and packing moves (doc_id, tok).  "
+    "Output is the one-row corpus report: docs in/kept/out, total "
+    "tokens, chunks, boundary straddlers.",
+)
+def interleaved_data_prep(sf_dir: str, ctx: int = 2048, media_tok: int = 252):
+    import hashlib
+
+    from crawler_ray.stages.relational import add_prefix_sum
+
+    n_in = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def stage1(t: pa.Table) -> pd.DataFrame:
+        cols = {"fp1": "int64", "fp2": "int64", "doc_id": "int64",
+                "tok": "int64", "__bucket": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        sc = t["spans"]
+        spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+        flat = spans.flatten()
+        if len(flat) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        kind = flat.field("kind")
+        is_media = pc.not_equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_image = pc.equal(kind, "image").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(flat.field("text")).to_numpy().astype(np.int64)
+        nrows = t.num_rows
+        n_media = np.bincount(parent[is_media], minlength=nrows)
+        n_images = np.bincount(parent[is_image], minlength=nrows)
+        text_chars = np.bincount(parent, weights=tlen, minlength=nrows).astype(np.int64)
+        keep = (n_images >= 1) & (n_media <= 8) & (text_chars >= 96 * n_media)
+        keep_span = keep[parent]
+        # serialize only the kept docs (sentinels for media spans)
+        sentinel = pc.binary_join_element_wise(
+            pa.scalar("<"), kind, pa.scalar(">"), pa.scalar("")
+        )
+        piece = pc.if_else(pa.array(is_media), sentinel, flat.field("text"))
+        ser = pd.Series(piece.to_pandas().to_numpy(), copy=False)[keep_span]
+        grouped = ser.groupby(parent[keep_span], sort=True).agg("".join)
+        docs_idx = grouped.index.to_numpy()
+        did = t["doc_id"].to_numpy()[docs_idx]
+        # train_chars = text chars + sentinel chars, per kept doc
+        sent_len = pc.utf8_length(piece).to_numpy().astype(np.int64)
+        train_chars = np.bincount(parent[keep_span], weights=sent_len[keep_span],
+                                  minlength=nrows).astype(np.int64)[docs_idx]
+        n_sent = n_media[docs_idx]
+        tok = (train_chars + 3) // 4 + media_tok * n_sent
+        fp1 = np.empty(len(docs_idx), dtype=np.int64)
+        fp2 = np.empty(len(docs_idx), dtype=np.int64)
+        for i, s in enumerate(grouped.to_numpy()):
+            dg = hashlib.md5(s[:128].encode()).digest()
+            fp1[i] = int.from_bytes(dg[:8], "little") - (1 << 63)
+            fp2[i] = int.from_bytes(dg[8:], "little") - (1 << 63)
+        return pd.DataFrame(
+            {"fp1": fp1, "fp2": fp2, "doc_id": did, "tok": tok,
+             "__bucket": (fp1 % 64).astype(np.int32)}
+        )
+
+    def winners_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_id", "tok")
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        g = g.sort_values(["fp1", "fp2", "doc_id"], kind="stable")
+        w = g.groupby(["fp1", "fp2"], as_index=False, sort=False).first()
+        return w[["doc_id", "tok"]].astype("int64")
+
+    kept_meta = (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(stage1, batch_format="pyarrow")
+        .materialize()
+    )
+    n_kept = kept_meta.count()
+    winners = (
+        kept_meta.groupby("__bucket")
+        .map_groups(winners_in_bucket, batch_format="pandas")
+    )
+    scanned = add_prefix_sum(winners, col="tok", out_col="cb", order_col="doc_id")
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()), "tok": pa.array([0], pa.int64()),
+                 "end_max": pa.array([0], pa.int64()),
+                 "straddlers": pa.array([0], pa.int64())}
+            )
+        cb = t["cb"].to_numpy()
+        tk = t["tok"].to_numpy()
+        fc, lc = cb // ctx, (cb + tk - 1) // ctx
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "tok": pa.array([int(tk.sum())], pa.int64()),
+                "end_max": pa.array([int((cb + tk).max())], pa.int64()),
+                "straddlers": pa.array([int((fc != lc).sum())], pa.int64()),
+            }
+        )
+
+    sp = scanned.map_batches(
+        part_stats, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return pa.table(
+        {
+            "n_in": pa.array([n_in], pa.int64()),
+            "n_kept": pa.array([n_kept], pa.int64()),
+            "n_out": pa.array([int(sp["n"].sum())], pa.int64()),
+            "total_tokens": pa.array([int(sp["tok"].sum())], pa.int64()),
+            "n_chunks": pa.array([int((sp["end_max"].max() + ctx - 1) // ctx)], pa.int64()),
+            "n_straddlers": pa.array([int(sp["straddlers"].sum())], pa.int64()),
+        }
+    )

@@ -28,7 +28,8 @@ SAMPLE = [
     "containment_join", "rrf_fusion", "anchor_text_agg",
     "image_text_pairs", "interleaved_doc_filter", "interleaved_serialize",
     "boilerplate_removal", "dedup_keep_longest", "memorization_scan",
-    "mutual_nn_pairs", "cocitation_pairs",
+    "mutual_nn_pairs", "cocitation_pairs", "hll_registers",
+    "interleaved_data_prep",
 ]
 
 
@@ -475,3 +476,30 @@ def test_boilerplate_removal_regimes_agree(ray_session):
     # aggregate: total removed across the corpus must be even (each
     # group contributes >= 2 at min_docs=2 and synthetic dups are pairs)
     assert bc["n_removed"].sum() >= 2
+
+
+def test_hll_estimate_within_standard_error(ray_session):
+    """The HLL cardinality estimate derived from the oracle-pinned
+    registers must land within ~3 standard errors (1.04/sqrt(64) ~ 13%)
+    of the exact per-group distinct count."""
+    import duckdb
+
+    from crawler_ray.queries import hll_registers
+
+    regs = hll_registers(SF).to_pandas()
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS nd "
+        f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1"
+    ).df().set_index("event_type")["nd"]
+    m = 64
+    alpha = 0.709
+    for et, g in regs.groupby("event_type"):
+        # absent buckets have register 0
+        r = np.zeros(m)
+        r[g["bucket"].to_numpy()] = g["register"].to_numpy()
+        est = alpha * m * m / np.sum(2.0 ** -r)
+        if est <= 2.5 * m and (r == 0).any():  # small-range correction
+            est = m * np.log(m / (r == 0).sum())
+        nd = exact[et]
+        assert abs(est - nd) / nd < 0.40, (et, est, nd)
