@@ -9267,7 +9267,15 @@ def url_pattern_topk(sf_dir: str, k: int = 3):
     "candidates come from an inverted index over the PREFIX only — "
     "each doc probes its floor(sz/5)+1 smallest hashes (containment "
     ">= 4/5 leaves at most floor(sz/5) grams outside the container, so "
-    "one probe gram MUST hit: guaranteed-superset recall, ~df^2/5 pair "
+    "one probe gram MUST hit for ANY fixed p-subset: guaranteed-"
+    "superset recall; probes are ordered by ASCENDING global df "
+    "(PPJoin), with the containment size filter sz_b*5 >= 4*sz_a "
+    "applied at pair generation.  DENSE-vocabulary corpora (distinct "
+    "grams <= 16,384, where every df is huge and any prefix "
+    "regenerates near-all-pairs) auto-dispatch to blocked bitset "
+    "tiles (dense_bitset_containment_pairs, BLAS intersection "
+    "counts, both directions per tile) — regime equality tested; "
+    "sparse corpora keep the prefix-postings path at ~df^2/5 pair "
     "volume instead of df^2) while the index side is full postings; "
     "exact verification intersects the two docs' gram buffers "
     "(dedup.pair_intersection_counts, one vectorized sort) in an "
@@ -9282,6 +9290,8 @@ def containment_join(
     sf_dir: str,
     grams_broadcast_cap: int = 200_000,
     forced_regime: Optional[str] = None,
+    df_order_cap: int = 50_000_000,
+    dense_vocab_limit: int = 16_384,
 ):
     import ray
     import ray.data as rd
@@ -9343,38 +9353,130 @@ def containment_join(
         .materialize()
     )
 
-    def postings(t: pa.Table) -> pa.Table:
-        ghs, dids, prs = [], [], []
-        for did, gb, sz in zip(
-            t["doc_id"].to_numpy(), t["gb"].to_pylist(), t["sz"].to_numpy()
-        ):
-            h = np.frombuffer(gb, dtype=np.uint64).view(np.int64)
-            p = int(sz) // 5 + 1  # prefix budget at theta = 4/5
-            ghs.append(h)
-            dids.append(np.full(len(h), did, dtype=np.int64))
-            pr = np.zeros(len(h), dtype=np.int8)
-            pr[:p] = 1  # buffers are sorted: the p smallest hashes
-            prs.append(pr)
-        gh = np.concatenate(ghs) if ghs else np.zeros(0, dtype=np.int64)
-        return pa.table(
-            {
-                "gh": pa.array(gh),
-                "doc_id": pa.array(
-                    np.concatenate(dids) if dids else np.zeros(0, dtype=np.int64)
-                ),
-                "probe": pa.array(
-                    np.concatenate(prs) if prs else np.zeros(0, dtype=np.int8)
-                ),
-                "bkt": pa.array((gh % N_BUCKETS).astype(np.int32)),
-            }
+    # PPJoin df-ASCENDING prefix ordering.  A Zipfian gram vocabulary
+    # makes hash-ordered prefixes probe HOT grams (df in the hundreds),
+    # degenerating candidates toward all-pairs (measured: 12.1M unique
+    # pairs from 5,500 docs at sf0.1, 60s of verify).  The pigeonhole
+    # guarantee holds for ANY fixed p-subset of a doc's grams, so order
+    # every doc by ascending global df (tie: hash) and probe the RAREST
+    # grams instead — candidate volume becomes Σ_probe df(g), dominated
+    # by df≈1 grams.  The df table is a (gh, df) pair per DISTINCT gram
+    # (vocab-bounded, not corpus-bounded); broadcast below df_order_cap,
+    # falling back to hash order past it (correct, slower).
+    def df_partial(t: pa.Table) -> pa.Table:
+        hs = [
+            np.frombuffer(gb, dtype=np.uint64).view(np.int64)
+            for gb in t["gb"].to_pylist()
+        ]
+        allh = np.concatenate(hs) if hs else np.zeros(0, dtype=np.int64)
+        u, c = np.unique(allh, return_counts=True)
+        return pa.table({"gh": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    dfp = (
+        grams.map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("gh", as_index=False, sort=True)["c"]
+        .sum()
+    )
+    # DENSE-VOCABULARY dispatch (same rule as ngram_jaccard_neardup):
+    # the df table IS the vocabulary, so the decision is free here.
+    # With ~1k distinct grams every df is in the hundreds and prefix
+    # probes regenerate near-all-pairs (measured 12M pairs / 60 s at
+    # sf0.1) — blocked bitset tiles compute those intersections at
+    # BLAS speed instead.  Sparse vocabularies (real web text) take
+    # the PPJoin prefix-postings path below.
+    vocab = dfp["gh"].to_numpy(np.int64)
+    if (
+        forced_regime in (None, "dense")
+        and dense_vocab_limit
+        and len(vocab) <= dense_vocab_limit
+    ):
+        from .stages.dedup import dense_bitset_containment_pairs
+
+        meta = grams.select_columns(["doc_id", "sz"]).to_pandas()
+        order = np.argsort(meta["doc_id"].to_numpy())
+        ids_sorted = meta["doc_id"].to_numpy()[order].astype(np.int64)
+        sz_sorted = meta["sz"].to_numpy()[order].astype(np.int64)
+
+        def explode_gh(t: pa.Table) -> pa.Table:
+            hs = [
+                np.frombuffer(gb, dtype=np.uint64).view(np.int64)
+                for gb in t["gb"].to_pylist()
+            ]
+            n = np.array([len(h) for h in hs], dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), n)),
+                    "gh": pa.array(
+                        np.concatenate(hs) if hs else np.zeros(0, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return dense_bitset_containment_pairs(
+            grams.map_batches(explode_gh, batch_format="pyarrow"),
+            vocab,
+            ids_sorted,
+            sz_sorted,
         )
+
+    if len(dfp) <= df_order_cap:
+        df_ref = ray.put(
+            (dfp["gh"].to_numpy(np.int64), dfp["c"].to_numpy(np.int64))
+        )
+    else:
+        df_ref = None
+
+    class Postings:
+        def __init__(self):
+            self.df = ray.get(df_ref) if df_ref is not None else None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ghs, dids, prs, szs = [], [], [], []
+            for did, gb, sz in zip(
+                t["doc_id"].to_numpy(), t["gb"].to_pylist(), t["sz"].to_numpy()
+            ):
+                h = np.frombuffer(gb, dtype=np.uint64).view(np.int64)
+                p = int(sz) // 5 + 1  # prefix budget at theta = 4/5
+                pr = np.zeros(len(h), dtype=np.int8)
+                if self.df is not None:
+                    dfh = self.df[1][np.searchsorted(self.df[0], h)]
+                    pr[np.lexsort((h, dfh))[:p]] = 1  # rarest-first prefix
+                else:
+                    pr[:p] = 1  # buffers are sorted: the p smallest hashes
+                ghs.append(h)
+                dids.append(np.full(len(h), did, dtype=np.int64))
+                prs.append(pr)
+                szs.append(np.full(len(h), sz, dtype=np.int64))
+            gh = np.concatenate(ghs) if ghs else np.zeros(0, dtype=np.int64)
+            return pa.table(
+                {
+                    "gh": pa.array(gh),
+                    "doc_id": pa.array(
+                        np.concatenate(dids) if dids else np.zeros(0, dtype=np.int64)
+                    ),
+                    "probe": pa.array(
+                        np.concatenate(prs) if prs else np.zeros(0, dtype=np.int8)
+                    ),
+                    "sz": pa.array(
+                        np.concatenate(szs) if szs else np.zeros(0, dtype=np.int64)
+                    ),
+                    "bkt": pa.array((gh % N_BUCKETS).astype(np.int32)),
+                }
+            )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0 or "gh" not in g.columns:
             return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
-        probe = g[g["probe"] == 1][["gh", "doc_id"]]
-        cand = probe.merge(g[["gh", "doc_id"]], on="gh", suffixes=("_a", "_b"))
-        cand = cand[cand["doc_id_a"] != cand["doc_id_b"]]
+        probe = g[g["probe"] == 1][["gh", "doc_id", "sz"]]
+        cand = probe.merge(
+            g[["gh", "doc_id", "sz"]], on="gh", suffixes=("_a", "_b")
+        )
+        # containment >= 4/5 needs |B| >= ceil(4|A|/5): size filter
+        cand = cand[
+            (cand["doc_id_a"] != cand["doc_id_b"])
+            & (cand["sz_b"].to_numpy() * 5 >= 4 * cand["sz_a"].to_numpy())
+        ]
         pk = np.unique(
             (cand["doc_id_a"].to_numpy() << np.int64(32))
             | cand["doc_id_b"].to_numpy()
@@ -9382,7 +9484,7 @@ def containment_join(
         return pd.DataFrame({"pk": pk})
 
     cand_keys = bucketed_agg(
-        grams.map_batches(postings, batch_format="pyarrow")
+        grams.map_batches(Postings, batch_format="pyarrow", concurrency=2)
         .groupby("bkt")
         .map_groups(pairs_in_bucket, batch_format="pandas"),
         keys=["pk"],

@@ -1095,6 +1095,114 @@ def dense_bitset_jaccard_pairs(
     return rd.from_arrow_refs(futs)
 
 
+def dense_bitset_containment_pairs(
+    grams_ds,
+    vocab: np.ndarray,
+    ids_sorted: np.ndarray,
+    sz_sorted: np.ndarray,
+    theta_num: int = 4,
+    theta_den: int = 5,
+    n_blocks: int = 8,
+):
+    """DIRECTED set-containment pair join for the DENSE-VOCABULARY
+    regime (sibling of dense_bitset_jaccard_pairs; same bitset/tile
+    partitioning assumption).  The PPJoin prefix filter is powerless
+    here: with a ~1k-gram vocabulary every gram's df is in the
+    hundreds, so prefix probes regenerate near-all-pairs anyway
+    (measured 12M pairs / 60 s at sf0.1) — the blocked int matmul
+    computes exactly those intersections at BLAS speed instead.
+
+    Emits (containee, container, containment = inter/sz_containee)
+    for every ordered pair with inter * theta_den >= theta_num * sz_a.
+    Each tile reads two bitset blocks and emits BOTH directions from
+    one intersection matrix."""
+    import ray
+    import ray.data as rd
+
+    vref = ray.put((vocab, ids_sorted, sz_sorted))
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        vocab_l, ids_l, _ = ray.get(vref)
+        rk = np.searchsorted(ids_l, t["doc_id"].to_numpy()).astype(np.int64)
+        gh = t["gh"].to_numpy()
+        order = np.argsort(rk, kind="stable")
+        rk, gh = rk[order], gh[order]
+        uids, first = np.unique(rk, return_index=True)
+        rows = []
+        for i, start in enumerate(first):
+            end = first[i + 1] if i + 1 < len(first) else len(rk)
+            bits = np.zeros(len(vocab_l), dtype=np.uint8)
+            bits[np.searchsorted(vocab_l, gh[start:end])] = 1
+            rows.append(np.packbits(bits).tobytes())
+        return pa.table(
+            {
+                "rk": pa.array(uids, type=pa.int64()),
+                "bits": pa.array(rows, type=pa.binary()),
+            }
+        )
+
+    bits_ds = grams_ds.map_batches(
+        to_bits, batch_format="pyarrow", batch_size=None
+    ).repartition(n_blocks).materialize()
+    block_refs = bits_ds.to_arrow_refs()
+
+    EMPTY = pa.table(
+        {"containee": pa.array([], type=pa.int64()),
+         "container": pa.array([], type=pa.int64()),
+         "containment": pa.array([], type=pa.float64())}
+    )
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        vocab_l, ids_l, sz_l = ray.get(vref)
+        nv = len(vocab_l)
+
+        def unpack(t):
+            rk = t["rk"].to_numpy()
+            raw = np.frombuffer(b"".join(t["bits"].to_pylist()), dtype=np.uint8).reshape(len(rk), -1)
+            return rk, np.unpackbits(raw, axis=1, count=nv).astype(np.float32)
+
+        ra, ma = unpack(ta)
+        rb, mb = unpack(tb)
+        if not len(ra) or not len(rb):
+            return EMPTY
+        inter = np.rint(ma @ mb.T).astype(np.int64)  # exact: counts < 2^24
+        sa = sz_l[ra][:, None]
+        sb = sz_l[rb][None, :]
+        ident = ra[:, None] == rb[None, :]
+        outs = []
+        for contain_mask, ca_rk, co_rk, ca_sz, it in (
+            (inter * theta_den >= theta_num * sa, ra, rb, sa, inter),
+            (inter.T * theta_den >= theta_num * sb.T, rb, ra, sb.T, inter.T),
+        ):
+            m = contain_mask & ~(ident if it is inter else ident.T)
+            ia, ib = np.nonzero(m)
+            if not len(ia):
+                continue
+            outs.append(
+                pa.table(
+                    {
+                        "containee": pa.array(ids_l[ca_rk[ia]]),
+                        "container": pa.array(ids_l[co_rk[ib]]),
+                        "containment": pa.array(
+                            it[ia, ib] / ca_sz[ia, 0].astype(np.float64)
+                        ),
+                    }
+                )
+            )
+            if same:
+                break  # same-block tile: the full matrix covers both directions
+        if not outs:
+            return EMPTY
+        return pa.concat_tables(outs)
+
+    futs = []
+    for i in range(len(block_refs)):
+        for jj in range(i, len(block_refs)):
+            futs.append(tile.remote(block_refs[i], block_refs[jj], i == jj))
+    return rd.from_arrow_refs(futs)
+
+
 def try_hybrid_jaccard(
     grams_ds,
     ids_sorted: np.ndarray,

@@ -1097,6 +1097,10 @@ def test_containment_join_regimes_and_planted_excerpts(ray_session):
     a = norm(containment_join(sf, forced_regime="broadcast"))
     b = norm(containment_join(sf, forced_regime="join"))
     pd.testing.assert_frame_equal(a, b)
+    # dense-vocabulary bitset regime (the default on this corpus) must
+    # emit the exact same directed pairs as the PPJoin prefix path
+    c = norm(containment_join(sf, forced_regime="dense"))
+    pd.testing.assert_frame_equal(a, c)
 
     import pyarrow.parquet as pq
 
