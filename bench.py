@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "mutual_nn_pairs",
     "cocitation_pairs",
     "interleaved_data_prep",
+    "graph_random_walks",
 ]
 
 

@@ -11073,3 +11073,239 @@ def interleaved_data_prep(sf_dir: str, ctx: int = 2048, media_tok: int = 252):
             "n_straddlers": pa.array([int(sp["straddlers"].sum())], pa.int64()),
         }
     )
+
+
+@register(
+    "graph_random_walks",
+    """
+    WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM nn) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)),
+    lu AS (SELECT DISTINCT src, target FROM l WHERE src <> target),
+    adj AS (
+      SELECT src, target,
+             row_number() OVER (PARTITION BY src ORDER BY target) - 1 AS idx,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM lu),
+    walks AS (
+      SELECT doc_id AS seed, CAST(0 AS BIGINT) AS step, doc_id AS node
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT w.seed, w.step + 1, a.target
+      FROM walks w JOIN adj a ON a.src = w.node
+       AND a.idx = CAST(md5_number_lower(CAST(w.node * 1000 + w.step
+                                              AS VARCHAR)) % a.deg AS BIGINT)
+      WHERE w.step < 4)
+    SELECT seed, step, node FROM walks
+    """,
+    doc="Deterministic random-walk corpus generation over the web link "
+    "graph (the DeepWalk/node2vec preprocessing step: emit fixed-length "
+    "walks per seed node to feed a skip-gram embedder; also the "
+    "random-surfer sampling primitive).  Next hop from node v at step "
+    "t is the idx-th smallest distinct neighbor with idx = "
+    "md5(v*1000 + t) % deg(v) — a seeded hash walk, so the oracle is "
+    "a recursive CTE applying the SAME rule (md5_number_lower both "
+    "sides), exact to the row.  Distributed shape: the ranked "
+    "adjacency (src, target, idx, deg) is built ONCE — explode + "
+    "per-doc dedup, one bucketed per-src shuffle that sorts and ranks "
+    "neighbors (int64 quads only).  Then per step, TWO REGIMES "
+    "(pagerank/bfs pattern): below walk_broadcast_cap unique frontier "
+    "nodes, the SORTED frontier broadcasts and the adjacency STREAMS "
+    "against it (searchsorted membership + one vectorized hash-match "
+    "filter — no shuffle; matched next-hop table, <= |frontier| rows, "
+    "returns to the driver and broadcasts back); past the cap the "
+    "frontier stays a Dataset and each step is ONE hash join against "
+    "the ranked adjacency with the idx filter applied batch-side.  "
+    "Regimes are result-equal (forced-regime test).  Walk state is "
+    "(seed, node) int pairs — walk text/features never exist here.",
+)
+def graph_random_walks(
+    sf_dir: str,
+    n_steps: int = 4,
+    seed_mod: int = 50,
+    walk_broadcast_cap: int = 50_000_000,
+    forced_regime: Optional[str] = None,
+):
+    import ray
+    import ray.data as rd
+
+    from crawler_ray.functions.shingles import md5_hash64
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+        tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n_docs
+        keep = src != tgt
+        packed = np.unique(src[keep] * np.int64(n_docs) + tgt[keep])
+        return pd.DataFrame(
+            {
+                "src": pd.Series(packed // n_docs, dtype="int64"),
+                "target": pd.Series(packed % n_docs, dtype="int64"),
+                "__bucket": pd.Series(
+                    ((packed // n_docs) % 64).astype(np.int32), dtype="int32"
+                ),
+            }
+        )
+
+    def rank_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("src", "target", "idx", "deg")
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        g = g.sort_values(["src", "target"], kind="stable")
+        src = g["src"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        lens = np.diff(np.r_[starts, len(src)])
+        idx = np.arange(len(src)) - np.repeat(starts, lens)
+        deg = np.repeat(lens, lens)
+        return pd.DataFrame(
+            {"src": src, "target": g["target"].to_numpy(),
+             "idx": idx.astype(np.int64), "deg": deg.astype(np.int64)}
+        )
+
+    adj = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_in_bucket, batch_format="pandas")
+        # map_groups emits schemaless EMPTY pandas blocks that poison
+        # the Arrow hash join; repartition concatenates into typed blocks
+        .repartition(8)
+        .materialize()
+    )
+
+    seeds0 = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id"])
+    sd = seeds0["doc_id"].to_numpy()
+    sd = np.sort(sd[sd % seed_mod == 0]).astype(np.int64)
+    frontier = rd.from_arrow(
+        pa.table({"seed": pa.array(sd), "node": pa.array(sd)})
+    )
+    out_parts = [pa.table(
+        {"seed": pa.array(sd), "step": pa.array(np.zeros(len(sd), np.int64)),
+         "node": pa.array(sd)}
+    )]
+    out_ds_parts = []  # join-regime steps stay Datasets (never collected)
+
+    for step in range(n_steps):
+        fdf = None
+        regime = forced_regime
+        if regime is None:
+            regime = "broadcast"  # cap checked on the unique node count
+        if regime == "broadcast":
+            fdf = frontier.to_pandas()
+            fnodes = np.unique(fdf["node"].to_numpy())
+            if forced_regime is None and len(fnodes) > walk_broadcast_cap:
+                regime = "join"
+        if regime == "broadcast":
+            fref = ray.put(fnodes)
+
+            class NextHop:
+                def __init__(self):
+                    self.f = ray.get(fref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    src = t["src"].to_numpy()
+                    pos = np.clip(np.searchsorted(self.f, src), 0, len(self.f) - 1)
+                    m = (len(self.f) > 0) & (self.f[pos] == src)
+                    if not m.any():
+                        return pa.table(
+                            {"node": pa.array([], pa.int64()),
+                             "next": pa.array([], pa.int64())}
+                        )
+                    src, tgt = src[m], t["target"].to_numpy()[m]
+                    idx, deg = t["idx"].to_numpy()[m], t["deg"].to_numpy()[m]
+                    want = np.fromiter(
+                        (md5_hash64(str(int(s) * 1000 + step)) % int(d)
+                         for s, d in zip(src, deg)),
+                        dtype=np.int64, count=len(src),
+                    )
+                    hit = idx == want
+                    return pa.table(
+                        {"node": pa.array(src[hit]), "next": pa.array(tgt[hit])}
+                    )
+
+            nh = adj.map_batches(
+                NextHop, batch_format="pyarrow", concurrency=2
+            ).to_pandas()
+            nmap = dict(zip(nh["node"], nh["next"]))
+            nxt = fdf["node"].map(nmap)
+            alive = nxt.notna()
+            fdf = pd.DataFrame(
+                {"seed": fdf["seed"][alive].to_numpy(),
+                 "node": nxt[alive].to_numpy().astype(np.int64)}
+            )
+            out_parts.append(pa.table(
+                {"seed": pa.array(fdf["seed"].to_numpy()),
+                 "step": pa.array(np.full(len(fdf), step + 1, np.int64)),
+                 "node": pa.array(fdf["node"].to_numpy())}
+            ))
+            frontier = rd.from_arrow(
+                pa.table({"seed": pa.array(fdf["seed"].to_numpy()),
+                          "node": pa.array(fdf["node"].to_numpy())})
+            )
+        else:  # join regime: frontier stays a Dataset
+
+            def add_want(t: pa.Table) -> pa.Table:
+                nodes = t["node"].to_numpy()
+                want = np.fromiter(
+                    (md5_hash64(str(int(v) * 1000 + step)) for v in nodes),
+                    dtype=np.uint64, count=len(nodes),
+                ).view(np.int64)
+                return t.append_column("hsh", pa.array(want))
+
+            fr = frontier.map_batches(add_want, batch_format="pyarrow")
+            joined = fr.join(
+                adj, join_type="inner", num_partitions=8,
+                on=("node",), right_on=("src",),
+            )
+
+            def pick(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table(
+                        {"seed": pa.array([], pa.int64()),
+                         "node": pa.array([], pa.int64())}
+                    )
+                hsh = t["hsh"].to_numpy().view(np.uint64)
+                deg = t["deg"].to_numpy().astype(np.uint64)
+                hit = (hsh % deg).view(np.int64) == t["idx"].to_numpy()
+                return pa.table(
+                    {"seed": t["seed"].filter(pa.array(hit)),
+                     "node": t["target"].filter(pa.array(hit))}
+                )
+
+            # Ray's join emits SCHEMALESS zero-row blocks for empty
+            # partitions and map_batches passes them through without
+            # calling the UDF — repartition concatenates them into
+            # typed blocks before the next round's join (established
+            # idiom, cf. _segment_dedup_join_regime)
+            frontier = (
+                joined.map_batches(pick, batch_format="pyarrow")
+                .repartition(4)
+                .materialize()
+            )
+            s_now = step + 1
+
+            def stamp(t: pa.Table, _s=s_now) -> pa.Table:
+                if t.num_rows == 0 or "seed" not in t.column_names:
+                    return pa.table(
+                        {"seed": pa.array([], pa.int64()),
+                         "step": pa.array([], pa.int64()),
+                         "node": pa.array([], pa.int64())}
+                    )
+                return pa.table(
+                    {"seed": t["seed"],
+                     "step": pa.array(np.full(t.num_rows, _s, np.int64)),
+                     "node": t["node"]}
+                )
+
+            out_ds_parts.append(frontier.map_batches(stamp, batch_format="pyarrow"))
+
+    base = rd.from_arrow(pa.concat_tables(out_parts))
+    for p in out_ds_parts:
+        base = base.union(p)
+    return base

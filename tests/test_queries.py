@@ -29,7 +29,7 @@ SAMPLE = [
     "image_text_pairs", "interleaved_doc_filter", "interleaved_serialize",
     "boilerplate_removal", "dedup_keep_longest", "memorization_scan",
     "mutual_nn_pairs", "cocitation_pairs", "hll_registers",
-    "interleaved_data_prep",
+    "interleaved_data_prep", "graph_random_walks",
 ]
 
 
@@ -503,3 +503,24 @@ def test_hll_estimate_within_standard_error(ray_session):
             est = m * np.log(m / (r == 0).sum())
         nd = exact[et]
         assert abs(est - nd) / nd < 0.40, (et, est, nd)
+
+
+def test_graph_random_walks_regimes_agree(ray_session):
+    """Broadcast-frontier regime vs forced Dataset-join regime must
+    emit identical (seed, step, node) walk rows; every seed walks
+    n_steps (the synthetic graph has min out-degree >= 2 after
+    self-loop removal, so no walk dies early)."""
+    import pandas as pd
+
+    from crawler_ray.queries import graph_random_walks
+
+    def norm(r):
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return df.sort_values(["seed", "step", "node"]).reset_index(drop=True)
+
+    a = norm(graph_random_walks(SF))
+    b = norm(graph_random_walks(SF, forced_regime="join"))
+    pd.testing.assert_frame_equal(a, b)
+    n_seeds = a[a["step"] == 0].shape[0]
+    assert n_seeds > 0
+    assert len(a) == n_seeds * 5  # 0..4 steps, no dead ends
