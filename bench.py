@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "cocitation_pairs",
     "interleaved_data_prep",
     "graph_random_walks",
+    "pmi_topk",
 ]
 
 

@@ -11309,3 +11309,192 @@ def graph_random_walks(
     for p in out_ds_parts:
         base = base.union(p)
     return base
+
+
+@register(
+    "pmi_topk",
+    """
+    WITH d AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    f AS (
+      SELECT doc_id, term FROM d WHERE length(term) >= 4
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY term) <= 12),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM f),
+    u AS (SELECT term, count(*) AS c FROM f GROUP BY term),
+    p AS (
+      SELECT a.term AS t1, b.term AS t2, count(*) AS c_ab
+      FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2),
+    s AS (
+      SELECT p.t1, p.t2, p.c_ab,
+             CAST((p.c_ab * n.nd * 1024) // (ua.c * ub.c) AS BIGINT) AS score
+      FROM p, n
+      JOIN u ua ON ua.term = p.t1
+      JOIN u ub ON ub.term = p.t2
+      WHERE p.c_ab >= 2)
+    SELECT t1, t2, CAST(c_ab AS BIGINT) AS c_ab, score
+    FROM s ORDER BY score DESC, t1, t2 LIMIT 50
+    """,
+    doc="PMI collocation ranking (the word-association scorer on top of "
+    "term_cooccurrence's counting core: PMI = log P(ab)/(P(a)P(b)); "
+    "ranking needs only the RATIO, so the score is the integer-exact "
+    "quantization (c_ab * N * 1024) // (c_a * c_b) — no log, no float, "
+    "the oracle hash cannot drift; pairs with c_ab < 2 are noise and "
+    "dropped).  Same per-doc 12-term cap as term_cooccurrence (the "
+    "documented O(k^2) skew guard).  Distributed shape: ONE pass emits "
+    "pair/unigram/doc-count partials as a single tagged stream "
+    "(Counter-combined batch-side), split into three aggregates — two "
+    "bucketed sums + one scalar; the unigram count table (vocab-"
+    "bounded, counts only) broadcasts below uni_broadcast_cap and "
+    "scores apply batch-side with a local top-k prune before the "
+    "global sort; past the cap the join regime attaches (c_a, c_b) "
+    "via TWO hash joins (bigram_lm_score pattern, forced-regime "
+    "equality test).  Python-int scoring on aggregated count rows "
+    "keeps c_ab * N * 1024 exact at any corpus size (int64 would "
+    "overflow past ~9e15).",
+)
+def pmi_topk(
+    sf_dir: str, k: int = 50, uni_broadcast_cap: int = 50_000_000,
+    forced_regime: Optional[str] = None,
+):
+    from collections import Counter
+
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    def tagged(t: pa.Table) -> pd.DataFrame:
+        cols = {"kind": "int64", "t1": "object", "t2": "object", "c": "int64"}
+        pairs: Counter = Counter()
+        unis: Counter = Counter()
+        nd = 0
+        for txt in t["text"].to_pylist():
+            terms = sorted({w for w in txt.split(" ") if len(w) >= 4})[:12]
+            if not terms:
+                continue
+            nd += 1
+            unis.update(terms)
+            for i in range(len(terms)):
+                for j in range(i + 1, len(terms)):
+                    pairs[(terms[i], terms[j])] += 1
+        rows = (
+            [(0, a, b, c) for (a, b), c in pairs.items()]
+            + [(1, w, "", c) for w, c in unis.items()]
+            + [(2, "", "", nd)]
+        )
+        df = pd.DataFrame(rows, columns=list(cols))
+        return df.astype(cols)
+
+    stream = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(tagged, batch_format="pyarrow")
+        .materialize()
+    )
+    pair_counts = bucketed_agg(
+        stream.filter(lambda r: r["kind"] == 0),
+        keys=["t1", "t2"],
+        sum_cols={"c": "c_ab"},
+        key_dtypes={"t1": "object", "t2": "object"},
+    )
+    uni_counts = bucketed_agg(
+        stream.filter(lambda r: r["kind"] == 1),
+        keys=["t1"],
+        sum_cols={"c": "cu"},
+        key_dtypes={"t1": "object"},
+    ).materialize()
+    nd_total = int(
+        stream.filter(lambda r: r["kind"] == 2).sum("c") or 0
+    )
+
+    def score_rows(t1, t2, c_ab, c_a, c_b):
+        sc = [
+            (int(ab) * nd_total * 1024) // (int(a) * int(b))
+            for ab, a, b in zip(c_ab, c_a, c_b)
+        ]
+        out = pa.table(
+            {
+                "t1": pa.array(list(t1), pa.string()),
+                "t2": pa.array(list(t2), pa.string()),
+                "c_ab": pa.array(np.asarray(c_ab, dtype=np.int64)),
+                "score": pa.array(np.asarray(sc, dtype=np.int64)),
+            }
+        )
+        order = np.lexsort(
+            (out["t2"].to_numpy(zero_copy_only=False),
+             out["t1"].to_numpy(zero_copy_only=False),
+             -out["score"].to_numpy())
+        )[:k]
+        return out.take(pa.array(np.sort(order)))
+
+    empty = pa.table(
+        {"t1": pa.array([], pa.string()), "t2": pa.array([], pa.string()),
+         "c_ab": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+    )
+
+    regime = forced_regime or (
+        "broadcast" if uni_counts.count() <= uni_broadcast_cap else "join"
+    )
+    if regime == "broadcast":
+        u = uni_counts.to_pandas()
+        if "t1" not in u.columns:
+            u = pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                              "cu": pd.Series([], dtype="int64")})
+        uref = ray.put(dict(zip(u["t1"], u["cu"])))
+
+        class Score:
+            def __init__(self):
+                self.u = ray.get(uref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "t1" not in t.column_names:
+                    return empty
+                t = t.filter(pc.greater_equal(t["c_ab"], 2))
+                if t.num_rows == 0:
+                    return empty
+                t1 = t["t1"].to_pylist()
+                t2 = t["t2"].to_pylist()
+                return score_rows(
+                    t1, t2, t["c_ab"].to_numpy(),
+                    [self.u[w] for w in t1], [self.u[w] for w in t2],
+                )
+
+        scored = pair_counts.map_batches(
+            Score, batch_format="pyarrow", concurrency=2
+        )
+    else:  # join regime: attach c_a, c_b via two hash joins
+        pc_ds = pair_counts.map_batches(
+            lambda df: df if len(df) else pd.DataFrame(
+                {"t1": pd.Series([], dtype="object"),
+                 "t2": pd.Series([], dtype="object"),
+                 "c_ab": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ).filter(lambda r: r["c_ab"] >= 2).repartition(8)
+        ua = uni_counts.map_batches(
+            lambda df: df.rename(columns={"cu": "c_a"}), batch_format="pandas"
+        ).repartition(8)
+        ub = uni_counts.map_batches(
+            lambda df: df.rename(columns={"t1": "t2", "cu": "c_b"}),
+            batch_format="pandas",
+        ).repartition(8)
+        j = pc_ds.join(ua, join_type="inner", num_partitions=8, on=("t1",))
+        j = j.repartition(8).join(
+            ub, join_type="inner", num_partitions=8, on=("t2",)
+        )
+
+        def score_batch(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "t1" not in t.column_names:
+                return empty
+            return score_rows(
+                t["t1"].to_pylist(), t["t2"].to_pylist(),
+                t["c_ab"].to_numpy(), t["c_a"].to_numpy(), t["c_b"].to_numpy(),
+            )
+
+        scored = j.map_batches(score_batch, batch_format="pyarrow")
+
+    return (
+        scored.repartition(4)
+        .sort(["score", "t1", "t2"], descending=[True, False, False])
+        .limit(k)
+    )

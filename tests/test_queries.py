@@ -29,7 +29,7 @@ SAMPLE = [
     "image_text_pairs", "interleaved_doc_filter", "interleaved_serialize",
     "boilerplate_removal", "dedup_keep_longest", "memorization_scan",
     "mutual_nn_pairs", "cocitation_pairs", "hll_registers",
-    "interleaved_data_prep", "graph_random_walks",
+    "interleaved_data_prep", "graph_random_walks", "pmi_topk",
 ]
 
 
@@ -524,3 +524,20 @@ def test_graph_random_walks_regimes_agree(ray_session):
     n_seeds = a[a["step"] == 0].shape[0]
     assert n_seeds > 0
     assert len(a) == n_seeds * 5  # 0..4 steps, no dead ends
+
+
+def test_pmi_topk_regimes_agree(ray_session):
+    """Broadcast unigram-table regime vs forced two-hash-join regime
+    must produce the identical ranked top-k."""
+    import pandas as pd
+
+    from crawler_ray.queries import pmi_topk
+
+    def norm(r):
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return df.reset_index(drop=True)
+
+    a = norm(pmi_topk(SF))
+    b = norm(pmi_topk(SF, forced_regime="join"))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0 and (a["c_ab"] >= 2).all()
