@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "interleaved_data_prep",
     "graph_random_walks",
     "pmi_topk",
+    "dataset_card_stats",
 ]
 
 

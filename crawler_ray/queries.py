@@ -11498,3 +11498,122 @@ def pmi_topk(
         .sort(["score", "t1", "t2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+@register(
+    "dataset_card_stats",
+    """
+    WITH s AS (
+      SELECT source, lang, n_chars,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents),
+    per AS (
+      SELECT source, lang, count(*) AS n, sum(ntok) AS tok,
+             sum(n_chars) AS ch,
+             sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short
+      FROM s GROUP BY source, lang),
+    roll AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(ch) AS BIGINT) AS total_chars,
+             count(*) AS n_langs,
+             CAST(sum(short) AS BIGINT) AS n_short
+      FROM per GROUP BY source),
+    top AS (
+      SELECT source, lang AS top_lang
+      FROM per
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, lang) = 1)
+    SELECT roll.source, n_docs, total_tokens, total_chars,
+           CAST(n_langs AS BIGINT) AS n_langs, n_short, top_lang
+    FROM roll JOIN top ON roll.source = top.source
+    """,
+    doc="Per-source dataset card / datasheet rollup (the Dolma/"
+    "RedPajama-style corpus report a curator publishes per source: "
+    "docs, token and char volume, language spread, dominant language, "
+    "short-doc fraction numerator).  Distributed shape: per-batch "
+    "partial sums per (source, lang) — a Counter-free vectorized "
+    "pandas groupby, so a billion-doc source ships ONE row per batch; "
+    "ONE bucketed (source, lang) sum, then a second coarse "
+    "source-hash shuffle co-locates each source's language rows for "
+    "the vectorized per-bucket rollup + top-language pick (count "
+    "desc, lang asc) — the anchor_text_agg two-stage shape; counts "
+    "only, text never moves.",
+)
+def dataset_card_stats(sf_dir: str):
+    import hashlib
+
+    from .stages.relational import bucketed_agg
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"source": "object", "lang": "object", "n": "int64",
+                "tok": "int64", "ch": "int64", "short": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ntok = pc.add(pc.count_substring(t["text"], " "), 1).to_numpy()
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas().to_numpy(),
+                "lang": t["lang"].to_pandas().to_numpy(),
+                "n": np.ones(t.num_rows, dtype=np.int64),
+                "tok": ntok.astype(np.int64),
+                "ch": t["n_chars"].to_numpy().astype(np.int64),
+                "short": (t["n_chars"].to_numpy() < 200).astype(np.int64),
+            }
+        )
+        return df.groupby(["source", "lang"], as_index=False, sort=False).sum()
+
+    summed = bucketed_agg(
+        _read(sf_dir, "documents", columns=["source", "lang", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["source", "lang"],
+        sum_cols={"n": "n", "tok": "tok", "ch": "ch", "short": "short"},
+        key_dtypes={"source": "object", "lang": "object"},
+    )
+
+    def add_sbkt(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("source", "lang", "n", "tok", "ch", "short")
+        if len(df) == 0 or "source" not in df.columns:
+            df = pd.DataFrame(
+                {c: pd.Series([], dtype="object" if c in ("source", "lang") else "int64")
+                 for c in cols}
+            )
+        df = df.copy()
+        df["sb"] = pd.Series(
+            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 32
+             for s in df["source"]],
+            index=df.index, dtype="int32",
+        )
+        return df
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "n_docs": "int64", "total_tokens": "int64",
+                "total_chars": "int64", "n_langs": "int64", "n_short": "int64",
+                "top_lang": "object"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        agg = g.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("n", "sum"), total_tokens=("tok", "sum"),
+            total_chars=("ch", "sum"), n_langs=("lang", "size"),
+            n_short=("short", "sum"),
+        )
+        top = (
+            g.sort_values(["source", "n", "lang"],
+                          ascending=[True, False, True], kind="stable")
+            .groupby("source", as_index=False, sort=False)
+            .first()[["source", "lang"]]
+            .rename(columns={"lang": "top_lang"})
+        )
+        out = agg.merge(top, on="source")
+        return out.astype(cols)
+
+    return (
+        summed.map_batches(add_sbkt, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(rollup, batch_format="pandas")
+        .select_columns(
+            ["source", "n_docs", "total_tokens", "total_chars",
+             "n_langs", "n_short", "top_lang"]
+        )
+    )
