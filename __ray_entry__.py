@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "cms_registers",           # new in r5 session 12, never certified
     "dataset_card_stats",      # new in r5 session 11, never certified
     "pmi_topk",                # new in r5 session 11, never certified
     "graph_random_walks",      # new in r5 session 11, never certified

@@ -11617,3 +11617,84 @@ def dataset_card_stats(sf_dir: str):
              "n_langs", "n_short", "top_lang"]
         )
     )
+
+
+@register(
+    "cms_registers",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    cells AS (
+      SELECT CAST(r.r AS BIGINT) AS row_id,
+             CAST(md5_number_lower(CAST(r.r AS VARCHAR) || ':' || tok) % 256
+                  AS BIGINT) AS cell
+      FROM toks, unnest(range(4)) AS r(r))
+    SELECT row_id, cell, count(*) AS register
+    FROM cells GROUP BY row_id, cell
+    """,
+    doc="Count-Min sketch registers for token-frequency estimation "
+    "(Cormode & Muthukrishnan: depth d=4 hash rows x width w=256 "
+    "counters; register[r][c] = total occurrences of tokens with "
+    "hash_r(tok) %% w == c; point estimate = min over rows — always "
+    ">= the true count, within eps*N w.h.p.) — the mergeable "
+    "FREQUENCY sketch completing the sketch family (hll_registers = "
+    "distinct count, distinct_kmv = bounded-sample distinct, "
+    "heavy_hitters = candidate-recount top-k): at 100 TB a CMS is "
+    "what lets every worker answer 'roughly how often does this "
+    "token/URL/host occur' from 8 KB of state, no shuffle per probe.  "
+    "The sketch itself is under the SQL gate: registers are EXACT "
+    "integers (md5_number_lower both sides, the hll_registers hash "
+    "recipe) so the oracle pins every counter, not an estimate.  "
+    "Distributed shape: per-batch factorize (tokens counted once per "
+    "unique-per-batch, 4 md5s per UNIQUE token) -> np.add.at "
+    "accumulate into the 4x256 grid -> emit nonzero cells: a fixed "
+    "<= 1024-rows-per-batch combiner at ANY corpus size (sum is "
+    "associative); ONE tiny groupby-sum merge.  The overestimate "
+    "contract (estimate >= true count; tight for heavy tokens) is "
+    "asserted against exact counts in tests.",
+)
+def cms_registers(sf_dir: str, depth: int = 4, width: int = 256):
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"row_id": "int64", "cell": "int64", "register": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(txt.split(" "))
+        codes, uniq = pd.factorize(pd.Series(toks, dtype="object"))
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        out_r, out_c, out_v = [], [], []
+        for r in range(depth):
+            pre = f"{r}:".encode()
+            cells = np.empty(len(uniq), dtype=np.int64)
+            for i, w in enumerate(uniq):
+                cells[i] = (
+                    int.from_bytes(
+                        hashlib.md5(pre + w.encode()).digest()[8:16], "little"
+                    )
+                    % width
+                )
+            acc = np.zeros(width, dtype=np.int64)
+            np.add.at(acc, cells, cnt)
+            nz = np.nonzero(acc)[0]
+            out_r.append(np.full(len(nz), r, dtype=np.int64))
+            out_c.append(nz.astype(np.int64))
+            out_v.append(acc[nz])
+        return pd.DataFrame(
+            {
+                "row_id": np.concatenate(out_r),
+                "cell": np.concatenate(out_c),
+                "register": np.concatenate(out_v),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_id", "cell"])
+        .aggregate(Sum("register", alias_name="register"))
+    )

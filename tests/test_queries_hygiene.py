@@ -1112,3 +1112,37 @@ def test_containment_join_regimes_and_planted_excerpts(ray_session):
     assert planted <= got
     by_pair = dict(zip(zip(a["containee"], a["container"]), a["containment"]))
     assert all(by_pair[p] == 1.0 for p in planted)
+
+
+def test_cms_registers_overestimate_contract(ray_session, tmp_path):
+    """CMS point estimate (min over rows) is >= the true count for
+    every token, and exact for heavy tokens that own their cells."""
+    import hashlib
+    import collections
+
+    texts = ["alpha beta alpha gamma"] * 20 + ["delta epsilon"] * 3
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import cms_registers
+
+    regs = cms_registers(sf).to_pandas()
+    grid = {(int(r), int(c)): int(v)
+            for r, c, v in zip(regs["row_id"], regs["cell"], regs["register"])}
+    true = collections.Counter(
+        tok for txt in texts for tok in txt.split(" "))
+    n_total = sum(true.values())
+    assert sum(v for (r, _), v in grid.items() if r == 0) == n_total
+
+    def estimate(tok):
+        vals = []
+        for r in range(4):
+            c = int.from_bytes(
+                hashlib.md5(f"{r}:{tok}".encode()).digest()[8:16], "little"
+            ) % 256
+            vals.append(grid.get((r, c), 0))
+        return min(vals)
+
+    for tok, cnt in true.items():
+        assert estimate(tok) >= cnt
+    # 5 tokens in 1024 cells: the heavy token collides with nothing
+    # in at least one row w.h.p. -> estimate is exact
+    assert estimate("alpha") == true["alpha"]
