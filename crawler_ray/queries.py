@@ -11698,3 +11698,91 @@ def cms_registers(sf_dir: str, depth: int = 4, width: int = 256):
         .groupby(["row_id", "cell"])
         .aggregate(Sum("register", alias_name="register"))
     )
+
+
+@register(
+    "overlap_stitch",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000,
+             substr(text, n_chars - 31, 32) || ' ' || substr(text, 1, 40)
+      FROM documents WHERE doc_id % 7 = 0),
+    tails AS (SELECT doc_id AS a_id,
+                     substr(text, length(text) - 31, 32) AS k FROM aug),
+    heads AS (SELECT doc_id AS b_id, substr(text, 1, 32) AS k FROM aug)
+    SELECT a_id, b_id FROM tails JOIN heads USING (k) WHERE a_id <> b_id
+    """,
+    doc="Suffix/prefix overlap stitching: find ordered pairs (a, b) "
+    "where the last 32 chars of a equal the first 32 chars of b — the "
+    "shard-boundary repair / continued-page detection pass a crawl "
+    "corpus needs before packing (a page split across two fetches, a "
+    "WET record clipped at a shard boundary, 'continue reading' "
+    "pagination bodies).  Planted continuations (doc_id%%7==0 spawns "
+    "doc_id+20M whose text OPENS with the parent's 32-char tail) are "
+    "mirrored by the oracle with substr arithmetic, so recall is "
+    "pinned, and natural tail==head collisions in the corpus are "
+    "found identically by both sides.  Distributed shape: ONE scan "
+    "emits two fp128 key streams — (md5(tail32) as two int64, a_id) "
+    "and (md5(head32) as two int64, b_id) — then ONE hash join on "
+    "the fp128; 24 bytes/doc/side crosses the shuffle, text never "
+    "moves (contrast a sort-based suffix join, which ships the "
+    "strings).  fp128 equality stands in for string equality at the "
+    "same collision odds the dedup family already accepts.",
+)
+def overlap_stitch(sf_dir: str):
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def aug_texts(t: pa.Table):
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        out_i, out_t = list(ids), list(txts)
+        for did, txt in zip(ids, txts):
+            if did % 7 == 0:
+                out_i.append(did + 20_000_000)
+                out_t.append(txt[-32:] + " " + txt[:40])
+        return out_i, out_t
+
+    def side(t: pa.Table, which: str) -> pd.DataFrame:
+        idc = "a_id" if which == "tail" else "b_id"
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {idc: pd.Series([], dtype="int64"),
+                 "h1": pd.Series([], dtype="int64"),
+                 "h2": pd.Series([], dtype="int64")}
+            )
+        ids, txts = aug_texts(t)
+        h1 = np.empty(len(ids), dtype=np.int64)
+        h2 = np.empty(len(ids), dtype=np.int64)
+        for i, txt in enumerate(txts):
+            key = txt[-32:] if which == "tail" else txt[:32]
+            dg = hashlib.md5(key.encode()).digest()
+            h1[i] = int.from_bytes(dg[:8], "little") - (1 << 63)
+            h2[i] = int.from_bytes(dg[8:], "little") - (1 << 63)
+        return pd.DataFrame(
+            {idc: pd.Series(ids, dtype="int64"), "h1": h1, "h2": h2}
+        )
+
+    tails = docs.map_batches(partial(side, which="tail"), batch_format="pyarrow")
+    heads = docs.map_batches(partial(side, which="head"), batch_format="pyarrow")
+    j = tails.repartition(8).join(
+        heads.repartition(8), join_type="inner", num_partitions=8,
+        on=("h1", "h2"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame(
+                {"a_id": pd.Series([], dtype="int64"),
+                 "b_id": pd.Series([], dtype="int64")}
+            )
+        df = df[df["a_id"].to_numpy() != df["b_id"].to_numpy()]
+        return df[["a_id", "b_id"]].astype("int64")
+
+    # repartition first: Ray joins emit schemaless zero-row blocks for
+    # empty partitions (see graph_random_walks) — concatenate into
+    # typed blocks before the projection
+    return j.repartition(4).map_batches(finish, batch_format="pandas")

@@ -30,7 +30,7 @@ SAMPLE = [
     "boilerplate_removal", "dedup_keep_longest", "memorization_scan",
     "mutual_nn_pairs", "cocitation_pairs", "hll_registers",
     "interleaved_data_prep", "graph_random_walks", "pmi_topk",
-    "dataset_card_stats", "cms_registers",
+    "dataset_card_stats", "cms_registers", "overlap_stitch",
 ]
 
 

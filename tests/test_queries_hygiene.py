@@ -1146,3 +1146,21 @@ def test_cms_registers_overestimate_contract(ray_session, tmp_path):
     # 5 tokens in 1024 cells: the heavy token collides with nothing
     # in at least one row w.h.p. -> estimate is exact
     assert estimate("alpha") == true["alpha"]
+
+
+def test_overlap_stitch_finds_planted_continuations(ray_session, tmp_path):
+    """Every planted continuation (doc_id%7==0 -> id+20M opening with
+    the parent's 32-char tail) is recovered as (parent, continuation);
+    unrelated docs never pair."""
+    texts = [
+        " ".join(f"doc{i}word{j}" for j in range(12)) for i in range(9)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from crawler_ray.queries import overlap_stitch
+
+    out = overlap_stitch(sf).to_pandas()
+    pairs = set(zip(out["a_id"], out["b_id"]))
+    for did in (0, 7):
+        assert (did, did + 20_000_000) in pairs
+    # per-doc-unique tokens: no natural 32-char tail==head collision
+    assert all(b - a == 20_000_000 for a, b in pairs)
