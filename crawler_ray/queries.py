@@ -11786,3 +11786,203 @@ def overlap_stitch(sf_dir: str):
     # empty partitions (see graph_random_walks) — concatenate into
     # typed blocks before the projection
     return j.repartition(4).map_batches(finish, batch_format="pandas")
+
+
+LPA_BROADCAST_CAP_NODES = 100_000_000  # labels int64[n] ≈ 800 MB at cap
+
+
+@register(
+    "label_prop_rounds",
+    """
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM nn) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM nn) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM nn) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM nn) FROM documents
+      WHERE doc_id % 5 = 0),
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l WHERE src <> target),
+    ee AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+    l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents),
+    v1 AS (SELECT ee.s AS node, l0.lab AS lab, count(*) AS c
+           FROM ee JOIN l0 ON l0.node = ee.t GROUP BY 1, 2),
+    l1 AS (SELECT node, lab FROM v1
+           QUALIFY row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) = 1),
+    v2 AS (SELECT ee.s AS node, l1.lab AS lab, count(*) AS c
+           FROM ee JOIN l1 ON l1.node = ee.t GROUP BY 1, 2),
+    l2 AS (SELECT node, lab FROM v2
+           QUALIFY row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) = 1),
+    v3 AS (SELECT ee.s AS node, l2.lab AS lab, count(*) AS c
+           FROM ee JOIN l2 ON l2.node = ee.t GROUP BY 1, 2),
+    l3 AS (SELECT node, lab FROM v3
+           QUALIFY row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) = 1)
+    SELECT lab AS label, count(*) AS n_nodes FROM l3 GROUP BY lab
+    """,
+    doc="Label-propagation community detection (Raghavan et al. 2007) "
+    "over the triangle-test graph, SYNCHRONOUS variant with a "
+    "deterministic vote (new label = the most frequent label among "
+    "neighbors' current labels, tie -> smallest label) so the oracle "
+    "can UNROLL the n_rounds=3 contract as three join+window CTEs — "
+    "the standard async-random LPA is unverifiable; this is the "
+    "de-facto community pass for grouping near-dup clusters, mirror "
+    "sites and template families a crawl discovers.  Distributed "
+    "shape per round: vote partials combine batch-side ((node, lab) "
+    "size — bounded by batch edges), ONE bucketed (node, lab) count "
+    "sum, then a coarse node%%64 shuffle for the vectorized per-node "
+    "argmax (sort by c desc, lab asc; <= 1 row/node emerges).  TWO "
+    "REGIMES (pagerank pattern): below LPA_BROADCAST_CAP_NODES the "
+    "label vector int64[n] lives on the driver and is ray.put per "
+    "round (edges stream against it, votes as above); past the cap "
+    "labels live as a Dataset and each round is ONE hash join "
+    "(edges x labels-on-dst) + the same two count shuffles — the "
+    "driver never sees a per-node row.  Regimes are result-equal "
+    "(asserted in tests, along with convergence on planted cliques).",
+)
+def label_prop_rounds(
+    sf_dir: str, n_rounds: int = 3, dataset_regime: bool | None = None
+):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    if dataset_regime is None:
+        dataset_regime = n > LPA_BROADCAST_CAP_NODES
+
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist_keys = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        return pa.table(
+            {"src": np.concatenate((a, b)), "dst": np.concatenate((b, a))}
+        )
+
+    edges = dist_keys.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "lab": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64"),
+                 "nb": pd.Series([], dtype="int32")}
+            )
+        df = df.copy()
+        df["nb"] = (df["node"].to_numpy() % 64).astype("int32")
+        return df
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "lab": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["node", "c", "lab"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("node", as_index=False, sort=False).first()
+        return out[["node", "lab"]].astype("int64")
+
+    if not dataset_regime:
+        labels = np.arange(n, dtype=np.int64)
+        for _ in range(n_rounds):
+            lref = ray.put(labels)
+
+            def vote(t: pa.Table) -> pd.DataFrame:
+                lab = ray.get(lref)
+                df = pd.DataFrame(
+                    {"node": t["src"].to_numpy(),
+                     "lab": lab[t["dst"].to_numpy()]}
+                )
+                g = df.groupby(["node", "lab"], as_index=False, sort=False).size()
+                return g.rename(columns={"size": "c"})
+
+            summed = bucketed_agg(
+                edges.map_batches(vote, batch_format="pyarrow"),
+                keys=["node", "lab"],
+                sum_cols={"c": "c"},
+            )
+            picked = (
+                summed.map_batches(add_nb, batch_format="pandas")
+                .groupby("nb")
+                .map_groups(pick, batch_format="pandas")
+                .to_pandas()
+            )
+            nxt = labels.copy()
+            nxt[picked["node"].to_numpy(dtype=np.int64)] = picked[
+                "lab"
+            ].to_numpy(dtype=np.int64)
+            labels = nxt
+        vals, cnts = np.unique(labels, return_counts=True)
+        return pa.table(
+            {"label": pa.array(vals.astype(np.int64)),
+             "n_nodes": pa.array(cnts.astype(np.int64))}
+        )
+
+    # ---- dataset regime: labels live as a Dataset of (node, lab) rows
+    labels_ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {"node": t["doc_id"], "lab": t["doc_id"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_rounds):
+        lab_dst = labels_ds.map_batches(
+            lambda t: pa.table({"dst": t["node"], "lab": t["lab"]}),
+            batch_format="pyarrow",
+        ).repartition(8)
+        j = edges.repartition(8).join(
+            lab_dst, join_type="inner", num_partitions=8, on=("dst",)
+        )
+
+        def vote_join(df: pd.DataFrame) -> pd.DataFrame:
+            if df.shape[1] == 0 or len(df) == 0 or "src" not in df.columns:
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "lab": pd.Series([], dtype="int64"),
+                     "c": pd.Series([], dtype="int64")}
+                )
+            g = (
+                df.rename(columns={"src": "node"})
+                .groupby(["node", "lab"], as_index=False, sort=False)
+                .size()
+            )
+            return g.rename(columns={"size": "c"})
+
+        summed = bucketed_agg(
+            j.repartition(8).map_batches(vote_join, batch_format="pandas"),
+            keys=["node", "lab"],
+            sum_cols={"c": "c"},
+        )
+        labels_ds = (
+            summed.map_batches(add_nb, batch_format="pandas")
+            .groupby("nb")
+            .map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        labels_ds.groupby("lab")
+        .aggregate(Count(alias_name="n_nodes"))
+        .map_batches(
+            lambda t: pa.table({"label": t["lab"], "n_nodes": t["n_nodes"]}),
+            batch_format="pyarrow",
+        )
+    )

@@ -1164,3 +1164,51 @@ def test_overlap_stitch_finds_planted_continuations(ray_session, tmp_path):
         assert (did, did + 20_000_000) in pairs
     # per-doc-unique tokens: no natural 32-char tail==head collision
     assert all(b - a == 20_000_000 for a, b in pairs)
+
+
+def test_label_prop_regimes_agree_and_match_sequential(ray_session):
+    """Dataset regime == broadcast regime, and both equal a sequential
+    synchronous-LPA reference over the same derived graph."""
+    import pyarrow.parquet as pq2
+
+    from crawler_ray.queries import (
+        _explode_edge_keys, label_prop_rounds)
+
+    SF = "/root/testdata/sf0.001"
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["label"]).reset_index(drop=True)
+
+    bc = norm(label_prop_rounds(SF, dataset_regime=False))
+    ds = norm(label_prop_rounds(SF, dataset_regime=True))
+    assert len(bc) == len(ds)
+    assert (bc["label"].to_numpy() == ds["label"].to_numpy()).all()
+    assert (bc["n_nodes"].to_numpy() == ds["n_nodes"].to_numpy()).all()
+
+    # sequential reference: same edge formula, 3 sync rounds,
+    # (count desc, label asc) vote
+    t = pq2.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    n = t.num_rows
+    keys = _explode_edge_keys(t, n)
+    a, b = keys // n, keys % n
+    nbrs = [[] for _ in range(n)]
+    for x, y in zip(a, b):
+        nbrs[int(x)].append(int(y))
+        nbrs[int(y)].append(int(x))
+    lab = list(range(n))
+    for _ in range(3):
+        nxt = list(lab)
+        for v in range(n):
+            votes = {}
+            for u in nbrs[v]:
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            nxt[v] = min(votes, key=lambda L: (-votes[L], L))
+        lab = nxt
+    import collections
+
+    want = collections.Counter(lab)
+    got = dict(zip(bc["label"], bc["n_nodes"]))
+    assert got == dict(want)
+    # propagation actually coarsened: fewer communities than nodes
+    assert len(got) < n
