@@ -79,6 +79,7 @@ _CERTIFY_FIRST = [
     "cms_registers",           # new in r5 session 12, never certified
     "overlap_stitch",          # new in r5 session 12, never certified
     "label_prop_rounds",       # new in r5 session 12, never certified
+    "embedding_gram",          # new in r5 session 12, never certified
     "dataset_card_stats",      # new in r5 session 11, never certified
     "pmi_topk",                # new in r5 session 11, never certified
     "graph_random_walks",      # new in r5 session 11, never certified

@@ -11986,3 +11986,61 @@ def label_prop_rounds(
             batch_format="pyarrow",
         )
     )
+
+
+@register(
+    "embedding_gram",
+    """
+    WITH q AS (
+      SELECT vec_id, g.i AS i,
+             CAST(floor(embedding[g.i + 1] * 1024) AS BIGINT) AS qv
+      FROM embeddings, unnest(generate_series(0, 63)) AS g(i))
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    doc="Distributed Gram matrix over quantized embeddings — the "
+    "linear-algebra reduce behind PCA / whitening / covariance "
+    "estimation of an embedding corpus (subtract the mean outer "
+    "product, computable from the same sums, and G/n IS the "
+    "covariance; top eigenvectors = the PCA basis for dim-reduction "
+    "before clustering/ANN).  Embeddings quantize to int64 "
+    "(floor(x*1024) — float32->float64 widening is exact, so both "
+    "sides floor the same doubles) and every partial is an EXACT "
+    "integer, immune to distributed summation order: the classic "
+    "float-PCA pitfall under the value-hash gate.  Distributed shape: "
+    "per batch ONE int64 BLAS-shaped Q^T Q (d=64: 2080 upper-triangle "
+    "cells) -> a FIXED 2080-rows-per-batch combiner at any corpus "
+    "size; ONE tiny groupby-sum merge.  The d x d result is "
+    "driver-sized by construction (the n x d data never concentrates "
+    "anywhere).  At int64 the diagonal saturates around 1e12 vectors "
+    "x unit-norm inputs (sum |q_i|^2 <= n * 2^20 < 2^63); past that, "
+    "widen the merge to Python ints like pmi_topk.  Sequential "
+    "numpy equality + eigen-sanity pinned in tests.",
+)
+def embedding_gram(sf_dir: str, dim: int = 64, scale: int = 1024):
+    from ray.data.aggregate import Sum
+
+    iu0, iu1 = np.triu_indices(dim)
+
+    def gram_partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"i": pd.Series([], dtype="int64"),
+                 "j": pd.Series([], dtype="int64"),
+                 "g": pd.Series([], dtype="int64")}
+            )
+        M = list_col_to_matrix(t["embedding"])
+        Q = np.floor(M.astype(np.float64) * float(scale)).astype(np.int64)
+        G = Q.T @ Q
+        return pd.DataFrame(
+            {"i": iu0.astype(np.int64), "j": iu1.astype(np.int64),
+             "g": G[iu0, iu1]}
+        )
+
+    return (
+        _read(sf_dir, "embeddings", columns=["embedding"])
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("g", alias_name="g"))
+    )

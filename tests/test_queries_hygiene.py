@@ -1212,3 +1212,32 @@ def test_label_prop_regimes_agree_and_match_sequential(ray_session):
     assert got == dict(want)
     # propagation actually coarsened: fewer communities than nodes
     assert len(got) < n
+
+
+def test_embedding_gram_matches_numpy_and_pca_sane(ray_session):
+    """Pipeline Gram == sequential numpy Q^T Q, and the driver-side
+    PCA read of the result is sane (symmetric PSD, eigenvalues
+    descending, top eigenvalue carries positive variance)."""
+    import pyarrow.parquet as pq2
+
+    from crawler_ray.queries import embedding_gram
+    from crawler_ray.stages.ann import list_col_to_matrix
+
+    SF = "/root/testdata/sf0.001"
+    out = embedding_gram(SF).to_pandas()
+    d = 64
+    G = np.zeros((d, d), dtype=np.int64)
+    G[out["i"], out["j"]] = out["g"]
+    G[out["j"], out["i"]] = out["g"]
+
+    M = list_col_to_matrix(
+        pq2.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ].combine_chunks()
+    )
+    Q = np.floor(M.astype(np.float64) * 1024.0).astype(np.int64)
+    assert np.array_equal(G, Q.T @ Q)
+
+    w = np.linalg.eigvalsh(G.astype(np.float64))
+    assert w[0] >= -1e-6 * abs(w[-1])  # PSD up to fp eigensolver noise
+    assert w[-1] > 0
