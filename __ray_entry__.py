@@ -80,6 +80,8 @@ _CERTIFY_FIRST = [
     "overlap_stitch",          # new in r5 session 12, never certified
     "label_prop_rounds",       # new in r5 session 12, never certified
     "embedding_gram",          # new in r5 session 12, never certified
+    "cohort_retention",        # new in r5 session 12, never certified
+    "event_path_topk",         # new in r5 session 12, never certified
     "dataset_card_stats",      # new in r5 session 11, never certified
     "pmi_topk",                # new in r5 session 11, never certified
     "graph_random_walks",      # new in r5 session 11, never certified

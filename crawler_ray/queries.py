@@ -12044,3 +12044,166 @@ def embedding_gram(sf_dir: str, dim: int = 64, scale: int = 1024):
         .groupby(["i", "j"])
         .aggregate(Sum("g", alias_name="g"))
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+    c AS (SELECT user_id, min(d) AS c0 FROM p GROUP BY user_id),
+    a AS (SELECT DISTINCT p.user_id, c.c0, p.d - c.c0 AS age
+          FROM p JOIN c USING (user_id))
+    SELECT c0 AS cohort_day, age, count(*) AS n_users
+    FROM a GROUP BY c0, age
+    """,
+    doc="Cohort retention (the product-analytics classic, and the "
+    "recrawl-scheduling signal for a crawl corpus: cohort = the day a "
+    "user/host first appeared, retention = how many are still active "
+    "k days later): cohort_day x age -> distinct active users.  "
+    "Distributed shape: ONE coarse user%%64 shuffle co-locates each "
+    "user's (user, day) rows, then a single vectorized per-bucket "
+    "pass does dedup -> per-user min -> age join -> (cohort, age) "
+    "partial counts IN PANDAS (per-user work never leaves the "
+    "bucket, no per-user Ray group overhead), and ONE bucketed "
+    "(cohort, age) count sum merges partials — two count-only "
+    "shuffles total; timestamps reduce to int64 epoch-days batch-"
+    "side, so hot users cost their row count, not a driver loop.",
+)
+def cohort_retention(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    DAY_US = 86_400_000_000
+
+    def to_days(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64"),
+                 "ub": pd.Series([], dtype="int32")}
+            )
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        d = (t["ts"].cast(pa.int64()).to_numpy() // DAY_US).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "d": d}).drop_duplicates()
+        df["ub"] = (df["user_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort_day": "int64", "age": "int64", "n_users": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.drop_duplicates(["user_id", "d"])
+        c0 = g.groupby("user_id")["d"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_day": c0.to_numpy(), "age": g["d"].to_numpy() - c0.to_numpy()}
+        )
+        out = out.groupby(["cohort_day", "age"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    partials = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(to_days, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_agg(
+        partials, keys=["cohort_day", "age"], sum_cols={"n_users": "n_users"}
+    )
+
+
+@register(
+    "event_path_topk",
+    """
+    WITH s AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path FROM s
+          WHERE t3 IS NOT NULL)
+    SELECT path, count(*) AS n FROM p GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    doc="Sequential path mining: the top event-type TRIGRAMS along "
+    "per-user timelines (the clickstream-analysis / session-flow "
+    "classic; over a crawl log the same op surfaces dominant "
+    "fetch->redirect->error paths).  Order within a user is the "
+    "deterministic (ts, event_id) — the oracle's window frame "
+    "exactly.  Distributed shape: ONE coarse user%%64 shuffle "
+    "co-locates each user's rows; per bucket a single vectorized "
+    "pandas pass sorts (user, ts, event_id), shift(-1)/shift(-2) "
+    "WITHIN user (groupby-transform-free: boundary rows are masked "
+    "by comparing the shifted user column), and emits (path, n) "
+    "partial counts — path cardinality is bounded by "
+    "n_event_types^3, so partials are tiny; ONE bucketed sum + "
+    "global sort/limit over <= 125 rows finishes.",
+)
+def event_path_topk(sf_dir: str, k: int = 10):
+    from .stages.relational import bucketed_agg
+
+    def add_ub(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="int64"),
+                 "event_id": pd.Series([], dtype="int64"),
+                 "event_type": pd.Series([], dtype="object"),
+                 "ub": pd.Series([], dtype="int32")}
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy().astype(np.int64),
+                "ts": t["ts"].cast(pa.int64()).to_numpy(),
+                "event_id": t["event_id"].to_numpy().astype(np.int64),
+                "event_type": t["event_type"].to_pandas().to_numpy(),
+            }
+        )
+        df["ub"] = (df["user_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        t2 = np.roll(et, -1)
+        t3 = np.roll(et, -2)
+        u2 = np.roll(uid, -1)
+        u3 = np.roll(uid, -2)
+        ok = np.zeros(len(g), dtype=bool)
+        if len(g) >= 3:
+            ok[:-2] = (uid[:-2] == u2[:-2]) & (uid[:-2] == u3[:-2])
+        paths = pd.Series(
+            np.char.add(
+                np.char.add(
+                    np.char.add(np.char.add(et[ok].astype(str), ">"),
+                                t2[ok].astype(str)),
+                    ">",
+                ),
+                t3[ok].astype(str),
+            ),
+            dtype="object",
+        )
+        out = paths.value_counts().rename_axis("path").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out[["path", "n"]]
+
+    summed = bucketed_agg(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas"),
+        keys=["path"],
+        sum_cols={"n": "n"},
+        key_dtypes={"path": "object"},
+    )
+    return (
+        summed.repartition(4)
+        .sort(["n", "path"], descending=[True, False])
+        .limit(k)
+    )

@@ -31,7 +31,8 @@ SAMPLE = [
     "mutual_nn_pairs", "cocitation_pairs", "hll_registers",
     "interleaved_data_prep", "graph_random_walks", "pmi_topk",
     "dataset_card_stats", "cms_registers", "overlap_stitch",
-    "label_prop_rounds", "embedding_gram",
+    "label_prop_rounds", "embedding_gram", "cohort_retention",
+    "event_path_topk",
 ]
 
 

@@ -1241,3 +1241,31 @@ def test_embedding_gram_matches_numpy_and_pca_sane(ray_session):
     w = np.linalg.eigvalsh(G.astype(np.float64))
     assert w[0] >= -1e-6 * abs(w[-1])  # PSD up to fp eigensolver noise
     assert w[-1] > 0
+
+
+def test_cohort_retention_and_event_paths_behavior(ray_session, tmp_path):
+    """Cohort ages are user-relative (not global), path trigrams never
+    cross user boundaries, and both ops survive single-event users."""
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: days 0, 1, 3 -> cohort 0, ages {0,1,3}
+        (0, 1 * 1000, 1, "view", 0.0),
+        (1, DAY + 5, 1, "click", 0.0),
+        (2, 3 * DAY + 5, 1, "purchase", 0.0),
+        # user 2: first seen day 1; two same-day events dedup to ONE
+    # (cohort 1, age 0) active-user row
+        (3, DAY + 7, 2, "view", 0.0),
+        (4, DAY + 9, 2, "view", 0.0),
+        # user 3: single event, no trigram
+        (5, 2 * DAY, 3, "error", 0.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from crawler_ray.queries import cohort_retention, event_path_topk
+
+    ret = cohort_retention(sf).to_pandas()
+    got = {(r.cohort_day, r.age): r.n_users for r in ret.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (2, 0): 1}
+
+    paths = event_path_topk(sf).to_pandas()
+    assert list(paths["path"]) == ["view>click>purchase"]
+    assert list(paths["n"]) == [1]
