@@ -12207,3 +12207,118 @@ def event_path_topk(sf_dir: str, k: int = 10):
         .sort(["n", "path"], descending=[True, False])
         .limit(k)
     )
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    segs AS (SELECT doc_id, source,
+                    unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS si,
+                    ws
+             FROM w),
+    s2 AS (SELECT source,
+                  md5(array_to_string(ws[si * 10 + 1 : si * 10 + 10], ' '))
+                    AS h
+           FROM segs),
+    sh AS (SELECT DISTINCT source, h FROM s2)
+    SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Inter-source duplication audit (the source x source overlap "
+    "table a Dolma/RedPajama-style corpus report publishes, and the "
+    "decision input for which source to drop when two feeds mirror "
+    "each other): n_shared = DISTINCT 10-token segments present in "
+    "BOTH sources, for every source pair.  Distributed shape: one "
+    "scan explodes (source, md5-128 as two int64) — segment text "
+    "never shuffles — with per-batch dedup; ONE bucketed "
+    "(source, h) distinct; then ONE h%%64 shuffle co-locates each "
+    "hash's source set for vectorized sorted-run pair generation "
+    "(_group_pairs arange trick, lex order within hash = pair "
+    "canonicalization) + per-bucket (sa, sb) partial counts; ONE "
+    "final bucketed sum.  Pair volume per hash is O(k^2) in the "
+    "number of sources CONTAINING that segment — bounded by source "
+    "cardinality (a per-source report presumes it is small), never "
+    "by corpus size.",
+)
+def source_overlap_matrix(sf_dir: str):
+    import hashlib
+    import math
+
+    from .stages.relational import bucketed_agg
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"source": "object", "h1": "int64", "h2": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out_s, out_h1, out_h2 = [], [], []
+        seen = set()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            ws = txt.split(" ")
+            for si in range(math.ceil(len(ws) / 10)):
+                seg = " ".join(ws[si * 10 : si * 10 + 10])
+                dg = hashlib.md5(seg.encode()).digest()
+                key = (src, dg)
+                if key in seen:
+                    continue
+                seen.add(key)
+                out_s.append(src)
+                out_h1.append(int.from_bytes(dg[:8], "little") - (1 << 63))
+                out_h2.append(int.from_bytes(dg[8:], "little") - (1 << 63))
+        return pd.DataFrame(
+            {"source": pd.Series(out_s, dtype="object"),
+             "h1": pd.Series(out_h1, dtype="int64"),
+             "h2": pd.Series(out_h2, dtype="int64")}
+        )
+
+    distinct = bucketed_agg(
+        _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        keys=["source", "h1", "h2"],
+        sum_cols={"__count__": "c"},
+        key_dtypes={"source": "object"},
+    )
+
+    def add_hb(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("source", "h1", "h2")
+        if df.shape[1] == 0 or len(df) == 0:
+            df = pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "h1": pd.Series([], dtype="int64"),
+                 "h2": pd.Series([], dtype="int64")}
+            )
+        df = df[list(cols)].copy()
+        df["hb"] = (df["h1"].to_numpy() % 64).astype("int32")
+        return df
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"sa": "object", "sb": "object", "n_shared": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["h1", "h2", "source"], kind="stable")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        chg = np.concatenate(
+            ([False], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]))
+        )
+        key = np.cumsum(chg)
+        _, v, w = _group_pairs(key, np.arange(len(g), dtype=np.int64))
+        src = g["source"].to_numpy()
+        out = pd.DataFrame({"sa": src[v], "sb": src[w]})
+        out = out.groupby(["sa", "sb"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_shared"})
+
+    partials = (
+        distinct.map_batches(add_hb, batch_format="pandas")
+        .groupby("hb")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    return bucketed_agg(
+        partials,
+        keys=["sa", "sb"],
+        sum_cols={"n_shared": "n_shared"},
+        key_dtypes={"sa": "object", "sb": "object"},
+    )

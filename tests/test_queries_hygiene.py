@@ -1269,3 +1269,32 @@ def test_cohort_retention_and_event_paths_behavior(ray_session, tmp_path):
     paths = event_path_topk(sf).to_pandas()
     assert list(paths["path"]) == ["view>click>purchase"]
     assert list(paths["n"]) == [1]
+
+
+def test_source_overlap_matrix_counts_distinct_shared_segments(
+    ray_session, tmp_path
+):
+    """A segment shared by sources A and B counts ONCE regardless of
+    how many docs repeat it; disjoint sources never pair."""
+    seg = " ".join(f"w{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    n = 5
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(
+                [seg, f"{seg} {uniq_a}", seg, seg, uniq_c], type=pa.string()
+            ),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+            # A holds the segment twice, B twice, C is disjoint
+            "source": pa.array(["A", "A", "B", "B", "C"], type=pa.string()),
+            "n_chars": pa.array([len(seg)] * n, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    from crawler_ray.queries import source_overlap_matrix
+
+    out = source_overlap_matrix(str(tmp_path)).to_pandas()
+    got = {(r.sa, r.sb): r.n_shared for r in out.itertuples()}
+    assert got == {("A", "B"): 1}
