@@ -12322,3 +12322,89 @@ def source_overlap_matrix(sf_dir: str):
         sum_cols={"n_shared": "n_shared"},
         key_dtypes={"sa": "object", "sb": "object"},
     )
+
+
+@register(
+    "media_context_stats",
+    """
+    WITH ts AS (
+      SELECT d.doc_id, d.n_chars, (d.n_chars + 63) // 64 AS k, t.j
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)),
+    m AS (
+      SELECT CASE (doc_id + j) % 3
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END AS kind,
+             least(64, n_chars - j*64) AS prevc,
+             CASE WHEN j + 1 < k THEN least(64, n_chars - (j+1)*64)
+                  ELSE 0 END AS nextc,
+             CASE WHEN j + 1 < k THEN 0 ELSE 1 END AS tail
+      FROM ts WHERE (doc_id*31 + j) % 5 = 0)
+    SELECT kind, count(*) AS n_media,
+           CAST(sum(prevc) AS BIGINT) AS prev_chars,
+           CAST(sum(nextc) AS BIGINT) AS next_chars,
+           CAST(sum(tail) AS BIGINT) AS n_tail
+    FROM m GROUP BY kind
+    """,
+    doc="Two-sided media context measurement over the REAL nested span "
+    "column (the MMC4/OBELICS curation signal image_text_pairs' "
+    "preceding-caption scan does not capture: media ALSO needs text "
+    "after it, and trailing media with no following text is the "
+    "classic low-quality-pair symptom): per media kind, the summed "
+    "lengths of the text spans immediately BEFORE and AFTER each "
+    "media span, plus how many media spans sit at the document tail.  "
+    "Ray measures the real zero-copy slices — flatten via "
+    "pc.list_flatten + list_parent_indices, pc.utf8_length of the "
+    "flat neighbors at p-1 / p+1 with a same-parent guard — while "
+    "the oracle re-derives both windows arithmetically from the "
+    "synthesis contract: a genuine cross-check of span ORDER, not "
+    "just content.  Per-document-local, ONE streamed map_batches "
+    "chain, per-batch per-kind partials -> a 3-group groupby; NO "
+    "shuffle touches text.",
+)
+def media_context_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def measure(t: pa.Table) -> pd.DataFrame:
+        cols = {"kind": "object", "n": "int64", "prevc": "int64",
+                "nextc": "int64", "tail": "int64"}
+        st = _build_span_column(t)
+        if st.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        spans = st["spans"].combine_chunks()
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy()
+        kind = flat.field("kind").to_pandas().to_numpy()
+        tlen = pc.utf8_length(flat.field("text")).to_numpy()
+        is_media = kind != "text"
+        p = np.flatnonzero(is_media)
+        if len(p) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        prevc = tlen[p - 1]  # a media span always follows its text span
+        has_next = (p + 1 < len(kind))
+        nxt = np.where(has_next, np.minimum(p + 1, len(kind) - 1), 0)
+        same_parent = has_next & (parent[nxt] == parent[p])
+        nextc = np.where(same_parent, tlen[nxt], 0)
+        df = pd.DataFrame(
+            {
+                "kind": kind[p],
+                "n": np.ones(len(p), dtype=np.int64),
+                "prevc": prevc.astype(np.int64),
+                "nextc": nextc.astype(np.int64),
+                "tail": (~same_parent).astype(np.int64),
+            }
+        )
+        return df.groupby("kind", as_index=False, sort=False).sum()
+
+    agg = (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(measure, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("n", alias_name="n_media"),
+            Sum("prevc", alias_name="prev_chars"),
+            Sum("nextc", alias_name="next_chars"),
+            Sum("tail", alias_name="n_tail"),
+        )
+    )
+    return agg

@@ -1298,3 +1298,34 @@ def test_source_overlap_matrix_counts_distinct_shared_segments(
     out = source_overlap_matrix(str(tmp_path)).to_pandas()
     got = {(r.sa, r.sb): r.n_shared for r in out.itertuples()}
     assert got == {("A", "B"): 1}
+
+
+def test_media_context_stats_tail_and_windows(ray_session, tmp_path):
+    """Hand-constructed doc where the media span is the LAST span:
+    next_chars = 0 and it counts as tail; a mid-doc media span gets
+    both windows."""
+    # doc_id 0: (0*31 + j) % 5 == 0 at j=0; 100 chars -> k=2 text spans
+    # media after text span 0 -> prev=64, next=min(64, 100-64)=36, not tail
+    # doc_id 5: (155 + j) % 5 == 0 at j=0; 60 chars -> k=1 -> tail media
+    texts = {0: "x" * 100, 5: "y" * 60}
+    n = 2
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 5], type=pa.int64()),
+            "text": pa.array([texts[0], texts[5]], type=pa.string()),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+            "source": pa.array(["s"] * n, type=pa.string()),
+            "n_chars": pa.array([100, 60], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    from crawler_ray.queries import media_context_stats
+
+    out = media_context_stats(str(tmp_path)).to_pandas().set_index("kind")
+    # doc 0 j=0: kind (0+0)%3 = image; doc 5 j=0: kind (5+0)%3 = video
+    assert out.loc["image", "prev_chars"] == 64
+    assert out.loc["image", "next_chars"] == 36
+    assert out.loc["image", "n_tail"] == 0
+    assert out.loc["video", "prev_chars"] == 60
+    assert out.loc["video", "next_chars"] == 0
+    assert out.loc["video", "n_tail"] == 1
