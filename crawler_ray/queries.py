@@ -5756,9 +5756,9 @@ def ohlc_hourly(sf_dir: str):
     """,
     doc="Interleaved-payload axis (input_hint: media spans as opaque "
     "binary + typed metadata): every document derives a deterministic "
-    "media payload — extension by doc_id mod 6 over the seven REAL "
-    "codecs (PNG / JPEG / GIF / MP4-MJPEG / intra-H.264-in-MP4 / "
-    "AVI-MJPEG / WAV, stages/codecs.py + media.py + h264.py), "
+    "media payload — extension by doc_id mod 6 over the eight REAL "
+    "codecs (PNG / BMP / JPEG / GIF / MP4-MJPEG / intra-H.264-in-MP4 "
+    "/ AVI-MJPEG / WAV, stages/codecs.py + media.py + h264.py), "
     "dimensions and frame counts pure "
     "doc_id arithmetic — then an actor-pool MediaDecoder stage "
     "(codec state per actor, SMALL batch_size for wide binary rows) "
@@ -5772,6 +5772,7 @@ def media_decode_stats(sf_dir: str):
     def synth_payloads(t: pa.Table) -> pa.Table:
         from .stages.codecs import (
             avi_mjpeg_encode,
+            bmp_encode,
             gif_encode,
             jpeg_encode,
             mp4_h264_encode,
@@ -5804,7 +5805,14 @@ def media_decode_stats(sf_dir: str):
             else:  # image: png / jpeg / gif
                 img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
                 if sel == 0:
-                    payloads.append(png_encode(img))
+                    # the PNG leg splits on an independent hash bit to
+                    # cover the EIGHTH codec (BMP) — same kind/frame
+                    # arithmetic, so the SQL mirror is unchanged and a
+                    # BMP regression breaks the value hash too
+                    if (did // 6) % 2 == 1:
+                        payloads.append(bmp_encode(img))
+                    else:
+                        payloads.append(png_encode(img))
                 elif sel == 1:
                     payloads.append(jpeg_encode(img, 85))
                 else:  # GIF needs ≤256 colors: palette-index the noise

@@ -2229,3 +2229,100 @@ def mp4_decode(
     if len({f.shape for f in frames}) != 1:
         raise ValueError("MP4 frames disagree on dimensions")
     return np.stack(frames), tr["fps"]
+
+
+# ===================================================================== BMP
+
+def bmp_encode(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """(h, w, 3) RGB uint8 → 24-bit BI_RGB BMP; (h, w) gray uint8 →
+    8-bit palette BMP (grayscale ramp).  BITMAPFILEHEADER +
+    BITMAPINFOHEADER, rows padded to 4 bytes, bottom-up by default
+    (``top_down=True`` writes negative biHeight)."""
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        bpp, palette = 24, b""
+        rows = arr[:, :, ::-1].astype(np.uint8)  # BGR byte order
+        rowbytes = w * 3
+        nclr = 0
+    elif arr.ndim == 2:
+        bpp = 8
+        ramp = np.arange(256, dtype=np.uint8)
+        palette = (
+            np.stack([ramp, ramp, ramp, np.zeros(256, np.uint8)], axis=1)
+            .tobytes()
+        )
+        rows = arr.astype(np.uint8)
+        rowbytes = w
+        nclr = 256
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    stride = (rowbytes + 3) // 4 * 4
+    if not top_down:
+        rows = rows[::-1]
+    data = np.zeros((h, stride), dtype=np.uint8)
+    data[:, :rowbytes] = rows.reshape(h, rowbytes)
+    px = data.tobytes()
+    off = 14 + 40 + len(palette)
+    bih = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, bpp, 0, len(px),
+        2835, 2835, nclr, 0,
+    )
+    bfh = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    return bfh + bih + palette + px
+
+
+@_valueerror_on_corruption
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """BI_RGB BMP → (h, w, 3) uint8 RGB.  24-bit and 8-bit-palette,
+    bottom-up AND top-down (negative biHeight), BITMAPINFOHEADER and
+    later (larger) header revisions; compressed variants (RLE4/8,
+    BI_BITFIELDS) and other depths are refused BY NAME."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hsz = struct.unpack_from("<I", payload, 14)[0]
+    if hsz < 40:
+        raise ValueError(f"BMP header size {hsz} unsupported (BITMAPCOREHEADER)")
+    w, hraw, planes, bpp, comp, _isz, _xp, _yp, nclr, _ci = struct.unpack_from(
+        "<iiHHIIiiII", payload, 18
+    )
+    top_down, h = hraw < 0, abs(hraw)
+    if comp != 0:
+        raise ValueError(f"BMP compression {comp} unsupported (BI_RGB only)")
+    if bpp not in (8, 24):
+        raise ValueError(f"BMP bit depth {bpp} unsupported (8/24 only)")
+    if planes != 1:
+        raise ValueError(f"BMP planes {planes} != 1")
+    if w <= 0 or h == 0 or w > (1 << 16) or h > (1 << 16):
+        raise ValueError(f"implausible BMP dimensions {w}x{hraw}")
+    rowbytes = w * (3 if bpp == 24 else 1)
+    stride = (rowbytes + 3) // 4 * 4
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)[
+        :, :rowbytes
+    ]
+    if bpp == 24:
+        img = data.reshape(h, w, 3)[:, :, ::-1]
+    else:
+        if nclr == 0:
+            nclr = 256
+        pal_off = 14 + hsz
+        if pal_off + nclr * 4 > off:
+            raise ValueError("BMP palette overruns pixel offset")
+        pal = (
+            np.frombuffer(payload, np.uint8, nclr * 4, pal_off)
+            .reshape(nclr, 4)[:, :3][:, ::-1]
+        )  # stored BGRx
+        idx = data
+        if int(idx.max(initial=0)) >= nclr:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)

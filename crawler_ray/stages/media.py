@@ -217,6 +217,10 @@ class _FakeCodec:
             from .codecs import jpeg_decode
 
             return "image", jpeg_decode(payload)[None]
+        if payload.startswith(b"BM") and len(payload) >= 54:
+            from .codecs import bmp_decode
+
+            return "image", bmp_decode(payload)[None]
         if payload.startswith((b"GIF87a", b"GIF89a")):
             from .codecs import gif_decode_frames
 
@@ -246,7 +250,7 @@ class _FakeCodec:
             return _BYTE_KIND[kb], arr
         raise NotImplementedError(
             "unrecognized media container; PPM/PNG/APNG/baseline-and-"
-            "progressive-JPEG/GIF images, AVI-MJPEG, MP4-MJPEG and "
+            "progressive-JPEG/GIF/BMP images, AVI-MJPEG, MP4-MJPEG and "
             "intra-only H.264 (avc1 I_PCM) video (the MP4 demux is "
             "real; inter-frame bitstreams like HEVC/VP9 and non-intra "
             "H.264 stay gated — no ffmpeg), PCM WAV audio and the "

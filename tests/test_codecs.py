@@ -1124,3 +1124,83 @@ def test_h264_corruption_never_escapes():
                 mut[i] = bytes(ba)
                 attempt(mut)
             ba[pos] = orig
+
+
+def test_bmp_roundtrip_paddings_depths_orientation():
+    """24-bit RGB at every 4-byte padding residue, 8-bit palette gray,
+    bottom-up AND top-down — all byte-exact roundtrips."""
+    import numpy as np
+
+    from crawler_ray.stages.codecs import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5, 17):
+        for h in (1, 3, 8):
+            img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+            assert np.array_equal(
+                bmp_decode(bmp_encode(img, top_down=True)), img
+            )
+            g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            assert np.array_equal(
+                bmp_decode(bmp_encode(g)), np.stack([g] * 3, axis=-1)
+            )
+
+
+def test_bmp_refusals_and_truncation_fuzz():
+    """Every strict prefix raises ValueError; unsupported features are
+    refused by name (RLE compression, 16-bit depth, core header)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from crawler_ray.stages.codecs import bmp_decode, bmp_encode
+
+    full = bytearray(
+        bmp_encode(np.random.RandomState(3).randint(
+            0, 256, size=(5, 5, 3)).astype(np.uint8))
+    )
+    for cut in range(len(full)):
+        with pytest.raises(ValueError):
+            bmp_decode(bytes(full[:cut]))
+    bmp_decode(bytes(full))  # the untouched stream still decodes
+
+    rle = bytearray(full)
+    struct.pack_into("<I", rle, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        bmp_decode(bytes(rle))
+    b16 = bytearray(full)
+    struct.pack_into("<H", b16, 28, 16)
+    with pytest.raises(ValueError, match="depth"):
+        bmp_decode(bytes(b16))
+    core = bytearray(full)
+    struct.pack_into("<I", core, 14, 12)  # BITMAPCOREHEADER
+    with pytest.raises(ValueError, match="header"):
+        bmp_decode(bytes(core))
+
+
+def test_bmp_through_media_decoder_stage(ray_session):
+    """BMP payloads flow through the MediaDecoder actor pool like any
+    other container; a corrupt BMP degrades to decode_ok=False."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import bmp_encode
+    from crawler_ray.stages.media import MediaDecoder
+
+    img = np.random.RandomState(5).randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    good = bmp_encode(img)
+    bad = good[: len(good) // 2]
+    ds = rd.from_arrow(
+        pa.table({"payload": pa.array([good, bad], type=pa.large_binary())})
+    )
+    out = ds.map_batches(
+        MediaDecoder, batch_size=2, concurrency=1, batch_format="pyarrow"
+    ).to_pandas()
+    ok = out[out["decode_ok"]]
+    assert len(ok) == 1
+    assert ok.iloc[0]["decoded_kind"] == "image"
+    assert ok.iloc[0]["decoded_width"] == 7 and ok.iloc[0]["decoded_height"] == 9
+    assert (~out["decode_ok"]).sum() == 1
