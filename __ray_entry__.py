@@ -84,6 +84,7 @@ _CERTIFY_FIRST = [
     "event_path_topk",         # new in r5 session 12, never certified
     "source_overlap_matrix",   # new in r5 session 12, never certified
     "media_context_stats",     # new in r5 session 12, never certified
+    "kwic_contexts",           # new in r5 session 12, never certified
     "dataset_card_stats",      # new in r5 session 11, never certified
     "pmi_topk",                # new in r5 session 11, never certified
     "graph_random_walks",      # new in r5 session 11, never certified

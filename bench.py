@@ -89,6 +89,15 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "pmi_topk",
     "dataset_card_stats",
+    "cms_registers",
+    "overlap_stitch",
+    "label_prop_rounds",
+    "embedding_gram",
+    "cohort_retention",
+    "event_path_topk",
+    "source_overlap_matrix",
+    "media_context_stats",
+    "kwic_contexts",
 ]
 
 

@@ -12416,3 +12416,83 @@ def media_context_stats(sf_dir: str):
         )
     )
     return agg
+
+
+@register(
+    "kwic_contexts",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    p AS (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w),
+    hit AS (SELECT ws[i+1] AS probe,
+                   coalesce(array_to_string(ws[greatest(1, i-1) : i], ' '),
+                            '') AS lctx,
+                   coalesce(array_to_string(ws[i+2 : least(len(ws), i+3)],
+                                            ' '), '') AS rctx
+            FROM p WHERE ws[i+1] IN ('order', 'window', 'hash')),
+    c AS (SELECT probe, lctx || '|' || rctx AS ctx, count(*) AS n
+          FROM hit GROUP BY 1, 2)
+    SELECT probe, ctx, n FROM c
+    QUALIFY row_number() OVER (PARTITION BY probe
+                               ORDER BY n DESC, ctx) <= 5
+    """,
+    doc="Concordance / KWIC extraction (keyword-in-context, the "
+    "qualitative audit tool a curator runs before writing a filter "
+    "rule: HOW is this term used?): for each probe term, every "
+    "occurrence's 2-token left and right context, aggregated to the "
+    "top-5 contexts per probe by (count desc, ctx asc).  Complements "
+    "memorization_scan (which counts probe hits but discards the "
+    "surroundings).  Distributed shape: per-batch Python-loop doc "
+    "scan is fine here — the work is per-token string slicing "
+    "bounded by hit count, not a kernel — emitting (probe, ctx) "
+    "Counter partials; ONE bucketed (probe, ctx) sum (contexts are "
+    "short strings, ~40 bytes/distinct-context/batch, text bodies "
+    "never move); the per-probe top-5 runs in a 3-group groupby.  "
+    "Probe lists past ~1k should switch to the documented "
+    "Aho-Corasick upgrade shared with memorization_scan.",
+)
+def kwic_contexts(sf_dir: str, k: int = 5):
+    import collections
+
+    from .stages.relational import bucketed_agg
+
+    PROBES = ("order", "window", "hash")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"probe": "object", "ctx": "object", "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        cnt: collections.Counter = collections.Counter()
+        pset = set(PROBES)
+        for txt in t["text"].to_pylist():
+            toks = txt.split(" ")
+            for i, tok in enumerate(toks):
+                if tok in pset:
+                    lctx = " ".join(toks[max(0, i - 2) : i])
+                    rctx = " ".join(toks[i + 1 : i + 3])
+                    cnt[(tok, lctx + "|" + rctx)] += 1
+        if not cnt:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        keys = list(cnt.keys())
+        return pd.DataFrame(
+            {"probe": pd.Series([k0 for k0, _ in keys], dtype="object"),
+             "ctx": pd.Series([k1 for _, k1 in keys], dtype="object"),
+             "n": pd.Series(list(cnt.values()), dtype="int64")}
+        )
+
+    summed = bucketed_agg(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["probe", "ctx"],
+        sum_cols={"n": "n"},
+        key_dtypes={"probe": "object", "ctx": "object"},
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"probe": "object", "ctx": "object", "n": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["n", "ctx"], ascending=[False, True], kind="stable")
+        return g.head(k)[["probe", "ctx", "n"]]
+
+    return summed.groupby("probe").map_groups(topk, batch_format="pandas")

@@ -33,6 +33,7 @@ SAMPLE = [
     "dataset_card_stats", "cms_registers", "overlap_stitch",
     "label_prop_rounds", "embedding_gram", "cohort_retention",
     "event_path_topk", "source_overlap_matrix", "media_context_stats",
+    "kwic_contexts",
 ]
 
 
