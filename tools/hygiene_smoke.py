@@ -87,6 +87,10 @@ def main():
         "dsir_resample",
         "temperature_resample",
         "bm25_topk",
+        "cms_registers",
+        "overlap_stitch",
+        "source_overlap_matrix",
+        "kwic_contexts",
     ):
         r0 = _rss_mb()
         t0 = time.time()
