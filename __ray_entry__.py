@@ -76,6 +76,11 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "skyline_pareto",          # new in r5 session 13, never certified
+    "timeseries_gapfill",      # new in r5 session 13, never certified
+    "winsorized_stats",        # new in r5 session 13, never certified
+    "event_debounce",          # new in r5 session 13, never certified
+    "rank_agreement",          # new in r5 session 13, never certified
     "cms_registers",           # new in r5 session 12, never certified
     "overlap_stitch",          # new in r5 session 12, never certified
     "label_prop_rounds",       # new in r5 session 12, never certified

@@ -33,7 +33,8 @@ SAMPLE = [
     "dataset_card_stats", "cms_registers", "overlap_stitch",
     "label_prop_rounds", "embedding_gram", "cohort_retention",
     "event_path_topk", "source_overlap_matrix", "media_context_stats",
-    "kwic_contexts",
+    "kwic_contexts", "skyline_pareto", "timeseries_gapfill",
+    "winsorized_stats", "event_debounce", "rank_agreement",
 ]
 
 

@@ -1,0 +1,185 @@
+"""Session-13 operator invariants: skyline merge exactness, debounce vs
+sequential rule, tie-aware Spearman vs a direct reference, gap-fill
+density, winsorize thresholds vs explicit rank definition."""
+
+import numpy as np
+import pandas as pd
+
+from crawler_ray.queries import _pareto_skyline_df
+
+
+def _brute_skyline(df: pd.DataFrame) -> set[int]:
+    keys = set()
+    price = df["price_c"].to_numpy()
+    size = df["p_size"].to_numpy()
+    pk = df["p_partkey"].to_numpy()
+    for i in range(len(df)):
+        dominated = (
+            (price <= price[i])
+            & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))
+        ).any()
+        if not dominated:
+            keys.add(int(pk[i]))
+    return keys
+
+
+def test_skyline_of_skylines_equals_global():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 400
+        df = pd.DataFrame(
+            {
+                "p_partkey": np.arange(n, dtype=np.int64),
+                # small value ranges force heavy ties (the hard case)
+                "p_size": rng.integers(0, 12, n).astype(np.int64),
+                "price_c": rng.integers(0, 25, n).astype(np.int64),
+            }
+        )
+        want = _brute_skyline(df)
+        # global kernel alone
+        got_global = set(_pareto_skyline_df(df)["p_partkey"].tolist())
+        assert got_global == want
+        # skyline-of-skylines over random chunking
+        parts = np.array_split(df.sample(frac=1, random_state=trial), 7)
+        merged = pd.concat([_pareto_skyline_df(p) for p in parts])
+        got_merged = set(_pareto_skyline_df(merged)["p_partkey"].tolist())
+        assert got_merged == want
+
+
+def test_skyline_keeps_duplicate_frontier_points():
+    df = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_size": [10, 10, 5, 10],
+            "price_c": [100, 100, 100, 200],
+        }
+    )
+    # identical frontier points (1,2) both survive; 3 dominated by 1;
+    # 4 dominated by 1 (same size, cheaper).
+    assert set(_pareto_skyline_df(df)["p_partkey"].tolist()) == {1, 2}
+
+
+def test_debounce_matches_sequential_rule(ray_session):
+    from crawler_ray.queries import event_debounce
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        event_debounce(sf)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf + "/events.parquet",
+                      columns=["user_id", "event_type", "ts", "event_id"])
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "event_type", "us", "event_id"])
+    rows = {}
+    prev = {}
+    W = 86_400_000_000
+    for u, e, us in zip(df["user_id"], df["event_type"], df["us"]):
+        k = (u, e)
+        kept, dropped = rows.get(k, (0, 0))
+        if k in prev and us - prev[k] <= W:
+            dropped += 1
+        else:
+            kept += 1
+        prev[k] = us  # lag semantics: previous OCCURRENCE, kept or not
+        rows[k] = (kept, dropped)
+    want = pd.DataFrame(
+        [(u, e, k, d) for (u, e), (k, d) in sorted(rows.items())],
+        columns=["user_id", "event_type", "kept", "dropped"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"kept": "int64", "dropped": "int64"}), want
+    )
+
+
+def test_rank_agreement_matches_direct_spearman(ray_session):
+    from crawler_ray.queries import rank_agreement
+
+    sf = "/root/testdata/sf0.001"
+    got = rank_agreement(sf).to_pandas().set_index("p_brand")
+
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        sf + "/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    ).to_pandas()
+    df["y"] = np.floor(df["p_retailprice"] * 100 + 0.5).astype(np.int64)
+    for brand, g in df.groupby("p_brand"):
+        n = len(g)
+        if n < 2:
+            assert brand not in got.index
+            continue
+
+        def dbl_avg_rank(v):
+            v = np.asarray(v)
+            order = np.argsort(v, kind="stable")
+            r = np.empty(n, dtype=np.int64)
+            # doubled average rank: 2*min_rank + ties - 1
+            sv = v[order]
+            out = np.empty(n, dtype=np.int64)
+            i = 0
+            while i < n:
+                j = i
+                while j < n and sv[j] == sv[i]:
+                    j += 1
+                out[i:j] = 2 * (i + 1) + (j - i) - 1
+                i = j
+            r[order] = out
+            return r
+
+        dx = dbl_avg_rank(g["p_size"].to_numpy())
+        dy = dbl_avg_rank(g["y"].to_numpy())
+        d2x4 = int(((dx - dy) ** 2).sum())
+        rho_q = 1024 - (1536 * d2x4) // (n * (n * n - 1))
+        row = got.loc[brand]
+        assert int(row["n"]) == n
+        assert int(row["d2x4"]) == d2x4
+        assert int(row["rho_q"]) == rho_q
+
+
+def test_gapfill_is_dense_and_count_preserving(ray_session):
+    from crawler_ray.queries import timeseries_gapfill
+
+    sf = "/root/testdata/sf0.001"
+    got = timeseries_gapfill(sf).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(sf + "/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    assert got["n"].sum() == len(ev)  # zero rows add nothing
+    for u, g in got.groupby("user_id"):
+        days = np.sort(g["day"].to_numpy())
+        assert (np.diff(days) == 1).all()  # dense grid, no holes
+        assert g.iloc[0]["n"] >= 0
+        # boundary days are observed (min/max are real activity days)
+        assert g.loc[g["day"] == days[0], "n"].iloc[0] > 0
+        assert g.loc[g["day"] == days[-1], "n"].iloc[0] > 0
+
+
+def test_winsorize_bounds_are_exact_rank_stats(ray_session):
+    from crawler_ray.queries import winsorized_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = winsorized_stats(sf).to_pandas().set_index("lang")
+
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(sf + "/documents.parquet", columns=["lang", "n_chars"]).to_pandas()
+    for lang, g in df.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        lo = v[(n + 19) // 20 - 1]
+        hi = v[(19 * n + 19) // 20 - 1]
+        clipped = np.clip(g["n_chars"].to_numpy(), lo, hi)
+        row = got.loc[lang]
+        assert int(row["clipped_sum"]) == int(clipped.sum())
+        assert int(row["n_clipped"]) == int(
+            ((g["n_chars"] < lo) | (g["n_chars"] > hi)).sum()
+        )
