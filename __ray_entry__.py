@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "two_hop_reach",           # new in r5 session 13, never certified
+    "colbert_maxsim",          # new in r5 session 13, never certified
+    "cdc_upsert_merge",        # new in r5 session 13, never certified
+    "media_layout_dedup",      # new in r5 session 13, never certified
     "skyline_pareto",          # new in r5 session 13, never certified
     "timeseries_gapfill",      # new in r5 session 13, never certified
     "winsorized_stats",        # new in r5 session 13, never certified

@@ -12960,3 +12960,413 @@ def rank_agreement(sf_dir: str):
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+@register(
+    "two_hop_reach",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    lu AS (SELECT DISTINCT src, target FROM l WHERE target != src),
+    deg AS (SELECT src AS mid FROM lu GROUP BY src HAVING count(*) <= 64),
+    h2 AS (
+      SELECT DISTINCT a.src, b.target AS t2
+      FROM lu a JOIN deg ON deg.mid = a.target
+      JOIN lu b ON b.src = a.target
+      WHERE b.target != a.src
+        AND NOT EXISTS (SELECT 1 FROM lu c
+                        WHERE c.src = a.src AND c.target = b.target)),
+    c1 AS (SELECT src, count(*) AS n1 FROM lu GROUP BY src),
+    c2 AS (SELECT src, count(*) AS n2 FROM h2 GROUP BY src)
+    SELECT c1.src AS node, c1.n1, coalesce(c2.n2, 0) AS n2,
+           CAST(1024*c1.n1 + 512*coalesce(c2.n2, 0) AS BIGINT) AS harmonic_q
+    FROM c1 LEFT JOIN c2 ON c2.src = c1.src
+    """,
+    doc="Two-hop neighborhood reach per node (the truncated harmonic "
+    "centrality / HyperBall round-2 exact form: n1 = distinct direct "
+    "neighbors, n2 = distinct NEW nodes at exactly distance 2, "
+    "harmonic_q = 1024*n1 + 512*n2 — integer 1/d weights).  Edges "
+    "follow the shared deterministic convention (_LINK_SQL_CTE).  "
+    "Distributed shape: (1) per-batch link explode + dedup -> int "
+    "(src, target) pairs; (2) ONE mid-keyed shuffle co-locates each "
+    "node's IN-edges and OUT-edges (tagged rows, bucket = mid %% 64); "
+    "per-mid candidate generation is a per-bucket pandas hash join "
+    "(in-citers x out-targets, C-level per-key cross product) gated "
+    "by the out-degree <= 64 hub cap symmetric with the oracle — at "
+    "web scale the cap bounds the explode at in_deg(mid) x 64; (3) "
+    "ONE src-keyed shuffle unions candidates with the node's own "
+    "edge set; per bucket a single vectorized anti-join "
+    "(drop_duplicates + merge indicator) computes n1/n2 for every "
+    "src at once.  Only int64 pairs ever move; no N^2 term anywhere "
+    "below the cap.",
+)
+def two_hop_reach(sf_dir: str, hub_cap: int = 64):
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"src": "int64", "tgt": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        keep = src != tgt
+        packed = np.unique(src[keep] * np.int64(n_docs) + tgt[keep])
+        return pd.DataFrame(
+            {"src": (packed // n_docs).astype(np.int64),
+             "tgt": (packed % n_docs).astype(np.int64)}
+        )
+
+    def tag_mid(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"mid": "int64", "other": "int64", "dir": "int8", "mb": "int32"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = pd.DataFrame(
+            {
+                "mid": np.concatenate((df["tgt"].to_numpy(), df["src"].to_numpy())),
+                "other": np.concatenate((df["src"].to_numpy(), df["tgt"].to_numpy())),
+                "dir": np.concatenate(
+                    (np.zeros(len(df), np.int8), np.ones(len(df), np.int8))
+                ),
+            }
+        )
+        out["mb"] = (out["mid"].to_numpy() % 64).astype("int32")
+        return out
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "t2": "int64", "kind": "int8", "sb": "int32"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        outs = g[g["dir"] == 1][["mid", "other"]].drop_duplicates()
+        deg = outs.groupby("mid")["other"].transform("size")
+        outs = outs[deg <= hub_cap]
+        ins = g[g["dir"] == 0][["mid", "other"]].drop_duplicates()
+        cand = ins.merge(outs, on="mid", suffixes=("_s", "_t"))
+        cand = cand[cand["other_s"] != cand["other_t"]]
+        cand = cand[["other_s", "other_t"]].drop_duplicates()
+        out = pd.DataFrame(
+            {"src": cand["other_s"].to_numpy(), "t2": cand["other_t"].to_numpy()}
+        )
+        out["kind"] = np.int8(1)
+        out["sb"] = (out["src"].to_numpy() % 64).astype("int32")
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"node": "int64", "n1": "int64", "n2": "int64", "harmonic_q": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        edges = g[g["kind"] == 0][["src", "t2"]].drop_duplicates()
+        cand = g[g["kind"] == 1][["src", "t2"]].drop_duplicates()
+        n1 = edges.groupby("src", as_index=False, sort=False).size()
+        n1 = n1.rename(columns={"size": "n1", "src": "node"})
+        anti = cand.merge(edges, on=["src", "t2"], how="left", indicator=True)
+        anti = anti[anti["_merge"] == "left_only"]
+        n2 = anti.groupby("src", as_index=False, sort=False).size()
+        n2 = n2.rename(columns={"size": "n2", "src": "node"})
+        out = n1.merge(n2, on="node", how="left")
+        out["n2"] = out["n2"].fillna(0).astype("int64")
+        out["harmonic_q"] = 1024 * out["n1"].to_numpy() + 512 * out["n2"].to_numpy()
+        return out[["node", "n1", "n2", "harmonic_q"]]
+
+    import ray.data as rd
+
+    edges = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # consumed twice (mid view + src view); pairs only
+    )
+    cand = (
+        edges.map_batches(tag_mid, batch_format="pandas")
+        .groupby("mb")
+        .map_groups(candidates, batch_format="pandas")
+    )
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src": "int64", "t2": "int64", "kind": "int8", "sb": "int32"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = df.rename(columns={"tgt": "t2"}).copy()
+        out["kind"] = np.int8(0)
+        out["sb"] = (out["src"].to_numpy() % 64).astype("int32")
+        return out[["src", "t2", "kind", "sb"]]
+
+    both = edges.map_batches(edge_rows, batch_format="pandas").union(cand)
+    return both.groupby("sb").map_groups(finish, batch_format="pandas")
+
+
+@register(
+    "colbert_maxsim",
+    """
+    WITH qv AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding
+      FROM embeddings WHERE vec_id % 37 = 0),
+    eq AS (
+      SELECT qid, qlabel, g.i AS i,
+             CAST(floor(embedding[g.i + 1] * 1024) AS BIGINT) AS v
+      FROM qv, unnest(generate_series(0, 63)) AS g(i)),
+    ed AS (
+      SELECT vec_id AS did, label AS dlabel, g.i AS i,
+             CAST(floor(embedding[g.i + 1] * 1024) AS BIGINT) AS v
+      FROM embeddings, unnest(generate_series(0, 63)) AS g(i)),
+    dots AS (
+      SELECT eq.qid, eq.qlabel, ed.did, ed.dlabel, sum(eq.v * ed.v) AS dot
+      FROM eq JOIN ed USING (i)
+      GROUP BY eq.qid, eq.qlabel, ed.did, ed.dlabel),
+    mx AS (
+      SELECT qid, qlabel, dlabel, max(dot) AS m
+      FROM dots GROUP BY qid, qlabel, dlabel)
+    SELECT qlabel, dlabel, CAST(sum(m) AS BIGINT) AS score
+    FROM mx GROUP BY qlabel, dlabel
+    """,
+    doc="Late-interaction retrieval scoring (ColBERT MaxSim: a query "
+    "is a BAG of token vectors, a document is a bag of token "
+    "vectors, score = sum over query tokens of the max dot product "
+    "against any document token — the multi-vector ranking family "
+    "between brute-cosine (1 vector) and cross-encoders).  Here "
+    "query bags = the label groups of the sampled query vectors "
+    "(vec_id %% 37 == 0) and document bags = the label groups of the "
+    "full corpus; dot products are integer-exact (floor(x*1024) on "
+    "float64-widened values, products bounded by 64*1024^2 << "
+    "int64).  Distributed shape: the quantized query matrix (Q x 64 "
+    "int64) broadcasts ONCE via ray.put; each batch runs ONE int64 "
+    "matmul scoring every query token against every batch vector, "
+    "then a vectorized per-(qid, dlabel) partial max — the combiner "
+    "emits <= Q x labels_in_batch rows per batch at ANY corpus "
+    "size; ONE bucketed max merge + a tiny (qlabel, dlabel) sum "
+    "finish.  Document vectors never shuffle and never concentrate; "
+    "the only state is the broadcast query matrix.",
+)
+def colbert_maxsim(sf_dir: str):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    emb = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    qm = (emb["vec_id"].to_numpy() % 37) == 0
+    qids = emb["vec_id"].to_numpy()[qm].astype(np.int64)
+    qlabels = emb["label"].to_numpy()[qm].astype(np.int64)
+    qmat = np.floor(
+        list_col_to_matrix(emb["embedding"].filter(pa.array(qm))).astype(np.float64)
+        * 1024.0
+    ).astype(np.int64)
+    qref = ray.put((qids, qlabels, qmat))
+
+    class PartialMax:
+        def __init__(self):
+            self.qids, self.qlabels, self.qmat = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cols = {"qid": "int64", "dlabel": "int64", "m": "int64"}
+            if t.num_rows == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            dmat = np.floor(
+                list_col_to_matrix(t["embedding"]).astype(np.float64) * 1024.0
+            ).astype(np.int64)
+            dlab = t["label"].to_numpy().astype(np.int64)
+            dots = self.qmat @ dmat.T  # Q x B int64
+            out = []
+            for lab in np.unique(dlab):
+                sel = dots[:, dlab == lab]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": self.qids, "dlabel": np.int64(lab),
+                         "m": sel.max(axis=1)}
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    def merge_max(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"qid": "int64", "qlabel": "int64", "dlabel": "int64", "m": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = g.groupby(["qid", "dlabel"], as_index=False, sort=False)["m"].max()
+        ql = pd.Series(dict(zip(qids, qlabels)))
+        out["qlabel"] = ql.loc[out["qid"]].to_numpy()
+        return out[["qid", "qlabel", "dlabel", "m"]]
+
+    partials = (
+        _read(sf_dir, "embeddings", columns=["embedding", "label"])
+        .map_batches(PartialMax, batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            lambda df: df.assign(
+                gb=((df["qid"] * 131 + df["dlabel"]) % 32).astype("int32")
+            )
+            if len(df)
+            else df.assign(gb=pd.Series([], dtype="int32")),
+            batch_format="pandas",
+        )
+        .groupby("gb")
+        .map_groups(merge_max, batch_format="pandas")
+    )
+    return bucketed_agg(
+        partials.map_batches(
+            lambda df: df[["qlabel", "dlabel", "m"]].rename(columns={"m": "score"})
+            if df.shape[1] > 0
+            else pd.DataFrame(
+                {"qlabel": pd.Series([], dtype="int64"),
+                 "dlabel": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["qlabel", "dlabel"],
+        sum_cols={"score": "score"},
+    )
+
+
+@register(
+    "cdc_upsert_merge",
+    """
+    WITH log AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c,
+             (event_id % 10 = 0) AS is_del
+      FROM events),
+    last AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log)
+    SELECT user_id, event_type, value_c
+    FROM last WHERE rn = 1 AND NOT is_del
+    """,
+    doc="Change-data-capture upsert merge (the Iceberg/Delta MERGE "
+    "INTO semantics: a log of upserts and deletes keyed by entity, "
+    "last-wins by (ts, event_id); final state = the last op per "
+    "entity, dropped entirely if that op is a DELETE — here entity "
+    "= (user_id, event_type) and rows with event_id %% 10 == 0 are "
+    "tombstones).  Distributed shape: per-batch vectorized "
+    "last-op-per-entity partial (sort + tail, <= 1 row per entity "
+    "per batch at ANY log size — the argmax combiner of "
+    "dedup_keep_longest generalized to a composite ordering key), "
+    "ONE bucketed entity-hash merge re-applies the same argmax, "
+    "tombstone filter at the very end so a delete correctly beats "
+    "earlier upserts.  Values quantize to exact integer cents; the "
+    "log's payload column never moves more than once per "
+    "(entity, batch).",
+)
+def cdc_upsert_merge(sf_dir: str):
+    def partial_last(t: pa.Table) -> pd.DataFrame:
+        cols = {
+            "user_id": "int64", "event_type": "object", "us": "int64",
+            "event_id": "int64", "value_c": "int64", "is_del": "bool",
+            "eb": "int32",
+        }
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy().astype(np.int64),
+                "event_type": t["event_type"].to_pandas().to_numpy(),
+                "us": t["ts"].cast(pa.int64()).to_numpy(),
+                "event_id": t["event_id"].to_numpy().astype(np.int64),
+                "value_c": cents(t["value"]).to_numpy().astype(np.int64),
+            }
+        )
+        df["is_del"] = (df["event_id"].to_numpy() % 10) == 0
+        df = df.sort_values(["user_id", "event_type", "us", "event_id"], kind="stable")
+        df = df.groupby(["user_id", "event_type"], as_index=False, sort=False).tail(1)
+        df["eb"] = (
+            pd.util.hash_pandas_object(
+                df[["user_id", "event_type"]], index=False
+            ).to_numpy()
+            % 64
+        ).astype("int32")
+        return df
+
+    def merge_last(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "event_type": "object", "value_c": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["user_id", "event_type", "us", "event_id"], kind="stable")
+        g = g.groupby(["user_id", "event_type"], as_index=False, sort=False).tail(1)
+        g = g[~g["is_del"]]
+        return g[["user_id", "event_type", "value_c"]].reset_index(drop=True)
+
+    return (
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "ts", "event_id", "value"])
+        .map_batches(partial_last, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(merge_last, batch_format="pandas")
+    )
+
+
+@register(
+    "media_layout_dedup",
+    """
+    WITH s AS (
+      SELECT doc_id, j, (doc_id + j) % 3 AS kindno
+      FROM documents,
+           unnest(generate_series(0, (n_chars + 63)//64 - 1)) AS t(j)
+      WHERE (doc_id*31 + j) % 5 = 0 AND n_chars > 0),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE kindno WHEN 0 THEN 'image'
+                                    WHEN 1 THEN 'audio'
+                                    ELSE 'video' END, ',' ORDER BY j) AS msig
+      FROM s GROUP BY doc_id),
+    alldocs AS (
+      SELECT d.doc_id, coalesce(sig.msig, '') AS msig
+      FROM documents d LEFT JOIN sig USING (doc_id))
+    SELECT msig, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM alldocs GROUP BY msig
+    """,
+    doc="Interleaved-document media-layout dedup (group multimodal "
+    "docs by their media-kind SEQUENCE — the image/audio/video "
+    "pattern in span order; the template-detection signal for "
+    "interleaved corpora: identical layouts with different text are "
+    "near-template pages, and the keeper (min doc_id) is the "
+    "canonical representative).  The Ray side measures the REAL "
+    "nested span column (_build_span_column -> flatten -> media "
+    "rows -> vectorized in-order per-doc kind join) while the "
+    "oracle derives the same sequence arithmetically from the "
+    "synthesis contract.  Distributed shape: signatures are built "
+    "per batch with NO shuffle (spans are doc-local), then ONE "
+    "bucketed (msig) merge sums counts and takes min keepers — "
+    "signature strings are bounded by media-per-doc, and text never "
+    "moves at all.",
+)
+def media_layout_dedup(sf_dir: str):
+    def sig_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"msig": "object", "n_docs": "int64", "keeper": "int64", "sb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        st = _build_span_column(t)
+        doc = st["doc_id"].to_numpy().astype(np.int64)
+        spans = st["spans"].combine_chunks()
+        flat = spans.flatten()
+        parents = np.asarray(pa.compute.list_parent_indices(spans))
+        kind = flat.field("kind").to_pandas().to_numpy()
+        is_media = kind != "text"
+        mdf = pd.DataFrame(
+            {"doc": doc[parents[is_media]], "kind": kind[is_media]}
+        )
+        # spans are already in document order; groupby preserves it
+        sig = mdf.groupby("doc", sort=False)["kind"].agg(",".join)
+        out = pd.DataFrame({"doc_id": doc})
+        out["msig"] = out["doc_id"].map(sig).fillna("")
+        agg = out.groupby("msig", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "size"), keeper=("doc_id", "min")
+        )
+        agg["sb"] = (
+            pd.util.hash_pandas_object(agg["msig"], index=False).to_numpy() % 32
+        ).astype("int32")
+        return agg
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"msig": "object", "n_docs": "int64", "keeper": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return g.groupby("msig", as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"), keeper=("keeper", "min")
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(sig_partial, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -35,6 +35,8 @@ SAMPLE = [
     "event_path_topk", "source_overlap_matrix", "media_context_stats",
     "kwic_contexts", "skyline_pareto", "timeseries_gapfill",
     "winsorized_stats", "event_debounce", "rank_agreement",
+    "two_hop_reach", "colbert_maxsim", "cdc_upsert_merge",
+    "media_layout_dedup",
 ]
 
 

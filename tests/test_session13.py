@@ -183,3 +183,104 @@ def test_winsorize_bounds_are_exact_rank_stats(ray_session):
         assert int(row["n_clipped"]) == int(
             ((g["n_chars"] < lo) | (g["n_chars"] > hi)).sum()
         )
+
+
+def test_two_hop_reach_matches_sequential_bfs(ray_session):
+    from crawler_ray.queries import two_hop_reach
+
+    sf = "/root/testdata/sf0.001"
+    got = two_hop_reach(sf).to_pandas().set_index("node").sort_index()
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+    adj = {}
+    for did in range(n_docs):
+        k = did % 5 + 3
+        tgts = {(did * 131 + j * 37 + j * j * 11 + 7) % n_docs for j in range(k)}
+        tgts.discard(did)
+        adj[did] = tgts
+    for node in range(n_docs):
+        n1set = adj[node]
+        n2set = set()
+        for mid in n1set:
+            if len(adj[mid]) <= 64:
+                n2set |= adj[mid]
+        n2set -= n1set
+        n2set.discard(node)
+        row = got.loc[node]
+        assert int(row["n1"]) == len(n1set)
+        assert int(row["n2"]) == len(n2set)
+        assert int(row["harmonic_q"]) == 1024 * len(n1set) + 512 * len(n2set)
+
+
+def test_colbert_maxsim_matches_brute_numpy(ray_session):
+    from crawler_ray.queries import colbert_maxsim
+    from crawler_ray.stages.ann import list_col_to_matrix
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = colbert_maxsim(sf).to_pandas().set_index(["qlabel", "dlabel"])
+
+    emb = pq.read_table(sf + "/embeddings.parquet")
+    vid = emb["vec_id"].to_numpy()
+    lab = emb["label"].to_numpy().astype(np.int64)
+    M = np.floor(list_col_to_matrix(emb["embedding"]).astype(np.float64) * 1024.0
+                 ).astype(np.int64)
+    qm = vid % 37 == 0
+    dots = M[qm] @ M.T  # Q x N
+    qlab = lab[qm]
+    for ql in np.unique(qlab):
+        for dl in np.unique(lab):
+            sub = dots[np.ix_(qlab == ql, lab == dl)]
+            want = int(sub.max(axis=1).sum())
+            assert int(got.loc[(ql, dl), "score"]) == want
+
+
+def test_cdc_merge_matches_sequential_replay(ray_session):
+    from crawler_ray.queries import cdc_upsert_merge
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        cdc_upsert_merge(sf)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(sf + "/events.parquet").to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    df = df.sort_values(["us", "event_id"])  # log order
+    state = {}
+    for _, r in df.iterrows():
+        k = (r["user_id"], r["event_type"])
+        if r["event_id"] % 10 == 0:
+            state.pop(k, None)
+        else:
+            state[k] = int(np.floor(r["value"] * 100 + 0.5))
+    want = pd.DataFrame(
+        [(u, e, v) for (u, e), v in sorted(state.items())],
+        columns=["user_id", "event_type", "value_c"],
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_media_layout_dedup_groups_are_real_layouts(ray_session):
+    from crawler_ray.queries import media_layout_dedup
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = media_layout_dedup(sf).to_pandas()
+    n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+    assert got["n_docs"].sum() == n_docs  # partition of the corpus
+    # keeper belongs to its own group: recompute its signature
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    nc = dict(zip(docs["doc_id"], docs["n_chars"]))
+    kinds = ["image", "audio", "video"]
+    for _, r in got.iterrows():
+        did = int(r["keeper"])
+        k = (nc[did] + 63) // 64
+        sig = ",".join(
+            kinds[(did + j) % 3] for j in range(k) if (did * 31 + j) % 5 == 0
+        )
+        assert sig == r["msig"]
