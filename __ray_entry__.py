@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "basket_rules",            # new in r5 session 13, never certified
+    "dup_size_histogram",      # new in r5 session 13, never certified
     "two_hop_reach",           # new in r5 session 13, never certified
     "colbert_maxsim",          # new in r5 session 13, never certified
     "cdc_upsert_merge",        # new in r5 session 13, never certified

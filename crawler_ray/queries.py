@@ -13370,3 +13370,196 @@ def media_layout_dedup(sf_dir: str):
         .groupby("sb")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+@register(
+    "basket_rules",
+    """
+    WITH li AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT count(DISTINCT ok) AS n FROM li),
+    ca AS (SELECT b, count(*) AS c FROM li GROUP BY b),
+    pairs AS (
+      SELECT x.b AS antecedent, y.b AS consequent, count(*) AS support
+      FROM li x JOIN li y ON x.ok = y.ok AND x.b != y.b
+      GROUP BY x.b, y.b)
+    SELECT p.antecedent, p.consequent, p.support,
+           CAST((p.support * 1024) // ca.c AS BIGINT) AS conf_q,
+           CAST((p.support * (SELECT n FROM nb) * 1024)
+                // (ca.c * cb.c) AS BIGINT) AS lift_q
+    FROM pairs p
+    JOIN ca ON ca.b = p.antecedent
+    JOIN ca cb ON cb.b = p.consequent
+    WHERE p.support >= 5
+    """,
+    doc="Market-basket association rules (Agrawal support / "
+    "confidence / lift over order baskets: antecedent brand -> "
+    "consequent brand, integer-quantized conf_q = 1024*c_ab/c_a and "
+    "lift_q = 1024*N*c_ab/(c_a*c_b) so the oracle hash cannot "
+    "drift; the same shape mines co-accessed hosts from a crawl "
+    "log).  Distributed shape: the part->brand dimension broadcasts "
+    "ONCE via ray.put (document the join regime past a broadcast "
+    "cap, as bigram_lm_score does); per batch: map partkeys to "
+    "brands + (order, brand) dedup partial; ONE order-keyed shuffle "
+    "co-locates baskets, per bucket a pandas self-merge generates "
+    "both-direction pairs (bounded by basket_size^2 per order) and "
+    "emits pair/brand/order-count partials as tagged rows; ONE "
+    "bucketed tagged sum + a single-partition finish computes the "
+    "quotients over the <= |brands|^2 rule table.  Bodies never "
+    "move; everything after the first shuffle is counts.",
+)
+def basket_rules(sf_dir: str, min_support: int = 5):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    bmap = pd.Series(part["p_brand"].to_pandas().to_numpy(), index=pk)
+    bref = ray.put(bmap)
+
+    class Baskets:
+        def __init__(self):
+            self.bmap = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            cols = {"ok": "int64", "b": "object", "ob": "int32"}
+            if t.num_rows == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            df = pd.DataFrame(
+                {
+                    "ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                    "b": self.bmap.loc[
+                        t["l_partkey"].to_numpy().astype(np.int64)
+                    ].to_numpy(),
+                }
+            ).drop_duplicates()
+            df["ob"] = (df["ok"].to_numpy() % 64).astype("int32")
+            return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"kind": "int64", "a": "object", "b": "object", "c": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        li = g[["ok", "b"]].drop_duplicates()
+        pairs = li.merge(li, on="ok", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["b_a"] != pairs["b_b"]]
+        pc = pairs.groupby(["b_a", "b_b"], as_index=False, sort=False).size()
+        out = [
+            pd.DataFrame(
+                {"kind": np.int64(0), "a": pc["b_a"], "b": pc["b_b"],
+                 "c": pc["size"].astype("int64")}
+            )
+        ]
+        bc = li.groupby("b", as_index=False, sort=False).size()
+        out.append(
+            pd.DataFrame(
+                {"kind": np.int64(1), "a": bc["b"], "b": "",
+                 "c": bc["size"].astype("int64")}
+            )
+        )
+        out.append(
+            pd.DataFrame(
+                {"kind": [np.int64(2)], "a": [""], "b": [""],
+                 "c": [np.int64(li["ok"].nunique())]}
+            )
+        )
+        return pd.concat(out, ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "antecedent": "object", "consequent": "object",
+            "support": "int64", "conf_q": "int64", "lift_q": "int64",
+        }
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        n = int(df.loc[df["kind"] == 2, "c"].sum())
+        ca = dict(zip(df.loc[df["kind"] == 1, "a"], df.loc[df["kind"] == 1, "c"]))
+        rules = df[df["kind"] == 0].copy()
+        rules = rules[rules["c"] >= min_support]
+        c_a = rules["a"].map(ca).to_numpy(dtype=np.int64)
+        c_b = rules["b"].map(ca).to_numpy(dtype=np.int64)
+        sup = rules["c"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "antecedent": rules["a"].to_numpy(),
+                "consequent": rules["b"].to_numpy(),
+                "support": sup,
+                "conf_q": (sup * 1024) // c_a,
+                "lift_q": (sup * n * 1024) // (c_a * c_b),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .map_batches(Baskets, batch_format="pyarrow", concurrency=2)
+        .groupby("ob")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    summed = bucketed_agg(
+        partials,
+        keys=["kind", "a", "b"],
+        sum_cols={"c": "c"},
+        key_dtypes={"a": "object", "b": "object"},
+    )
+    return summed.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "dup_size_histogram",
+    """
+    WITH f AS (SELECT md5(substr(text, 1, 128)) AS fp FROM documents),
+    c AS (SELECT fp, count(*) AS sz FROM f GROUP BY fp)
+    SELECT sz, count(*) AS n_clusters FROM c GROUP BY sz
+    """,
+    doc="Duplicate-cluster size histogram (the dedup datasheet: how "
+    "many exact-duplicate clusters of each size exist, by the "
+    "128-char head fingerprint — the number a curation run reports "
+    "before deciding its dedup policy, and the skew signal for "
+    "sizing the dedup shuffle itself).  Distributed shape: "
+    "per-batch md5 fingerprint + partial (fp, count) — text never "
+    "leaves the batch; ONE bucketed fp-keyed count sum; then a "
+    "second tiny count-of-counts shuffle over (size) — output "
+    "cardinality is the number of DISTINCT cluster sizes, "
+    "essentially constant at any corpus scale.",
+)
+def dup_size_histogram(sf_dir: str):
+    import hashlib
+
+    from .stages.relational import bucketed_agg
+
+    def fp_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"fp": "object", "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        heads = pc.utf8_slice_codeunits(t["text"], 0, 128).to_pandas()
+        fps = [hashlib.md5(h.encode()).hexdigest() for h in heads]
+        out = pd.DataFrame({"fp": fps})
+        return (
+            out.groupby("fp", as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    clusters = bucketed_agg(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            fp_partial, batch_format="pyarrow"
+        ),
+        keys=["fp"],
+        sum_cols={"n": "n"},
+        key_dtypes={"fp": "object"},
+    )
+    return bucketed_agg(
+        clusters.map_batches(
+            lambda df: df.rename(columns={"n": "sz"})[["sz"]].assign(n_clusters=1)
+            if df.shape[1] > 0 and len(df) > 0
+            else pd.DataFrame(
+                {"sz": pd.Series([], dtype="int64"),
+                 "n_clusters": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["sz"],
+        sum_cols={"n_clusters": "n_clusters"},
+    )

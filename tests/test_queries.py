@@ -36,7 +36,7 @@ SAMPLE = [
     "kwic_contexts", "skyline_pareto", "timeseries_gapfill",
     "winsorized_stats", "event_debounce", "rank_agreement",
     "two_hop_reach", "colbert_maxsim", "cdc_upsert_merge",
-    "media_layout_dedup",
+    "media_layout_dedup", "basket_rules", "dup_size_histogram",
 ]
 
 

@@ -284,3 +284,41 @@ def test_media_layout_dedup_groups_are_real_layouts(ray_session):
             kinds[(did + j) % 3] for j in range(k) if (did * 31 + j) % 5 == 0
         )
         assert sig == r["msig"]
+
+
+def test_basket_rules_quotients_are_exact(ray_session):
+    from crawler_ray.queries import basket_rules
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = basket_rules(sf).to_pandas()
+    li = pq.read_table(sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"]).to_pandas()
+    part = pq.read_table(sf + "/part.parquet", columns=["p_partkey", "p_brand"]).to_pandas()
+    li = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    li = li[["l_orderkey", "p_brand"]].drop_duplicates()
+    n = li["l_orderkey"].nunique()
+    ca = li.groupby("p_brand").size().to_dict()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["p_brand_x"] != pairs["p_brand_y"]]
+    pc = pairs.groupby(["p_brand_x", "p_brand_y"]).size()
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        sup = int(pc.loc[(r["antecedent"], r["consequent"])])
+        assert sup == int(r["support"]) and sup >= 5
+        assert int(r["conf_q"]) == (sup * 1024) // ca[r["antecedent"]]
+        assert int(r["lift_q"]) == (sup * n * 1024) // (
+            ca[r["antecedent"]] * ca[r["consequent"]]
+        )
+    # every qualifying pair is present (no silent cap)
+    assert len(got) == int((pc >= 5).sum())
+
+
+def test_dup_size_histogram_partitions_corpus(ray_session):
+    from crawler_ray.queries import dup_size_histogram
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = dup_size_histogram(sf).to_pandas()
+    n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+    assert (got["sz"] * got["n_clusters"]).sum() == n_docs
+    assert (got["sz"] >= 1).all()
