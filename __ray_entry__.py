@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "personalized_pagerank",   # new in r5 session 13, never certified
+    "growth_accounting",       # new in r5 session 13, never certified
     "basket_rules",            # new in r5 session 13, never certified
     "dup_size_histogram",      # new in r5 session 13, never certified
     "two_hop_reach",           # new in r5 session 13, never certified

@@ -13563,3 +13563,219 @@ def dup_size_histogram(sf_dir: str):
         keys=["sz"],
         sum_cols={"n_clusters": "n_clusters"},
     )
+
+
+@register(
+    "personalized_pagerank",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    lu AS (SELECT DISTINCT src, target FROM l WHERE target != src),
+    deg AS (SELECT src, count(*) AS d FROM lu GROUP BY src),
+    r0 AS (SELECT doc_id AS v, 1000000 AS r FROM documents WHERE doc_id % 97 = 0),
+    in1 AS (
+      SELECT lu.target AS v, CAST(sum(r0.r // deg.d) AS BIGINT) AS inflow
+      FROM r0 JOIN lu ON lu.src = r0.v JOIN deg ON deg.src = r0.v
+      GROUP BY lu.target),
+    n1 AS (SELECT v FROM r0 UNION SELECT v FROM in1),
+    r1 AS (
+      SELECT n1.v,
+             (85 * coalesce(in1.inflow, 0)) // 100
+             + CASE WHEN n1.v % 97 = 0 THEN 150000 ELSE 0 END AS r
+      FROM n1 LEFT JOIN in1 USING (v)),
+    in2 AS (
+      SELECT lu.target AS v, CAST(sum(r1.r // deg.d) AS BIGINT) AS inflow
+      FROM r1 JOIN lu ON lu.src = r1.v JOIN deg ON deg.src = r1.v
+      WHERE r1.r > 0 GROUP BY lu.target),
+    n2 AS (SELECT v FROM r1 WHERE r > 0 UNION SELECT v FROM in2),
+    r2 AS (
+      SELECT n2.v,
+             (85 * coalesce(in2.inflow, 0)) // 100
+             + CASE WHEN n2.v % 97 = 0 THEN 150000 ELSE 0 END AS r
+      FROM n2 LEFT JOIN in2 USING (v))
+    SELECT v AS node, CAST(r AS BIGINT) AS r FROM r2 WHERE r > 0
+    """,
+    doc="Personalized PageRank (seed-restart random walk, the "
+    "seed-expansion / related-page scoring primitive: restart mass "
+    "pinned to the seed set doc_id %% 97 == 0, two synchronous "
+    "rounds, damping 0.85).  Integer-exact: per-node contribution "
+    "is r // deg and the damped update is (85*inflow)//100 + "
+    "150000*is_seed — floor placement identical on both sides, so "
+    "the unrolled-CTE oracle pins every score (dangling mass is "
+    "dropped by both, documented).  Distributed shape: PPR mass "
+    "stays LOCAL to the seed neighborhood for bounded rounds, so "
+    "the frontier regime broadcasts the tiny (node, score) table "
+    "via ray.put and streams the edge explode ONCE per round — "
+    "per-batch (target, contribution) partial sums -> ONE bucketed "
+    "sum per round; the frontier after k rounds is bounded by "
+    "|seeds| * deg^k, never corpus size.  Past a frontier cap, "
+    "switch to the bucketed-join regime exactly as graph_bfs_layers "
+    "and label_prop_rounds dispatch (same edge convention, same "
+    "join shape).",
+)
+def personalized_pagerank(sf_dir: str, rounds: int = 2):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"src": "int64", "tgt": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        keep = src != tgt
+        packed = np.unique(src[keep] * np.int64(n_docs) + tgt[keep])
+        return pd.DataFrame(
+            {"src": (packed // n_docs).astype(np.int64),
+             "tgt": (packed % n_docs).astype(np.int64)}
+        )
+
+    edges = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # int pairs only; consumed once per round
+    )
+    # out-degrees: tiny (node, d) aggregate, bounded by node count
+    degs = bucketed_agg(
+        edges.map_batches(
+            lambda df: df.assign(d=1)[["src", "d"]]
+            if df.shape[1] > 0
+            else pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                               "d": pd.Series([], dtype="int64")}),
+            batch_format="pandas",
+        ),
+        keys=["src"],
+        sum_cols={"d": "d"},
+    ).to_pandas()
+    deg_map = dict(zip(degs["src"].astype(np.int64), degs["d"].astype(np.int64)))
+
+    seeds = np.arange(0, n_docs, 97, dtype=np.int64)
+    r = {int(v): 1_000_000 for v in seeds}
+
+    for _ in range(rounds):
+        contrib = {
+            int(v): int(s) // deg_map[int(v)]
+            for v, s in r.items()
+            if s > 0 and int(v) in deg_map
+        }
+        cref = ray.put(contrib)
+
+        def inflow_partial(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"v": "int64", "inflow": "int64"}
+            if df.shape[1] == 0 or len(df) == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            cm = ray.get(cref)
+            c = df["src"].map(cm)
+            m = c.notna()
+            out = pd.DataFrame(
+                {"v": df["tgt"].to_numpy()[m.to_numpy()],
+                 "inflow": c[m].to_numpy(dtype=np.int64)}
+            )
+            return out.groupby("v", as_index=False, sort=False)["inflow"].sum()
+
+        inflow = bucketed_agg(
+            edges.map_batches(inflow_partial, batch_format="pandas"),
+            keys=["v"],
+            sum_cols={"inflow": "inflow"},
+        ).to_pandas()  # bounded by frontier size, not corpus
+        nxt = {}
+        for v, infl in zip(inflow["v"].astype(np.int64), inflow["inflow"].astype(np.int64)):
+            nxt[int(v)] = (85 * int(infl)) // 100
+        for v in seeds:
+            nxt[int(v)] = nxt.get(int(v), 0) + 150_000
+        r = {v: s for v, s in nxt.items() if s > 0}
+
+    import ray.data as rd
+
+    out = pd.DataFrame(
+        {"node": np.array(sorted(r), dtype=np.int64),
+         "r": np.array([r[v] for v in sorted(r)], dtype=np.int64)}
+    )
+    return rd.from_pandas(out)
+
+
+@register(
+    "growth_accounting",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+    du AS (SELECT DISTINCT user_id, d FROM p),
+    f AS (SELECT user_id, min(d) AS f0 FROM du GROUP BY user_id),
+    daily AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+    news AS (SELECT f0 AS d, count(*) AS new_users FROM f GROUP BY f0)
+    SELECT daily.d AS day, daily.dau,
+           coalesce(news.new_users, 0) AS new_users,
+           CAST(sum(coalesce(news.new_users, 0))
+                OVER (ORDER BY daily.d) AS BIGINT) AS cum_users
+    FROM daily LEFT JOIN news ON news.d = daily.d
+    """,
+    doc="Growth accounting (the product/corpus health datasheet: per "
+    "day, distinct active users, NEW users — first-ever-seen that "
+    "day — and the cumulative user count; over a crawl log the same "
+    "op tracks newly discovered hosts per round).  Distributed "
+    "shape: per-batch (user, day) dedup partials, ONE user-keyed "
+    "shuffle (a user's global first-day and distinct days are "
+    "bucket-local facts once co-located), per bucket ONE vectorized "
+    "pass emits (day, dau_partial, new_partial) count rows; ONE "
+    "bucketed day sum + a single-partition sort/cumsum over the "
+    "day-bounded result.  Timestamps reduce to int64 epoch-days "
+    "batch-side; only counts shuffle.",
+)
+def growth_accounting(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"user_id": "int64", "d": "int64", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy().astype(np.int64),
+                "d": (t["ts"].cast(pa.int64()).to_numpy() // DAY_US).astype(np.int64),
+            }
+        ).drop_duplicates()
+        df["ub"] = (df["user_id"].to_numpy() % 64).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day": "int64", "dau": "int64", "new_users": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g[["user_id", "d"]].drop_duplicates()
+        dau = g.groupby("d", as_index=False, sort=False).size()
+        dau = dau.rename(columns={"d": "day", "size": "dau"})
+        f0 = g.groupby("user_id", as_index=False, sort=False)["d"].min()
+        news = f0.groupby("d", as_index=False, sort=False).size()
+        news = news.rename(columns={"d": "day", "size": "new_users"})
+        out = dau.merge(news, on="day", how="outer")
+        for c in ("dau", "new_users"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return out
+
+    summed = bucketed_agg(
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas"),
+        keys=["day"],
+        sum_cols={"dau": "dau", "new_users": "new_users"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day": "int64", "dau": "int64", "new_users": "int64",
+                "cum_users": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values("day").reset_index(drop=True)
+        df["cum_users"] = df["new_users"].cumsum().astype("int64")
+        return df[["day", "dau", "new_users", "cum_users"]]
+
+    return summed.repartition(1).map_batches(finish, batch_format="pandas")

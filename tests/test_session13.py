@@ -322,3 +322,51 @@ def test_dup_size_histogram_partitions_corpus(ray_session):
     n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
     assert (got["sz"] * got["n_clusters"]).sum() == n_docs
     assert (got["sz"] >= 1).all()
+
+
+def test_personalized_pagerank_matches_sequential(ray_session):
+    from crawler_ray.queries import personalized_pagerank
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = personalized_pagerank(sf).to_pandas().set_index("node")["r"].to_dict()
+
+    n_docs = pq.read_metadata(sf + "/documents.parquet").num_rows
+    adj = {}
+    for did in range(n_docs):
+        k = did % 5 + 3
+        tgts = {(did * 131 + j * 37 + j * j * 11 + 7) % n_docs for j in range(k)}
+        tgts.discard(did)
+        adj[did] = sorted(tgts)
+    seeds = set(range(0, n_docs, 97))
+    r = {v: 1_000_000 for v in seeds}
+    for _ in range(2):
+        inflow = {}
+        for v, s in r.items():
+            if s > 0 and adj[v]:
+                c = s // len(adj[v])
+                for t in adj[v]:
+                    inflow[t] = inflow.get(t, 0) + c
+        nxt = {v: (85 * i) // 100 for v, i in inflow.items()}
+        for v in seeds:
+            nxt[v] = nxt.get(v, 0) + 150_000
+        r = {v: s for v, s in nxt.items() if s > 0}
+    assert got == r
+    # seeds always retain restart mass
+    for v in seeds:
+        assert got[v] >= 150_000
+
+
+def test_growth_accounting_invariants(ray_session):
+    from crawler_ray.queries import growth_accounting
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = growth_accounting(sf).to_pandas().sort_values("day").reset_index(drop=True)
+    ev = pq.read_table(sf + "/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    total_users = ev["user_id"].nunique()
+    assert got["new_users"].sum() == total_users
+    assert got["cum_users"].iloc[-1] == total_users
+    assert (got["cum_users"].diff().fillna(got["cum_users"].iloc[0]) ==
+            got["new_users"]).all()
+    assert (got["dau"] >= got["new_users"]).all()
