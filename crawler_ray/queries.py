@@ -13779,3 +13779,67 @@ def growth_accounting(sf_dir: str):
         return df[["day", "dau", "new_users", "cum_users"]]
 
     return summed.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+    FROM documents GROUP BY lang, source
+    """,
+    doc="JSONL interchange roundtrip (sources/jsonl.py — the LLM-corpus "
+    "shard format of Dolma/RedPajama/The-Pile): documents are sunk "
+    "worker-side as content-hashed .jsonl.gz shards (one per block, "
+    "atomic publish — the resumable-output contract; pandas C-level "
+    "line serialization, byte-deterministic gzip), then READ BACK via "
+    "read_binary_files + pyarrow.json's vectorized C++ NDJSON parser "
+    "and aggregated per (lang, source) with an id-sum and text-byte "
+    "checksum.  The oracle compares against the source table "
+    "directly, so green certifies the bytes on disk roundtrip "
+    "exactly (JSON string escaping, unicode, gzip framing) — not the "
+    "in-flight dataset.",
+)
+def jsonl_roundtrip_stats(sf_dir: str, out_dir: str | None = None):
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from .sources.jsonl import read_jsonl_dataset, write_jsonl_corpus
+
+    own = out_dir is None
+    if own:
+        out_dir = tempfile.mkdtemp(prefix="crawler_ray_jsonl_", dir="/tmp")
+    try:
+        docs = _read(sf_dir, "documents",
+                     columns=["doc_id", "text", "lang", "source"])
+        write_jsonl_corpus(docs, out_dir).materialize()
+
+        back = read_jsonl_dataset(out_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "ids": pc.cast(t["doc_id"], pa.int64()),
+                    "tb": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+                }
+            )
+
+        return (
+            back.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(
+                Sum("n", alias_name="n_docs"),
+                Sum("ids", alias_name="id_sum"),
+                Sum("tb", alias_name="text_bytes"),
+            )
+            .materialize()
+        )
+    finally:
+        if own:
+            shutil.rmtree(out_dir, ignore_errors=True)

@@ -37,7 +37,7 @@ SAMPLE = [
     "winsorized_stats", "event_debounce", "rank_agreement",
     "two_hop_reach", "colbert_maxsim", "cdc_upsert_merge",
     "media_layout_dedup", "basket_rules", "dup_size_histogram",
-    "personalized_pagerank", "growth_accounting",
+    "personalized_pagerank", "growth_accounting", "jsonl_roundtrip_stats",
 ]
 
 

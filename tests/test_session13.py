@@ -370,3 +370,42 @@ def test_growth_accounting_invariants(ray_session):
     assert (got["cum_users"].diff().fillna(got["cum_users"].iloc[0]) ==
             got["new_users"]).all()
     assert (got["dau"] >= got["new_users"]).all()
+
+
+def test_jsonl_shards_roundtrip_and_are_idempotent(ray_session, tmp_path):
+    import gzip
+    from crawler_ray.sources.jsonl import (
+        parse_jsonl_bytes, read_jsonl_dataset, write_jsonl_corpus,
+    )
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ['he said "hi"\nthen left', "naïve café ☕", "plain"],
+            "lang": ["en", "fr", "en"],
+        }
+    )
+    out = tmp_path / "shards"
+    out.mkdir()
+    stats = write_jsonl_corpus(rd.from_pandas(df), str(out)).to_pandas()
+    assert stats["n_records"].sum() == 3
+    files1 = sorted(p.name for p in out.iterdir())
+    # idempotent: same content -> same content-hashed names
+    write_jsonl_corpus(rd.from_pandas(df), str(out)).to_pandas()
+    assert sorted(p.name for p in out.iterdir()) == files1
+
+    back = read_jsonl_dataset(str(out)).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True)[["doc_id", "text", "lang"]], df
+    )
+
+    # corruption: truncated gzip raises, never a silent partial shard
+    shard = next(out.iterdir())
+    data = shard.read_bytes()
+    try:
+        parse_jsonl_bytes(data[: len(data) // 2])
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
