@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "custdist_histogram",      # new in r5 session 13, never certified
     "jsonl_roundtrip_stats",   # new in r5 session 13, never certified
     "personalized_pagerank",   # new in r5 session 13, never certified
     "growth_accounting",       # new in r5 session 13, never certified

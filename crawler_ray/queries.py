@@ -13843,3 +13843,85 @@ def jsonl_roundtrip_stats(sf_dir: str, out_dir: str | None = None):
     finally:
         if own:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "custdist_histogram",
+    """
+    WITH oc AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    SELECT n_orders, count(*) AS n_customers
+    FROM oc GROUP BY n_orders
+    """,
+    doc="Customer order-count distribution (TPC-H Q13's shape: a LEFT "
+    "join that must PRESERVE zero-activity entities, then a "
+    "count-of-counts histogram — the same shape audits zero-fetch "
+    "hosts in a crawl frontier or zero-duplicate docs in a dedup "
+    "report; the zero bucket is the part an inner join silently "
+    "loses).  Distributed shape: per-batch (custkey) partial counts "
+    "over orders — ONE bucketed custkey sum gives active customers; "
+    "the zero bucket comes from COUNTS ONLY (total customers from "
+    "parquet metadata num_rows minus active customers — no customer "
+    "row ever moves); a second tiny count-of-counts shuffle "
+    "finishes.  Output cardinality = distinct order counts, "
+    "constant at scale.",
+)
+def custdist_histogram(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    n_customers = pq.read_metadata(_pq(sf_dir, "customer")).num_rows
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"ck": "int64", "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = pd.DataFrame({"ck": t["o_custkey"].to_numpy().astype(np.int64)})
+        return (
+            df.groupby("ck", as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    active = bucketed_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["ck"],
+        sum_cols={"n": "n"},
+    )
+
+    def to_hist(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_orders": "int64", "n_customers": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = (
+            df.groupby("n", as_index=False, sort=False)
+            .size()
+            .rename(columns={"n": "n_orders", "size": "n_customers"})
+        )
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    hist = bucketed_agg(
+        active.map_batches(to_hist, batch_format="pandas"),
+        keys=["n_orders"],
+        sum_cols={"n_customers": "n_customers"},
+    )
+
+    def add_zero_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_orders": "int64", "n_customers": "int64"}
+        if df.shape[1] == 0:
+            df = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        n_active = int((df["n_orders"].to_numpy() > 0).astype(np.int64)
+                       @ df["n_customers"].to_numpy()) if len(df) else 0
+        zero = n_customers - n_active
+        if zero > 0:
+            df = pd.concat(
+                [df, pd.DataFrame({"n_orders": [0], "n_customers": [zero]})],
+                ignore_index=True,
+            )
+        return df.astype({"n_orders": "int64", "n_customers": "int64"})
+
+    return hist.repartition(1).map_batches(add_zero_bucket, batch_format="pandas")

@@ -38,6 +38,7 @@ SAMPLE = [
     "two_hop_reach", "colbert_maxsim", "cdc_upsert_merge",
     "media_layout_dedup", "basket_rules", "dup_size_histogram",
     "personalized_pagerank", "growth_accounting", "jsonl_roundtrip_stats",
+    "custdist_histogram",
 ]
 
 
