@@ -98,6 +98,21 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "media_context_stats",
     "kwic_contexts",
+    "skyline_pareto",
+    "timeseries_gapfill",
+    "winsorized_stats",
+    "event_debounce",
+    "rank_agreement",
+    "two_hop_reach",
+    "colbert_maxsim",
+    "cdc_upsert_merge",
+    "media_layout_dedup",
+    "basket_rules",
+    "dup_size_histogram",
+    "personalized_pagerank",
+    "growth_accounting",
+    "jsonl_roundtrip_stats",
+    "custdist_histogram",
 ]
 
 
