@@ -5756,9 +5756,10 @@ def ohlc_hourly(sf_dir: str):
     """,
     doc="Interleaved-payload axis (input_hint: media spans as opaque "
     "binary + typed metadata): every document derives a deterministic "
-    "media payload — extension by doc_id mod 6 over the eight REAL "
-    "codecs (PNG / BMP / JPEG / GIF / MP4-MJPEG / intra-H.264-in-MP4 "
-    "/ AVI-MJPEG / WAV, stages/codecs.py + media.py + h264.py), "
+    "media payload — extension by doc_id mod 6 over the nine REAL "
+    "codecs (PNG / BMP / TIFF / JPEG / GIF / MP4-MJPEG / "
+    "intra-H.264-in-MP4 / AVI-MJPEG / WAV, stages/codecs.py + "
+    "media.py + h264.py), "
     "dimensions and frame counts pure "
     "doc_id arithmetic — then an actor-pool MediaDecoder stage "
     "(codec state per actor, SMALL batch_size for wide binary rows) "
@@ -5778,6 +5779,7 @@ def media_decode_stats(sf_dir: str):
             mp4_h264_encode,
             mp4_mjpeg_encode,
             png_encode,
+            tiff_encode,
         )
         from .stages.media import encode_wav
 
@@ -5805,12 +5807,23 @@ def media_decode_stats(sf_dir: str):
             else:  # image: png / jpeg / gif
                 img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
                 if sel == 0:
-                    # the PNG leg splits on an independent hash bit to
-                    # cover the EIGHTH codec (BMP) — same kind/frame
-                    # arithmetic, so the SQL mirror is unchanged and a
-                    # BMP regression breaks the value hash too
-                    if (did // 6) % 2 == 1:
+                    # the PNG leg splits on independent hash bits to
+                    # cover the EIGHTH and NINTH codecs (BMP, TIFF) —
+                    # same kind/frame arithmetic, so the SQL mirror is
+                    # unchanged and a BMP/TIFF regression breaks the
+                    # value hash too
+                    leg = (did // 6) % 3
+                    if leg == 1:
                         payloads.append(bmp_encode(img))
+                    elif leg == 2:
+                        payloads.append(
+                            tiff_encode(
+                                img,
+                                big_endian=(did // 18) % 2 == 1,
+                                rows_per_strip=1 + did % 5,
+                                packbits=(did // 36) % 2 == 1,
+                            )
+                        )
                     else:
                         payloads.append(png_encode(img))
                 elif sel == 1:

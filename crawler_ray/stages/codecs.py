@@ -2326,3 +2326,234 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     if not top_down:
         img = img[::-1]
     return np.ascontiguousarray(img)
+
+
+# ===================================================================== TIFF
+# TIFF 6.0 baseline (Adobe spec, 1992): II/MM byte orders, strip
+# layout, 8-bit grayscale (PhotometricInterpretation=1) and RGB (=2),
+# Compression none (1) and PackBits (32773).  Tiled/JPEG-in-TIFF/LZW
+# and planar configurations are out of scope and fail loudly.
+
+_TIFF_SHORT, _TIFF_LONG = 3, 4
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): repeat runs as (257-n, byte),
+    literal runs as (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of length >= 2
+            out.append((257 - (j - i + 1)) & 0xFF)
+            out.append(data[i])
+            i = j + 1
+        else:  # literal until the next 3-byte run or 128 bytes
+            j = i
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out.extend(data[i:j])
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        nb = data[i]
+        i += 1
+        if nb < 128:
+            cnt = nb + 1
+            if i + cnt > len(data):
+                raise ValueError("PackBits literal run past end of strip")
+            out.extend(data[i : i + cnt])
+            i += cnt
+        elif nb > 128:
+            if i >= len(data):
+                raise ValueError("PackBits repeat run missing byte")
+            out.extend(data[i : i + 1] * (257 - nb))
+            i += 1
+        # 0x80 is a no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits output overruns expected strip size")
+    return bytes(out)
+
+
+def tiff_encode(
+    arr: np.ndarray,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    packbits: bool = False,
+) -> bytes:
+    """(h, w, 3) RGB uint8 or (h, w) gray uint8 → baseline TIFF.
+    Multi-strip by default (rows_per_strip) so readers exercise the
+    real strip table, both byte orders, optional PackBits."""
+    e = ">" if big_endian else "<"
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        spp, photometric = 3, 2
+    elif arr.ndim == 2:
+        spp, photometric = 1, 1
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    arr = arr.astype(np.uint8)
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = arr[r0 : r0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    nstrips = len(strips)
+
+    # tag, type, count, value(list for external/inline multi)
+    tags = [
+        (256, _TIFF_LONG, 1, [w]),
+        (257, _TIFF_LONG, 1, [h]),
+        (258, _TIFF_SHORT, spp, [8] * spp),
+        (259, _TIFF_SHORT, 1, [32773 if packbits else 1]),
+        (262, _TIFF_SHORT, 1, [photometric]),
+        (273, _TIFF_LONG, nstrips, None),  # strip offsets, filled below
+        (277, _TIFF_SHORT, 1, [spp]),
+        (278, _TIFF_LONG, 1, [rps]),
+        (279, _TIFF_LONG, nstrips, [len(s) for s in strips]),
+    ]
+    ifd_len = 2 + len(tags) * 12 + 4
+    tsize = {_TIFF_SHORT: 2, _TIFF_LONG: 4}
+
+    # external area: any entry whose payload exceeds the 4-byte field
+    ext = bytearray()
+    ext_base = 8 + ifd_len
+    ext_off: dict[int, int] = {}
+    for tag, typ, cnt, vals in tags:
+        if vals is not None and cnt * tsize[typ] > 4:
+            ext_off[tag] = ext_base + len(ext)
+            fmt = "H" if typ == _TIFF_SHORT else "I"
+            ext.extend(struct.pack(f"{e}{cnt}{fmt}", *vals))
+    if nstrips * 4 > 4:
+        ext_off[273] = ext_base + len(ext)
+        ext.extend(b"\x00" * (4 * nstrips))  # patched once offsets known
+
+    data_base = ext_base + len(ext)
+    offs = []
+    pos = data_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if 273 in ext_off:
+        struct.pack_into(f"{e}{nstrips}I", ext, ext_off[273] - ext_base, *offs)
+
+    def field(typ, cnt, vals, tag):
+        if tag in ext_off:
+            return struct.pack(f"{e}I", ext_off[tag])
+        fmt = "H" if typ == _TIFF_SHORT else "I"
+        raw = struct.pack(f"{e}{cnt}{fmt}", *vals)
+        return raw + b"\x00" * (4 - len(raw))  # left-justified per spec
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
+    out += struct.pack(f"{e}H", len(tags))
+    for tag, typ, cnt, vals in tags:
+        v = vals if vals is not None else offs
+        out += struct.pack(f"{e}HHI", tag, typ, cnt) + field(typ, cnt, v, tag)
+    out += struct.pack(f"{e}I", 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+@_valueerror_on_corruption
+def tiff_decode(payload: bytes) -> np.ndarray:
+    """Baseline TIFF → (h, w, 3) uint8 RGB or (h, w) gray.  Both byte
+    orders, multi-strip, none/PackBits compression; anything fancier
+    (LZW, tiles, planar=2, >8-bit) raises by name."""
+    if len(payload) < 8:
+        raise ValueError("TIFF shorter than its header")
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"not a TIFF: byte-order mark {order!r}")
+    magic, ifd_off = struct.unpack_from(f"{e}HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("IFD offset past end of file")
+    (n_ent,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_ent + 4 > len(payload):
+        raise ValueError("IFD truncated")
+    tsize = {1: 1, 3: 2, 4: 4}
+    tfmt = {1: "B", 3: "H", 4: "I"}
+    entries: dict[int, list[int]] = {}
+    for i in range(n_ent):
+        tag, typ, cnt = struct.unpack_from(f"{e}HHI", payload, ifd_off + 2 + 12 * i)
+        vpos = ifd_off + 2 + 12 * i + 8
+        if typ not in tsize:
+            continue  # RATIONAL resolution etc. — not needed for baseline
+        total = cnt * tsize[typ]
+        if total > 4:
+            (off,) = struct.unpack_from(f"{e}I", payload, vpos)
+            if off + total > len(payload):
+                raise ValueError(f"tag {tag} value block truncated")
+            entries[tag] = list(struct.unpack_from(f"{e}{cnt}{tfmt[typ]}", payload, off))
+        else:
+            entries[tag] = list(struct.unpack_from(f"{e}{cnt}{tfmt[typ]}", payload, vpos))
+
+    def one(tag, default=None):
+        if tag in entries:
+            return entries[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = entries.get(258, [8] * spp)
+    planar = one(284, 1)
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp} (baseline: none/PackBits)")
+    if planar != 1:
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError(f"unsupported TIFF bit depth {bits}")
+    if (photometric, spp) not in ((1, 1), (2, 3)):
+        raise ValueError(
+            f"unsupported TIFF photometric/spp ({photometric}, {spp})"
+        )
+    offs = entries.get(273)
+    cnts = entries.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF strip table missing or inconsistent")
+    rps = one(278, h)
+    buf = bytearray()
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF strip {si} truncated")
+        raw = payload[off : off + cnt]
+        rows = min(rps, h - si * rps)
+        if rows <= 0:
+            raise ValueError("TIFF strip table longer than image")
+        if comp == 32773:
+            raw = _packbits_decode(raw, rows * w * spp)
+        elif len(raw) != rows * w * spp:
+            raise ValueError(
+                f"TIFF strip {si}: {len(raw)} bytes != {rows * w * spp}"
+            )
+        buf += raw
+    if len(buf) != h * w * spp:
+        raise ValueError("TIFF strips do not cover the image")
+    img = np.frombuffer(bytes(buf), dtype=np.uint8)
+    return img.reshape((h, w, 3) if spp == 3 else (h, w)).copy()

@@ -221,6 +221,13 @@ class _FakeCodec:
             from .codecs import bmp_decode
 
             return "image", bmp_decode(payload)[None]
+        if payload.startswith((b"II*\x00", b"MM\x00*")):
+            from .codecs import tiff_decode
+
+            img = tiff_decode(payload)
+            if img.ndim == 2:  # gray → 3-channel for the featurizers
+                img = np.stack([img] * 3, axis=-1)
+            return "image", img[None]
         if payload.startswith((b"GIF87a", b"GIF89a")):
             from .codecs import gif_decode_frames
 
@@ -250,7 +257,7 @@ class _FakeCodec:
             return _BYTE_KIND[kb], arr
         raise NotImplementedError(
             "unrecognized media container; PPM/PNG/APNG/baseline-and-"
-            "progressive-JPEG/GIF/BMP images, AVI-MJPEG, MP4-MJPEG and "
+            "progressive-JPEG/GIF/BMP/TIFF images, AVI-MJPEG, MP4-MJPEG and "
             "intra-only H.264 (avc1 I_PCM) video (the MP4 demux is "
             "real; inter-frame bitstreams like HEVC/VP9 and non-intra "
             "H.264 stay gated — no ffmpeg), PCM WAV audio and the "

