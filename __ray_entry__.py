@@ -76,6 +76,11 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "session_stats",           # new in r5 session 14, never certified
+    "funnel_stages",           # new in r5 session 14, never certified
+    "mg_topk_terms",           # new in r5 session 14, never certified
+    "terasort_rank",           # new in r5 session 14, never certified
+    "shipping_priority",       # new in r5 session 14, never certified
     "custdist_histogram",      # new in r5 session 13, never certified
     "jsonl_roundtrip_stats",   # new in r5 session 13, never certified
     "personalized_pagerank",   # new in r5 session 13, never certified

@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "growth_accounting",
     "jsonl_roundtrip_stats",
     "custdist_histogram",
+    "session_stats",
+    "mg_topk_terms",
+    "terasort_rank",
+    "shipping_priority",
 ]
 
 

@@ -13938,3 +13938,500 @@ def custdist_histogram(sf_dir: str):
         return df.astype({"n_orders": "int64", "n_customers": "int64"})
 
     return hist.repartition(1).map_batches(add_zero_bucket, batch_format="pandas")
+
+
+@register(
+    "session_stats",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    l AS (
+      SELECT user_id, tus, event_id,
+             CASE WHEN lag(tus) OVER w IS NULL
+                    OR tus - lag(tus) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    s AS (
+      SELECT user_id, tus,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+    per AS (
+      SELECT user_id, sid, count(*) AS ne,
+             max(tus) - min(tus) AS dur
+      FROM s GROUP BY user_id, sid)
+    SELECT ne AS session_events, count(*) AS n_sessions,
+           CAST(sum(dur) AS BIGINT) AS total_duration_us
+    FROM per GROUP BY ne
+    """,
+    doc="Sessionization (the clickstream classic; over a crawl log the "
+    "same 30-minute-gap rule segments fetch bursts per host for "
+    "politeness auditing): split each user's timeline at >30 min "
+    "gaps, then a session-size histogram with summed durations.  "
+    "Order within a user is the deterministic (ts, event_id) — the "
+    "oracle's window frame exactly.  Distributed shape: ONE coarse "
+    "user%%64 shuffle co-locates each user's (user, ts) rows; per "
+    "bucket a single vectorized pandas pass sorts, diffs, marks "
+    "breaks (user-change OR gap), assigns session ids by cumsum, and "
+    "collapses to (session_events, n_sessions, dur) partials — "
+    "per-user work never leaves the bucket; ONE bucketed count sum "
+    "merges.  Output cardinality = distinct session sizes, constant "
+    "at scale.",
+)
+def session_stats(sf_dir: str, gap_us: int = 1_800_000_000):
+    from .stages.relational import bucketed_agg
+
+    def add_ub(t: pa.Table) -> pd.DataFrame:
+        cols = {"user_id": "int64", "tus": "int64", "event_id": "int64",
+                "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "tus": t["ts"].cast(pa.int64()).to_numpy(),
+                "event_id": t["event_id"].to_numpy().astype(np.int64),
+                "ub": (uid % 64).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"session_events": "int64", "n_sessions": "int64",
+                "total_duration_us": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["user_id", "tus", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        tus = g["tus"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same_user = uid[1:] == uid[:-1]
+            brk[1:] = (~same_user | (tus[1:] - tus[:-1] > gap_us)).astype(np.int64)
+        sid = np.cumsum(brk)  # globally unique session id within bucket
+        per = pd.DataFrame({"sid": sid, "tus": tus}).groupby("sid")["tus"].agg(
+            ["size", "min", "max"]
+        )
+        out = pd.DataFrame(
+            {"session_events": per["size"].to_numpy().astype(np.int64),
+             "dur": (per["max"] - per["min"]).to_numpy().astype(np.int64)}
+        )
+        hist = out.groupby("session_events", as_index=False, sort=False).agg(
+            n_sessions=("dur", "size"), total_duration_us=("dur", "sum")
+        )
+        return hist.astype(cols)
+
+    partials = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_agg(
+        partials,
+        keys=["session_events"],
+        sum_cols={"n_sessions": "n_sessions",
+                  "total_duration_us": "total_duration_us"},
+    )
+
+
+@register(
+    "funnel_stages",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS stage, 'signup' AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    doc="Ordered funnel conversion (signup -> click -> purchase, each "
+    "step STRICTLY after the user's earliest completion of the "
+    "previous step — the product-analytics classic; over a crawl log "
+    "the same shape measures seed -> listing -> leaf progression per "
+    "host).  Distributed shape: one pass filters to the 3 step types "
+    "and projects (user, ts, type) only; ONE coarse user%%64 shuffle "
+    "co-locates each user's rows; per bucket three vectorized "
+    "groupby-min passes chain the strictly-after rule (per-user work "
+    "never leaves the bucket), emitting (stage, n_users) partials; "
+    "ONE bucketed sum -> 3 rows.  Output is constant-size at any "
+    "corpus scale.",
+)
+def funnel_stages(sf_dir: str, steps: tuple = ("signup", "click", "purchase")):
+    from .stages.relational import bucketed_agg
+
+    def add_ub(t: pa.Table) -> pd.DataFrame:
+        cols = {"user_id": "int64", "tus": "int64", "et": "object", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        mask = pc.is_in(t["event_type"], value_set=pa.array(list(steps)))
+        t = t.filter(mask)
+        uid = t["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "tus": t["ts"].cast(pa.int64()).to_numpy(),
+                "et": t["event_type"].to_pandas().to_numpy(),
+                "ub": (uid % 64).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"stage": "int64", "step": "object", "n_users": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        prev = None  # Series: user_id -> completion time of previous stage
+        rows = []
+        for i, step in enumerate(steps):
+            sub = g[g["et"] == step]
+            if prev is not None:
+                sub = sub.merge(prev.rename("tprev"), left_on="user_id",
+                                right_index=True)
+                sub = sub[sub["tus"] > sub["tprev"]]
+            cur = sub.groupby("user_id")["tus"].min()
+            rows.append({"stage": i + 1, "step": step, "n_users": len(cur)})
+            prev = cur
+        return pd.DataFrame(rows).astype(cols)
+
+    partials = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(add_ub, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_agg(
+        partials,
+        keys=["stage", "step"],
+        sum_cols={"n_users": "n_users"},
+        key_dtypes={"stage": "int64", "step": "object"},
+    )
+
+
+@register(
+    "mg_topk_terms",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, count(*) AS n FROM t GROUP BY term)
+    SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20
+    """,
+    doc="Exact top-k heavy hitters via a Misra-Gries sketch + exact "
+    "recount (the bounded-memory frequent-items pattern: at 100 TB a "
+    "full term-count shuffle moves the whole vocabulary; MG moves "
+    "<= capacity counters per block).  Pass 1: per-batch "
+    "value_counts compressed to MG capacity C (subtract the (C+1)-th "
+    "largest count, drop <=0; per-batch decrement d_b recorded) -> "
+    "repartition(1) merge (groupby-sum of underestimates).  Any term "
+    "with true count > DELTA = sum(d_b) has a positive estimate in "
+    "some batch, so the merged summary contains every such term.  "
+    "Pass 2: broadcast the candidate set, exact per-batch counts of "
+    "candidates ONLY, one bucketed sum, top-k by (n desc, term).  "
+    "The result is CERTIFIED exact iff the k-th count > DELTA "
+    "(asserted in tests; holds for Zipf text at C=4096).  Shuffle "
+    "volume: pass 1 <= C rows/block, pass 2 <= |candidates| "
+    "rows/block — text and vocabulary never move.",
+)
+def mg_topk_terms(sf_dir: str, k: int = 20, capacity: int = 4096):
+    import ray
+    from .stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def mg_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"term": "object", "est": "int64", "dec": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = pd.Series(toks.to_pandas().to_numpy(), dtype="object").value_counts()
+        dec = 0
+        if len(vc) > capacity:
+            dec = int(vc.iloc[capacity])  # (C+1)-th largest
+            vc = vc - dec
+            vc = vc[vc > 0]
+        out = pd.DataFrame({"term": vc.index.to_numpy(dtype="object"),
+                            "est": vc.to_numpy().astype(np.int64)})
+        out["dec"] = np.int64(0)
+        if len(out):
+            out.loc[out.index[0], "dec"] = np.int64(dec)
+        else:
+            out = pd.DataFrame({"term": pd.Series([""], dtype="object"),
+                                "est": pd.Series([0], dtype="int64"),
+                                "dec": pd.Series([dec], dtype="int64")})
+        return out
+
+    def mg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"term": "object", "est": "int64", "delta": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        delta = int(df["dec"].sum())
+        m = df.groupby("term", as_index=False, sort=False)["est"].sum()
+        m = m[m["est"] > 0]
+        m["delta"] = np.int64(delta)
+        return m.astype(cols)
+
+    summary = (
+        docs.map_batches(mg_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(mg_merge, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    cand = summary["term"].to_numpy(dtype="object")
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def exact_counts(t: pa.Table) -> pd.DataFrame:
+        cols = {"term": "object", "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        cs = ray.get(cand_ref)
+        toks = pd.Series(
+            pc.list_flatten(pc.split_pattern(t["text"], " ")).to_pandas().to_numpy(),
+            dtype="object",
+        )
+        vc = toks[toks.isin(cs)].value_counts()
+        return pd.DataFrame({"term": vc.index.to_numpy(dtype="object"),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    exact = bucketed_agg(
+        docs.map_batches(exact_counts, batch_format="pyarrow"),
+        keys=["term"],
+        sum_cols={"n": "n"},
+        key_dtypes={"term": "object"},
+    )
+    return (
+        exact.repartition(4)
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+@register(
+    "terasort_rank",
+    """
+    SELECT event_id,
+           row_number() OVER (ORDER BY value, event_id) AS rnk
+    FROM events
+    """,
+    doc="Sample-partitioned global ranking (the TeraSort pattern: "
+    "curriculum ordering / global quantile assignment at 100 TB "
+    "cannot ds.sort-then-enumerate on the driver).  Phase 0: a "
+    "deterministic per-block sample (every 64th row) -> driver "
+    "computes B-1 range cutpoints (tiny).  Phase 1: batches assign "
+    "partition ids by searchsorted (side='right', so EQUAL values "
+    "always land in ONE partition and within-partition (value, "
+    "event_id) order is globally correct).  Phase 2: per-partition "
+    "COUNTS (tiny) -> driver exclusive prefix offsets.  Phase 3: one "
+    "range shuffle; each partition sorts locally and adds its "
+    "offset.  Rows cross the wire ONCE; the driver only ever sees "
+    "samples and counts.  Boundary choice affects balance, never "
+    "correctness.",
+)
+def terasort_rank(sf_dir: str, n_parts: int = 32, sample_every: int = 64):
+    import ray
+    from .stages.relational import bucketed_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"]).materialize()
+
+    def sample(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], type=pa.float64())})
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(v[::sample_every], type=pa.float64())})
+
+    samp = np.sort(
+        ev.map_batches(sample, batch_format="pyarrow").to_pandas()["v"].to_numpy()
+    )
+    if len(samp) >= n_parts:
+        cuts = samp[np.linspace(1, len(samp) - 1, n_parts - 1).astype(int)]
+    else:
+        cuts = samp[:0]
+    cuts_ref = ray.put(np.unique(cuts))
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], type=pa.int64()),
+                 "value": pa.array([], type=pa.float64()),
+                 "pid": pa.array([], type=pa.int32())}
+            )
+        c = ray.get(cuts_ref)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(c, v, side="right").astype(np.int32)
+        return pa.table(
+            {"event_id": t["event_id"].cast(pa.int64()),
+             "value": t["value"].cast(pa.float64()),
+             "pid": pa.array(pid, type=pa.int32())}
+        )
+
+    withpid = ev.map_batches(add_pid, batch_format="pyarrow").materialize()
+
+    def pid_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pid": pa.array([], type=pa.int32()),
+                             "cnt": pa.array([], type=pa.int64())})
+        c = pa.table({"pid": t["pid"]}).group_by("pid").aggregate([([], "count_all")])
+        return c.rename_columns(["pid", "cnt"])
+
+    counts = (
+        withpid.map_batches(pid_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("pid")["cnt"]
+        .sum()
+        .sort_index()
+    )
+    pids = counts.index.to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts.to_numpy(dtype=np.int64))[:-1]])
+    offs_ref = ray.put(dict(zip(pids.tolist(), offs.tolist())))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "rnk": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        base = ray.get(offs_ref)[int(g["pid"].iloc[0])]
+        g = g.sort_values(["value", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy().astype(np.int64),
+             "rnk": np.arange(1, len(g) + 1, dtype=np.int64) + np.int64(base)}
+        )
+
+    return withpid.groupby("pid").map_groups(rank_part, batch_format="pandas")
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping-priority: the classic 3-table star join "
+    "(dim filter -> fact semi-join -> fact-fact hash join -> top-k).  "
+    "Distributed shape: customer is filtered to ONE segment and only "
+    "its custkeys broadcast (a sorted int64 array, ~1/5 of customers "
+    "— past a broadcast cap this side becomes a bucketed join like "
+    "bigram_lm_score's); orders filters by date + broadcast-isin and "
+    "projects 4 columns; lineitem filters by shipdate and "
+    "pre-aggregates per-batch (orderkey, revenue_cents) partials "
+    "BEFORE any shuffle (the Q1 combiner pattern), so the join "
+    "carries partial sums, never line items.  ONE orderkey%%64 "
+    "co-shuffle of both tiny streams, per-bucket pandas merge + "
+    "final sum, then a global top-10 by (revenue desc, date, "
+    "orderkey).  Revenue is exact integer cents (floor(x*100+0.5)) "
+    "so distributed summation order cannot change the hash.",
+)
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      date: str = "1998-06-01", k: int = 10):
+    import ray
+
+    D = pd.Timestamp(date)
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: pa.table(
+                {"ck": t.filter(pc.equal(t["c_mktsegment"], segment))["c_custkey"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["ck"]
+        .to_numpy()
+    )
+    ck_ref = ray.put(np.sort(cust))
+
+    def orders_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "o_orderdate": "datetime64[us]",
+                "o_orderpriority": "object", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(D)))
+        cks = ray.get(ck_ref)
+        keep = np.isin(t["o_custkey"].to_numpy().astype(np.int64), cks)
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)[keep]
+        return pd.DataFrame(
+            {"ok": ok,
+             "o_orderdate": t["o_orderdate"].to_pandas().to_numpy()[keep],
+             "o_orderpriority": t["o_orderpriority"].to_pandas().to_numpy()[keep],
+             "ob": (ok % 64).astype("int32")}
+        )
+
+    def lineitem_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "rev": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(D)))
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "rev": rev.to_numpy().astype(np.int64)})
+        out = df.groupby("ok", as_index=False, sort=False)["rev"].sum()
+        out["ob"] = (out["ok"].to_numpy() % 64).astype("int32")
+        return out
+
+    ords = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    lis = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_orderkey": "int64", "revenue_cents": "int64",
+                "o_orderdate": "datetime64[us]", "o_orderpriority": "object"}
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        lsum = l.groupby("ok", as_index=False, sort=False)["rev"].sum()
+        m = lsum.merge(o[["ok", "o_orderdate", "o_orderpriority"]], on="ok")
+        if len(m) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = pd.DataFrame(
+            {"l_orderkey": m["ok"].to_numpy().astype(np.int64),
+             "revenue_cents": m["rev"].to_numpy().astype(np.int64),
+             "o_orderdate": m["o_orderdate"].to_numpy(),
+             "o_orderpriority": m["o_orderpriority"].to_numpy()}
+        )
+        # local top-k prune: only k rows per bucket can reach the global top-k
+        out = out.sort_values(
+            ["revenue_cents", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="stable",
+        ).head(k)
+        return out.astype(cols)
+
+    joined = both.groupby("ob").map_groups(join_bucket, batch_format="pandas")
+    return (
+        joined.repartition(4)
+        .sort(["revenue_cents", "o_orderdate", "l_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )

@@ -38,7 +38,8 @@ SAMPLE = [
     "two_hop_reach", "colbert_maxsim", "cdc_upsert_merge",
     "media_layout_dedup", "basket_rules", "dup_size_histogram",
     "personalized_pagerank", "growth_accounting", "jsonl_roundtrip_stats",
-    "custdist_histogram",
+    "custdist_histogram", "session_stats", "funnel_stages",
+    "mg_topk_terms", "terasort_rank", "shipping_priority",
 ]
 
 
