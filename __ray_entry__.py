@@ -76,6 +76,9 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "span_integrity_audit",    # new in r5 session 15, never certified
+    "politeness_schedule",     # new in r5 session 15, never certified
+    "crawl_budget_allocation", # new in r5 session 15, never certified
     "session_stats",           # new in r5 session 14, never certified
     "funnel_stages",           # new in r5 session 14, never certified
     "mg_topk_terms",           # new in r5 session 14, never certified

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "mg_topk_terms",
     "terasort_rank",
     "shipping_priority",
+    "span_integrity_audit",
+    "politeness_schedule",
+    "crawl_budget_allocation",
 ]
 
 

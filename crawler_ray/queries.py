@@ -14435,3 +14435,290 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
               descending=[True, False, False])
         .limit(k)
     )
+
+
+# =====================================================================
+# Session 15 — span integrity audit, politeness schedule, budget
+# apportionment
+# =====================================================================
+
+
+def _audit_spans(t: pa.Table) -> pa.Table:
+    """Per-batch span-integrity partials (module-level so tests can
+    feed a deliberately corrupted span column through the REAL
+    measurement kernel and assert the violation counters fire)."""
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.string()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "total_chars": pa.array([], pa.int64()),
+            "n_nonmono": pa.array([], pa.int64()),
+            "max_offset": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    sc = t["spans"]
+    spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+    flat = spans.flatten()
+    if len(flat) == 0:
+        return empty
+    parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+    kind = flat.field("kind").to_pandas().to_numpy()
+    off = flat.field("offset").to_numpy().astype(np.int64)
+    chars = pc.utf8_length(flat.field("text")).to_numpy().astype(np.int64)
+    # monotonicity within a document: previous span's offset
+    nonmono = np.zeros(len(off), dtype=bool)
+    if len(off) > 1:
+        nonmono[1:] = (parent[1:] == parent[:-1]) & (off[1:] < off[:-1])
+    kcodes, kinv = np.unique(kind, return_inverse=True)
+    rows = []
+    for ki, kname in enumerate(kcodes):
+        m = kinv == ki
+        rows.append(
+            {
+                "kind": str(kname),
+                "n_spans": int(m.sum()),
+                "n_docs": int(len(np.unique(parent[m]))),
+                "total_chars": int(chars[m].sum()),
+                "n_nonmono": int(nonmono[m].sum()),
+                "max_offset": int(off[m].max()),
+            }
+        )
+    out = pd.DataFrame(rows)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@register(
+    "span_integrity_audit",
+    """
+    WITH ts AS (
+      SELECT d.doc_id, d.n_chars, t.j
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)),
+    sp AS (
+      SELECT doc_id, 'text' AS kind, CAST(j * 64 AS BIGINT) AS off,
+             CAST(least(64, n_chars - j * 64) AS BIGINT) AS chars,
+             2 * j AS ord
+      FROM ts
+      UNION ALL
+      SELECT doc_id,
+             CASE (doc_id + j) % 3
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END,
+             CAST(least((j + 1) * 64, n_chars) AS BIGINT),
+             CAST(0 AS BIGINT), 2 * j + 1
+      FROM ts WHERE (doc_id * 31 + j) % 5 = 0),
+    w AS (SELECT *,
+                 lag(off) OVER (PARTITION BY doc_id ORDER BY ord) AS poff
+          FROM sp)
+    SELECT kind,
+           count(*) AS n_spans,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN poff IS NOT NULL AND off < poff
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonmono,
+           max(off) AS max_offset
+    FROM w GROUP BY kind
+    """,
+    doc="Span-sequence integrity audit over the REAL nested input_hint "
+    "column (spans: list<struct<kind,text,media_ref,offset>>) — the "
+    "per-row invariant the graft's input_hint names (span kind / text "
+    "/ order / offset consistency) certified END-TO-END: the Ray side "
+    "MEASURES per-kind span counts, distinct owning docs, total text "
+    "chars, offset-monotonicity violations and max offset off the "
+    "actual flattened struct child arrays (flatten + "
+    "list_parent_indices + a shifted same-parent offset comparison), "
+    "while the oracle RE-DERIVES the same figures from the synthesis "
+    "contract arithmetic (generate_series tiling + lag window).  Any "
+    "span builder bug — wrong interleave order, off-by-one offsets, "
+    "dropped/duplicated spans, mis-sliced text — shows up as a "
+    "count/chars/monotonicity mismatch.  Distributed shape: spans are "
+    "document-local, so the audit is ONE streamed map_batches chain "
+    "emitting <=4 fixed partial rows per batch (kind, sums, max); the "
+    "final groupby touches a few dozen rows.  n_docs is summable "
+    "because each document's span list lives in exactly one row.",
+)
+def span_integrity_audit(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(_audit_spans, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("n_spans", alias_name="n_spans"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("n_nonmono", alias_name="n_nonmono"),
+            Max("max_offset", alias_name="max_offset"),
+        )
+    )
+
+
+@register(
+    "politeness_schedule",
+    """
+    WITH e AS (
+      SELECT user_id % 64 AS host, ts, event_id,
+             50 + (event_id % 97) AS d
+      FROM events),
+    s AS (
+      SELECT host,
+             coalesce(sum(d) OVER (PARTITION BY host ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS fetch_at
+      FROM e)
+    SELECT host, count(*) AS n_urls,
+           CAST(max(fetch_at) AS BIGINT) AS makespan_ms,
+           CAST(sum(fetch_at) AS BIGINT) AS total_wait_ms
+    FROM s GROUP BY host
+    """,
+    doc="Per-host politeness scheduling — the reference's "
+    "PolitenessClock semantics (get-and-wait crawl.clj sleeps; "
+    "stages/fetch.py:141) as an oracle-gated query: every URL owed to "
+    "a host is scheduled at the CUMULATIVE sum of the per-URL crawl "
+    "delays of the URLs dequeued before it (per-URL delay = 50 + "
+    "event_id %% 97 ms, a robots Crawl-delay that varies per URL), in "
+    "the deterministic discovery order (ts, event_id).  Reported per "
+    "host: queue length, makespan (last fetch start) and total wait — "
+    "the figures a frontier scheduler needs to balance host shards.  "
+    "Distributed shape: ONE coarse host shuffle (hosts are the "
+    "partition key exactly as the crawl frontier partitions); per "
+    "bucket a single vectorized pass sorts (host, ts, event_id) and "
+    "takes a segmented exclusive cumsum (np.cumsum minus own delay, "
+    "rebased per host via the first-index trick) — no per-URL Python "
+    "loop; partial rows per bucket are one per host, so the final "
+    "merge is tiny.  Integer-exact throughout (ms as int64).",
+)
+def politeness_schedule(sf_dir: str):
+    def add_hb(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="int64"),
+                 "event_id": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64"),
+                 "hb": pd.Series([], dtype="int32")}
+            )
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        host = (t["user_id"].to_numpy().astype(np.int64)) % 64
+        return pd.DataFrame(
+            {
+                "host": host,
+                "ts": t["ts"].cast(pa.int64()).to_numpy(),
+                "event_id": eid,
+                "d": 50 + (eid % 97),
+                "hb": (host % 32).astype("int32"),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"host": "int64", "n_urls": "int64",
+                "makespan_ms": "int64", "total_wait_ms": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["host", "ts", "event_id"], kind="stable")
+        host = g["host"].to_numpy()
+        d = g["d"].to_numpy()
+        # segmented EXCLUSIVE prefix sum: rebase the running cumsum at
+        # each host boundary (first index of each host segment)
+        cs = np.cumsum(d) - d
+        first = np.zeros(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = host[1:] != host[:-1]
+        base = np.where(first, cs, 0)
+        np.maximum.accumulate(base, out=base)
+        fetch_at = cs - base
+        out = pd.DataFrame({"host": host, "fa": fetch_at})
+        gb = out.groupby("host", as_index=False, sort=False)["fa"]
+        agg = gb.agg(["count", "max", "sum"])
+        return pd.DataFrame(
+            {"host": agg["host"].to_numpy().astype(np.int64),
+             "n_urls": agg["count"].to_numpy().astype(np.int64),
+             "makespan_ms": agg["max"].to_numpy().astype(np.int64),
+             "total_wait_ms": agg["sum"].to_numpy().astype(np.int64)}
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(add_hb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+@register(
+    "crawl_budget_allocation",
+    _LINK_SQL_CTE
+    + """,
+    h AS (SELECT target % 101 AS host, count(*) AS c
+          FROM l GROUP BY target % 101),
+    t AS (SELECT sum(c) AS tc FROM h),
+    q AS (SELECT host, c,
+                 (1000000 * c) // (SELECT tc FROM t) AS base,
+                 (1000000 * c) % (SELECT tc FROM t) AS rem
+          FROM h),
+    lft AS (SELECT 1000000 - sum(base) AS lv FROM q),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+          FROM q)
+    SELECT host, CAST(c AS BIGINT) AS n_pages,
+           CAST(base + CASE WHEN rk <= (SELECT lv FROM lft)
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+    """,
+    doc="Crawl-budget apportionment: distribute a fixed fetch budget "
+    "(B = 1,000,000) across hosts proportionally to their observed "
+    "page mass using the LARGEST-REMAINDER method (Hamilton "
+    "apportionment), so per-host quotas are integers that sum to "
+    "EXACTLY B — the frontier-scheduler allocation step for a "
+    "fixed-size crawl round.  quota_i = B*c_i // C plus one bonus "
+    "unit for the (B - sum(base)) largest remainders (ties broken by "
+    "smaller host id) — integer-exact on both sides, no floats "
+    "anywhere.  Distributed shape: per-batch partial (host, count) "
+    "over the exploded link graph (the same count-combiner shape as "
+    "link_graph_degree), ONE tiny groupby sum bounded by the host "
+    "space (101 rows), then the apportionment itself runs vectorized "
+    "on the driver over that bounded host table (np.argsort on "
+    "(−rem, host)) — driver state is O(hosts), never O(links).",
+)
+def crawl_budget_allocation(sf_dir: str, budget: int = 1_000_000):
+    from ray.data.aggregate import Sum
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        host = _explode_links(t, n_docs) % 101
+        hu, cnt = np.unique(host, return_counts=True)
+        return pa.table({"host": pa.array(hu.astype(np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    counts = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("pn", alias_name="c"))
+        .to_pandas()  # bounded by the host space (101 rows), not links
+    )
+    host = counts["host"].to_numpy().astype(np.int64)
+    c = counts["c"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    base = (budget * c) // total
+    rem = (budget * c) % total
+    leftover = budget - int(base.sum())
+    # largest-remainder winners: top-`leftover` by (rem desc, host asc)
+    order = np.lexsort((host, -rem))
+    bonus = np.zeros(len(host), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    return pa.table(
+        {
+            "host": pa.array(host),
+            "n_pages": pa.array(c),
+            "quota": pa.array(base + bonus),
+        }
+    )

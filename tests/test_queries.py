@@ -40,6 +40,7 @@ SAMPLE = [
     "personalized_pagerank", "growth_accounting", "jsonl_roundtrip_stats",
     "custdist_histogram", "session_stats", "funnel_stages",
     "mg_topk_terms", "terasort_rank", "shipping_priority",
+    "span_integrity_audit", "politeness_schedule", "crawl_budget_allocation",
 ]
 
 

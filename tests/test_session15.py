@@ -1,0 +1,117 @@
+"""Session-15 operator invariants: span-integrity audit fires on
+deliberately corrupted span columns, politeness schedule equals a
+sequential per-host clock replay, budget apportionment sums exactly
+and stays within one unit of the proportional share."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pa.Table:
+    return pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+
+def test_span_audit_clean_corpus_has_zero_violations(ray_session):
+    from crawler_ray.queries import span_integrity_audit
+
+    out = span_integrity_audit(SF).to_pandas()
+    assert set(out["kind"]) <= {"text", "image", "audio", "video"}
+    assert (out["n_nonmono"] == 0).all()
+    # text spans tile each doc exactly: total text chars == sum(n_chars)
+    docs = _docs()
+    total = int(docs["n_chars"].to_numpy().sum())
+    assert int(out.loc[out["kind"] == "text", "total_chars"].iloc[0]) == total
+    # media spans carry no text
+    med = out[out["kind"] != "text"]
+    assert (med["total_chars"] == 0).all()
+
+
+def test_span_audit_kernel_detects_corruption():
+    """Feed the REAL measurement kernel a span column whose offsets were
+    deliberately swapped inside one document — the monotonicity counter
+    must fire (proves the audit measures, not merely re-derives)."""
+    from crawler_ray.queries import _audit_spans, _build_span_column
+
+    t = _build_span_column(_docs().slice(0, 8))
+    spans = t["spans"].chunk(0) if t["spans"].num_chunks == 1 else t["spans"].combine_chunks()
+    flat = spans.flatten()
+    off = flat.field("offset").to_numpy().astype(np.int32).copy()
+    offsets = spans.offsets.to_numpy()
+    # first doc with >= 3 spans: reverse its span offsets
+    for i in range(len(offsets) - 1):
+        a, b = offsets[i], offsets[i + 1]
+        if b - a >= 3:
+            off[a:b] = off[a:b][::-1]
+            break
+    corrupted_struct = pa.StructArray.from_arrays(
+        [flat.field("kind"), flat.field("text"), flat.field("media_ref"),
+         pa.array(off, type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    corrupted = pa.ListArray.from_arrays(spans.offsets, corrupted_struct)
+    t2 = pa.table({"doc_id": t["doc_id"], "spans": corrupted})
+    clean = _audit_spans(t)
+    bad = _audit_spans(t2)
+    assert int(clean["n_nonmono"].to_pandas().sum()) == 0
+    assert int(bad["n_nonmono"].to_pandas().sum()) > 0
+    # counts/docs unchanged by the corruption — only ordering fired
+    assert bad["n_spans"].to_pandas().sum() == clean["n_spans"].to_pandas().sum()
+
+
+def test_politeness_schedule_equals_sequential_clock(ray_session):
+    from crawler_ray.queries import politeness_schedule
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).to_pandas()
+    ev["tus"] = ev["ts"].astype("int64")
+    ev["host"] = ev["user_id"].to_numpy().astype(np.int64) % 64
+    ev["d"] = 50 + (ev["event_id"].to_numpy().astype(np.int64) % 97)
+    ev = ev.sort_values(["host", "tus", "event_id"])
+
+    # sequential reference: one politeness clock per host
+    ref = {}
+    for h, g in ev.groupby("host"):
+        clock = 0
+        waits = []
+        for d in g["d"].to_numpy():
+            waits.append(clock)  # fetch starts when the clock frees
+            clock += int(d)
+        ref[int(h)] = (len(waits), max(waits), sum(waits))
+
+    out = politeness_schedule(SF).to_pandas().set_index("host")
+    assert len(out) == len(ref)
+    for h, (n, mk, tw) in ref.items():
+        row = out.loc[h]
+        assert int(row["n_urls"]) == n
+        assert int(row["makespan_ms"]) == mk
+        assert int(row["total_wait_ms"]) == tw
+
+
+def test_budget_allocation_exact_sum_and_fairness(ray_session):
+    from crawler_ray.queries import crawl_budget_allocation
+
+    budget = 1_000_000
+    out = crawl_budget_allocation(SF, budget=budget).to_pandas()
+    assert int(out["quota"].sum()) == budget  # apportionment is EXACT
+    c = out["n_pages"].to_numpy().astype(np.int64)
+    q = out["quota"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    base = (budget * c) // total
+    bonus = q - base
+    # quota is the floor share plus at most one largest-remainder unit
+    assert set(np.unique(bonus)) <= {0, 1}
+    assert int(bonus.sum()) == budget - int(base.sum())
+    # winners are exactly the largest remainders (ties -> smaller host)
+    rem = (budget * c) % total
+    host = out["host"].to_numpy().astype(np.int64)
+    order = np.lexsort((host, -rem))
+    expect = np.zeros(len(host), dtype=np.int64)
+    expect[order[: int(bonus.sum())]] = 1
+    assert (bonus == expect).all()
