@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "edit_distance_neardup",   # new in r5 session 15, never certified
+    "ngram_novelty",           # new in r5 session 15, never certified
     "span_integrity_audit",    # new in r5 session 15, never certified
     "politeness_schedule",     # new in r5 session 15, never certified
     "crawl_budget_allocation", # new in r5 session 15, never certified

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "span_integrity_audit",
     "politeness_schedule",
     "crawl_budget_allocation",
+    "edit_distance_neardup",
+    "ngram_novelty",
 ]
 
 

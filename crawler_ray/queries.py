@@ -14722,3 +14722,319 @@ def crawl_budget_allocation(sf_dir: str, budget: int = 1_000_000):
             "quota": pa.array(base + bonus),
         }
     )
+
+
+@register(
+    "edit_distance_neardup",
+    """
+    WITH v AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 40000000, 'zqzq' || substr(text, 5)
+      FROM documents WHERE doc_id % 10 = 0),
+    b AS (SELECT doc_id, text, md5(right(text, 24)) AS bh FROM v),
+    cand AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             a.text AS ta, b2.text AS tb
+      FROM b a JOIN b b2 ON a.bh = b2.bh AND a.doc_id < b2.doc_id)
+    SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(ta, tb) <= 8
+    """,
+    doc="Edit-distance near-duplicate detection — the CHARACTER-level "
+    "dedup modality (OCR noise, boilerplate injections, small "
+    "head-edits) that token-set similarity (minhash/ngram Jaccard) "
+    "and SimHash structurally miss: a 4-char head substitution leaves "
+    "Levenshtein <= 4 while shifting every token boundary.  Planted "
+    "variants (doc_id%%10==0 -> id+40M, first 4 chars replaced) must "
+    "all surface at dist <= 4.  Candidates: docs sharing the md5-128 "
+    "of their LAST 24 chars (a head-edit-invariant blocking key; both "
+    "sides group on the identical key so candidate sets agree by "
+    "construction), verified with the exact bit-parallel Myers "
+    "Levenshtein (functions/similarity.py::levenshtein — fuzzed equal "
+    "to the DP and to DuckDB's levenshtein()).  Distributed shape: "
+    "pass 1 ships only (h1, h2, doc_id) 24-byte rows (text never "
+    "enters the blocking shuffle); candidate pairs come from a "
+    "bucketed group on the 128-bit key; BELOW verify_broadcast_cap "
+    "candidate texts are fetched by a broadcast-id filter scan and "
+    "verified in an actor-pool map over the pair table (gmap via "
+    "ray.put, once per actor); past the cap the IMPLEMENTED join "
+    "regime attaches text_a/text_b with two hash joins (the "
+    "containment_join shape) — forced-regime equality is tested.",
+)
+def edit_distance_neardup(
+    sf_dir: str, threshold: int = 8, verify_broadcast_cap: int = 100_000
+):
+    import hashlib
+
+    import ray
+
+    from .functions.similarity import levenshtein
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        m = ids % 10 == 0
+        if not m.any():
+            return t.select(["doc_id", "text"])
+        txt = t["text"].to_pandas().to_numpy()
+        vids = ids[m] + 40_000_000
+        vtxt = np.array(["zqzq" + s[4:] for s in txt[m]], dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, vids])),
+                "text": pa.array(np.concatenate([txt, vtxt]), type=pa.string()),
+            }
+        )
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+
+    def block_keys(t: pa.Table) -> pd.DataFrame:
+        cols = {"h1": "int64", "h2": "int64", "doc_id": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        h1 = np.empty(len(ids), dtype=np.int64)
+        h2 = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(t["text"].to_pandas().to_numpy()):
+            dg = hashlib.md5(s[-24:].encode()).digest()
+            h1[i] = int.from_bytes(dg[:8], "little") - (1 << 63)
+            h2[i] = int.from_bytes(dg[8:], "little") - (1 << 63)
+        return pd.DataFrame({"h1": h1, "h2": h2, "doc_id": ids})
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("h1", "h2", "doc_id")})
+        df = df.copy()
+        df["__b"] = (df["h1"].to_numpy() % 64).astype("int32")
+        return df
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id_a": "int64", "id_b": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["h1", "h2", "doc_id"], kind="stable")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        gid = np.cumsum(first) - 1
+        # vectorized within-group pair generation over sorted runs
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(g)))
+        out_a, out_b = [], []
+        for s, z in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            seg = ids[s : s + z]
+            ia, ib = np.triu_indices(z, k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a).astype(np.int64),
+             "id_b": np.concatenate(out_b).astype(np.int64)}
+        )
+
+    pairs = (
+        planted.map_batches(block_keys, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .materialize()  # id pairs only — bounded by blocking-key collisions
+    )
+
+    cand_df = pairs.to_pandas()
+    if len(cand_df) == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}
+        )
+    cand_ids = np.unique(
+        np.concatenate([cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()])
+    ).astype(np.int64)
+
+    empty_out = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "dist": pa.array([], pa.int64())}
+    )
+
+    if len(cand_ids) <= verify_broadcast_cap:
+        idref = ray.put(cand_ids)
+
+        def fetch(t: pa.Table) -> pa.Table:
+            want = ray.get(idref)
+            ids = t["doc_id"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(want, ids)
+            pos[pos >= len(want)] = len(want) - 1
+            m = want[pos] == ids
+            return pa.table({"doc_id": pa.array(ids[m]), "text": t["text"].filter(pa.array(m))})
+
+        texts = planted.map_batches(fetch, batch_format="pyarrow").to_pandas()
+        gmap = dict(zip(texts["doc_id"].astype(np.int64), texts["text"]))
+        gref = ray.put(gmap)
+
+        class Verify:
+            def __init__(self):
+                self.g = ray.get(gref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if df.shape[1] == 0 or len(df) == 0:
+                    return pd.DataFrame(
+                        {"id_a": pd.Series([], dtype="int64"),
+                         "id_b": pd.Series([], dtype="int64"),
+                         "dist": pd.Series([], dtype="int64")}
+                    )
+                d = np.fromiter(
+                    (levenshtein(self.g[a], self.g[b])
+                     for a, b in zip(df["id_a"], df["id_b"])),
+                    dtype=np.int64, count=len(df),
+                )
+                m = d <= threshold
+                return pd.DataFrame(
+                    {"id_a": df["id_a"].to_numpy()[m].astype(np.int64),
+                     "id_b": df["id_b"].to_numpy()[m].astype(np.int64),
+                     "dist": d[m]}
+                )
+
+        out = pairs.map_batches(Verify, batch_format="pandas", concurrency=2)
+        res = out.to_pandas()
+        return pa.Table.from_pandas(
+            res.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"}),
+            preserve_index=False,
+        ) if len(res) else empty_out
+
+    # join regime: attach text_a / text_b with two hash joins, verify
+    # inside the join output batches — no driver-side text table
+    texts_ds = planted.materialize()
+    n_parts = max(2, min(16, len(cand_df) // 25_000))
+    j1 = pairs.join(
+        texts_ds, join_type="inner", num_partitions=n_parts,
+        on=("id_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "ta": t["text"]})
+        if t.num_rows
+        else pa.table({"id_a": pa.array([], pa.int64()),
+                       "id_b": pa.array([], pa.int64()),
+                       "ta": pa.array([], pa.string())}),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = j1.join(
+        texts_ds, join_type="inner", num_partitions=n_parts,
+        on=("id_b",), right_on=("doc_id",),
+    )
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return empty_out
+        ta = t["ta"].to_pandas().to_numpy()
+        tb = t["text"].to_pandas().to_numpy()
+        d = np.fromiter(
+            (levenshtein(a, b) for a, b in zip(ta, tb)),
+            dtype=np.int64, count=len(ta),
+        )
+        m = d <= threshold
+        return pa.table(
+            {"id_a": pa.array(t["id_a"].to_numpy().astype(np.int64)[m]),
+             "id_b": pa.array(t["id_b"].to_numpy().astype(np.int64)[m]),
+             "dist": pa.array(d[m])}
+        )
+
+    return j2.map_batches(verify_joined, batch_format="pyarrow")
+
+
+@register(
+    "ngram_novelty",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j]||' '||t[j+1]||' '||t[j+2]||' '||t[j+3] AS g
+      FROM toks, unnest(generate_series(1, len(t)-3)) AS s(j)),
+    own AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS owner
+            FROM grams)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+    FROM own GROUP BY doc_id
+    """,
+    doc="N-gram novelty scoring — the data-pruning / curriculum signal "
+    "(how much of a document's 4-gram vocabulary is FIRST INTRODUCED "
+    "by that document, first-owner = corpus-wide min doc_id): docs "
+    "with near-zero novelty are recombinations of earlier text and "
+    "prime prune candidates; the same statistic ranks crawl frontiers "
+    "by expected new-content yield.  Distributed shape: ONE gram pass "
+    "emits per-doc DISTINCT (h1, h2, doc_id) md5-128 triples (gram "
+    "TEXT never shuffles — the segment_dedup rule); a bucketed group "
+    "on the hash marks each occurrence novel iff its doc_id equals "
+    "the group min and emits per-doc partial (n, novel) counts; ONE "
+    "bucketed sum keyed by doc_id finishes.  Both sides dedup grams "
+    "per doc and group by the identical 128-bit key, so they agree "
+    "by construction.",
+)
+def ngram_novelty(sf_dir: str, n: int = 4):
+    import hashlib
+
+    from .stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"h1": "int64", "h2": "int64", "doc_id": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out_h1, out_h2, out_d = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tk = txt.split(" ")
+            seen = {
+                " ".join(tk[j : j + n]) for j in range(len(tk) - n + 1)
+            }
+            for g in seen:
+                dg = hashlib.md5(g.encode()).digest()
+                out_h1.append(int.from_bytes(dg[:8], "little") - (1 << 63))
+                out_h2.append(int.from_bytes(dg[8:], "little") - (1 << 63))
+                out_d.append(did)
+        return pd.DataFrame(
+            {"h1": pd.Series(out_h1, dtype="int64"),
+             "h2": pd.Series(out_h2, dtype="int64"),
+             "doc_id": pd.Series(out_d, dtype="int64")}
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("h1", "h2", "doc_id")})
+        df = df.copy()
+        df["__b"] = (df["h1"].to_numpy() % 64).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["h1", "h2", "doc_id"], kind="stable")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        # group min doc_id = the id at each group's first (sorted) row
+        starts = np.flatnonzero(first)
+        owner = np.repeat(ids[starts], np.diff(np.append(starts, len(g))))
+        df = pd.DataFrame({"doc_id": ids, "novel": (ids == owner).astype(np.int64)})
+        gb = df.groupby("doc_id", as_index=False, sort=False)["novel"]
+        agg = gb.agg(["count", "sum"])
+        return pd.DataFrame(
+            {"doc_id": agg["doc_id"].to_numpy().astype(np.int64),
+             "n_grams": agg["count"].to_numpy().astype(np.int64),
+             "n_novel": agg["sum"].to_numpy().astype(np.int64)}
+        )
+
+    partials = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_agg(
+        partials, keys=["doc_id"],
+        sum_cols={"n_grams": "n_grams", "n_novel": "n_novel"},
+    )

@@ -41,6 +41,7 @@ SAMPLE = [
     "custdist_histogram", "session_stats", "funnel_stages",
     "mg_topk_terms", "terasort_rank", "shipping_priority",
     "span_integrity_audit", "politeness_schedule", "crawl_budget_allocation",
+    "edit_distance_neardup", "ngram_novelty",
 ]
 
 

@@ -115,3 +115,85 @@ def test_budget_allocation_exact_sum_and_fairness(ray_session):
     expect = np.zeros(len(host), dtype=np.int64)
     expect[order[: int(bonus.sum())]] = 1
     assert (bonus == expect).all()
+
+
+def test_myers_levenshtein_equals_dp_fuzz():
+    import random
+
+    from crawler_ray.functions.similarity import levenshtein
+
+    def dp(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    rnd = random.Random(13)
+    for _ in range(300):
+        a = "".join(rnd.choice("abcz ") for _ in range(rnd.randint(0, 80)))
+        b = "".join(rnd.choice("abcz ") for _ in range(rnd.randint(0, 80)))
+        assert levenshtein(a, b) == dp(a, b)
+    assert levenshtein("", "") == 0
+    assert levenshtein("abc", "") == 3
+    assert levenshtein("", "abc") == 3
+
+
+def test_edit_distance_neardup_finds_all_planted_pairs(ray_session):
+    from crawler_ray.queries import edit_distance_neardup
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    planted = [int(i) for i in docs["doc_id"].to_numpy() if i % 10 == 0]
+    out = edit_distance_neardup(SF)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    got = set(zip(df["id_a"].astype(int), df["id_b"].astype(int)))
+    for i in planted:
+        assert (i, i + 40_000_000) in got
+    sub = df.set_index(["id_a", "id_b"])
+    for i in planted:
+        assert int(sub.loc[(i, i + 40_000_000), "dist"]) <= 4
+
+
+def test_edit_distance_neardup_forced_regime_equality(ray_session):
+    from crawler_ray.queries import edit_distance_neardup
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        return (df.astype({"id_a": "int64", "id_b": "int64", "dist": "int64"})
+                  .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    bcast = norm(edit_distance_neardup(SF))
+    joined = norm(edit_distance_neardup(SF, verify_broadcast_cap=0))
+    pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_ngram_novelty_conservation_and_bounds(ray_session):
+    from crawler_ray.queries import ngram_novelty
+
+    out = ngram_novelty(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    # sequential reference
+    all_grams = set()
+    per_doc = {}
+    for _, r in docs.sort_values("doc_id").iterrows():
+        tk = r["text"].split(" ")
+        gs = {" ".join(tk[j:j + 4]) for j in range(len(tk) - 3)}
+        novel = len(gs - all_grams)
+        all_grams |= gs
+        per_doc[int(r["doc_id"])] = (len(gs), novel)
+    assert len(out) == len(per_doc)
+    for _, r in out.iterrows():
+        n, nov = per_doc[int(r["doc_id"])]
+        assert int(r["n_grams"]) == n
+        assert int(r["n_novel"]) == nov
+    # conservation: novel grams across docs partition the corpus vocab
+    assert int(out["n_novel"].sum()) == len(all_grams)
