@@ -76,6 +76,9 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "hits_scores",             # new in r5 session 15, never certified
+    "semantic_decontamination",  # new in r5 session 15, never certified
+    "corpus_diversity",        # new in r5 session 15, never certified
     "edit_distance_neardup",   # new in r5 session 15, never certified
     "ngram_novelty",           # new in r5 session 15, never certified
     "span_integrity_audit",    # new in r5 session 15, never certified

@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "crawl_budget_allocation",
     "edit_distance_neardup",
     "ngram_novelty",
+    "hits_scores",
+    "semantic_decontamination",
+    "corpus_diversity",
 ]
 
 

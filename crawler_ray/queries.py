@@ -15038,3 +15038,282 @@ def ngram_novelty(sf_dir: str, n: int = 4):
         partials, keys=["doc_id"],
         sum_cols={"n_grams": "n_grams", "n_novel": "n_novel"},
     )
+
+
+@register(
+    "hits_scores",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    lu AS (SELECT DISTINCT src, target FROM l WHERE target != src),
+    a1 AS (SELECT target AS v, 1000 * count(*) AS a FROM lu GROUP BY target),
+    h1 AS (SELECT lu.src AS v, CAST(sum(a1.a) AS BIGINT) AS h
+           FROM lu JOIN a1 ON a1.v = lu.target GROUP BY lu.src),
+    a2 AS (SELECT lu.target AS v, CAST(sum(h1.h) AS BIGINT) AS a
+           FROM lu JOIN h1 ON h1.v = lu.src GROUP BY lu.target)
+    SELECT coalesce(h1.v, a2.v) AS node,
+           coalesce(h1.h, 0) AS hub,
+           coalesce(a2.a, 0) AS auth
+    FROM h1 FULL OUTER JOIN a2 ON h1.v = a2.v
+    """,
+    doc="HITS hubs & authorities (Kleinberg) — the link-analysis "
+    "complement to PageRank's random surfer: auth(p) = sum of hub "
+    "scores linking TO p, hub(p) = sum of auth scores p links to, "
+    "two synchronous half-rounds unrolled (hub0 = 1000 for every "
+    "node, so a1 = 1000*indeg, then h1 = sum_out a1, a2 = sum_in "
+    "h1) with NO normalization — bounded rounds keep raw integer "
+    "sums exact on both sides, so the unrolled-CTE oracle pins "
+    "every score.  Distributed shape: the deduped edge table "
+    "materializes once (int64 pairs); each half-round broadcasts "
+    "the previous score vector as ONE dense int64 array via "
+    "ray.put (8 bytes/node — 800 MB at 100M nodes, the documented "
+    "broadcast cap) and streams the edges ONCE with per-batch "
+    "(node, partial-sum) combiners into a bucketed sum; past the "
+    "cap the bucketed-join regime applies exactly as "
+    "label_prop_rounds implements for the same dense-propagation "
+    "shape.  The hub/auth outer merge is a tagged union + ONE "
+    "bucketed two-column sum — no driver-side join.",
+)
+def hits_scores(sf_dir: str):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"src": "int64", "tgt": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        keep = src != tgt
+        packed = np.unique(src[keep] * np.int64(n_docs) + tgt[keep])
+        return pd.DataFrame(
+            {"src": (packed // n_docs).astype(np.int64),
+             "tgt": (packed % n_docs).astype(np.int64)}
+        )
+
+    edges = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # int64 pairs; streamed once per half-round
+    )
+
+    def halfround(score_ref, from_col: str, to_col: str):
+        """ONE edge stream: out[v] = sum over edges of score[from] grouped
+        by to — the dense-broadcast propagation shape."""
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"v": "int64", "s": "int64"}
+            if df.shape[1] == 0 or len(df) == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            vec = ray.get(score_ref)
+            s = vec[df[from_col].to_numpy()]
+            m = s != 0
+            out = pd.DataFrame({"v": df[to_col].to_numpy()[m], "s": s[m]})
+            return out.groupby("v", as_index=False, sort=False)["s"].sum()
+
+        return bucketed_agg(
+            edges.map_batches(partial, batch_format="pandas"),
+            keys=["v"], sum_cols={"s": "s"},
+        )
+
+    hub0 = np.full(n_docs, 1000, dtype=np.int64)
+    a1_df = halfround(ray.put(hub0), "src", "tgt").to_pandas()
+    a1 = np.zeros(n_docs, dtype=np.int64)
+    a1[a1_df["v"].to_numpy().astype(np.int64)] = a1_df["s"].to_numpy()
+    h1_ds = halfround(ray.put(a1), "tgt", "src")
+    h1_df = h1_ds.to_pandas()
+    h1 = np.zeros(n_docs, dtype=np.int64)
+    h1[h1_df["v"].to_numpy().astype(np.int64)] = h1_df["s"].to_numpy()
+    a2_ds = halfround(ray.put(h1), "src", "tgt")
+
+    # outer merge hub/auth: tagged union + ONE bucketed two-column sum
+    def tag_h(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("node", "hub", "auth")})
+        return pd.DataFrame({"node": df["v"].astype(np.int64),
+                             "hub": df["s"].astype(np.int64),
+                             "auth": np.zeros(len(df), dtype=np.int64)})
+
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("node", "hub", "auth")})
+        return pd.DataFrame({"node": df["v"].astype(np.int64),
+                             "hub": np.zeros(len(df), dtype=np.int64),
+                             "auth": df["s"].astype(np.int64)})
+
+    both = h1_ds.map_batches(tag_h, batch_format="pandas").union(
+        a2_ds.map_batches(tag_a, batch_format="pandas")
+    )
+    return bucketed_agg(both, keys=["node"],
+                        sum_cols={"hub": "hub", "auth": "auth"})
+
+
+@register(
+    "semantic_decontamination",
+    """
+    WITH ev AS (
+      SELECT vec_id AS eid, embedding FROM embeddings WHERE vec_id % 37 = 0),
+    tr AS (
+      SELECT vec_id AS did, embedding FROM embeddings WHERE vec_id % 37 != 0
+      UNION ALL
+      SELECT eid + 50000000, list_transform(embedding, x -> x * 2) FROM ev),
+    eq AS (SELECT eid, g.i AS i,
+                  CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 256) AS BIGINT) AS v
+           FROM ev, unnest(generate_series(0, 63)) AS g(i)),
+    tq AS (SELECT did, g.i AS i,
+                  CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 256) AS BIGINT) AS v
+           FROM tr, unnest(generate_series(0, 63)) AS g(i)),
+    en AS (SELECT eid, sum(v * v) AS n2 FROM eq GROUP BY eid),
+    tn AS (SELECT did, sum(v * v) AS n2 FROM tq GROUP BY did),
+    dots AS (SELECT eid, did, CAST(sum(eq.v * tq.v) AS BIGINT) AS dot
+             FROM eq JOIN tq USING (i) GROUP BY eid, did)
+    SELECT did, CAST(count(*) AS BIGINT) AS n_hits
+    FROM dots JOIN en USING (eid) JOIN tn USING (did)
+    WHERE dot > 0 AND dot * dot * 65536 >= 243 * 243 * en.n2 * tn.n2
+    GROUP BY did
+    """,
+    doc="Embedding-space decontamination — the SEMANTIC complement to "
+    "the n-gram `decontamination` op (paraphrased eval leakage that "
+    "token overlap misses): flag every training vector whose cosine "
+    "against ANY eval-set vector (vec_id %% 37 == 0) reaches theta = "
+    "243/256 ~ 0.949.  NO sqrt anywhere: cos >= theta iff dot > 0 AND "
+    "dot^2 * 256^2 >= thq^2 * |a|^2 * |b|^2 over floor(x*256) "
+    "integer-quantized components (bounds: dot <= 64*256^2 so every "
+    "term < 2^62).  Planted contamination: each eval vector re-enters "
+    "the training side at id+50M SCALED BY 2 — cosine-invariant, so "
+    "the norm cross-multiplication (not raw dot compare) is what the "
+    "oracle certifies.  Distributed shape: the quantized eval matrix "
+    "+ its norm vector broadcast ONCE via ray.put; each training "
+    "batch runs ONE int64 matmul against all eval vectors and emits "
+    "only flagged (did, n_hits) rows — NO shuffle at all; eval sets "
+    "are fixed-size benchmark suites in practice, so the broadcast "
+    "is O(|eval|), independent of corpus size.",
+)
+def semantic_decontamination(sf_dir: str, thq: int = 243):
+    import ray
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # eval side: bounded benchmark set — ONE filtered scan, quantize
+    ev = emb.filter(lambda r: r["vec_id"] % 37 == 0).to_pandas()
+    eids = ev["vec_id"].to_numpy().astype(np.int64)
+    E = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in ev["embedding"]]) * 256
+    ).astype(np.int64)
+    en2 = (E * E).sum(axis=1)
+    eref = ray.put((E, en2))
+
+    def scan(t: pa.Table) -> pd.DataFrame:
+        cols = {"did": "int64", "n_hits": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        M = np.floor(list_col_to_matrix(t["embedding"]).astype(np.float64) * 256).astype(np.int64)
+        is_ev = ids % 37 == 0
+        # training side: non-eval rows + planted x2-scaled eval copies
+        tm = np.concatenate([M[~is_ev], np.floor(
+            list_col_to_matrix(t["embedding"]).astype(np.float64)[is_ev] * 2 * 256
+        ).astype(np.int64)])
+        tid = np.concatenate([ids[~is_ev], ids[is_ev] + 50_000_000])
+        if len(tid) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        Eq, en2_ = ray.get(eref)
+        dots = tm @ Eq.T  # ONE matmul scores the whole batch
+        tn2 = (tm * tm).sum(axis=1)
+        ok = (dots > 0) & (
+            dots * dots * 65536 >= (thq * thq) * tn2[:, None] * en2_[None, :]
+        )
+        n = ok.sum(axis=1)
+        m = n > 0
+        return pd.DataFrame({"did": tid[m], "n_hits": n[m].astype(np.int64)})
+
+    return emb.map_batches(scan, batch_format="pyarrow")
+
+
+@register(
+    "corpus_diversity",
+    """
+    WITH s AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 17 = 0 AND doc_id < 1700),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s),
+    grams AS (
+      SELECT DISTINCT doc_id, t[j]||' '||t[j+1]||' '||t[j+2]||' '||t[j+3] AS g
+      FROM toks, unnest(generate_series(1, len(t)-3)) AS s2(j)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+              FROM sz a JOIN sz b ON a.doc_id < b.doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jq AS (SELECT p.da, p.db,
+                  (1024 * coalesce(i.i, 0))
+                    // (p.sa + p.sb - coalesce(i.i, 0)) AS q
+           FROM pairs p LEFT JOIN inter i
+             ON p.da = i.da AND p.db = i.db)
+    SELECT q // 128 AS bucket, count(*) AS n_pairs
+    FROM jq GROUP BY q // 128
+    """,
+    doc="Corpus diversity datasheet (the self-BLEU-style redundancy "
+    "probe of generation-quality and corpus-health reports): a "
+    "BOUNDED deterministic sample (doc_id %% 17 == 0 AND doc_id < "
+    "1700 — at most 100 docs at ANY corpus size) is measured "
+    "all-pairs for 4-gram Jaccard, quantized to (1024*i)//(union) "
+    "and histogrammed in 8 buckets — a right-shifted histogram "
+    "means the corpus is self-repetitive.  ZERO-intersection pairs "
+    "are counted too (the LEFT JOIN both sides — a join-only "
+    "intersection histogram silently drops disjoint pairs).  "
+    "Distributed shape: gram extraction runs in the scan "
+    "(per-batch, per-doc distinct gram hashes); only the sampled "
+    "docs' bounded hash lists reach the driver (<= 100 sorted int64 "
+    "arrays), where the all-pairs intersection is vectorized "
+    "np.intersect1d — O(sample^2) driver work on an O(1) sample, "
+    "independent of corpus size.",
+)
+def corpus_diversity(sf_dir: str, n: int = 4):
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_lists(t: pa.Table) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "hashes": "object"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        m = (ids % 17 == 0) & (ids < 1700)
+        if not m.any():
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out_id, out_h = [], []
+        for did, txt in zip(ids[m], t["text"].to_pandas().to_numpy()[m]):
+            tk = txt.split(" ")
+            gs = {" ".join(tk[j : j + n]) for j in range(len(tk) - n + 1)}
+            hs = np.sort(np.fromiter(
+                (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                 - (1 << 63) for g in gs),
+                dtype=np.int64, count=len(gs),
+            ))
+            out_id.append(int(did))
+            out_h.append(hs)
+        return pd.DataFrame({"doc_id": pd.Series(out_id, dtype="int64"),
+                             "hashes": pd.Series(out_h, dtype="object")})
+
+    sampled = docs.map_batches(gram_lists, batch_format="pyarrow").to_pandas()
+    sampled = sampled.sort_values("doc_id").reset_index(drop=True)
+    hs = list(sampled["hashes"])
+    k = len(hs)
+    counts = np.zeros(9, dtype=np.int64)  # jq/128 in 0..8 (jq <= 1024)
+    for a in range(k):
+        sa = len(hs[a])
+        for b in range(a + 1, k):
+            i = len(np.intersect1d(hs[a], hs[b], assume_unique=True))
+            jq = (1024 * i) // (sa + len(hs[b]) - i)
+            counts[jq // 128] += 1
+    nz = np.flatnonzero(counts)
+    return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                     "n_pairs": pa.array(counts[nz])})

@@ -42,6 +42,7 @@ SAMPLE = [
     "mg_topk_terms", "terasort_rank", "shipping_priority",
     "span_integrity_audit", "politeness_schedule", "crawl_budget_allocation",
     "edit_distance_neardup", "ngram_novelty",
+    "hits_scores", "semantic_decontamination", "corpus_diversity",
 ]
 
 
