@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "retrieval_eval",          # new in r5 session 15, never certified
+    "recrawl_priority",        # new in r5 session 15, never certified
     "hits_scores",             # new in r5 session 15, never certified
     "semantic_decontamination",  # new in r5 session 15, never certified
     "corpus_diversity",        # new in r5 session 15, never certified

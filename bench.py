@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "hits_scores",
     "semantic_decontamination",
     "corpus_diversity",
+    "retrieval_eval",
+    "recrawl_priority",
 ]
 
 

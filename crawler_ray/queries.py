@@ -15317,3 +15317,173 @@ def corpus_diversity(sf_dir: str, n: int = 4):
     nz = np.flatnonzero(counts)
     return pa.table({"bucket": pa.array(nz.astype(np.int64)),
                      "n_pairs": pa.array(counts[nz])})
+
+
+@register(
+    "retrieval_eval",
+    """
+    WITH probes AS (
+      SELECT doc_id AS qid,
+             array_to_string((string_split(text, ' '))[11:15], ' ') AS phrase
+      FROM documents
+      WHERE doc_id % 23 = 0 AND doc_id < 2300
+        AND len(string_split(text, ' ')) >= 15),
+    m AS (
+      SELECT p.qid, d.doc_id,
+             (len(d.text) - len(replace(d.text, p.phrase, '')))
+               // len(p.phrase) AS occ
+      FROM probes p JOIN documents d ON contains(d.text, p.phrase)),
+    r AS (
+      SELECT qid, doc_id, occ,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY occ DESC, doc_id) AS rk
+      FROM m),
+    g AS (
+      SELECT qid, max(CASE WHEN doc_id = qid THEN rk END) AS grk
+      FROM r WHERE rk <= 10 GROUP BY qid)
+    SELECT count(*) AS n_queries,
+           CAST(sum(CASE WHEN grk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit_at_10,
+           CAST(sum(coalesce(1024 // grk, 0)) AS BIGINT) AS mrr_q
+    FROM probes LEFT JOIN g USING (qid)
+    """,
+    doc="Retrieval evaluation harness — the EVAL-side operator every "
+    "retrieval/dedup stack needs (recall@k + integer-quantized MRR "
+    "against planted gold): probe queries are 5-token phrases sliced "
+    "from a BOUNDED deterministic doc sample (doc_id %% 23 == 0 AND "
+    "< 2300, <= 100 probes at any corpus size), gold = the source "
+    "doc; retrieval ranks docs by exact non-overlapping phrase "
+    "occurrence count (ties -> doc_id) — pc.count_substring on the "
+    "Ray side, the length-difference replace() idiom in SQL, "
+    "fuzz-equal counting conventions.  MRR is integer-exact: "
+    "sum(1024 // gold_rank) over ranks <= 10.  Distributed shape: "
+    "the bounded probe set broadcasts once; ONE corpus scan runs "
+    "|probes| vectorized count_substring kernels per batch and "
+    "emits only MATCHING (qid, doc_id, occ) rows (sparse — phrase "
+    "matches are rare); per-qid ranking is a tiny groupby over "
+    "match sets; the metrics row is a bounded fold.",
+)
+def retrieval_eval(sf_dir: str, k: int = 10):
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def probe_scan(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        m = (ids % 23 == 0) & (ids < 2300)
+        out_q, out_p = [], []
+        if m.any():
+            for did, txt in zip(ids[m], t["text"].to_pandas().to_numpy()[m]):
+                tk = txt.split(" ")
+                if len(tk) >= 15:
+                    out_q.append(int(did))
+                    out_p.append(" ".join(tk[10:15]))
+        return pa.table({"qid": pa.array(out_q, type=pa.int64()),
+                         "phrase": pa.array(out_p, type=pa.string())})
+
+    probes = docs.map_batches(probe_scan, batch_format="pyarrow").to_pandas()
+    plist = list(zip(probes["qid"].astype(int), probes["phrase"]))
+    pref = ray.put(plist)
+
+    def match_scan(t: pa.Table) -> pa.Table:
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "occ": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        txt = t["text"]
+        out_q, out_d, out_o = [], [], []
+        for qid, phrase in ray.get(pref):
+            occ = pc.count_substring(txt, phrase).to_numpy().astype(np.int64)
+            nz = np.flatnonzero(occ)
+            out_q.append(np.full(len(nz), qid, dtype=np.int64))
+            out_d.append(ids[nz])
+            out_o.append(occ[nz])
+        if not out_q:
+            return empty
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "occ": pa.array(np.concatenate(out_o))})
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"qid": "int64", "grk": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["occ", "doc_id"], ascending=[False, True], kind="stable")
+        qid = int(g["qid"].iloc[0])
+        ranks = np.arange(1, len(g) + 1)
+        gold = ranks[g["doc_id"].to_numpy() == qid]
+        grk = int(gold[0]) if len(gold) else 0  # 0 = gold missing entirely
+        return pd.DataFrame({"qid": [qid], "grk": [grk]})
+
+    ranks = (
+        docs.map_batches(match_scan, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()  # one row per probe — bounded
+    )
+    grk = dict(zip(ranks["qid"].astype(int), ranks["grk"].astype(int)))
+    n_hit = sum(1 for q, _ in plist if 1 <= grk.get(q, 0) <= k)
+    mrr = sum(1024 // grk[q] for q, _ in plist if 1 <= grk.get(q, 0) <= k)
+    return pa.table({"n_queries": pa.array([len(plist)], type=pa.int64()),
+                     "n_hit_at_10": pa.array([n_hit], type=pa.int64()),
+                     "mrr_q": pa.array([mrr], type=pa.int64())})
+
+
+@register(
+    "recrawl_priority",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    e AS (SELECT user_id % 64 AS host,
+                 (epoch_us((SELECT m FROM mx)) - epoch_us(ts))
+                   // 86400000000 AS age
+          FROM events)
+    SELECT host, count(*) AS n_events,
+           CAST(sum(1 << CAST(greatest(9 - age, 0) AS INTEGER)) AS BIGINT)
+             AS score
+    FROM e GROUP BY host
+    """,
+    doc="Recrawl priority scoring — freshness-decayed host activity "
+    "(the change-rate signal a crawl scheduler uses to decide which "
+    "hosts to revisit first): each observed event contributes "
+    "2^max(0, 9 - age_days) so today's activity weighs 512x a "
+    "ten-day-old one, with decay as EXACT integer bit-shifts (no "
+    "exp(), no floats — the halving-per-day analog of exponential "
+    "decay both sides mirror bit-for-bit).  age_days is floor "
+    "microsecond arithmetic against the corpus max timestamp, NOT "
+    "calendar-day diffs (date_diff counts boundary crossings and "
+    "would diverge).  Distributed shape: one bounded max(ts) "
+    "aggregate; then per-batch (host, score, n) partials -> ONE "
+    "tiny groupby sum bounded by the host space.",
+)
+def recrawl_priority(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    mx = ev.max("ts")  # bounded scalar aggregate
+    mx_us = int(pd.Timestamp(mx).value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        host = t["user_id"].to_numpy().astype(np.int64) % 64
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        age = (mx_us - tus) // 86_400_000_000
+        shift = np.maximum(9 - age, 0)
+        w = np.int64(1) << shift
+        df = pd.DataFrame({"host": host, "score": w})
+        gb = df.groupby("host", as_index=False, sort=False)["score"]
+        agg = gb.agg(["count", "sum"])
+        return pa.table({"host": pa.array(agg["host"].to_numpy().astype(np.int64)),
+                         "n_events": pa.array(agg["count"].to_numpy().astype(np.int64)),
+                         "score": pa.array(agg["sum"].to_numpy().astype(np.int64))})
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("score", alias_name="score"))
+    )

@@ -43,6 +43,7 @@ SAMPLE = [
     "span_integrity_audit", "politeness_schedule", "crawl_budget_allocation",
     "edit_distance_neardup", "ngram_novelty",
     "hits_scores", "semantic_decontamination", "corpus_diversity",
+    "retrieval_eval", "recrawl_priority",
 ]
 
 

@@ -253,3 +253,50 @@ def test_corpus_diversity_counts_all_pairs_including_disjoint(ray_session):
     out = corpus_diversity(SF).to_pandas()
     assert int(out["n_pairs"].sum()) == k * (k - 1) // 2
     assert out["bucket"].between(0, 8).all()
+
+
+def test_retrieval_eval_equals_bruteforce(ray_session):
+    from crawler_ray.queries import retrieval_eval
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    probes = []
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        tk = r["text"].split(" ")
+        if did % 23 == 0 and did < 2300 and len(tk) >= 15:
+            probes.append((did, " ".join(tk[10:15])))
+    n_hit, mrr = 0, 0
+    for qid, phrase in probes:
+        matches = [(d["text"].count(phrase), int(d["doc_id"]))
+                   for _, d in docs.iterrows() if phrase in d["text"]]
+        matches.sort(key=lambda t: (-t[0], t[1]))
+        rank = next(i + 1 for i, (_, d) in enumerate(matches) if d == qid)
+        if rank <= 10:
+            n_hit += 1
+            mrr += 1024 // rank
+    out = retrieval_eval(SF).to_pandas().iloc[0]
+    assert int(out["n_queries"]) == len(probes)
+    assert int(out["n_hit_at_10"]) == n_hit
+    assert int(out["mrr_q"]) == mrr
+
+
+def test_recrawl_priority_equals_sequential_decay(ray_session):
+    from crawler_ray.queries import recrawl_priority
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    tus = ev["ts"].astype("int64").to_numpy()
+    mx = int(tus.max())
+    host = ev["user_id"].to_numpy().astype(np.int64) % 64
+    ref = {}
+    for h, t in zip(host, tus):
+        age = (mx - int(t)) // 86_400_000_000
+        n, s = ref.get(int(h), (0, 0))
+        ref[int(h)] = (n + 1, s + (1 << max(0, 9 - age)))
+    out = recrawl_priority(SF).to_pandas().set_index("host")
+    assert len(out) == len(ref)
+    for h, (n, s) in ref.items():
+        assert int(out.loc[h, "n_events"]) == n
+        assert int(out.loc[h, "score"]) == s
