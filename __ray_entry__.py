@@ -76,6 +76,9 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "alias_resolution",        # new in r5 session 15, never certified
+    "edge_reciprocity",        # new in r5 session 15, never certified
+    "host_graph_condense",     # new in r5 session 15, never certified
     "retrieval_eval",          # new in r5 session 15, never certified
     "recrawl_priority",        # new in r5 session 15, never certified
     "hits_scores",             # new in r5 session 15, never certified

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "corpus_diversity",
     "retrieval_eval",
     "recrawl_priority",
+    "alias_resolution",
+    "edge_reciprocity",
+    "host_graph_condense",
 ]
 
 

@@ -15487,3 +15487,214 @@ def recrawl_priority(sf_dir: str):
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("score", alias_name="score"))
     )
+
+
+@register(
+    "alias_resolution",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    f AS (SELECT doc_id AS v,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN (doc_id * 17 + 3) % (SELECT c FROM n)
+                      ELSE doc_id END AS t
+          FROM documents),
+    j1 AS (SELECT a.v, b.t FROM f a JOIN f b ON b.v = a.t),
+    j2 AS (SELECT a.v, b.t FROM j1 a JOIN j1 b ON b.v = a.t),
+    j3 AS (SELECT a.v, b.t FROM j2 a JOIN j2 b ON b.v = a.t)
+    SELECT v, t AS resolved FROM j3 WHERE v % 7 = 0
+    """,
+    doc="Redirect/alias chain resolution by POINTER JUMPING (path "
+    "doubling) — the classic O(log L) distributed primitive for "
+    "functional graphs (redirect chains, canonical-URL aliases, "
+    "symlink forests): alias nodes (doc_id %% 7 == 0) point at "
+    "(v*17+3) %% n, everything else is a fixpoint; THREE squaring "
+    "rounds compose f^2, f^4, f^8, so chains up to 8 hops resolve in "
+    "3 shuffles instead of 8 sequential lookups (cycles are fine — "
+    "both sides compute the same f^8).  Distributed shape: each "
+    "round is ONE left-outer hash self-join of the CURRENT pointer "
+    "table on t = v (Ray Dataset.join; the alias table is sparse — "
+    "n/7 rows — and rows never grow across rounds), coalescing "
+    "unmatched t (pointer already at a fixpoint) — no dense array, "
+    "no driver state, no broadcast cap.  The SQL mirror is the same "
+    "three self-joins unrolled.",
+)
+def alias_resolution(sf_dir: str, rounds: int = 3):
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def pointers(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        tgt = np.where(ids % 7 == 0, (ids * 17 + 3) % n_docs, ids)
+        return pa.table({"v": pa.array(ids), "t": pa.array(tgt)})
+
+    cur = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(pointers, batch_format="pyarrow")
+        .materialize()
+    )
+    n_parts = max(2, min(8, n_docs // 25_000))
+    for _ in range(rounds):
+        joined = cur.join(
+            cur, join_type="left_outer", num_partitions=n_parts,
+            on=("t",), right_on=("v",), right_suffix="_r",
+        )
+
+        def square(t: pa.Table) -> pa.Table:
+            empty = pa.table({"v": pa.array([], pa.int64()),
+                              "t": pa.array([], pa.int64())})
+            if t.num_rows == 0 or "v" not in t.column_names:
+                return empty
+            tt = t["t_r" if "t_r" in t.column_names else "t"]
+            # unmatched rows keep their current pointer (fixpoint)
+            new_t = pc.coalesce(t["t_r"], t["t"]) if "t_r" in t.column_names else t["t"]
+            return pa.table({"v": pc.cast(t["v"], pa.int64()),
+                             "t": pc.cast(new_t, pa.int64())})
+
+        # repartition concatenates the join's schemaless empty blocks
+        # into typed ones (see graph_random_walks) before the next join
+        cur = joined.map_batches(square, batch_format="pyarrow").repartition(
+            n_parts
+        ).materialize()
+
+    def only_aliases(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "resolved": pa.array([], pa.int64())})
+        v = t["v"].to_numpy().astype(np.int64)
+        m = v % 7 == 0
+        return pa.table({"v": pa.array(v[m]),
+                         "resolved": pa.array(t["t"].to_numpy().astype(np.int64)[m])})
+
+    return cur.map_batches(only_aliases, batch_format="pyarrow")
+
+
+@register(
+    "edge_reciprocity",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    lu AS (SELECT DISTINCT src, target FROM l WHERE src != target),
+    p AS (SELECT least(src, target) AS a, greatest(src, target) AS b,
+                 count(*) AS c
+          FROM lu GROUP BY 1, 2)
+    SELECT (SELECT count(*) FROM lu) AS n_edges,
+           CAST(coalesce(sum(CASE WHEN c = 2 THEN 2 ELSE 0 END), 0) AS BIGINT)
+             AS n_reciprocal
+    FROM p
+    """,
+    doc="Link-graph reciprocity — the fraction of directed edges whose "
+    "reverse edge also exists (mutual-link density separates organic "
+    "link graphs from link farms; on a social graph it is the "
+    "follow-back rate).  Exact, not sampled: distinct directed edges "
+    "group by their UNORDERED pair key (least, greatest — two int64 "
+    "key columns, no packing, so node ids up to 2^63 never overflow), "
+    "a pair with both directions has group count 2.  Distributed "
+    "shape: per-batch distinct edge explode (int pairs only), ONE "
+    "bucketed count on the unordered key, then a fixed-width "
+    "per-batch fold (n_pairs, n_recip partials) into a single row.  "
+    "No driver state beyond two counters.",
+)
+def edge_reciprocity(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        k = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, k)
+        keep = src != tgt
+        packed = np.unique(src[keep] * np.int64(n_docs) + tgt[keep])
+        s = (packed // n_docs).astype(np.int64)
+        g = (packed % n_docs).astype(np.int64)
+        return pd.DataFrame({"a": np.minimum(s, g), "b": np.maximum(s, g)})
+
+    pairs = bucketed_agg(
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow"),
+        keys=["a", "b"], sum_cols={"__count__": "c"},
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_edges": "int64", "n_reciprocal": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        c = df["c"].to_numpy()
+        return pd.DataFrame({"n_edges": [int(c.sum())],
+                             "n_reciprocal": [int(2 * (c == 2).sum())]})
+
+    from ray.data.aggregate import Sum as _S
+
+    out = (
+        pairs.map_batches(fold, batch_format="pandas")
+        .groupby(None)
+        .aggregate(_S("n_edges", alias_name="n_edges"),
+                   _S("n_reciprocal", alias_name="n_reciprocal"))
+        .to_pandas()
+    )
+    return pa.table({"n_edges": pa.array(out["n_edges"].astype("int64")),
+                     "n_reciprocal": pa.array(out["n_reciprocal"].astype("int64"))})
+
+
+@register(
+    "host_graph_condense",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """
+    SELECT src % 101 AS hs, target % 101 AS ht, count(*) AS n_links
+    FROM l GROUP BY 1, 2
+    ORDER BY n_links DESC, hs, ht LIMIT 20
+    """,
+    doc="Host-graph condensation — collapse the page-level link graph "
+    "onto its host partition (src host -> target host, link "
+    "multiplicity preserved) and report the top inter-host edges: "
+    "the summarization a crawl scheduler uses for cross-shard "
+    "traffic estimates and host-level politeness budgeting.  "
+    "Distributed shape: the condensed edge space is BOUNDED by "
+    "hosts^2 (not pages), so per-batch partial (hs, ht, n) counts "
+    "are fixed-width; ONE tiny groupby sum + a 20-row sort/limit "
+    "finish.  Page-level links never shuffle — only bounded host-"
+    "pair counts.",
+)
+def host_graph_condense(sf_dir: str, k: int = 20):
+    from ray.data.aggregate import Sum
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"hs": pa.array([], pa.int64()),
+                          "ht": pa.array([], pa.int64()),
+                          "pn": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        kk = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, kk)
+        key = (src % 101) * 101 + (tgt % 101)
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({"hs": pa.array((ku // 101).astype(np.int64)),
+                         "ht": pa.array((ku % 101).astype(np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    summed = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["hs", "ht"])
+        .aggregate(Sum("pn", alias_name="n_links"))
+    )
+    return (
+        summed.repartition(4)
+        .sort(["n_links", "hs", "ht"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -44,6 +44,7 @@ SAMPLE = [
     "edit_distance_neardup", "ngram_novelty",
     "hits_scores", "semantic_decontamination", "corpus_diversity",
     "retrieval_eval", "recrawl_priority",
+    "alias_resolution", "edge_reciprocity", "host_graph_condense",
 ]
 
 

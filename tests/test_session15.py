@@ -300,3 +300,40 @@ def test_recrawl_priority_equals_sequential_decay(ray_session):
     for h, (n, s) in ref.items():
         assert int(out.loc[h, "n_events"]) == n
         assert int(out.loc[h, "score"]) == s
+
+
+def test_alias_resolution_equals_sequential_eight_hops(ray_session):
+    from crawler_ray.queries import alias_resolution
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    n = docs.num_rows
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+
+    def f(v):
+        return (v * 17 + 3) % n if v % 7 == 0 else v
+
+    out = alias_resolution(SF).to_pandas().set_index("v")
+    aliases = [int(v) for v in ids if v % 7 == 0]
+    assert set(out.index) == set(aliases)
+    for v in aliases:
+        r = v
+        for _ in range(8):  # f^8, cycles and all
+            r = f(r)
+        assert int(out.loc[v, "resolved"]) == r
+
+
+def test_edge_reciprocity_equals_bruteforce(ray_session):
+    from crawler_ray.queries import edge_reciprocity
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    n = docs.num_rows
+    edges = set()
+    for d in docs["doc_id"].to_numpy().astype(np.int64):
+        for j in range(int(d % 5 + 3)):
+            t = (d * 131 + j * 37 + j * j * 11 + 7) % n
+            if t != d:
+                edges.add((int(d), int(t)))
+    recip = sum(1 for s, t in edges if (t, s) in edges)
+    out = edge_reciprocity(SF).to_pandas().iloc[0]
+    assert int(out["n_edges"]) == len(edges)
+    assert int(out["n_reciprocal"]) == recip
