@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "alias_resolution",
     "edge_reciprocity",
     "host_graph_condense",
+    "corpus_drift",
+    "host_burstiness",
 ]
 
 

@@ -15698,3 +15698,174 @@ def host_graph_condense(sf_dir: str, k: int = 20):
         .sort(["n_links", "hs", "ht"], descending=[True, False, False])
         .limit(k)
     )
+
+
+@register(
+    "corpus_drift",
+    """
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    c AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+    n AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+    p AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+          FROM n a JOIN n b ON a.source < b.source),
+    allw AS (SELECT DISTINCT w FROM c),
+    grid AS (SELECT p.sa, p.sb, p.na, p.nb, allw.w
+             FROM p CROSS JOIN allw),
+    j AS (SELECT g.sa, g.sb, g.na, g.nb,
+                 abs(coalesce(ca.c, 0) * g.nb - coalesce(cb.c, 0) * g.na)
+                   AS dev
+          FROM grid g
+          LEFT JOIN c ca ON ca.source = g.sa AND ca.w = g.w
+          LEFT JOIN c cb ON cb.source = g.sb AND cb.w = g.w)
+    SELECT sa, sb,
+           CAST((1024 * sum(dev)) // (any_value(na) * any_value(nb))
+                AS BIGINT) AS drift_q
+    FROM j GROUP BY sa, sb
+    """,
+    doc="Inter-source distribution drift — the corpus-health monitor "
+    "that catches a scraper change, a source gone spammy, or a "
+    "mixture shift between snapshots: pairwise L1 distance between "
+    "per-source term distributions, INTEGER-exact via cross-"
+    "multiplication (|c_a*n_b - c_b*n_a| summed over the term union, "
+    "quantized (1024*sum)//(n_a*n_b) — 0 = identical mix, 2048 = "
+    "disjoint).  Distributed shape: ONE bucketed (source, term) "
+    "count shuffle (counts only — text never moves); the folded "
+    "count table is bounded by sources x vocabulary and the pairwise "
+    "fold runs vectorized on the driver in EXACT Python ints (no "
+    "int64 overflow at any corpus size, the dsir_resample rule).  "
+    "At open web vocabulary, prune to the top-V terms by a first "
+    "count pass (the token_rarity_buckets shape) before folding — "
+    "the testdata vocabulary is bounded, so the exact path is the "
+    "oracle contract here.",
+)
+def corpus_drift(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        cols = {"source": "object", "w": "object", "c": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        src = t["source"].to_pandas().to_numpy()
+        out = {}
+        for s, txt in zip(src, t["text"].to_pandas().to_numpy()):
+            for w in txt.split(" "):
+                out[(s, w)] = out.get((s, w), 0) + 1
+        ks = list(out)
+        return pd.DataFrame(
+            {"source": pd.Series([k[0] for k in ks], dtype="object"),
+             "w": pd.Series([k[1] for k in ks], dtype="object"),
+             "c": pd.Series([out[k] for k in ks], dtype="int64")}
+        )
+
+    tbl = bucketed_agg(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        keys=["source", "w"], sum_cols={"c": "c"},
+        key_dtypes={"source": "object", "w": "object"},
+    ).to_pandas()  # bounded by sources x vocabulary
+
+    sources = sorted(tbl["source"].unique())
+    vocab = {w: i for i, w in enumerate(sorted(tbl["w"].unique()))}
+    V = len(vocab)
+    mats = {s: np.zeros(V, dtype=np.int64) for s in sources}
+    for s, w, c in zip(tbl["source"], tbl["w"], tbl["c"]):
+        mats[s][vocab[w]] = c
+    totals = {s: int(mats[s].sum()) for s in sources}
+    out_a, out_b, out_d = [], [], []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            na, nb = totals[sa], totals[sb]
+            # exact Python ints: c*n products can exceed int64 at scale
+            dev = sum(
+                abs(int(ca) * nb - int(cb) * na)
+                for ca, cb in zip(mats[sa], mats[sb])
+            )
+            out_a.append(sa)
+            out_b.append(sb)
+            out_d.append((1024 * dev) // (na * nb))
+    return pa.table({"sa": pa.array(out_a, type=pa.string()),
+                     "sb": pa.array(out_b, type=pa.string()),
+                     "drift_q": pa.array(out_d, type=pa.int64())})
+
+
+@register(
+    "host_burstiness",
+    """
+    WITH e AS (SELECT user_id % 64 AS host, ts, event_id FROM events),
+    g AS (SELECT host,
+                 (epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY host ORDER BY ts, event_id)))
+                   // 1000000 AS d
+          FROM e),
+    s AS (SELECT host, count(*) AS n, sum(d) AS sd, sum(d * d) AS sdd
+          FROM g WHERE d IS NOT NULL GROUP BY host)
+    SELECT host, CAST(n AS BIGINT) AS n_gaps,
+           CAST((1024 * n * sdd) // (sd * sd) AS BIGINT) AS cv2_q
+    FROM s WHERE sd > 0
+    """,
+    doc="Per-host temporal burstiness — the squared coefficient of "
+    "variation of inter-event gaps (quantized 1024*n*sum(d^2) // "
+    "(sum d)^2: ~1024 for a Poisson host, >>1024 for bursty "
+    "crawl-trap-like traffic, <1024 for metronomic schedules): the "
+    "signal a politeness scheduler uses to distinguish steady "
+    "publishers from bursty ones when budgeting revisits.  Gaps in "
+    "whole seconds via floor division (epoch microsecond arithmetic "
+    "— both sides identical).  Distributed shape: ONE coarse host "
+    "shuffle; per bucket a vectorized sort + segmented diff "
+    "(boundary rows masked by comparing the shifted host column) "
+    "and per-host (n, sum, sumsq) int64 partials; the final CV "
+    "quotient is computed per host in exact Python ints (the "
+    "products exceed int64 at large time spans).",
+)
+def host_burstiness(sf_dir: str):
+    def add_hb(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype="int64"),
+                 "tus": pd.Series([], dtype="int64"),
+                 "event_id": pd.Series([], dtype="int64"),
+                 "hb": pd.Series([], dtype="int32")}
+            )
+        host = t["user_id"].to_numpy().astype(np.int64) % 64
+        return pd.DataFrame(
+            {"host": host,
+             "tus": t["ts"].cast(pa.int64()).to_numpy(),
+             "event_id": t["event_id"].to_numpy().astype(np.int64),
+             "hb": (host % 32).astype("int32")}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"host": "int64", "n_gaps": "int64", "cv2_q": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["host", "tus", "event_id"], kind="stable")
+        host = g["host"].to_numpy()
+        tus = g["tus"].to_numpy()
+        d = np.empty(len(g), dtype=np.int64)
+        d[0] = -1
+        d[1:] = np.where(host[1:] == host[:-1],
+                         (tus[1:] - tus[:-1]) // 1_000_000, -1)
+        m = d >= 0
+        df = pd.DataFrame({"host": host[m], "d": d[m], "dd": d[m] * d[m]})
+        gb = df.groupby("host", sort=False)
+        out_h, out_n, out_cv = [], [], []
+        for h, gg in gb:
+            n = len(gg)
+            sd = int(gg["d"].sum())
+            sdd = int(gg["dd"].sum())
+            if sd > 0:
+                out_h.append(int(h))
+                out_n.append(n)
+                out_cv.append((1024 * n * sdd) // (sd * sd))
+        return pd.DataFrame({"host": pd.Series(out_h, dtype="int64"),
+                             "n_gaps": pd.Series(out_n, dtype="int64"),
+                             "cv2_q": pd.Series(out_cv, dtype="int64")})
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(add_hb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

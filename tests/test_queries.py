@@ -45,6 +45,7 @@ SAMPLE = [
     "hits_scores", "semantic_decontamination", "corpus_diversity",
     "retrieval_eval", "recrawl_priority",
     "alias_resolution", "edge_reciprocity", "host_graph_condense",
+    "corpus_drift", "host_burstiness",
 ]
 
 

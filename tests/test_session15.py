@@ -337,3 +337,49 @@ def test_edge_reciprocity_equals_bruteforce(ray_session):
     out = edge_reciprocity(SF).to_pandas().iloc[0]
     assert int(out["n_edges"]) == len(edges)
     assert int(out["n_reciprocal"]) == recip
+
+
+def test_corpus_drift_equals_exact_l1(ray_session):
+    from crawler_ray.queries import corpus_drift
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    from collections import Counter, defaultdict
+    cnt = defaultdict(Counter)
+    for _, r in docs.iterrows():
+        cnt[r["source"]].update(r["text"].split(" "))
+    sources = sorted(cnt)
+    out = corpus_drift(SF).to_pandas().set_index(["sa", "sb"])
+    assert len(out) == len(sources) * (len(sources) - 1) // 2
+    import itertools
+    for sa, sb in itertools.combinations(sources, 2):
+        na = sum(cnt[sa].values())
+        nb = sum(cnt[sb].values())
+        vocab = set(cnt[sa]) | set(cnt[sb])
+        dev = sum(abs(cnt[sa][w] * nb - cnt[sb][w] * na) for w in vocab)
+        assert int(out.loc[(sa, sb), "drift_q"]) == (1024 * dev) // (na * nb)
+    # self-drift sanity: a source against itself would be 0 (identity)
+    sa = sources[0]
+    na = sum(cnt[sa].values())
+    assert sum(abs(cnt[sa][w] * na - cnt[sa][w] * na) for w in cnt[sa]) == 0
+
+
+def test_host_burstiness_equals_sequential(ray_session):
+    from crawler_ray.queries import host_burstiness
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    ev["tus"] = ev["ts"].astype("int64")
+    ev["host"] = ev["user_id"].to_numpy().astype(np.int64) % 64
+    ref = {}
+    for h, g in ev.sort_values(["host", "tus", "event_id"]).groupby("host"):
+        t = g["tus"].to_numpy()
+        d = [(int(t[i]) - int(t[i - 1])) // 1_000_000 for i in range(1, len(t))]
+        if d and sum(d) > 0:
+            n, sd, sdd = len(d), sum(d), sum(x * x for x in d)
+            ref[int(h)] = (n, (1024 * n * sdd) // (sd * sd))
+    out = host_burstiness(SF).to_pandas().set_index("host")
+    assert len(out) == len(ref)
+    for h, (n, cv) in ref.items():
+        assert int(out.loc[h, "n_gaps"]) == n
+        assert int(out.loc[h, "cv2_q"]) == cv
