@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "weak_label_vote",         # new in r5 session 15, never certified
+    "calibration_bins",        # new in r5 session 15, never certified
     "corpus_drift",            # new in r5 session 15, never certified
     "host_burstiness",         # new in r5 session 15, never certified
     "alias_resolution",        # new in r5 session 15, never certified

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "host_graph_condense",
     "corpus_drift",
     "host_burstiness",
+    "weak_label_vote",
+    "calibration_bins",
 ]
 
 

@@ -15869,3 +15869,135 @@ def host_burstiness(sf_dir: str):
         .groupby("hb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+@register(
+    "weak_label_vote",
+    """
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+               FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             sign(len(list_filter(tk, x -> x = 'fast'))
+                  - len(list_filter(tk, x -> x = 'slow'))) AS r1,
+             sign(len(list_filter(tk, x -> x = 'big'))
+                  - len(list_filter(tk, x -> x = 'small'))) AS r2,
+             sign(len(list_filter(tk, x -> x = 'batch'))
+                  - len(list_filter(tk, x -> x = 'row'))) AS r3
+      FROM d),
+    v AS (SELECT lang, sign(r1 + r2 + r3) AS vote,
+                 CASE WHEN r1 != 0 AND r1 = r2 AND r2 = r3
+                      THEN 1 ELSE 0 END AS unanimous
+          FROM r)
+    SELECT lang,
+           CAST(sum(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CAST(sum(CASE WHEN vote = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_abstain,
+           CAST(sum(unanimous) AS BIGINT) AS n_unanimous
+    FROM v GROUP BY lang
+    """,
+    doc="Weak-supervision label model (the Snorkel-style programmatic "
+    "labeling step of classifier-based quality filtering: K noisy "
+    "keyword labeling functions vote per document, majority wins, "
+    "ties abstain): three token-count sign rules (fast vs slow, big "
+    "vs small, batch vs row) combine by sign-of-sum; per-lang tallies "
+    "plus the unanimity count (all three rules fire AND agree — the "
+    "high-precision subset a seed classifier trains on).  Counting "
+    "is whole-TOKEN exact on both sides (factorize + bincount per "
+    "batch on the Ray side, list_filter on split tokens in SQL — "
+    "substring counting would differ).  Distributed shape: pure "
+    "per-batch map emitting <=|langs| fixed partial rows; ONE tiny "
+    "groupby sum; labels never materialize per doc outside the "
+    "scan.",
+)
+def weak_label_vote(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    TERMS = ["fast", "slow", "big", "small", "batch", "row"]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"lang": "object", "n_pos": "int64", "n_neg": "int64",
+                "n_abstain": "int64", "n_unanimous": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        toks = [txt.split(" ") for txt in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = np.array([w for doc in toks for w in doc], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        rows = np.repeat(np.arange(len(toks)), lens)
+        cnt = np.zeros((6, len(toks)), dtype=np.int64)
+        for ti, term in enumerate(TERMS):
+            hit = np.where(uniq == term)[0]
+            if len(hit):
+                sel = codes == hit[0]
+                cnt[ti] = np.bincount(rows[sel], minlength=len(toks))
+        r1 = np.sign(cnt[0] - cnt[1])
+        r2 = np.sign(cnt[2] - cnt[3])
+        r3 = np.sign(cnt[4] - cnt[5])
+        vote = np.sign(r1 + r2 + r3)
+        unan = (r1 != 0) & (r1 == r2) & (r2 == r3)
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas().to_numpy(),
+             "n_pos": (vote == 1).astype(np.int64),
+             "n_neg": (vote == -1).astype(np.int64),
+             "n_abstain": (vote == 0).astype(np.int64),
+             "n_unanimous": unan.astype(np.int64)}
+        )
+        return df.groupby("lang", as_index=False, sort=False).sum()
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("n_neg", alias_name="n_neg"),
+                   Sum("n_abstain", alias_name="n_abstain"),
+                   Sum("n_unanimous", alias_name="n_unanimous"))
+    )
+
+
+@register(
+    "calibration_bins",
+    """
+    WITH b AS (
+      SELECT least(greatest(CAST(floor(CAST(embedding[1] AS DOUBLE) * 8)
+                                 AS BIGINT) + 4, 0), 7) AS bin,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings)
+    SELECT bin, count(*) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM b GROUP BY bin
+    """,
+    doc="Model calibration bins — the reliability-diagram input of "
+    "classifier-quality auditing (does a score bucket's empirical "
+    "positive rate track the score?): predictions are binned by the "
+    "first embedding component (floor(x*8)+4 clamped to 8 bins — "
+    "the quantization both sides mirror on float64-widened values), "
+    "actual = label == 0; output (bin, n, n_pos) is the exact "
+    "integer contingency the ECE/reliability curve derives from.  "
+    "Distributed shape: pure per-batch map -> 8 fixed partial rows "
+    "per batch -> ONE tiny groupby sum; O(1) driver state.",
+)
+def calibration_bins(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"bin": "int64", "n": "int64", "n_pos": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        M = list_col_to_matrix(t["embedding"]).astype(np.float64)
+        b = np.clip(np.floor(M[:, 0] * 8).astype(np.int64) + 4, 0, 7)
+        pos = (t["label"].to_numpy().astype(np.int64) == 0).astype(np.int64)
+        df = pd.DataFrame({"bin": b, "n": np.ones(len(b), dtype=np.int64),
+                           "n_pos": pos})
+        return df.groupby("bin", as_index=False, sort=False).sum()
+
+    return (
+        _read(sf_dir, "embeddings", columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+    )

@@ -46,6 +46,7 @@ SAMPLE = [
     "retrieval_eval", "recrawl_priority",
     "alias_resolution", "edge_reciprocity", "host_graph_condense",
     "corpus_drift", "host_burstiness",
+    "weak_label_vote", "calibration_bins",
 ]
 
 

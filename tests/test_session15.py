@@ -383,3 +383,39 @@ def test_host_burstiness_equals_sequential(ray_session):
     for h, (n, cv) in ref.items():
         assert int(out.loc[h, "n_gaps"]) == n
         assert int(out.loc[h, "cv2_q"]) == cv
+
+
+def test_weak_label_vote_equals_sequential(ray_session):
+    from crawler_ray.queries import weak_label_vote
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    ref = {}
+    for _, r in docs.iterrows():
+        tk = r["text"].split(" ")
+        def sgn(a, b):
+            return (tk.count(a) > tk.count(b)) - (tk.count(a) < tk.count(b))
+        r1, r2, r3 = sgn("fast", "slow"), sgn("big", "small"), sgn("batch", "row")
+        v = (r1 + r2 + r3 > 0) - (r1 + r2 + r3 < 0)
+        unan = r1 != 0 and r1 == r2 and r2 == r3
+        p, ng, ab, un = ref.get(r["lang"], (0, 0, 0, 0))
+        ref[r["lang"]] = (p + (v == 1), ng + (v == -1), ab + (v == 0),
+                          un + bool(unan))
+    out = weak_label_vote(SF).to_pandas().set_index("lang")
+    assert len(out) == len(ref)
+    for lang, (p, ng, ab, un) in ref.items():
+        row = out.loc[lang]
+        assert (int(row["n_pos"]), int(row["n_neg"]),
+                int(row["n_abstain"]), int(row["n_unanimous"])) == (p, ng, ab, un)
+
+
+def test_calibration_bins_partition_and_bounds(ray_session):
+    from crawler_ray.queries import calibration_bins
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["label"])
+    out = calibration_bins(SF).to_pandas()
+    assert int(out["n"].sum()) == emb.num_rows          # bins partition
+    assert (out["n_pos"] <= out["n"]).all()             # rates bounded
+    assert out["bin"].between(0, 7).all()
+    n_pos_total = int((emb["label"].to_numpy() == 0).sum())
+    assert int(out["n_pos"].sum()) == n_pos_total       # positives conserved
