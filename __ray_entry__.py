@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "regional_volume",         # new in r5 session 16, never certified
+    "large_order_customers",   # new in r5 session 16, never certified
+    "late_shipment_priority",  # new in r5 session 16, never certified
+    "props_json_stats",        # new in r5 session 16, never certified
     "weak_label_vote",         # new in r5 session 15, never certified
     "calibration_bins",        # new in r5 session 15, never certified
     "corpus_drift",            # new in r5 session 15, never certified

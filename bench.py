@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "host_burstiness",
     "weak_label_vote",
     "calibration_bins",
+    "regional_volume",
+    "large_order_customers",
+    "late_shipment_priority",
+    "props_json_stats",
 ]
 
 

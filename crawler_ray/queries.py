@@ -16001,3 +16001,395 @@ def calibration_bins(sf_dir: str):
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
     )
+
+
+@register(
+    "regional_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND ns.n_regionkey = r.r_regionkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shape regional volume: the 6-table snowflake join "
+    "(region -> nation -> customer AND supplier, orders, lineitem) "
+    "with an intra-region supplier constraint.  Distributed shape: "
+    "region+nation are read driver-side (25 rows at ANY scale); the "
+    "region's customer keys -> nationkey map and supplier-key set "
+    "are filtered BEFORE broadcast (sorted int64 arrays via ray.put, "
+    "~1/5 of each dim; past a broadcast cap these sides become "
+    "bucketed joins like bigram_lm_score's).  orders filters by the "
+    "date window + searchsorted custkey lookup and emits (orderkey, "
+    "cust_nation); lineitem filters by the supplier set and "
+    "pre-aggregates (orderkey, revenue_cents) partials per batch "
+    "BEFORE the shuffle.  ONE orderkey%%64 co-shuffle joins the two "
+    "tiny streams; per-bucket partials are (nationkey, cents) rows; "
+    "the final groupby is |nations-in-region| wide.  Revenue is "
+    "exact integer cents so summation order cannot change the hash.",
+)
+def regional_volume(sf_dir: str, region: str = "ASIA",
+                    lo: str = "1996-01-01", hi: str = "1999-01-01"):
+    import ray
+    from ray.data.aggregate import Sum
+
+    LO, HI = pd.Timestamp(lo), pd.Timestamp(hi)
+
+    # tiny dims, driver-side (25 nations / 5 regions at any scale)
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nat_in = nat[nat["n_regionkey"] == rk]
+    nk_set = np.sort(nat_in["n_nationkey"].to_numpy().astype(np.int64))
+    nk_name = dict(zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"]))
+
+    def _keyed_filter(tbl: str, key: str, natcol: str):
+        """(sorted keys, nationkeys) for dim rows whose nation is in-region."""
+        df = (
+            _read(sf_dir, tbl, columns=[key, natcol])
+            .map_batches(
+                lambda t: pa.table({
+                    "k": t[key].cast(pa.int64()),
+                    "n": t[natcol].cast(pa.int64()),
+                }).filter(pc.is_in(pc.cast(t[natcol], pa.int64()),
+                                   value_set=pa.array(nk_set))),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        order = np.argsort(df["k"].to_numpy())
+        return df["k"].to_numpy().astype(np.int64)[order], df["n"].to_numpy().astype(np.int64)[order]
+
+    ck, cnk = _keyed_filter("customer", "c_custkey", "c_nationkey")
+    sk, _ = _keyed_filter("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = ray.put((ck, cnk))
+    supp_ref = ray.put(sk)
+
+    def orders_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "cnk": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(LO)),
+                             pc.less(t["o_orderdate"], pa.scalar(HI))))
+        cks, cnks = ray.get(cust_ref)
+        c = t["o_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(cks, c)
+        pos[pos >= len(cks)] = 0 if len(cks) else 0
+        hit = len(cks) > 0
+        keep = (cks[pos] == c) if hit else np.zeros(len(c), dtype=bool)
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)[keep]
+        return pd.DataFrame({"ok": ok, "cnk": cnks[pos[keep]],
+                             "ob": (ok % 64).astype("int32")})
+
+    def lineitem_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "rev": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        sks = ray.get(supp_ref)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(sks, s)
+        pos[pos >= len(sks)] = 0 if len(sks) else 0
+        keep = (sks[pos] == s) if len(sks) else np.zeros(len(s), dtype=bool)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "rev": rev.to_numpy().astype(np.int64)})
+        out = df.groupby("ok", as_index=False, sort=False)["rev"].sum()
+        out["ob"] = (out["ok"].to_numpy() % 64).astype("int32")
+        return out
+
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                 ).map_batches(orders_side, batch_format="pyarrow")
+    lis = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                         "l_discount"]
+                ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_name": "object", "revenue_cents": "int64"}
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        lsum = l.groupby("ok", as_index=False, sort=False)["rev"].sum()
+        m = lsum.merge(o[["ok", "cnk"]], on="ok")
+        if len(m) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        agg = m.groupby("cnk", as_index=False, sort=False)["rev"].sum()
+        return pd.DataFrame(
+            {"n_name": [nk_name[int(x)] for x in agg["cnk"]],
+             "revenue_cents": agg["rev"].to_numpy().astype(np.int64)})
+
+    return (
+        both.groupby("ob").map_groups(join_bucket, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+@register(
+    "large_order_customers",
+    """
+    WITH s AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_q
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_cents,
+           s.qty_q
+    FROM s
+    JOIN orders o ON o.o_orderkey = s.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE s.qty_q > 25000
+    ORDER BY s.qty_q DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18-shape large-volume customers: heavy-hitter orders "
+    "by total quantity, enriched with their order + customer rows.  "
+    "Distributed shape: lineitem pre-aggregates (orderkey, qty) "
+    "partials per batch, ONE bucketed_agg shuffle sums them, the "
+    "> threshold filter leaves only the heavy-hitter tail (winners "
+    "are a vanishing fraction at any scale BY CONSTRUCTION of the "
+    "threshold; the broadcast-winners posture documented here flips "
+    "to a bucketed join if a pathological threshold made them "
+    "large).  orders and customer are then semi-joined by "
+    "broadcast-isin map_batches (each emits only matching rows — "
+    "bounded by the winner count), merged driver-side, top-20 by "
+    "(qty desc, orderkey).  Quantities and prices are exact "
+    "integers (floor(x*100+0.5)).",
+)
+def large_order_customers(sf_dir: str, thresh_q: int = 25000, k: int = 20):
+    import ray
+    from .stages.relational import bucketed_agg
+
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "q": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        q = cents(t["l_quantity"])
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "q": q.to_numpy().astype(np.int64)})
+        return df.groupby("ok", as_index=False, sort=False)["q"].sum()
+
+    sums = bucketed_agg(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow"),
+        keys=["ok"], sum_cols={"q": "qty_q"},
+    )
+
+    def win_filter(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"ok": "int64", "qty_q": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return df[df["qty_q"] > thresh_q][["ok", "qty_q"]]
+
+    winners = sums.map_batches(win_filter, batch_format="pandas").to_pandas()
+    wok = np.sort(winners["ok"].to_numpy().astype(np.int64))
+    wok_ref = ray.put(wok)
+
+    def isin_side(key: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            w = ray.get(wok_ref)
+            v = t[key].to_numpy().astype(np.int64)
+            pos = np.searchsorted(w, v)
+            pos[pos >= len(w)] = 0 if len(w) else 0
+            keep = (w[pos] == v) if len(w) else np.zeros(len(v), dtype=bool)
+            return t.select(cols).filter(pa.array(keep))
+        return fn
+
+    ords = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(isin_side("o_orderkey",
+                               ["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_totalprice"]),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    wck = np.sort(ords["o_custkey"].unique().astype(np.int64))
+    wck_ref = ray.put(wck)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        w = ray.get(wck_ref)
+        v = t["c_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(w, v)
+        pos[pos >= len(w)] = 0 if len(w) else 0
+        keep = (w[pos] == v) if len(w) else np.zeros(len(v), dtype=bool)
+        return t.select(["c_custkey", "c_name"]).filter(pa.array(keep))
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(cust_side, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = winners.merge(ords, left_on="ok", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey")
+    m["totalprice_cents"] = np.floor(
+        m["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    m = m.sort_values(["qty_q", "o_orderkey"], ascending=[False, True],
+                      kind="stable").head(k)
+    return m[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+              "totalprice_cents", "qty_q"]].reset_index(drop=True)
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_late
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4-shape late-shipment audit: count orders per "
+    "priority having ANY line item shipped more than 60 days after "
+    "the order date (EXISTS semi-join).  Distributed shape: EXISTS "
+    "against a > comparison is equivalent to max(l_shipdate) > "
+    "o_orderdate + 60d, so lineitem pre-reduces to ONE (orderkey, "
+    "max_shipdate) row per order per batch (per-batch max combiner "
+    "— line items never shuffle); orders emits (orderkey, "
+    "orderdate_us, priority).  ONE orderkey%%64 co-shuffle, "
+    "per-bucket max-merge + integer microsecond comparison, "
+    "per-priority partial counts, final |priorities|-wide groupby "
+    "sum.  All date arithmetic is exact int64 microseconds.",
+)
+def late_shipment_priority(sf_dir: str, grace_days: int = 60):
+    from ray.data.aggregate import Sum
+
+    GRACE_US = np.int64(grace_days) * 86400 * 1_000_000
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "ms": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "ms": ship.astype(np.int64)})
+        out = df.groupby("ok", as_index=False, sort=False)["ms"].max()
+        out["ob"] = (out["ok"].to_numpy() % 64).astype("int32")
+        return out
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "od": "int64", "prio": "object", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        od = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        return pd.DataFrame({"ok": ok, "od": od.astype(np.int64),
+                             "prio": t["o_orderpriority"].to_pandas().to_numpy(),
+                             "ob": (ok % 64).astype("int32")})
+
+    lis = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]
+                ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderpriority": "object", "n_late": "int64"}
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        lmax = l.groupby("ok", as_index=False, sort=False)["ms"].max()
+        m = o[["ok", "od", "prio"]].merge(lmax, on="ok")
+        late = m[m["ms"].to_numpy() > m["od"].to_numpy() + GRACE_US]
+        if len(late) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = late.groupby("prio", as_index=False, sort=False).size()
+        return pd.DataFrame({"o_orderpriority": out["prio"].to_numpy(),
+                             "n_late": out["size"].to_numpy().astype(np.int64)})
+
+    return (
+        both.groupby("ob").map_groups(bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )
+
+
+@register(
+    "props_json_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured property extraction — the log-enrichment "
+    "step every event pipeline starts with (JSON props column -> "
+    "typed field -> per-type stats).  Ray side extracts $.k with ONE "
+    "vectorized regex per batch (pandas str.extract on the C path; "
+    "a full json.loads per row would be the Python-loop antipattern "
+    "— the extraction contract is the integer value of key k, which "
+    "the synthesis emits as flat one-key objects), then per-batch "
+    "(event_type, n, sum, max) partials; final |types|-wide groupby "
+    "merges with Sum/Sum/Max.  Text crosses no shuffle; partial "
+    "rows are fixed-width.",
+)
+def props_json_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"event_type": "object", "n": "int64", "sum_k": "int64",
+                "max_k": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        k = (
+            t["props"].to_pandas().str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas().to_numpy(),
+                           "k": k.to_numpy()})
+        g = df.groupby("event_type", sort=False)["k"]
+        out = g.agg(n="size", sum_k="sum", max_k="max").reset_index()
+        return out.astype(cols)
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Max("max_k", alias_name="max_k"))
+    )

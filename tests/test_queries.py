@@ -47,6 +47,8 @@ SAMPLE = [
     "alias_resolution", "edge_reciprocity", "host_graph_condense",
     "corpus_drift", "host_burstiness",
     "weak_label_vote", "calibration_bins",
+    "regional_volume", "large_order_customers",
+    "late_shipment_priority", "props_json_stats",
 ]
 
 
