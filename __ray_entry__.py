@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "returned_item_report",    # new in r5 session 16, never certified
+    "brand_supplier_counts",   # new in r5 session 16, never certified
+    "promo_revenue_share",     # new in r5 session 16, never certified
+    "link_prediction_ra",      # new in r5 session 16, never certified
     "regional_volume",         # new in r5 session 16, never certified
     "large_order_customers",   # new in r5 session 16, never certified
     "late_shipment_priority",  # new in r5 session 16, never certified

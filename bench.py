@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "large_order_customers",
     "late_shipment_priority",
     "props_json_stats",
+    "returned_item_report",
+    "brand_supplier_counts",
+    "promo_revenue_share",
+    "link_prediction_ra",
 ]
 
 

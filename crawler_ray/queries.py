@@ -16393,3 +16393,426 @@ def props_json_stats(sf_dir: str):
                    Sum("sum_k", alias_name="sum_k"),
                    Max("max_k", alias_name="max_k"))
     )
+
+
+@register(
+    "returned_item_report",
+    """
+    WITH rev AS (
+      SELECT o.o_custkey AS ck,
+             CAST(sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1)
+    SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_cents
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.ck
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shape returned-item report: top customers by "
+    "revenue on returned line items.  Distributed shape: lineitem "
+    "filters l_returnflag='R' at the scan and pre-aggregates "
+    "(orderkey, cents) per batch; orders projects (orderkey, "
+    "custkey); ONE orderkey%%64 co-shuffle joins them into "
+    "(custkey, cents) partials; a SECOND bucketed_agg on custkey "
+    "completes per-customer sums (hash buckets hold complete keys, "
+    "so the per-block top-20 prune is safe); global sort+limit sees "
+    "<= 20 rows per block.  Only the 20 winners' customer rows are "
+    "then fetched by a broadcast-isin semi-join pass; nation is "
+    "driver-side (25 rows at any scale).  Revenue is exact integer "
+    "cents.",
+)
+def returned_item_report(sf_dir: str, k: int = 20):
+    import ray
+    from .stages.relational import bucketed_agg
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "rev": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "rev": rev.to_numpy().astype(np.int64)})
+        out = df.groupby("ok", as_index=False, sort=False)["rev"].sum()
+        out["ob"] = (out["ok"].to_numpy() % 64).astype("int32")
+        return out
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "ck": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"ok": ok,
+                             "ck": t["o_custkey"].to_numpy().astype(np.int64),
+                             "ob": (ok % 64).astype("int32")})
+
+    lis = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount",
+                         "l_returnflag"]
+                ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"ck": "int64", "rev": "int64"}
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        lsum = l.groupby("ok", as_index=False, sort=False)["rev"].sum()
+        m = lsum.merge(o[["ok", "ck"]], on="ok")
+        if len(m) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        # the tagged union NaN-fills each side's missing columns (float
+        # upcast) — restore exact int64 before the custkey shuffle
+        out = m.groupby("ck", as_index=False, sort=False)["rev"].sum()
+        return out.astype(cols)
+
+    per_cust = bucketed_agg(
+        both.groupby("ob").map_groups(bucket, batch_format="pandas"),
+        keys=["ck"], sum_cols={"rev": "revenue_cents"},
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"ck": "int64", "revenue_cents": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return df.sort_values(["revenue_cents", "ck"],
+                              ascending=[False, True], kind="stable").head(k)
+
+    winners = (
+        per_cust.map_batches(prune, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["revenue_cents", "ck"], ascending=[False, True],
+                     kind="stable")
+        .head(k)
+    )
+    wck = np.sort(winners["ck"].to_numpy().astype(np.int64))
+    wck_ref = ray.put(wck)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        w = ray.get(wck_ref)
+        v = t["c_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(w, v)
+        pos[pos >= len(w)] = 0 if len(w) else 0
+        keep = (w[pos] == v) if len(w) else np.zeros(len(v), dtype=bool)
+        return t.select(["c_custkey", "c_name", "c_nationkey"]).filter(pa.array(keep))
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(cust_side, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    m = (winners.merge(cust, left_on="ck", right_on="c_custkey")
+                .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    m = m.sort_values(["revenue_cents", "c_custkey"],
+                      ascending=[False, True], kind="stable").head(k)
+    return m[["c_custkey", "c_name", "n_name", "revenue_cents"]].reset_index(drop=True)
+
+
+@register(
+    "brand_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16-shape parts/supplier relationship: distinct "
+    "supplier count per (brand, type) — the COUNT DISTINCT "
+    "aggregation shape.  Distributed shape: the part dim is read "
+    "ONCE and (partkey -> group-code) broadcast as sorted int64 "
+    "arrays (a dim table; past a broadcast cap this becomes a "
+    "bucketed join); lineitem batches map partkey -> code and emit "
+    "per-batch UNIQUE (code, suppkey) pairs (the distinct "
+    "pre-dedup); ONE bucketed_agg shuffle on the pair completes "
+    "global dedup; per-(code) counts of the surviving unique rows "
+    "sum in a |groups|-wide final groupby; group codes decode to "
+    "(brand, type) strings only at the tiny end.  Suppliers and "
+    "line items never shuffle raw.",
+)
+def brand_supplier_counts(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+    from .stages.relational import bucketed_agg
+
+    pt = pq.read_table(_pq(sf_dir, "part"),
+                       columns=["p_partkey", "p_brand", "p_type"]).to_pandas()
+    # factorize (brand, type) TUPLES — pandas string concat silently
+    # drops NUL bytes, so a joined-string key would collide groups
+    codes, uniq = pd.factorize(list(zip(pt["p_brand"], pt["p_type"])))
+    order = np.argsort(pt["p_partkey"].to_numpy())
+    pk_sorted = pt["p_partkey"].to_numpy().astype(np.int64)[order]
+    code_sorted = codes.astype(np.int64)[order]
+    dim_ref = ray.put((pk_sorted, code_sorted))
+    decode = list(uniq)
+
+    def li_pairs(t: pa.Table) -> pd.DataFrame:
+        cols = {"bt": "int64", "sk": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        pks, cds = ray.get(dim_ref)
+        pkv = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(pks, pkv)
+        pos[pos >= len(pks)] = 0 if len(pks) else 0
+        keep = (pks[pos] == pkv) if len(pks) else np.zeros(len(pkv), dtype=bool)
+        code = cds[pos[keep]]
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)[keep]
+        packed = np.unique(code * np.int64(1 << 32) + sk)
+        return pd.DataFrame({"bt": (packed >> 32).astype(np.int64),
+                             "sk": (packed & ((1 << 32) - 1)).astype(np.int64)})
+
+    uniq_pairs = bucketed_agg(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(li_pairs, batch_format="pyarrow"),
+        keys=["bt", "sk"], sum_cols={"__count__": "c"},
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bt": "int64", "n": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = df.groupby("bt", as_index=False, sort=False).size()
+        return pd.DataFrame({"bt": out["bt"].to_numpy().astype(np.int64),
+                             "n": out["size"].to_numpy().astype(np.int64)})
+
+    final = (
+        uniq_pairs.map_batches(count_partial, batch_format="pandas")
+        .groupby("bt")
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    final["p_brand"] = [decode[int(b)][0] for b in final["bt"]]
+    final["p_type"] = [decode[int(b)][1] for b in final["bt"]]
+    return final[["p_brand", "p_type", "supplier_cnt"]]
+
+
+@register(
+    "promo_revenue_share",
+    """
+    WITH j AS (
+      SELECT CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+               AS BIGINT) AS rev,
+             CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+    SELECT CAST(sum(promo*rev) AS BIGINT) AS promo_cents,
+           CAST(sum(rev) AS BIGINT) AS total_cents,
+           CAST((1000 * sum(promo*rev)) // sum(rev) AS BIGINT)
+             AS promo_permille
+    FROM j
+    """,
+    doc="TPC-H Q14-shape promo revenue share: what fraction of the "
+    "window's revenue came from PROMO-type parts.  Distributed "
+    "shape: the PROMO partkeys are filtered driver-side from the "
+    "part dim and broadcast as ONE sorted int64 array; lineitem "
+    "filters the ship-date window at the scan and folds each batch "
+    "to a single (promo_cents, total_cents) partial row; a "
+    "global-null groupby sums the two counters; the permille "
+    "quotient is computed once, in exact Python ints, on the final "
+    "2-integer row.  No shuffle carries more than one row per "
+    "batch.",
+)
+def promo_revenue_share(sf_dir: str, lo: str = "1997-01-01",
+                        hi: str = "1998-01-01"):
+    import ray
+    from ray.data.aggregate import Sum
+
+    LO, HI = pd.Timestamp(lo), pd.Timestamp(hi)
+    pt = pq.read_table(_pq(sf_dir, "part"),
+                       columns=["p_partkey", "p_type"]).to_pandas()
+    promo = np.sort(pt.loc[pt["p_type"] == "PROMO", "p_partkey"]
+                    .to_numpy().astype(np.int64))
+    promo_ref = ray.put(promo)
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"promo_cents": "int64", "total_cents": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+                             pc.less(t["l_shipdate"], pa.scalar(HI))))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))
+                    ).to_numpy().astype(np.int64)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        pr = ray.get(promo_ref)
+        pos = np.searchsorted(pr, pk)
+        pos[pos >= len(pr)] = 0 if len(pr) else 0
+        isp = (pr[pos] == pk) if len(pr) else np.zeros(len(pk), dtype=bool)
+        return pd.DataFrame({"promo_cents": [int(rev[isp].sum())],
+                             "total_cents": [int(rev.sum())]})
+
+    tot = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                   Sum("total_cents", alias_name="total_cents"))
+        .to_pandas()
+    )
+    p = int(tot["promo_cents"].iloc[0])
+    s = int(tot["total_cents"].iloc[0])
+    return pd.DataFrame({"promo_cents": [p], "total_cents": [s],
+                         "promo_permille": [(1000 * p) // s if s else 0]})
+
+
+@register(
+    "link_prediction_ra",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l WHERE src != target),
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    w AS (SELECT s1.v AS wa, s2.v AS wb, (1048576 // dg.d) AS wt
+          FROM sym s1
+          JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+          JOIN deg dg ON dg.u = s1.u
+          WHERE dg.d <= 64)
+    SELECT w.wa AS a, w.wb AS b, CAST(sum(w.wt) AS BIGINT) AS ra_q
+    FROM w
+    LEFT JOIN e ON e.a = w.wa AND e.b = w.wb
+    WHERE e.a IS NULL
+    GROUP BY w.wa, w.wb
+    ORDER BY ra_q DESC, a, b
+    LIMIT 50
+    """,
+    doc="Link prediction by the resource-allocation index (Zhou/Lü/ "
+    "Zhang 2009: score(a,b) = sum over common neighbors z of "
+    "1/deg(z), here integer-quantized 1048576//deg) over the "
+    "symmetrized deterministic link graph, excluding already- "
+    "connected pairs — the seed-expansion / related-page signal.  "
+    "Distributed shape: (1) per-batch link explode + packed "
+    "undirected dedup; ONE bucketed_agg completes global edge "
+    "dedup; (2) the distinct-edge set broadcasts once as a packed "
+    "sorted int64 array (|E| ~ 4n; past a broadcast cap the "
+    "exclusion becomes an anti-join like graph_bfs_layers'); "
+    "(3) symmetric adjacency co-locates per common-neighbor u "
+    "(bucket u%%32), per-bucket wedge pairs are generated by the "
+    "sorted-run arange trick (no Python pair loop) with the hub cap "
+    "deg<=64 mirrored in the oracle, weight = 1048576//deg exact; "
+    "(4) ONE bucketed (a,b) sum completes scores; per-block top-50 "
+    "prune is safe because hash buckets hold complete pairs.",
+)
+def link_prediction_ra(sf_dir: str, hub_cap: int = 64, k: int = 50):
+    import ray
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    N = np.int64(n_docs)
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        kk = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, kk)
+        keep = src != tgt
+        lo = np.minimum(src[keep], tgt[keep])
+        hi = np.maximum(src[keep], tgt[keep])
+        packed = np.unique(lo * N + hi)
+        return pd.DataFrame({"a": (packed // N).astype(np.int64),
+                             "b": (packed % N).astype(np.int64)})
+
+    edges = bucketed_agg(
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow"),
+        keys=["a", "b"], sum_cols={"__count__": "c"},
+    ).materialize()
+
+    epk = edges.to_pandas()
+    packed_edges = np.sort(epk["a"].to_numpy().astype(np.int64) * N
+                           + epk["b"].to_numpy().astype(np.int64))
+    edge_ref = ray.put(packed_edges)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"u": "int64", "v": "int64", "ub": "int32"}
+        if df.shape[1] == 0 or len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]).astype(np.int64)
+        v = np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]).astype(np.int64)
+        return pd.DataFrame({"u": u, "v": v, "ub": (u % 32).astype("int32")})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pa": "int64", "pb": "int64", "w": "int64"}
+        if g.shape[1] == 0 or len(g) == 0 or "u" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["u", "v"], kind="stable")
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        ok = lens <= hub_cap
+        pos = np.arange(len(u)) - np.repeat(starts, lens)
+        keep = np.repeat(ok, lens)
+        pos = np.where(keep, pos, 0)
+        total = int(pos.sum())
+        if total == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        wt = np.repeat((np.int64(1048576) // lens.astype(np.int64)), lens)
+        b_idx = np.repeat(np.arange(len(u)), pos)
+        seq = np.arange(total) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(np.repeat(starts, lens), pos) + seq
+        pa_, pb_ = v[a_idx], v[b_idx]
+        w = wt[b_idx]
+        # drop pairs that are already edges (broadcast packed set)
+        pe = ray.get(edge_ref)
+        pk = pa_ * N + pb_
+        ppos = np.searchsorted(pe, pk)
+        ppos[ppos >= len(pe)] = 0 if len(pe) else 0
+        isedge = (pe[ppos] == pk) if len(pe) else np.zeros(len(pk), dtype=bool)
+        df = pd.DataFrame({"pa": pa_[~isedge], "pb": pb_[~isedge],
+                           "w": w[~isedge]})
+        return df.groupby(["pa", "pb"], as_index=False, sort=False)["w"].sum()
+
+    scores = bucketed_agg(
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(wedges, batch_format="pandas"),
+        keys=["pa", "pb"], sum_cols={"w": "ra_q"},
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64", "ra_q": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.rename(columns={"pa": "a", "pb": "b"})
+        return df.sort_values(["ra_q", "a", "b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(k)[["a", "b", "ra_q"]]
+
+    return (
+        scores.map_batches(prune, batch_format="pandas")
+        .repartition(2)
+        .sort(["ra_q", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )

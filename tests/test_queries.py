@@ -49,6 +49,8 @@ SAMPLE = [
     "weak_label_vote", "calibration_bins",
     "regional_volume", "large_order_customers",
     "late_shipment_priority", "props_json_stats",
+    "returned_item_report", "brand_supplier_counts",
+    "promo_revenue_share", "link_prediction_ra",
 ]
 
 

@@ -106,3 +106,102 @@ def test_props_json_stats_equals_json_loads_replay(ray_session):
         assert int(out.loc[et, "n"]) == len(ks)
         assert int(out.loc[et, "sum_k"]) == sum(ks)
         assert int(out.loc[et, "max_k"]) == max(ks)
+
+
+def test_returned_item_report_equals_bruteforce(ray_session):
+    from crawler_ray.queries import returned_item_report
+
+    out = returned_item_report(SF)
+    li = _t("lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                         "l_returnflag"])
+    orders = _t("orders", ["o_orderkey", "o_custkey"])
+    cust = _t("customer", ["c_custkey", "c_name", "c_nationkey"])
+    nat = _t("nation")
+    r = li[li["l_returnflag"] == "R"].copy()
+    r["rev"] = np.floor(r["l_extendedprice"].to_numpy()
+                        * (1 - r["l_discount"].to_numpy()) * 100 + 0.5
+                        ).astype(np.int64)
+    m = r.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    per = m.groupby("o_custkey", as_index=False)["rev"].sum()
+    per = per.sort_values(["rev", "o_custkey"], ascending=[False, True],
+                          kind="stable").head(20)
+    ref = (per.merge(cust, left_on="o_custkey", right_on="c_custkey")
+              .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    ref = ref.sort_values(["rev", "c_custkey"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    assert len(out) == len(ref)
+    for i in range(len(ref)):
+        assert int(out.loc[i, "c_custkey"]) == int(ref.loc[i, "c_custkey"])
+        assert int(out.loc[i, "revenue_cents"]) == int(ref.loc[i, "rev"])
+        assert out.loc[i, "c_name"] == ref.loc[i, "c_name"]
+        assert out.loc[i, "n_name"] == ref.loc[i, "n_name"]
+
+
+def test_brand_supplier_counts_equals_bruteforce(ray_session):
+    from crawler_ray.queries import brand_supplier_counts
+
+    out = brand_supplier_counts(SF).set_index(["p_brand", "p_type"])
+    li = _t("lineitem", ["l_partkey", "l_suppkey"])
+    part = _t("part", ["p_partkey", "p_brand", "p_type"])
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    ref = m.groupby(["p_brand", "p_type"])["l_suppkey"].nunique()
+    assert len(out) == len(ref)
+    for key, n in ref.items():
+        assert int(out.loc[key, "supplier_cnt"]) == int(n)
+
+
+def test_promo_revenue_share_equals_bruteforce(ray_session):
+    from crawler_ray.queries import promo_revenue_share
+
+    out = promo_revenue_share(SF)
+    li = _t("lineitem", ["l_partkey", "l_extendedprice", "l_discount",
+                         "l_shipdate"])
+    part = _t("part", ["p_partkey", "p_type"])
+    w = li[(li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))].copy()
+    w["rev"] = np.floor(w["l_extendedprice"].to_numpy()
+                        * (1 - w["l_discount"].to_numpy()) * 100 + 0.5
+                        ).astype(np.int64)
+    promo_pk = set(part.loc[part["p_type"] == "PROMO", "p_partkey"].astype(int))
+    p = int(w.loc[w["l_partkey"].isin(promo_pk), "rev"].sum())
+    s = int(w["rev"].sum())
+    assert int(out["promo_cents"].iloc[0]) == p
+    assert int(out["total_cents"].iloc[0]) == s
+    assert int(out["promo_permille"].iloc[0]) == (1000 * p) // s
+
+
+def test_link_prediction_ra_equals_bruteforce(ray_session):
+    from crawler_ray.queries import link_prediction_ra
+
+    out = link_prediction_ra(SF).to_pandas()
+    docs = _t("documents", ["doc_id"])
+    n = len(docs)
+    # deterministic link graph, symmetrized distinct edges
+    edges = set()
+    for d in docs["doc_id"].astype(int):
+        for j in range(d % 5 + 3):
+            t = (d * 131 + j * 37 + j * j * 11 + 7) % n
+            if t != d:
+                edges.add((min(d, t), max(d, t)))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores: dict[tuple, int] = {}
+    for z, nb in adj.items():
+        if len(nb) > 64:
+            continue
+        w = 1048576 // len(nb)
+        snb = sorted(nb)
+        for i in range(len(snb)):
+            for j in range(i + 1, len(snb)):
+                pr = (snb[i], snb[j])
+                if pr in edges:
+                    continue
+                scores[pr] = scores.get(pr, 0) + w
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(out) == min(50, len(ranked))
+    for i, ((a, b), s) in enumerate(ranked):
+        assert int(out.loc[i, "a"]) == a
+        assert int(out.loc[i, "b"]) == b
+        assert int(out.loc[i, "ra_q"]) == s
