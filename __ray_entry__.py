@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "waiting_suppliers",       # new in r5 session 17, never certified
+    "small_qty_revenue",       # new in r5 session 17, never certified
+    "nation_trade_volume",     # new in r5 session 17, never certified
+    "idle_customer_balance",   # new in r5 session 17, never certified
     "returned_item_report",    # new in r5 session 16, never certified
     "brand_supplier_counts",   # new in r5 session 16, never certified
     "promo_revenue_share",     # new in r5 session 16, never certified

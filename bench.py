@@ -142,6 +142,10 @@ BENCH_QUERIES = [
     "brand_supplier_counts",
     "promo_revenue_share",
     "link_prediction_ra",
+    "waiting_suppliers",
+    "small_qty_revenue",
+    "nation_trade_volume",
+    "idle_customer_balance",
 ]
 
 

@@ -16816,3 +16816,452 @@ def link_prediction_ra(sf_dir: str, hub_cap: int = 64, k: int = 50):
         .sort(["ra_q", "a", "b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+# =====================================================================
+# Session-17 relational shapes: Q21/Q17/Q7/Q22 analogues over the
+# reduced TPC-H tables (no partsupp/receiptdate in the driver data —
+# lateness is shipdate vs orderdate + grace, as late_shipment_priority)
+# =====================================================================
+
+
+@register(
+    "waiting_suppliers",
+    """
+    WITH j AS (
+      SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2),
+    g AS (SELECT ok FROM j GROUP BY ok
+          HAVING count(*) >= 2 AND sum(late) = 1)
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM j JOIN g USING (ok) JOIN supplier s ON s.s_suppkey = j.sk
+    WHERE j.late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21-shape blame assignment: suppliers who were the SOLE "
+    "late shipper in finished multi-supplier orders (the multi-EXISTS "
+    "/ NOT-EXISTS correlated-subquery shape).  Distributed shape: "
+    "lineitem pre-aggregates (orderkey, suppkey, any-late needs the "
+    "order date, so lateness resolves in-bucket) and orders projects "
+    "(orderkey, orderdate) filtered to status F at the scan; ONE "
+    "orderkey%%64 co-shuffle; per bucket a vectorized merge computes "
+    "per-(ok,sk) lateness, per-ok distinct-supplier and late-supplier "
+    "counts, and emits (suppkey, 1) only for qualifying orders' late "
+    "supplier; a suppkey bucketed_agg completes counts.  supplier is "
+    "a dim (10k x sf rows) fetched driver-side for the <=20 winners "
+    "(past a broadcast cap this becomes the returned_item_report "
+    "semi-join fetch).  Raw line items never cross a shuffle twice.",
+)
+def waiting_suppliers(sf_dir: str, grace_days: int = 60, k: int = 20):
+    from .stages.relational import bucketed_agg
+
+    GRACE_US = np.int64(grace_days) * 86400 * 1_000_000
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "sk": "int64", "ms": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_numpy().astype(np.int64),
+                           "sk": t["l_suppkey"].to_numpy().astype(np.int64),
+                           "ms": ship.astype(np.int64)})
+        out = df.groupby(["ok", "sk"], as_index=False, sort=False)["ms"].max()
+        out["ob"] = (out["ok"].to_numpy() % 64).astype("int32")
+        return out
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "od": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        od = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        return pd.DataFrame({"ok": ok, "od": od.astype(np.int64),
+                             "ob": (ok % 64).astype("int32")})
+
+    lis = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+                ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"sk": "int64", "n": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return empty
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        # per-(ok,sk) latest ship across batches, join the order date
+        lmax = l.groupby(["ok", "sk"], as_index=False, sort=False)["ms"].max()
+        m = lmax.merge(o[["ok", "od"]], on="ok")
+        if len(m) == 0:
+            return empty
+        m["late"] = (m["ms"].to_numpy()
+                     > m["od"].to_numpy() + GRACE_US).astype(np.int64)
+        per_ok = m.groupby("ok", sort=False)["late"].agg(["size", "sum"])
+        okset = per_ok[(per_ok["size"] >= 2) & (per_ok["sum"] == 1)].index
+        win = m[m["late"].to_numpy().astype(bool) & m["ok"].isin(okset)]
+        if len(win) == 0:
+            return empty
+        out = win.groupby("sk", as_index=False, sort=False).size()
+        return pd.DataFrame({"sk": out["sk"].to_numpy().astype(np.int64),
+                             "n": out["size"].to_numpy().astype(np.int64)})
+
+    per_supp = bucketed_agg(
+        both.groupby("ob").map_groups(bucket, batch_format="pandas"),
+        keys=["sk"], sum_cols={"n": "numwait"},
+    ).to_pandas()
+
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    m = per_supp.merge(supp, left_on="sk", right_on="s_suppkey")
+    m = m.sort_values(["numwait", "s_name"], ascending=[False, True],
+                      kind="stable").head(k)
+    return m[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
+@register(
+    "small_qty_revenue",
+    """
+    WITH q AS (SELECT l_partkey,
+                      CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+                      CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS epc
+               FROM lineitem),
+    s AS (SELECT l_partkey, count(*) AS c, sum(qc) AS sq FROM q GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(coalesce(sum(q.epc), 0) AS BIGINT) AS revenue_cents
+    FROM q JOIN s USING (l_partkey)
+    WHERE q.qc * 5 * s.c < s.sq
+    """,
+    doc="TPC-H Q17-shape small-quantity audit: revenue of line items "
+    "whose quantity is below 1/5 of their part's average (the "
+    "correlated-AVG-subquery shape).  The comparison is the exact "
+    "integer cross-multiplication qc*5*cnt < sum_qc over centiunit "
+    "quantities — no float average exists on either side.  "
+    "Distributed shape: ONE partkey%%64 shuffle co-locates each "
+    "part's line items; per bucket a vectorized groupby computes "
+    "(cnt, sum_qc) per part, a transform-broadcast applies the "
+    "cross-multiplied filter IN BUCKET (no second shuffle, no join "
+    "— the correlated subquery dissolves into bucket locality), and "
+    "only (n, revenue) partials leave; a final 1-row sum merges "
+    "buckets.",
+)
+def small_qty_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"pk": "int64", "qc": "int64", "epc": "int64", "pb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        qc = cents(t["l_quantity"]).to_numpy().astype(np.int64)
+        epc = cents(t["l_extendedprice"]).to_numpy().astype(np.int64)
+        return pd.DataFrame({"pk": pk, "qc": qc, "epc": epc,
+                             "pb": (pk % 64).astype("int32")})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_items": "int64", "revenue_cents": "int64"}
+        if g.shape[1] == 0 or len(g) == 0 or "pk" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        grp = g.groupby("pk", sort=False)["qc"]
+        cnt = grp.transform("size").to_numpy().astype(np.int64)
+        sq = grp.transform("sum").to_numpy().astype(np.int64)
+        keep = g["qc"].to_numpy() * 5 * cnt < sq
+        return pd.DataFrame({"n_items": [np.int64(keep.sum())],
+                             "revenue_cents": [g["epc"].to_numpy()[keep].sum()
+                                               .astype(np.int64)]})
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "n_items": [np.int64(parts["n_items"].sum() if len(parts) else 0)],
+        "revenue_cents": [np.int64(parts["revenue_cents"].sum()
+                                   if len(parts) else 0)],
+    })
+
+
+@register(
+    "nation_trade_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7-shape cross-border trade volume: revenue between "
+    "every (supplier nation, customer nation) pair per ship year.  "
+    "Distributed shape: customer and supplier key->nationkey maps "
+    "are broadcast ONCE as sorted int64 arrays (ray.put; customer "
+    "is 150k x sf — past a broadcast cap the custkey resolution "
+    "becomes a bucketed join like returned_item_report); lineitem "
+    "batches resolve supp nation + year + cents locally, orders "
+    "batches resolve cust nation; ONE orderkey%%64 co-shuffle joins "
+    "them and pre-aggregates (sn, cn, year, cents) IN BUCKET, so "
+    "the final groupby sees <= 25*25*years rows per bucket; nation "
+    "names decode driver-side (25 rows at any scale).",
+)
+def nation_trade_volume(sf_dir: str):
+    import ray
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order_ = np.argsort(ck, kind="stable")
+    cmap_ref = ray.put((ck[order_],
+                        cust["c_nationkey"].to_numpy().astype(np.int64)[order_]))
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    sorder = np.argsort(sk, kind="stable")
+    smap_ref = ray.put((sk[sorder],
+                        supp["s_nationkey"].to_numpy().astype(np.int64)[sorder]))
+
+    def _lookup(keys_sorted, vals, q):
+        pos = np.searchsorted(keys_sorted, q)
+        pos[pos >= len(keys_sorted)] = 0
+        return vals[pos]
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "sn": "int64", "yr": "int64", "rev": "int64",
+                "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ks, vs = ray.get(smap_ref)
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        sn = _lookup(ks, vs, t["l_suppkey"].to_numpy().astype(np.int64))
+        yr = pc.year(t["l_shipdate"]).to_numpy().astype(np.int64)
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame({"ok": ok, "sn": sn, "yr": yr,
+                           "rev": rev.to_numpy().astype(np.int64)})
+        out = df.groupby(["ok", "sn", "yr"], as_index=False, sort=False)["rev"].sum()
+        out["ob"] = (out["ok"].to_numpy() % 64).astype("int32")
+        return out
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "cn": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ks, vs = ray.get(cmap_ref)
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        cn = _lookup(ks, vs, t["o_custkey"].to_numpy().astype(np.int64))
+        return pd.DataFrame({"ok": ok, "cn": cn,
+                             "ob": (ok % 64).astype("int32")})
+
+    lis = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"]
+                ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"sn": "int64", "cn": "int64", "yr": "int64", "rev": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return empty
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        m = l[["ok", "sn", "yr", "rev"]].merge(o[["ok", "cn"]], on="ok")
+        m = m[m["sn"].to_numpy() != m["cn"].to_numpy()]
+        if len(m) == 0:
+            return empty
+        out = m.groupby(["sn", "cn", "yr"], as_index=False, sort=False)["rev"].sum()
+        return out.astype(cols)
+
+    # per-bucket partials are bounded by nations^2 x years (<= ~5k rows
+    # per bucket at ANY corpus scale), so the cross-bucket merge is a
+    # driver-side pandas groupby — Ray's per-group aggregate overhead
+    # (~2 ms/group) would dominate at this cardinality
+    partials = (
+        both.groupby("ob").map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = (partials.groupby(["sn", "cn", "yr"], as_index=False, sort=False)
+           ["rev"].sum().rename(columns={"rev": "revenue_cents"}))
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    return pd.DataFrame({
+        "supp_nation": agg["sn"].map(nmap).to_numpy(),
+        "cust_nation": agg["cn"].map(nmap).to_numpy(),
+        "l_year": agg["yr"].to_numpy().astype(np.int64),
+        "revenue_cents": agg["revenue_cents"].to_numpy().astype(np.int64),
+    })
+
+
+@register(
+    "idle_customer_balance",
+    """
+    WITH p AS (SELECT count(*) AS c,
+                      sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS s
+               FROM customer WHERE c_acctbal > 0),
+    cand AS (SELECT c_custkey, c_nationkey,
+                    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+             FROM customer, p
+             WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * p.c > p.s),
+    idle AS (SELECT * FROM cand WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_custkey = cand.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'))
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(bal) AS BIGINT) AS total_bal_cents
+    FROM idle GROUP BY 1
+    """,
+    doc="TPC-H Q22-shape dormant-capital report: customers with "
+    "above-average positive balance and no URGENT-priority orders, "
+    "rolled up per nation (scalar-subquery threshold + NOT EXISTS "
+    "anti-join; the filtered-subquery predicate keeps the result "
+    "non-vacuous on the driver data, where every customer has SOME "
+    "order).  "
+    "The threshold bal*cnt > sum is resolved ONCE driver-side as "
+    "thr = sum//cnt + 1 in exact Python ints (no float average, no "
+    "per-row bigint product — equivalent for integer bal since "
+    "bal*c > s iff bal >= floor(s/c)+1), then broadcast as a plain "
+    "int64 compare.  Distributed shape: pass 1 is a (cnt, sum) "
+    "partial-aggregate scan of customer (two int64s per batch); "
+    "pass 2 re-scans customer filtering bal >= thr and anti-joins "
+    "orders on ONE custkey%%64 tagged-union co-shuffle (orders "
+    "pre-dedups custkeys per batch); surviving (nationkey, bal) "
+    "rows collapse to <= 25 output rows via per-bucket partials.",
+)
+def idle_customer_balance(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def pos_partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        t = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        bal = cents(t["c_acctbal"]).to_numpy().astype(np.int64)
+        return pd.DataFrame({"c": [np.int64(len(bal))],
+                             "s": [np.int64(bal.sum()) if len(bal) else np.int64(0)]})
+
+    parts = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cnt = int(parts["c"].sum()) if len(parts) else 0
+    tot = int(parts["s"].sum()) if len(parts) else 0
+    if cnt == 0:
+        return pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                             "n_cust": pd.Series([], dtype="int64"),
+                             "total_bal_cents": pd.Series([], dtype="int64")})
+    thr = tot // cnt + 1  # bal*c > s  <=>  bal >= floor(s/c)+1 (exact ints)
+
+    def cand_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ck": "int64", "nk": "int64", "bal": "int64", "cb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        bal = cents(t["c_acctbal"]).to_numpy().astype(np.int64)
+        keep = bal >= thr
+        ck = t["c_custkey"].to_numpy().astype(np.int64)[keep]
+        return pd.DataFrame({"ck": ck,
+                             "nk": t["c_nationkey"].to_numpy().astype(np.int64)[keep],
+                             "bal": bal[keep],
+                             "cb": (ck % 64).astype("int32")})
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ck": "int64", "cb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        ck = np.unique(t["o_custkey"].to_numpy().astype(np.int64))
+        return pd.DataFrame({"ck": ck, "cb": (ck % 64).astype("int32")})
+
+    cands = _read(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey", "c_acctbal"]
+                  ).map_batches(cand_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = cands.map_batches(tag("c"), batch_format="pandas").union(
+        ords.map_batches(tag("o"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nationkey": "int64", "n_cust": "int64",
+                "total_bal_cents": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return empty
+        c = g[g["side"] == "c"]
+        if len(c) == 0:
+            return empty
+        active = g.loc[g["side"] == "o", "ck"].to_numpy()
+        idle = c[~c["ck"].isin(active)]
+        if len(idle) == 0:
+            return empty
+        out = idle.groupby("nk", sort=False)["bal"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame({"nationkey": out["nk"].to_numpy().astype(np.int64),
+                             "n_cust": out["size"].to_numpy().astype(np.int64),
+                             "total_bal_cents": out["sum"].to_numpy().astype(np.int64)})
+
+    out = (
+        both.groupby("cb").map_groups(bucket, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("n_cust", alias_name="n_cust"),
+                   Sum("total_bal_cents", alias_name="total_bal_cents"))
+        .to_pandas()
+    )
+    # an all-empty bucket fan-in yields a schemaless frame — pin the
+    # contract columns/dtypes so empty == empty against the oracle
+    cols = {"nationkey": "int64", "n_cust": "int64", "total_bal_cents": "int64"}
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+    return out.astype(cols)

@@ -51,6 +51,8 @@ SAMPLE = [
     "late_shipment_priority", "props_json_stats",
     "returned_item_report", "brand_supplier_counts",
     "promo_revenue_share", "link_prediction_ra",
+    "waiting_suppliers", "small_qty_revenue",
+    "nation_trade_volume", "idle_customer_balance",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Session-17 operator invariants: the Q21/Q17/Q7/Q22 relational
+shapes equal brute-force pandas replications of their semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+GRACE_US = 60 * 86400 * 1_000_000
+
+
+def _t(name, cols=None):
+    return pq.read_table(f"{SF}/{name}.parquet", columns=cols).to_pandas()
+
+
+def _cents(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 100 + 0.5).astype(np.int64)
+
+
+def test_waiting_suppliers_equals_bruteforce(ray_session):
+    from crawler_ray.queries import waiting_suppliers
+
+    out = waiting_suppliers(SF)
+
+    li = _t("lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _t("orders", ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    orders = orders[orders["o_orderstatus"] == "F"]
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    m["late"] = (
+        m["l_shipdate"].astype("int64").to_numpy()
+        > m["o_orderdate"].astype("int64").to_numpy() + GRACE_US
+    ).astype(np.int64)
+    per = m.groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"].max()
+    g = per.groupby("l_orderkey")["late"].agg(["size", "sum"])
+    ok = set(g[(g["size"] >= 2) & (g["sum"] == 1)].index)
+    win = per[(per["late"] == 1) & per["l_orderkey"].isin(ok)]
+    ref = win.groupby("l_suppkey").size()
+    got = dict(zip(out["s_suppkey"].astype(int), out["numwait"].astype(int)))
+    assert got == {int(k): int(v) for k, v in ref.items()}
+    # descending numwait, name ascending tie-break
+    nw = out["numwait"].to_numpy()
+    assert (nw[:-1] >= nw[1:]).all()
+
+
+def test_small_qty_revenue_equals_bruteforce(ray_session):
+    from crawler_ray.queries import small_qty_revenue
+
+    out = small_qty_revenue(SF)
+    li = _t("lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    qc = _cents(li["l_quantity"])
+    epc = _cents(li["l_extendedprice"])
+    g = pd.DataFrame({"pk": li["l_partkey"].to_numpy(), "qc": qc, "epc": epc})
+    st = g.groupby("pk")["qc"].agg(["size", "sum"])
+    cnt = g["pk"].map(st["size"]).to_numpy().astype(np.int64)
+    sq = g["pk"].map(st["sum"]).to_numpy().astype(np.int64)
+    keep = qc * 5 * cnt < sq
+    assert int(out["n_items"].iloc[0]) == int(keep.sum())
+    assert int(out["revenue_cents"].iloc[0]) == int(epc[keep].sum())
+
+
+def test_nation_trade_volume_equals_bruteforce(ray_session):
+    from crawler_ray.queries import nation_trade_volume
+
+    out = nation_trade_volume(SF)
+    li = _t("lineitem")
+    orders = _t("orders", ["o_orderkey", "o_custkey"])
+    cust = _t("customer", ["c_custkey", "c_nationkey"])
+    supp = _t("supplier", ["s_suppkey", "s_nationkey"])
+    nat = _t("nation", ["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    m = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m["c_nationkey"] != m["s_nationkey"]]
+    rev = _cents(m["l_extendedprice"].to_numpy()
+                 * (1 - m["l_discount"].to_numpy()))
+    ref = pd.DataFrame({
+        "sn": m["s_nationkey"].to_numpy(), "cn": m["c_nationkey"].to_numpy(),
+        "yr": m["l_shipdate"].dt.year.to_numpy(), "rev": rev,
+    }).groupby(["sn", "cn", "yr"])["rev"].sum()
+    got = {(r["supp_nation"], r["cust_nation"], int(r["l_year"])):
+           int(r["revenue_cents"]) for _, r in out.iterrows()}
+    assert len(got) == len(ref)
+    for (sn, cn, yr), v in ref.items():
+        assert got[(nmap[int(sn)], nmap[int(cn)], int(yr))] == int(v)
+
+
+def test_idle_customer_balance_equals_bruteforce(ray_session):
+    from crawler_ray.queries import idle_customer_balance
+
+    out = idle_customer_balance(SF)
+    out = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    cust = _t("customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _t("orders", ["o_custkey", "o_orderpriority"])
+    bal = _cents(cust["c_acctbal"])
+    pos = bal[cust["c_acctbal"].to_numpy() > 0]
+    c, s = len(pos), int(pos.sum())
+    cand = cust[bal * c > s].copy()
+    cand["bal"] = bal[bal * c > s]
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                            "o_custkey"].astype(int))
+    idle = cand[~cand["c_custkey"].astype(int).isin(urgent)]
+    ref = idle.groupby("c_nationkey")["bal"].agg(["size", "sum"])
+    assert len(out) == len(ref)
+    for nk, r in ref.iterrows():
+        row = out[out["nationkey"] == int(nk)].iloc[0]
+        assert int(row["n_cust"]) == int(r["size"])
+        assert int(row["total_bal_cents"]) == int(r["sum"])
+    # threshold is strict: every idle candidate is strictly above average
+    assert (idle["bal"].to_numpy() * c > s).all()
