@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "top_supplier_revenue",    # new in r5 session 17, never certified
+    "clustering_coefficient",  # new in r5 session 17, never certified
+    "degree_assortativity",    # new in r5 session 17, never certified
+    "cusum_change_points",     # new in r5 session 17, never certified
     "waiting_suppliers",       # new in r5 session 17, never certified
     "small_qty_revenue",       # new in r5 session 17, never certified
     "nation_trade_volume",     # new in r5 session 17, never certified

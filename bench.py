@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "small_qty_revenue",
     "nation_trade_volume",
     "idle_customer_balance",
+    "top_supplier_revenue",
+    "clustering_coefficient",
+    "degree_assortativity",
+    "cusum_change_points",
 ]
 
 

@@ -17265,3 +17265,413 @@ def idle_customer_balance(sf_dir: str):
     if len(out) == 0:
         return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
     return out.astype(cols)
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH r AS (SELECT l_suppkey AS sk,
+                      sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                          AS BIGINT)) AS rev
+               FROM lineitem
+               WHERE l_shipdate >= DATE '1996-01-01'
+                 AND l_shipdate <  DATE '1996-04-01'
+               GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev AS BIGINT) AS total_revenue_cents
+    FROM r JOIN supplier s ON s.s_suppkey = r.sk
+    WHERE r.rev = (SELECT max(rev) FROM r)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15-shape top supplier: the supplier(s) with maximum "
+    "revenue in a quarter (the view + scalar-max self-reference "
+    "shape).  Distributed shape: lineitem filters the date window "
+    "at the scan and pre-aggregates (suppkey, cents) per batch; ONE "
+    "suppkey bucketed_agg completes per-supplier revenue; the "
+    "global max is a scalar Dataset aggregate (no driver "
+    "materialization of the revenue table); a second streaming "
+    "filter emits only suppliers AT the max (ties preserved, "
+    "matching SQL), whose dim rows are fetched driver-side.",
+)
+def top_supplier_revenue(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    LO = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    HI = np.datetime64("1996-04-01").astype("datetime64[us]").astype(np.int64)
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"sk": "int64", "rev": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        keep = (ship >= LO) & (ship < HI)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame({"sk": t["l_suppkey"].to_numpy().astype(np.int64),
+                           "rev": rev.to_numpy().astype(np.int64)})
+        return df.groupby("sk", as_index=False, sort=False)["rev"].sum()
+
+    per_supp = bucketed_agg(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                       "l_discount"]
+              ).map_batches(li_side, batch_format="pyarrow"),
+        keys=["sk"], sum_cols={"rev": "rev"},
+    ).materialize()
+
+    mx = per_supp.max("rev")
+
+    def at_max(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"sk": "int64", "rev": "int64"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return df[df["rev"].to_numpy() == mx][["sk", "rev"]]
+
+    winners = per_supp.map_batches(at_max, batch_format="pandas").to_pandas()
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    m = winners.merge(supp, left_on="sk", right_on="s_suppkey")
+    m = m.sort_values("s_suppkey", kind="stable")
+    return pd.DataFrame({
+        "s_suppkey": m["s_suppkey"].to_numpy().astype(np.int64),
+        "s_name": m["s_name"].to_numpy(),
+        "total_revenue_cents": m["rev"].to_numpy().astype(np.int64),
+    })
+
+
+@register(
+    "clustering_coefficient",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    l2 AS (SELECT src, target FROM l
+           UNION ALL
+           SELECT doc_id AS src, (doc_id + 50) % (SELECT c FROM n) AS target
+           FROM documents
+           UNION ALL
+           SELECT doc_id AS src, (doc_id + 100) % (SELECT c FROM n) AS target
+           FROM documents),
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l2 WHERE src != target),
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    tri AS (SELECT s1.u AS u, count(*) AS t
+            FROM sym s1
+            JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+            JOIN e ON e.a = s1.v AND e.b = s2.v
+            GROUP BY s1.u),
+    cc AS (SELECT d.u, (2048 * coalesce(t.t, 0)) // (d.d * (d.d - 1)) AS ccq
+           FROM deg d LEFT JOIN tri t ON t.u = d.u
+           WHERE d.d >= 2)
+    SELECT CAST(ccq AS BIGINT) AS ccq, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM cc GROUP BY 1
+    """,
+    doc="Local clustering coefficient histogram (Watts/Strogatz "
+    "cc(u) = 2*tri(u)/(deg(u)*(deg(u)-1)), integer-quantized x1024 "
+    "keyed by exact ccq, <= 1025 keys) over the symmetrized deterministic link graph "
+    "— the community-structure signal next to triangle_count's "
+    "global closure histogram.  The hashed link graph is locally "
+    "tree-like (no triangles), so the edge set is augmented with "
+    "two deterministic stride edges per node (u -> u+50, u -> u+100 "
+    "mod n; consecutive stride trios close), mirrored exactly in "
+    "the oracle — the histogram then spans real closure levels.  "
+    "Distributed shape: distinct "
+    "undirected edges via ONE bucketed_agg (the link_prediction_ra "
+    "edge pass); the packed edge set broadcasts once as a sorted "
+    "int64 array (past a broadcast cap: the triangle_count "
+    "closing-edge join regime); symmetric adjacency co-locates per "
+    "center u (bucket u%%32), wedges come from the sorted-run "
+    "arange trick, closure is ONE searchsorted per bucket, and "
+    "per-u (deg, tri) collapses IN BUCKET to (ccq, count) "
+    "partials; the final groupby sees <= 1025 keys.",
+)
+def clustering_coefficient(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    N = np.int64(n_docs)
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        kk = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, kk)
+        # stride augmentation: u -> u+50, u -> u+100 (mod n) so local
+        # closure is non-degenerate (mirrored in the oracle's l2 CTE)
+        src = np.concatenate([src, ids, ids])
+        tgt = np.concatenate([tgt, (ids + 50) % n_docs, (ids + 100) % n_docs])
+        keep = src != tgt
+        lo = np.minimum(src[keep], tgt[keep])
+        hi = np.maximum(src[keep], tgt[keep])
+        packed = np.unique(lo * N + hi)
+        return pd.DataFrame({"a": (packed // N).astype(np.int64),
+                             "b": (packed % N).astype(np.int64)})
+
+    edges = bucketed_agg(
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow"),
+        keys=["a", "b"], sum_cols={"__count__": "c"},
+    ).materialize()
+
+    epk = edges.to_pandas()
+    packed_edges = np.sort(epk["a"].to_numpy().astype(np.int64) * N
+                           + epk["b"].to_numpy().astype(np.int64))
+    edge_ref = ray.put(packed_edges)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"u": "int64", "v": "int64", "ub": "int32"}
+        if df.shape[1] == 0 or len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]).astype(np.int64)
+        v = np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]).astype(np.int64)
+        return pd.DataFrame({"u": u, "v": v, "ub": (u % 32).astype("int32")})
+
+    def per_center(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cc_bucket": "int64", "n": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "u" not in g.columns:
+            return empty
+        g = g.sort_values(["u", "v"], kind="stable")
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        deg2 = lens >= 2
+        if not deg2.any():
+            return empty
+        # wedge pairs per center via the sorted-run arange trick
+        pos = np.arange(len(u)) - np.repeat(starts, lens)
+        b_idx = np.repeat(np.arange(len(u)), pos)
+        total = int(pos.sum())
+        if total == 0:
+            return empty
+        seq = np.arange(total) - np.repeat(np.cumsum(pos) - pos, pos)
+        a_idx = np.repeat(np.repeat(starts, lens), pos) + seq
+        wa, wb = v[a_idx], v[b_idx]  # wa < wb (adjacency run is sorted)
+        pe = ray.get(edge_ref)
+        pk = wa * N + wb
+        ppos = np.searchsorted(pe, pk)
+        ppos[ppos >= len(pe)] = 0 if len(pe) else 0
+        closed = (pe[ppos] == pk) if len(pe) else np.zeros(len(pk), dtype=bool)
+        # triangles per center = closed wedges per run
+        run_id = np.repeat(np.arange(len(starts)), lens)      # per sym row
+        tri = np.bincount(run_id[b_idx][closed], minlength=len(starts))
+        d = lens[deg2].astype(np.int64)
+        t = tri[deg2].astype(np.int64)
+        ccq = (2048 * t) // (d * (d - 1))
+        out = pd.DataFrame({"ccq": ccq.astype(np.int64)})
+        out = out.groupby("ccq", as_index=False, sort=False).size()
+        return pd.DataFrame({"ccq": out["ccq"].to_numpy().astype(np.int64),
+                             "n": out["size"].to_numpy().astype(np.int64)})
+
+    return (
+        edges.map_batches(sym, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_center, batch_format="pandas")
+        .groupby("ccq")
+        .aggregate(Sum("n", alias_name="n_nodes"))
+    )
+
+
+@register(
+    "degree_assortativity",
+    _LINK_SQL_CTE.replace(
+        "SELECT (d.doc_id*131", "SELECT d.doc_id AS src, (d.doc_id*131"
+    )
+    + """,
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l WHERE src != target),
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    j AS (SELECT da.d AS dx, db.d AS dy
+          FROM sym s
+          JOIN deg da ON da.u = s.u
+          JOIN deg db ON db.u = s.v),
+    t AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                 CAST(sum(dx) AS HUGEINT) AS sx,
+                 CAST(sum(dx*dy) AS HUGEINT) AS sxy,
+                 CAST(sum(dx*dx) AS HUGEINT) AS sxx
+          FROM j)
+    SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+           CAST((1024 * (m*sxy - sx*sx)) // (m*sxx - sx*sx) AS BIGINT) AS r_q
+    FROM t
+    """,
+    doc="Degree assortativity (Newman 2002) of the undirected link "
+    "graph: the Pearson correlation of endpoint degrees over the "
+    "symmetrized edge list — hub-attachment structure in one "
+    "number, quantized x1024 with NO sqrt or float anywhere "
+    "(identical marginals make the correlation a ratio of two "
+    "integer moments: r = (M*Sxy - Sx^2)/(M*Sxx - Sx^2)).  "
+    "Distributed shape: distinct edges via ONE bucketed_agg; "
+    "degrees via a second bucketed count; the degree vector "
+    "broadcasts once as a dense int64 array indexed by doc_id "
+    "(|V|*8 bytes; past a broadcast cap: two hash joins like "
+    "label_prop_rounds); edge batches then fold to FIVE int64 "
+    "moment partials each, summed driver-side in exact Python ints "
+    "(the cross products exceed int64), with the final quotient "
+    "truncated toward zero to match DuckDB's // on signed values.",
+)
+def degree_assortativity(sf_dir: str):
+    import ray
+    from .stages.relational import bucketed_agg
+
+    n_docs = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    N = np.int64(n_docs)
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tgt = _explode_links(t, n_docs)
+        ids = t["doc_id"].to_numpy()
+        kk = (ids % 5 + 3).astype(np.int64)
+        src = np.repeat(ids, kk)
+        keep = src != tgt
+        lo = np.minimum(src[keep], tgt[keep])
+        hi = np.maximum(src[keep], tgt[keep])
+        packed = np.unique(lo * N + hi)
+        return pd.DataFrame({"a": (packed // N).astype(np.int64),
+                             "b": (packed % N).astype(np.int64)})
+
+    edges = bucketed_agg(
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(explode, batch_format="pyarrow"),
+        keys=["a", "b"], sum_cols={"__count__": "c"},
+    ).materialize()
+
+    def sym_count(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"u": "int64", "d": "int64"}
+        if df.shape[1] == 0 or len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]).astype(np.int64)
+        out = pd.DataFrame({"u": u}).groupby("u", as_index=False, sort=False).size()
+        return pd.DataFrame({"u": out["u"].to_numpy().astype(np.int64),
+                             "d": out["size"].to_numpy().astype(np.int64)})
+
+    degs = bucketed_agg(
+        edges.map_batches(sym_count, batch_format="pandas"),
+        keys=["u"], sum_cols={"d": "d"},
+    ).to_pandas()
+    dense = np.zeros(n_docs, dtype=np.int64)
+    dense[degs["u"].to_numpy().astype(np.int64)] = degs["d"].to_numpy().astype(np.int64)
+    deg_ref = ray.put(dense)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"m": "int64", "sx": "int64", "sxy": "int64", "sxx": "int64"}
+        if df.shape[1] == 0 or len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        dv = ray.get(deg_ref)
+        dx = dv[df["a"].to_numpy().astype(np.int64)]
+        dy = dv[df["b"].to_numpy().astype(np.int64)]
+        # symmetrized: each undirected edge contributes both directions
+        return pd.DataFrame({"m": [np.int64(2 * len(dx))],
+                             "sx": [np.int64((dx + dy).sum())],
+                             "sxy": [np.int64(2 * (dx * dy).sum())],
+                             "sxx": [np.int64((dx * dx + dy * dy).sum())]})
+
+    parts = edges.map_batches(moments, batch_format="pandas").to_pandas()
+    m = int(parts["m"].sum())
+    sx = int(parts["sx"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx = int(parts["sxx"].sum())
+    num = 1024 * (m * sxy - sx * sx)
+    den = m * sxx - sx * sx
+    # DuckDB's // truncates toward zero on signed values; Python floors
+    q = abs(num) // den
+    r_q = q if num >= 0 else -q
+    return pd.DataFrame({"n_edges": [np.int64(m // 2)],
+                         "r_q": [np.int64(r_q)]})
+
+
+@register(
+    "cusum_change_points",
+    """
+    WITH e AS (SELECT user_id % 64 AS host,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    c AS (SELECT host, day, CAST(count(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+    t AS (SELECT host, count(*) AS nd, sum(x) AS sx FROM c GROUP BY 1),
+    w AS (SELECT c.host, c.day, c.x - (t.sx // t.nd) AS d
+          FROM c JOIN t USING (host)),
+    s AS (SELECT host, day,
+                 sum(d) OVER (PARTITION BY host ORDER BY day) AS cs
+          FROM w),
+    r AS (SELECT host, day,
+                 cs - least(CAST(0 AS BIGINT),
+                            min(cs) OVER (PARTITION BY host ORDER BY day)) AS sv
+          FROM s),
+    m AS (SELECT host, max(sv) AS s_max FROM r GROUP BY host)
+    SELECT CAST(m.host AS BIGINT) AS host, CAST(m.s_max AS BIGINT) AS s_max,
+           CAST(min(r.day) AS BIGINT) AS peak_day
+    FROM m JOIN r ON r.host = m.host AND r.sv = m.s_max
+    GROUP BY 1, 2
+    """,
+    doc="CUSUM change-point detection over per-host daily event "
+    "counts (Page 1954): S_i = max(0, S_(i-1) + x_i - k) with k = "
+    "the host's floor-mean daily count; reports each host's peak "
+    "cumulative deviation and its first day — the level-shift / "
+    "burst-onset detector behind recrawl scheduling and abuse "
+    "flagging.  The recurrence is computed CLOSED-FORM as cs_i - "
+    "min(0, running_min(cs_i)) (prefix sums minus running minimum), "
+    "which is what makes it vectorizable AND expressible as SQL "
+    "window functions for the oracle.  Distributed shape: per-batch "
+    "(host, day, count) combiner partials -> ONE host%%32 co-shuffle "
+    "(counts only, 24 bytes/day-slot); per bucket a vectorized "
+    "segmented cumsum/cummin over day-sorted rows computes every "
+    "host's full CUSUM path and collapses to (host, s_max, "
+    "peak_day) — one row per host leaves the bucket.",
+)
+def cusum_change_points(sf_dir: str):
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"host": "int64", "day": "int64", "x": "int64", "hb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        host = t["user_id"].to_numpy().astype(np.int64) % 64
+        day = t["ts"].cast(pa.int64()).to_numpy() // 86400000000
+        df = pd.DataFrame({"host": host, "day": day.astype(np.int64)})
+        out = df.groupby(["host", "day"], as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "x"})
+        out["x"] = out["x"].astype(np.int64)
+        out["hb"] = (out["host"].to_numpy() % 32).astype("int32")
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"host": "int64", "s_max": "int64", "peak_day": "int64"}
+        if g.shape[1] == 0 or len(g) == 0 or "host" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        # merge cross-batch partials, then walk each host's day series
+        c = g.groupby(["host", "day"], as_index=False, sort=False)["x"].sum()
+        c = c.sort_values(["host", "day"], kind="stable").reset_index(drop=True)
+        grp = c.groupby("host", sort=False)
+        nd = grp["x"].transform("size").to_numpy().astype(np.int64)
+        sx = grp["x"].transform("sum").to_numpy().astype(np.int64)
+        d = c["x"].to_numpy().astype(np.int64) - sx // nd
+        cs = pd.Series(d).groupby(c["host"].to_numpy()).cumsum().to_numpy()
+        runmin = (pd.Series(cs).groupby(c["host"].to_numpy()).cummin()
+                  .to_numpy())
+        sv = cs - np.minimum(0, runmin)
+        c["sv"] = sv
+        smax = c.groupby("host", sort=False)["sv"].transform("max").to_numpy()
+        at = c[c["sv"].to_numpy() == smax]
+        out = at.groupby("host", as_index=False, sort=False).agg(
+            s_max=("sv", "max"), peak_day=("day", "min"))
+        return pd.DataFrame({"host": out["host"].to_numpy().astype(np.int64),
+                             "s_max": out["s_max"].to_numpy().astype(np.int64),
+                             "peak_day": out["peak_day"].to_numpy().astype(np.int64)})
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda df: df[["host", "s_max", "peak_day"]],
+                     batch_format="pandas")
+    )

@@ -53,6 +53,8 @@ SAMPLE = [
     "promo_revenue_share", "link_prediction_ra",
     "waiting_suppliers", "small_qty_revenue",
     "nation_trade_volume", "idle_customer_balance",
+    "top_supplier_revenue", "clustering_coefficient",
+    "degree_assortativity", "cusum_change_points",
 ]
 
 

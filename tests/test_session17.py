@@ -109,3 +109,106 @@ def test_idle_customer_balance_equals_bruteforce(ray_session):
         assert int(row["total_bal_cents"]) == int(r["sum"])
     # threshold is strict: every idle candidate is strictly above average
     assert (idle["bal"].to_numpy() * c > s).all()
+
+
+def test_top_supplier_revenue_equals_bruteforce(ray_session):
+    from crawler_ray.queries import top_supplier_revenue
+
+    out = top_supplier_revenue(SF)
+    li = _t("lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice",
+                         "l_discount"])
+    w = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1996-04-01"))]
+    rev = _cents(w["l_extendedprice"].to_numpy()
+                 * (1 - w["l_discount"].to_numpy()))
+    per = pd.DataFrame({"sk": w["l_suppkey"].to_numpy(), "rev": rev}
+                       ).groupby("sk")["rev"].sum()
+    mx = per.max()
+    winners = sorted(int(k) for k, v in per.items() if v == mx)
+    assert list(out["s_suppkey"].astype(int)) == winners
+    assert (out["total_revenue_cents"].astype(int) == int(mx)).all()
+
+
+def _session17_edges(augment_strides):
+    docs = _t("documents", ["doc_id"])
+    n = len(docs)
+    ids = docs["doc_id"].to_numpy().astype(np.int64)
+    kk = ids % 5 + 3
+    src = np.repeat(ids, kk)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(kk) - kk, kk)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    if augment_strides:
+        src = np.concatenate([src, ids, ids])
+        tgt = np.concatenate([tgt, (ids + 50) % n, (ids + 100) % n])
+    keep = src != tgt
+    lo = np.minimum(src[keep], tgt[keep])
+    hi = np.maximum(src[keep], tgt[keep])
+    return n, set(zip(lo.tolist(), hi.tolist()))
+
+
+def test_clustering_coefficient_equals_bruteforce(ray_session):
+    from crawler_ray.queries import clustering_coefficient
+
+    out = clustering_coefficient(SF).to_pandas()
+    n, edges = _session17_edges(augment_strides=True)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hist = {}
+    for u, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        nbl = sorted(nb)
+        tri = sum(1 for i, x in enumerate(nbl) for y in nbl[i + 1:]
+                  if (min(x, y), max(x, y)) in edges)
+        ccq = (2048 * tri) // (d * (d - 1))
+        hist[ccq] = hist.get(ccq, 0) + 1
+    got = dict(zip(out["ccq"].astype(int), out["n_nodes"].astype(int)))
+    assert got == hist
+    assert max(hist) <= 1024  # cc <= 1 quantized
+
+
+def test_degree_assortativity_matches_float_pearson(ray_session):
+    from crawler_ray.queries import degree_assortativity
+
+    out = degree_assortativity(SF)
+    n, edges = _session17_edges(augment_strides=False)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    dx = np.array([deg[a] for a, b in edges] + [deg[b] for a, b in edges],
+                  dtype=np.float64)
+    dy = np.array([deg[b] for a, b in edges] + [deg[a] for a, b in edges],
+                  dtype=np.float64)
+    r = np.corrcoef(dx, dy)[0, 1]
+    assert int(out["n_edges"].iloc[0]) == len(edges)
+    # quantized integer ratio tracks the float Pearson within 1/1024 + fp slop
+    assert abs(int(out["r_q"].iloc[0]) / 1024 - r) < 2e-3
+
+
+def test_cusum_equals_sequential_recurrence(ray_session):
+    from crawler_ray.queries import cusum_change_points
+
+    out = cusum_change_points(SF).to_pandas()
+    ev = _t("events", ["user_id", "ts"])
+    host = ev["user_id"].to_numpy().astype(np.int64) % 64
+    day = ev["ts"].astype("int64").to_numpy() // 86400000000
+    c = (pd.DataFrame({"host": host, "day": day})
+         .groupby(["host", "day"]).size().rename("x").reset_index())
+    ref = {}
+    for h, g in c.groupby("host"):
+        g = g.sort_values("day")
+        k = int(g["x"].sum()) // len(g)
+        s, smax, peak = 0, 0, int(g["day"].iloc[0])
+        first = True
+        for _, row in g.iterrows():
+            s = max(0, s + int(row["x"]) - k)
+            if first or s > smax:
+                smax, peak, first = s, int(row["day"]), False
+        ref[int(h)] = (smax, peak)
+    got = {int(r["host"]): (int(r["s_max"]), int(r["peak_day"]))
+           for _, r in out.iterrows()}
+    assert got == ref
