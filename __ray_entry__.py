@@ -76,6 +76,9 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "late_event_audit",        # new in r5 session 17, never certified
+    "zipf_slope",              # new in r5 session 17, never certified
+    "ks_length_drift",         # new in r5 session 17, never certified
     "top_supplier_revenue",    # new in r5 session 17, never certified
     "clustering_coefficient",  # new in r5 session 17, never certified
     "degree_assortativity",    # new in r5 session 17, never certified

@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "clustering_coefficient",
     "degree_assortativity",
     "cusum_change_points",
+    "late_event_audit",
+    "zipf_slope",
+    "ks_length_drift",
 ]
 
 

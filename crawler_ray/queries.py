@@ -17675,3 +17675,302 @@ def cusum_change_points(sf_dir: str):
         .map_batches(lambda df: df[["host", "s_max", "peak_day"]],
                      batch_format="pandas")
     )
+
+
+@register(
+    "late_event_audit",
+    """
+    WITH a AS (SELECT user_id % 64 AS host, epoch_us(ts) AS tus,
+                      epoch_us(ts) + (event_id % 7) * 3600000000 AS arr,
+                      event_id
+               FROM events),
+    w AS (SELECT host, tus,
+                 max(tus) OVER (ORDER BY arr, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS wm
+          FROM a),
+    l AS (SELECT host, wm - tus AS late_us FROM w
+          WHERE wm IS NOT NULL AND wm - tus > 3600000000)
+    SELECT CAST(host AS BIGINT) AS host, CAST(count(*) AS BIGINT) AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM l GROUP BY 1
+    """,
+    doc="Streaming late-arrival audit: events are delivered with a "
+    "deterministic per-event delay (event_id%%7 hours — the "
+    "out-of-order model), the watermark is the running max event "
+    "time in ARRIVAL order, and an event is late when it arrives "
+    "more than 1h behind the watermark — the accounting a windowed "
+    "aggregator needs to size its allowed-lateness buffer "
+    "(stages/stream.py's knob).  Distributed shape: the arrival "
+    "ordering is a global sort; the watermark is then a distributed "
+    "EXCLUSIVE prefix-MAX — the add_prefix_sum two-phase scan with "
+    "max instead of sum: phase 1 collects one (first-key, block "
+    "max) row per block, the driver computes exclusive running "
+    "maxima (tiny), phase 2 re-walks the SAME blocks combining the "
+    "block offset with a within-block exclusive cummax; lateness "
+    "collapses to per-host (n, max) partials in the same pass.",
+)
+def late_event_audit(sf_dir: str, lateness_us: int = 3_600_000_000):
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    HOUR = 3_600_000_000
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"host": "int64", "tus": "int64", "arr": "int64", "eid": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"host": t["user_id"].to_numpy().astype(np.int64) % 64,
+                             "tus": tus.astype(np.int64),
+                             "arr": tus + (eid % 7) * HOUR, "eid": eid})
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .sort(["arr", "eid"])
+        .materialize()
+    )
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a0": pa.array([], type=pa.int64()),
+                             "e0": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        # sorted by (arr, eid): row 0 holds the block's minimal key
+        return pa.table({"a0": pa.array([t["arr"][0].as_py()], type=pa.int64()),
+                         "e0": pa.array([t["eid"][0].as_py()], type=pa.int64()),
+                         "mx": pa.array([pc.max(t["tus"]).as_py()], type=pa.int64())})
+
+    summ = (
+        ds.map_batches(block_summary, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["a0", "e0"])
+    )
+    mxs = summ["mx"].to_numpy(dtype=np.int64)
+    NEG = np.int64(-(2 ** 62))
+    offs = np.concatenate([[NEG], np.maximum.accumulate(mxs)[:-1]])
+    oref = ray.put((summ["a0"].to_numpy(dtype=np.int64),
+                    summ["e0"].to_numpy(dtype=np.int64), offs))
+
+    def scan(t: pa.Table) -> pd.DataFrame:
+        cols = {"host": "int64", "n_late": "int64", "max_late_us": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        a0s, e0s, os_ = ray.get(oref)
+        a0, e0 = t["arr"][0].as_py(), t["eid"][0].as_py()
+        i = np.searchsorted(a0s, a0)
+        while i < len(a0s) and a0s[i] == a0 and e0s[i] != e0:
+            i += 1
+        assert i < len(a0s) and a0s[i] == a0 and e0s[i] == e0, \
+            "prefix-max block boundaries diverged"
+        base = os_[i]
+        tus = t["tus"].to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = np.concatenate([[NEG], np.maximum.accumulate(tus)[:-1]])
+        wm = np.maximum(base, excl)
+        late = wm - tus
+        keep = late > lateness_us
+        if not keep.any():
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        host = t["host"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        df = pd.DataFrame({"host": host, "late": late[keep]})
+        out = df.groupby("host", sort=False)["late"].agg(["size", "max"]).reset_index()
+        return pd.DataFrame({"host": out["host"].to_numpy().astype(np.int64),
+                             "n_late": out["size"].to_numpy().astype(np.int64),
+                             "max_late_us": out["max"].to_numpy().astype(np.int64)})
+
+    return (
+        ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+        .groupby("host")
+        .aggregate(Sum("n_late", alias_name="n_late"),
+                   Max("max_late_us", alias_name="max_late_us"))
+    )
+
+
+@register(
+    "zipf_slope",
+    """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+           FROM toks GROUP BY 1, 2),
+    rk AS (SELECT source, f,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY f DESC, term) AS r
+           FROM tc),
+    lg AS (SELECT source,
+                  CAST(length(bin(r)) - 1 AS BIGINT) AS lr,
+                  CAST(length(bin(f)) - 1 AS BIGINT) AS lf
+           FROM rk WHERE r <= 64),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS k,
+                 sum(lr) AS sl, sum(lf) AS sf2,
+                 sum(lr*lf) AS slf, sum(lr*lr) AS sl2
+          FROM lg GROUP BY 1)
+    SELECT source, k,
+           CAST((1024 * (k*slf - sl*sf2)) // (k*sl2 - sl*sl) AS BIGINT)
+             AS slope_q
+    FROM s
+    """,
+    doc="Zipf slope per source (power-law corpus-health monitor: the "
+    "log-log rank-frequency regression slope over each source's top "
+    "64 terms, ~-1024 for natural language at x1024 quantization, "
+    "near 0 for degenerate/boilerplate sources).  NO log or float "
+    "anywhere: floor(log2) is the bin() bit-length idiom "
+    "(length(bin(x))-1, the hll_registers trick) on both sides, and "
+    "the least-squares slope is a ratio of integer moments with "
+    "truncation-toward-zero matching DuckDB's signed //.  "
+    "Distributed shape: per-batch (source, term) partial counts -> "
+    "ONE bucketed_agg completes term frequencies (text never "
+    "shuffles); a second source%%32 shuffle co-locates each "
+    "source's terms; per bucket a vectorized (f desc, term) sort + "
+    "segmented rank keeps top-64/source and folds the five "
+    "regression moments — one row per source leaves.",
+)
+def zipf_slope(sf_dir: str, topk: int = 64):
+    from .stages.relational import bucketed_agg
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        cols = {"source": "object", "term": "object", "f": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        srcs, terms = [], []
+        for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for w in txt.split(" "):
+                srcs.append(s)
+                terms.append(w)
+        df = pd.DataFrame({"source": srcs, "term": terms})
+        out = df.groupby(["source", "term"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "f"}).astype(cols)
+
+    tc = bucketed_agg(
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(explode, batch_format="pyarrow"),
+        keys=["source", "term"], sum_cols={"f": "f"},
+        key_dtypes={"source": "object", "term": "object"},
+    )
+
+    def add_sb(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "term": "object", "f": "int64",
+                "sb": "int32"}
+        if df.shape[1] == 0 or len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        h = pd.util.hash_pandas_object(df["source"], index=False).to_numpy()
+        df = df.copy()
+        df["sb"] = (h % 32).astype("int32")
+        return df
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": "object", "k": "int64", "slope_q": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "source" not in g.columns:
+            return empty
+        g = g.sort_values(["source", "f", "term"],
+                          ascending=[True, False, True], kind="stable")
+        rows = []
+        for src, gg in g.groupby("source", sort=False):
+            f = gg["f"].to_numpy().astype(np.int64)[:topk]
+            k = len(f)
+            lr = np.array([int(r).bit_length() - 1 for r in range(1, k + 1)],
+                          dtype=np.int64)
+            lf = np.array([int(x).bit_length() - 1 for x in f], dtype=np.int64)
+            sl, sf2 = int(lr.sum()), int(lf.sum())
+            slf, sl2 = int((lr * lf).sum()), int((lr * lr).sum())
+            num = 1024 * (k * slf - sl * sf2)
+            den = k * sl2 - sl * sl
+            q = abs(num) // den
+            rows.append((src, k, q if num >= 0 else -q))
+        return pd.DataFrame(rows, columns=["source", "k", "slope_q"]
+                            ).astype(cols)
+
+    return (
+        tc.map_batches(add_sb, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(per_source, batch_format="pandas")
+        .map_batches(lambda df: df[["source", "k", "slope_q"]],
+                     batch_format="pandas")
+    )
+
+
+@register(
+    "ks_length_drift",
+    """
+    WITH l AS (SELECT source, length(text) // 16 AS v FROM documents),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY 1),
+    c AS (SELECT source, v, CAST(count(*) AS BIGINT) AS k FROM l GROUP BY 1, 2),
+    grid AS (SELECT s.source, g.v
+             FROM (SELECT DISTINCT source FROM l) s
+             CROSS JOIN (SELECT DISTINCT v FROM l) g),
+    cum AS (SELECT grid.source, grid.v,
+                   sum(coalesce(c.k, 0)) OVER (PARTITION BY grid.source
+                                               ORDER BY grid.v) AS cum
+            FROM grid LEFT JOIN c ON c.source = grid.source
+                                 AND c.v = grid.v),
+    p AS (SELECT a.source AS src_a, b.source AS src_b,
+                 max(abs(a.cum * nb.n - b.cum * na.n)) AS d,
+                 max(na.n) AS na_, max(nb.n) AS nb_
+          FROM cum a
+          JOIN cum b ON b.v = a.v AND b.source > a.source
+          JOIN n na ON na.source = a.source
+          JOIN n nb ON nb.source = b.source
+          GROUP BY 1, 2)
+    SELECT src_a, src_b, CAST((1024 * d) // (na_ * nb_) AS BIGINT) AS ks_q
+    FROM p ORDER BY ks_q DESC, src_a, src_b LIMIT 50
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift between every source "
+    "pair's document-length distributions (order-statistic "
+    "complement to corpus_drift's term-space L1): KS = max over the "
+    "merged value grid of |F_a - F_b|, computed EXACTLY as the "
+    "integer cross-multiplication max|cum_a*n_b - cum_b*n_a| // "
+    "(n_a*n_b), quantized x1024; lengths quantize to 16-char bins "
+    "so the grid stays bounded at any corpus size (mirrored in the "
+    "oracle).  Distributed shape: per-batch (source, bin) partial "
+    "counts -> ONE bucketed_agg (24 bytes/bin-slot, text never "
+    "moves); the counts table is bounded |sources| x |grid|, so the "
+    "cumulative-and-pairwise fold runs driver-side as ONE "
+    "vectorized (S x G) matrix sweep — sources are a dataset-level "
+    "entity like nations, not a per-row one.",
+)
+def ks_length_drift(sf_dir: str, k: int = 50):
+    from .stages.relational import bucketed_agg
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"source": "object", "v": "int64", "k": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        v = pc.utf8_length(t["text"]).to_numpy().astype(np.int64) // 16
+        df = pd.DataFrame({"source": t["source"].to_pandas().to_numpy(), "v": v})
+        out = df.groupby(["source", "v"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "k"}).astype(cols)
+
+    counts = bucketed_agg(
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["source", "v"], sum_cols={"k": "k"},
+        key_dtypes={"source": "object"},
+    ).to_pandas()
+
+    srcs = np.sort(counts["source"].unique())
+    grid = np.sort(counts["v"].unique())
+    S, G = len(srcs), len(grid)
+    C = np.zeros((S, G), dtype=np.int64)
+    si = {s: i for i, s in enumerate(srcs)}
+    gi = {v: i for i, v in enumerate(grid)}
+    for s, v, kk in counts[["source", "v", "k"]].itertuples(index=False):
+        C[si[s], gi[v]] = kk
+    cum = np.cumsum(C, axis=1)
+    n = cum[:, -1]
+    rows = []
+    for i in range(S):
+        # one vectorized (S-i-1, G) sweep per anchor source
+        d = np.abs(cum[i][None, :] * n[i + 1:, None]
+                   - cum[i + 1:] * n[i, None]).max(axis=1)
+        for j0, dv in enumerate(d):
+            j = i + 1 + j0
+            rows.append((srcs[i], srcs[j],
+                         int(1024 * int(dv)) // int(n[i] * n[j])))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "ks_q"])
+    out = out.sort_values(["ks_q", "src_a", "src_b"],
+                          ascending=[False, True, True], kind="stable").head(k)
+    out["ks_q"] = out["ks_q"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -55,6 +55,7 @@ SAMPLE = [
     "nation_trade_volume", "idle_customer_balance",
     "top_supplier_revenue", "clustering_coefficient",
     "degree_assortativity", "cusum_change_points",
+    "late_event_audit", "zipf_slope", "ks_length_drift",
 ]
 
 

@@ -212,3 +212,83 @@ def test_cusum_equals_sequential_recurrence(ray_session):
     got = {int(r["host"]): (int(r["s_max"]), int(r["peak_day"]))
            for _, r in out.iterrows()}
     assert got == ref
+
+
+def test_late_event_audit_equals_sequential_watermark(ray_session):
+    from crawler_ray.queries import late_event_audit
+
+    out = late_event_audit(SF).to_pandas()
+    ev = _t("events", ["event_id", "ts", "user_id"])
+    HOUR = 3_600_000_000
+    tus = ev["ts"].astype("int64").to_numpy()
+    eid = ev["event_id"].to_numpy().astype(np.int64)
+    host = ev["user_id"].to_numpy().astype(np.int64) % 64
+    arr = tus + (eid % 7) * HOUR
+    order = np.lexsort((eid, arr))
+    ref = {}
+    wm = None
+    for i in order:
+        if wm is not None and wm - tus[i] > HOUR:
+            h = int(host[i])
+            n, mx = ref.get(h, (0, 0))
+            ref[h] = (n + 1, max(mx, int(wm - tus[i])))
+        wm = int(tus[i]) if wm is None else max(wm, int(tus[i]))
+    got = {int(r["host"]): (int(r["n_late"]), int(r["max_late_us"]))
+           for _, r in out.iterrows()}
+    assert got == ref
+    assert len(ref) > 0  # the delay model produces real late events
+
+
+def test_zipf_slope_equals_bruteforce_and_is_negative(ray_session):
+    from crawler_ray.queries import zipf_slope
+
+    out = zipf_slope(SF).to_pandas()
+    docs = _t("documents", ["source", "text"])
+    ref = {}
+    for src, g in docs.groupby("source"):
+        from collections import Counter
+        c = Counter()
+        for txt in g["text"]:
+            c.update(txt.split(" "))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+        k = len(top)
+        lr = [r.bit_length() - 1 for r in range(1, k + 1)]
+        lf = [f.bit_length() - 1 for _, f in top]
+        sl, sf2 = sum(lr), sum(lf)
+        slf = sum(a * b for a, b in zip(lr, lf))
+        sl2 = sum(a * a for a in lr)
+        num = 1024 * (k * slf - sl * sf2)
+        den = k * sl2 - sl * sl
+        q = abs(num) // den
+        ref[src] = (k, q if num >= 0 else -q)
+    got = {r["source"]: (int(r["k"]), int(r["slope_q"]))
+           for _, r in out.iterrows()}
+    assert got == ref
+    # rank-frequency curves never slope upward; most sources decay
+    assert all(s <= 0 for _, s in ref.values())
+    assert any(s < 0 for _, s in ref.values())
+
+
+def test_ks_length_drift_equals_bruteforce(ray_session):
+    from crawler_ray.queries import ks_length_drift
+
+    out = ks_length_drift(SF)
+    docs = _t("documents", ["source", "text"])
+    v = docs["text"].str.len().to_numpy().astype(np.int64) // 16
+    by_src = {s: np.sort(v[docs["source"].to_numpy() == s])
+              for s in np.unique(docs["source"])}
+    grid = np.sort(np.unique(v))
+    ref = {}
+    for a in by_src:
+        for b in by_src:
+            if a >= b:
+                continue
+            ca = np.searchsorted(by_src[a], grid, side="right")
+            cb = np.searchsorted(by_src[b], grid, side="right")
+            na, nb = len(by_src[a]), len(by_src[b])
+            d = int(np.abs(ca * nb - cb * na).max())
+            ref[(a, b)] = (1024 * d) // (na * nb)
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [((r["src_a"], r["src_b"]), int(r["ks_q"]))
+           for _, r in out.iterrows()]
+    assert got == top
