@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "late_event_audit",
     "zipf_slope",
     "ks_length_drift",
+    "market_share",
+    "power_iteration_embed",
 ]
 
 

@@ -17974,3 +17974,200 @@ def ks_length_drift(sf_dir: str, k: int = 50):
                           ascending=[False, True, True], kind="stable").head(k)
     out["ks_q"] = out["ks_q"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+@register(
+    "market_share",
+    """
+    WITH mkt AS (
+      SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                 AS BIGINT) AS rev,
+             (s.s_nationkey = (SELECT n_nationkey FROM nation
+                               WHERE n_name = 'NATION_1')) AS is_target
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+                   AND r.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+    SELECT l_year,
+           CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END) AS BIGINT)
+             AS target_cents,
+           CAST(sum(rev) AS BIGINT) AS total_cents,
+           CAST((1000 * sum(CASE WHEN is_target THEN rev ELSE 0 END))
+                // sum(rev) AS BIGINT) AS share_permille
+    FROM mkt GROUP BY 1
+    """,
+    doc="TPC-H Q8-shape market share: one supplier nation's permille "
+    "share of revenue sold into a region's customer market, per ship "
+    "year (the conditional-share aggregation).  Distributed shape: "
+    "region/nation resolve driver-side (25 rows); the region's "
+    "customer keys broadcast once as a sorted int64 membership array "
+    "(past a broadcast cap: the bucketed semi-join posture); "
+    "supplier -> is-target broadcasts the same way; orders filter to "
+    "in-market custkeys AT THE SCAN, lineitem resolves (year, cents, "
+    "is_target) locally; ONE ok%%64 co-shuffle joins them and folds "
+    "to (year, target, total) partials — two int64s per year per "
+    "bucket; the permille quotient runs once driver-side in exact "
+    "Python ints.",
+)
+def market_share(sf_dir: str, region: str = "AMERICA",
+                 target_nation: str = "NATION_1"):
+    import ray
+
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nk = set(nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(int))
+    target_nk = int(nat.loc[nat["n_name"] == target_nation,
+                            "n_nationkey"].iloc[0])
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    in_mkt = np.isin(cust["c_nationkey"].to_numpy().astype(np.int64),
+                     np.array(sorted(region_nk), dtype=np.int64))
+    mkt_ck = np.sort(cust["c_custkey"].to_numpy().astype(np.int64)[in_mkt])
+    ck_ref = ray.put(mkt_ck)
+
+    supp = pq.read_table(_pq(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sk, kind="stable")
+    smap_ref = ray.put((sk[so], (supp["s_nationkey"].to_numpy().astype(np.int64)
+                                 == target_nk)[so]))
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "yr": "int64", "rev": "int64", "tgt": "int64",
+                "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ks, tv = ray.get(smap_ref)
+        q = t["l_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ks, q)
+        pos[pos >= len(ks)] = 0
+        tgt = tv[pos] & (ks[pos] == q)
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        yr = pc.year(t["l_shipdate"]).to_numpy().astype(np.int64)
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        return pd.DataFrame({"ok": ok, "yr": yr,
+                             "rev": rev.to_numpy().astype(np.int64),
+                             "tgt": tgt.astype(np.int64),
+                             "ob": (ok % 64).astype("int32")})
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        w = ray.get(ck_ref)
+        q = t["o_custkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(w, q)
+        pos[pos >= len(w)] = 0 if len(w) else 0
+        keep = (w[pos] == q) if len(w) else np.zeros(len(q), dtype=bool)
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)[keep]
+        return pd.DataFrame({"ok": ok, "ob": (ok % 64).astype("int32")})
+
+    lis = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"]
+                ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"yr": "int64", "target": "int64", "total": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return empty
+        o = g[g["side"] == "o"]
+        l = g[g["side"] == "l"]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        m = l[["ok", "yr", "rev", "tgt"]].merge(o[["ok"]], on="ok")
+        if len(m) == 0:
+            return empty
+        m["target"] = m["rev"].to_numpy() * m["tgt"].to_numpy().astype(np.int64)
+        out = m.groupby("yr", as_index=False, sort=False).agg(
+            target=("target", "sum"), total=("rev", "sum"))
+        return out.astype(cols)
+
+    parts = (
+        both.groupby("ob").map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("yr", as_index=False, sort=False)[["target", "total"]].sum()
+    return pd.DataFrame({
+        "l_year": agg["yr"].to_numpy().astype(np.int64),
+        "target_cents": agg["target"].to_numpy().astype(np.int64),
+        "total_cents": agg["total"].to_numpy().astype(np.int64),
+        "share_permille": np.array(
+            [(1000 * int(t)) // int(d)
+             for t, d in zip(agg["target"], agg["total"])], dtype=np.int64),
+    })
+
+
+@register(
+    "power_iteration_embed",
+    """
+    WITH q AS (
+      SELECT vec_id, g.i AS i,
+             CAST(floor(embedding[g.i + 1] * 1024) AS BIGINT) AS qv
+      FROM embeddings, unnest(generate_series(0, 63)) AS g(i)),
+    gU AS (SELECT a.i AS i, b.i AS j,
+                  CAST(sum(a.qv * b.qv) AS HUGEINT) AS g
+           FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2),
+    gF AS (SELECT i, j, g FROM gU
+           UNION ALL
+           SELECT j AS i, i AS j, g FROM gU WHERE i < j),
+    v1 AS (SELECT i, sum(g) AS v FROM gF GROUP BY i),
+    v2 AS (SELECT gF.i, sum(gF.g * v1.v) AS v
+           FROM gF JOIN v1 ON v1.i = gF.j GROUP BY gF.i),
+    m AS (SELECT max(abs(v)) AS mx FROM v2)
+    SELECT CAST(v2.i AS BIGINT) AS i,
+           CAST((1024 * v2.v) // m.mx AS BIGINT) AS v_q
+    FROM v2, m
+    """,
+    doc="Distributed power iteration toward the embedding corpus' top "
+    "principal direction: two unrolled integer matvec rounds v2 = "
+    "G^2 * 1 over the EXACT integer Gram matrix (the PCA/spectral "
+    "step after embedding_gram's reduce), reported as the direction "
+    "quantized to x1024 of its max |component| — every value an "
+    "exact integer, so the eigen-direction is hash-stable under the "
+    "oracle (float PCA never would be).  Distributed shape: the "
+    "corpus-wide work IS embedding_gram (per-batch Q^T Q, fixed "
+    "2080-cell combiner, one tiny groupby); both matvecs then run "
+    "driver-side over the d x d = 64 x 64 matrix in exact Python "
+    "ints (v2 components exceed int64; d^2 driver state is the "
+    "documented bound, independent of corpus size).  DuckDB "
+    "mirrors with HUGEINT sums; the signed final quotient uses "
+    "truncation-toward-zero to match //.",
+)
+def power_iteration_embed(sf_dir: str, dim: int = 64):
+    gt = embedding_gram(sf_dir).to_pandas()
+    G = [[0] * dim for _ in range(dim)]
+    for i, j, g in gt[["i", "j", "g"]].itertuples(index=False):
+        G[int(i)][int(j)] = int(g)
+        G[int(j)][int(i)] = int(g)
+    v1 = [sum(row) for row in G]
+    v2 = [sum(G[i][j] * v1[j] for j in range(dim)) for i in range(dim)]
+    mx = max(abs(x) for x in v2)
+    out = []
+    for i, x in enumerate(v2):
+        num = 1024 * x
+        q = abs(num) // mx
+        out.append((i, q if num >= 0 else -q))
+    return pd.DataFrame({"i": np.array([r[0] for r in out], dtype=np.int64),
+                         "v_q": np.array([r[1] for r in out], dtype=np.int64)})

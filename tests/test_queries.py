@@ -56,6 +56,7 @@ SAMPLE = [
     "top_supplier_revenue", "clustering_coefficient",
     "degree_assortativity", "cusum_change_points",
     "late_event_audit", "zipf_slope", "ks_length_drift",
+    "market_share", "power_iteration_embed",
 ]
 
 

@@ -292,3 +292,60 @@ def test_ks_length_drift_equals_bruteforce(ray_session):
     got = [((r["src_a"], r["src_b"]), int(r["ks_q"]))
            for _, r in out.iterrows()]
     assert got == top
+
+
+def test_market_share_equals_bruteforce(ray_session):
+    from crawler_ray.queries import market_share
+
+    out = market_share(SF)
+    li = _t("lineitem")
+    orders = _t("orders", ["o_orderkey", "o_custkey"])
+    cust = _t("customer", ["c_custkey", "c_nationkey"])
+    supp = _t("supplier", ["s_suppkey", "s_nationkey"])
+    nat = _t("nation")
+    reg = _t("region")
+    rk = int(reg.loc[reg["r_name"] == "AMERICA", "r_regionkey"].iloc[0])
+    nk = set(nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(int))
+    tgt = int(nat.loc[nat["n_name"] == "NATION_1", "n_nationkey"].iloc[0])
+    m = (li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m["c_nationkey"].isin(nk)]
+    rev = _cents(m["l_extendedprice"].to_numpy()
+                 * (1 - m["l_discount"].to_numpy()))
+    yr = m["l_shipdate"].dt.year.to_numpy()
+    is_t = (m["s_nationkey"].to_numpy() == tgt)
+    ref = pd.DataFrame({"yr": yr, "rev": rev, "t": rev * is_t}
+                       ).groupby("yr")[["t", "rev"]].sum()
+    assert len(out) == len(ref)
+    for _, r in out.iterrows():
+        rr = ref.loc[int(r["l_year"])]
+        assert int(r["target_cents"]) == int(rr["t"])
+        assert int(r["total_cents"]) == int(rr["rev"])
+        assert int(r["share_permille"]) == (1000 * int(rr["t"])) // int(rr["rev"])
+
+
+def test_power_iteration_matches_numpy_eigvec(ray_session):
+    from crawler_ray.queries import power_iteration_embed
+
+    out = power_iteration_embed(SF)
+    emb = _t("embeddings", ["embedding"])
+    M = np.stack(emb["embedding"].to_numpy())
+    Q = np.floor(M.astype(np.float64) * 1024)
+    G = Q.T @ Q
+    # two power rounds from ones, float reference
+    v2 = G @ (G @ np.ones(64))
+    vq = out["v_q"].to_numpy().astype(np.float64)
+    # direction agreement with the exact integer result: cosine ~ 1
+    # (quantization to 1/1024 of max|component| bounds the error)
+    cos = (v2 @ vq) / (np.linalg.norm(v2) * np.linalg.norm(vq))
+    assert cos > 0.99999
+    assert int(np.abs(out["v_q"].to_numpy()).max()) == 1024
+    # power iteration on a PSD Gram matrix: the Rayleigh quotient is
+    # non-decreasing along the iterates (ones -> G*1 -> G^2*1)
+    def rq(v):
+        return (v @ G @ v) / (v @ v)
+    v0 = np.ones(64)
+    v1 = G @ v0
+    assert rq(v1) >= rq(v0) * (1 - 1e-12)
+    assert rq(v2) >= rq(v1) * (1 - 1e-12)
