@@ -76,6 +76,8 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "shipmode_priority",       # new in r5 session 18, never certified
+    "disjunctive_revenue",     # new in r5 session 18, never certified
     "market_share",            # new in r5 session 17, never certified
     "power_iteration_embed",   # new in r5 session 17, never certified
     "late_event_audit",        # new in r5 session 17, never certified

@@ -18171,3 +18171,244 @@ def power_iteration_embed(sf_dir: str, dim: int = 64):
         out.append((i, q if num >= 0 else -q))
     return pd.DataFrame({"i": np.array([r[0] for r in out], dtype=np.int64),
                          "v_q": np.array([r[1] for r in out], dtype=np.int64)})
+
+
+# =====================================================================
+# Session 18 — TPC-H gap closers (Q12, Q19 shapes over derived columns)
+# =====================================================================
+
+_SHIP_MODES = ["AIR", "MAIL", "RAIL", "SHIP", "TRUCK"]
+
+
+@register(
+    "shipmode_priority",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS ok,
+             (['AIR','MAIL','RAIL','SHIP','TRUCK'])
+               [CAST((l_orderkey*7 + l_linenumber) % 5 AS INT) + 1]
+               AS shipmode,
+             CAST(l_partkey % 30 AS BIGINT) AS cd,
+             CAST(l_suppkey % 45 AS BIGINT) AS rd,
+             epoch_us(l_shipdate) AS ship_us
+      FROM lineitem),
+    f AS (
+      SELECT ok, shipmode FROM li
+      WHERE shipmode IN ('MAIL','SHIP')
+        AND cd > 0 AND cd < rd
+        AND ship_us + rd*86400000000 >= epoch_us(TIMESTAMP '1996-01-01')
+        AND ship_us + rd*86400000000 <  epoch_us(TIMESTAMP '1998-01-01'))
+    SELECT f.shipmode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM f JOIN orders o ON o.o_orderkey = f.ok
+    GROUP BY f.shipmode
+    """,
+    doc="TPC-H Q12-shape shipping-mode service audit: for late-capable "
+    "ship modes, how many line items belonged to high- vs low-priority "
+    "orders.  The testdata lineitem has no shipmode/commit/receipt "
+    "columns, so they are DERIVED deterministically from keys (mode = "
+    "modes[(ok*7+ln)%5], commit = ship + (pk%30)d, receipt = ship + "
+    "(sk%45)d) and the oracle mirrors the same arithmetic.  "
+    "Distributed shape: lineitem applies the whole mode/date "
+    "predicate AT THE SCAN (pure key arithmetic, no other table "
+    "needed) and projects (ok, mode); orders projects (ok, is_high); "
+    "ONE ok%64 tagged-union co-shuffle resolves the priority-class "
+    "join in-bucket and folds to <=2 (mode, high, low) partial rows "
+    "per bucket; the driver sums 128 tiny partials in exact ints.  "
+    "Raw line items cross the wire once, pre-filtered.",
+)
+def shipmode_priority(sf_dir: str, lo: str = "1996-01-01",
+                      hi: str = "1998-01-01"):
+    LO = int(pd.Timestamp(lo).value // 1000)
+    HI = int(pd.Timestamp(hi).value // 1000)
+    DAY_US = 86400_000_000
+
+    def li_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "mode": "object", "ob": "int32"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if t.num_rows == 0:
+            return empty
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        ship = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        mode_i = (ok * 7 + ln) % 5
+        cd = pk % 30
+        rd = sk % 45
+        recv = ship + rd * DAY_US
+        keep = (
+            ((mode_i == 1) | (mode_i == 3))  # MAIL, SHIP
+            & (cd > 0) & (cd < rd)
+            & (recv >= LO) & (recv < HI)
+        )
+        if not keep.any():
+            return empty
+        modes = np.array(_SHIP_MODES, dtype=object)
+        return pd.DataFrame({"ok": ok[keep],
+                             "mode": modes[mode_i[keep]],
+                             "ob": (ok[keep] % 64).astype("int32")})
+
+    def ord_side(t: pa.Table) -> pd.DataFrame:
+        cols = {"ok": "int64", "hi": "int64", "ob": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        hi_ = np.isin(pr, np.array(["1-URGENT", "2-HIGH"], dtype=object)).astype(np.int64)
+        return pd.DataFrame({"ok": ok, "hi": hi_,
+                             "ob": (ok % 64).astype("int32")})
+
+    lis = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_linenumber", "l_partkey",
+                         "l_suppkey", "l_shipdate"]
+                ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority"]
+                 ).map_batches(ord_side, batch_format="pyarrow")
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            return df
+        return fn
+
+    both = ords.map_batches(tag("o"), batch_format="pandas").union(
+        lis.map_batches(tag("l"), batch_format="pandas"))
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"shipmode": "object", "h": "int64", "l": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return empty
+        o = g[g["side"] == "o"]
+        li = g[g["side"] == "l"]
+        if len(o) == 0 or len(li) == 0:
+            return empty
+        m = li[["ok", "mode"]].merge(o[["ok", "hi"]], on="ok")
+        if len(m) == 0:
+            return empty
+        agg = m.groupby("mode", sort=False)["hi"].agg(["sum", "size"])
+        return pd.DataFrame({"shipmode": agg.index.to_numpy(dtype=object),
+                             "h": agg["sum"].to_numpy().astype(np.int64),
+                             "l": (agg["size"] - agg["sum"]).to_numpy().astype(np.int64)})
+
+    parts = both.groupby("ob").map_groups(bucket, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"shipmode": pd.Series([], dtype=object),
+                             "high_line_count": pd.Series([], dtype=np.int64),
+                             "low_line_count": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("shipmode", as_index=False, sort=True).agg(
+        high_line_count=("h", "sum"), low_line_count=("l", "sum"))
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out
+
+
+_CONTAINERS = ["SM CASE", "SM BOX", "SM PACK", "SM PKG",
+               "MED BAG", "MED BOX", "MED PKG", "MED PACK",
+               "LG CASE", "LG BOX", "LG PACK", "LG PKG"]
+
+
+@register(
+    "disjunctive_revenue",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(p_partkey % 12 AS BIGINT) AS ci
+      FROM part),
+    j AS (
+      SELECT CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+               AS BIGINT) AS rev
+      FROM lineitem l JOIN p ON p.p_partkey = l.l_partkey
+      WHERE
+        (p.p_brand = 'Brand#12' AND p.ci BETWEEN 0 AND 3
+         AND l.l_quantity >= 1 AND l.l_quantity <= 11
+         AND p.p_size BETWEEN 1 AND 5)
+        OR
+        (p.p_brand = 'Brand#23' AND p.ci BETWEEN 4 AND 7
+         AND l.l_quantity >= 10 AND l.l_quantity <= 20
+         AND p.p_size BETWEEN 1 AND 10)
+        OR
+        (p.p_brand = 'Brand#24' AND p.ci BETWEEN 8 AND 11
+         AND l.l_quantity >= 20 AND l.l_quantity <= 30
+         AND p.p_size BETWEEN 1 AND 15))
+    SELECT CAST(coalesce(sum(rev), 0) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM j
+    """,
+    doc="TPC-H Q19-shape disjunctive predicate join: revenue from "
+    "three OR-ed (brand, container-class, quantity-range, size-range) "
+    "clauses.  Container is DERIVED (containers[p_partkey %% 12]; the "
+    "clause container sets are exactly the SM/MED/LG index ranges, so "
+    "the oracle mirrors with ci BETWEEN).  Distributed shape: the "
+    "part dim is filtered driver-side to the three clause brands "
+    "(~12%% of part) and broadcast ONCE via ray.put as three sorted "
+    "(partkey, size) arrays, one per clause; each lineitem batch "
+    "applies its clause's quantity range + searchsorted membership + "
+    "size range and folds to a single (revenue, count) partial row — "
+    "zero shuffle, no join.  Past a broadcast cap the same predicate "
+    "runs as a pk%%64 tagged-union co-shuffle (the waiting_suppliers "
+    "regime); the cap posture matches promo_revenue_share.",
+)
+def disjunctive_revenue(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(_pq(sf_dir, "part"),
+                       columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk_ = pt["p_partkey"].to_numpy().astype(np.int64)
+    ci = pk_ % 12
+    sz = pt["p_size"].to_numpy().astype(np.int64)
+    br = pt["p_brand"].to_numpy(dtype=object)
+    clauses = []
+    for brand, clo, chi, qlo, qhi, slo, shi in [
+        ("Brand#12", 0, 3, 1, 11, 1, 5),
+        ("Brand#23", 4, 7, 10, 20, 1, 10),
+        ("Brand#24", 8, 11, 20, 30, 1, 15),
+    ]:
+        sel = (br == brand) & (ci >= clo) & (ci <= chi) & (sz >= slo) & (sz <= shi)
+        clauses.append((np.sort(pk_[sel]), qlo, qhi))
+    ref = ray.put(clauses)
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"revenue_cents": "int64", "n_lines": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        cl = ray.get(ref)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        qty = t["l_quantity"].to_numpy()
+        keep = np.zeros(len(pk), dtype=bool)
+        for keys, qlo, qhi in cl:
+            if len(keys) == 0:
+                continue
+            pos = np.searchsorted(keys, pk)
+            pos[pos >= len(keys)] = 0
+            hit = (keys[pos] == pk) & (qty >= qlo) & (qty <= qhi)
+            keep |= hit
+        if not keep.any():
+            return pd.DataFrame({"revenue_cents": [0], "n_lines": [0]})
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))
+                    ).to_numpy().astype(np.int64)
+        return pd.DataFrame({"revenue_cents": [int(rev[keep].sum())],
+                             "n_lines": [int(keep.sum())]})
+
+    tot = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice",
+                       "l_discount"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_lines", alias_name="n_lines"))
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "revenue_cents": [int(tot["revenue_cents"].iloc[0])],
+        "n_lines": [int(tot["n_lines"].iloc[0])],
+    })
