@@ -76,6 +76,9 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "interval_coverage",       # new in r5 session 18, never certified
+    "gini_concentration",      # new in r5 session 18, never certified
+    "lag1_autocorr",           # new in r5 session 18, never certified
     "shipmode_priority",       # new in r5 session 18, never certified
     "disjunctive_revenue",     # new in r5 session 18, never certified
     "market_share",            # new in r5 session 17, never certified

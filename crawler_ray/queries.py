@@ -18412,3 +18412,277 @@ def disjunctive_revenue(sf_dir: str):
         "revenue_cents": [int(tot["revenue_cents"].iloc[0])],
         "n_lines": [int(tot["n_lines"].iloc[0])],
     })
+
+
+# =====================================================================
+# Session 18 — interval union, concentration, autocorrelation
+# =====================================================================
+
+
+@register(
+    "interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (1 + event_id % 7) * 60000000 AS e
+      FROM events),
+    w AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM w),
+    m AS (SELECT user_id, isl, max(e) - min(s) AS len
+          FROM g GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS covered_us
+    FROM m GROUP BY user_id
+    """,
+    doc="Union-of-intervals session coverage: each event opens a "
+    "[ts, ts + (1 + event_id%7) minutes) activity interval; per user, "
+    "overlapping/touching intervals merge and the query reports the "
+    "merged-island count and total covered microseconds — the classic "
+    "gaps-and-islands shape (uptime/session-time accounting).  "
+    "Touching intervals (s == prev max end) MERGE (strict > opens an "
+    "island).  Distributed shape: ONE coarse user-bucket shuffle; per "
+    "bucket a single vectorized pass — sort by (user, s, e), "
+    "per-user running max of interval ends via grouped cummax, "
+    "island ids via cumsum of boundary flags, then a (user, island) "
+    "groupby for min-start/max-end — no Python loop over rows.  The "
+    "oracle mirrors with the runmax window idiom; island identity is "
+    "tie-safe because the (s, e) sort makes equal rows adjacent and "
+    "merge order over duplicates is symmetric.",
+)
+def interval_coverage(sf_dir: str):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"u": "int64", "s": "int64", "e": "int64", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = t["user_id"].to_numpy().astype(np.int64)
+        s = t["ts"].cast(pa.int64()).to_numpy()
+        dur = (1 + t["event_id"].to_numpy().astype(np.int64) % 7) * 60_000_000
+        return pd.DataFrame({"u": u, "s": s, "e": s + dur,
+                             "ub": (u % 32).astype("int32")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_islands": "int64", "covered_us": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["u", "s", "e"], kind="stable").reset_index(drop=True)
+        pmax = g.groupby("u", sort=False)["e"].cummax().shift(1)
+        first = g["u"].ne(g["u"].shift(1))
+        new_isl = first | (g["s"] > pmax)
+        isl = new_isl.cumsum()
+        m = g.assign(isl=isl).groupby(["u", "isl"], sort=False).agg(
+            s=("s", "min"), e=("e", "max"))
+        out = m.assign(len=m["e"] - m["s"]).groupby(level="u").agg(
+            n_islands=("len", "size"), covered_us=("len", "sum"))
+        return pd.DataFrame({
+            "user_id": out.index.to_numpy().astype(np.int64),
+            "n_islands": out["n_islands"].to_numpy().astype(np.int64),
+            "covered_us": out["covered_us"].to_numpy().astype(np.int64),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+@register(
+    "gini_concentration",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+               GROUP BY user_id),
+    r AS (SELECT cnt,
+                 row_number() OVER (ORDER BY cnt, user_id) AS rk
+          FROM c),
+    s AS (SELECT count(*) AS n, sum(cnt) AS s0, sum(rk * cnt) AS s1
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(s0 AS BIGINT) AS total_events,
+           CAST((1000000 * (2*s1 - (n+1)*s0)) // (n*s0) AS BIGINT)
+             AS gini_q
+    FROM s
+    """,
+    doc="Gini coefficient of per-user event-volume concentration "
+    "(x1e6 quantized; 0 = uniform load, ->1e6 = one user dominates) "
+    "— the workload-skew diagnostic a crawl scheduler reads before "
+    "assigning politeness budgets.  Exact integer identity G = "
+    "(2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) over ascending-"
+    "sorted counts; ranks over ties are permutation-invariant "
+    "(equal x contribute x*Sum(i) regardless of order), so the "
+    "statistic is hash-stable.  Distributed shape: per-user counts "
+    "via bucketed_agg (combiner before the shuffle); the counts "
+    "dataset gets a DISTRIBUTED rank via the add_prefix_sum "
+    "two-phase scan over a unique (cnt<<32 | user) sort key; each "
+    "block folds to one (n, Sum x, Sum rank*x) partial and the "
+    "driver computes the final quotient from three exact Python "
+    "ints.  The raw event stream crosses one combiner'd shuffle; "
+    "the scan moves only (key, count) pairs.",
+)
+def gini_concentration(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .stages.relational import add_prefix_sum, bucketed_agg
+
+    counts = bucketed_agg(
+        _read(sf_dir, "events", columns=["user_id"]).map_batches(
+            lambda t: pd.DataFrame(
+                {"user_id": t["user_id"].to_numpy().astype(np.int64),
+                 "one": np.ones(t.num_rows, dtype=np.int64)}),
+            batch_format="pyarrow"),
+        keys=["user_id"], sum_cols={"one": "cnt"},
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"okey": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "one": pa.array([], type=pa.int64())})
+        u = pc.cast(t["user_id"], pa.int64())
+        cnt = pc.cast(t["cnt"], pa.int64())
+        okey = pc.add(pc.multiply(cnt, pa.scalar(1 << 32, type=pa.int64())), u)
+        return pa.table({"okey": okey, "cnt": cnt,
+                         "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    ranked = add_prefix_sum(
+        counts.map_batches(keyed, batch_format="pyarrow"),
+        col="one", out_col="rk0", order_col="okey")
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"n": "int64", "s0": "int64", "s1": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        cnt = t["cnt"].to_numpy().astype(np.int64)
+        rk = t["rk0"].to_numpy().astype(np.int64) + 1
+        return pd.DataFrame({"n": [len(cnt)], "s0": [int(cnt.sum())],
+                             "s1": [int((rk * cnt).sum())]})
+
+    tot = (
+        ranked.map_batches(fold, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n", alias_name="n"), Sum("s0", alias_name="s0"),
+                   Sum("s1", alias_name="s1"))
+        .to_pandas()
+    )
+    n = int(tot["n"].iloc[0])
+    s0 = int(tot["s0"].iloc[0])
+    s1 = int(tot["s1"].iloc[0])
+    gini_q = (1_000_000 * (2 * s1 - (n + 1) * s0)) // (n * s0) if n and s0 else 0
+    return pd.DataFrame({"n_users": [np.int64(n)],
+                         "total_events": [np.int64(s0)],
+                         "gini_q": [np.int64(gini_q)]})
+
+
+@register(
+    "lag1_autocorr",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CAST(floor(value*100 + 0.5) AS HUGEINT) AS x
+      FROM events),
+    l AS (
+      SELECT user_id, x,
+             lead(x) OVER (PARTITION BY user_id
+                           ORDER BY tus, event_id) AS nx,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM e),
+    s AS (
+      SELECT user_id, max(n) AS n, sum(x) AS sx, sum(x*x) AS q,
+             sum(CASE WHEN nx IS NOT NULL THEN x*nx ELSE 0 END) AS p,
+             sum(CASE WHEN rn = 1 THEN x ELSE 0 END) AS xh,
+             sum(CASE WHEN rn = n THEN x ELSE 0 END) AS xt
+      FROM l GROUP BY user_id)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST((1024 * (n*n*p - n*sx*(2*sx - xh - xt) + (n-1)*sx*sx))
+                // (n*n*q - n*sx*sx) AS BIGINT) AS r1_q
+    FROM s
+    WHERE n >= 3 AND (n*n*q - n*sx*sx) > 0
+    """,
+    doc="Per-user lag-1 autocorrelation of the event value series "
+    "(ordered by ts, event_id; values in exact cents), quantized "
+    "x1024 — the serial-dependence signal that separates trending "
+    "metrics from white noise in per-host monitoring.  Exact integer "
+    "cross-multiplication: r1 = Sum(x_t-mu)(x_{t+1}-mu) / "
+    "Sum(x_t-mu)^2 scaled by n^2 gives num = n^2*P - n*S*(2S-x1-xn) "
+    "+ (n-1)*S^2 and den = n^2*Q - n*S^2 (P = adjacent products, "
+    "Q = sum of squares, S = sum) — both exceed int64 at long "
+    "series, so per-user finals run in exact Python ints (HUGEINT "
+    "in the oracle) with truncation-toward-zero matching DuckDB's "
+    "signed //.  Distributed shape: ONE coarse user-bucket shuffle "
+    "of (user, tus, event_id, cents) rows; per bucket a vectorized "
+    "sort + segmented adjacent-product mask (shifted user compare), "
+    "per-user int64-safe partial moments, then the tiny per-user "
+    "quotient loop.  Constant series (den = 0) and n < 3 are "
+    "filtered, mirroring the oracle.",
+)
+def lag1_autocorr(sf_dir: str):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"u": "int64", "tus": "int64", "eid": "int64", "x": "int64",
+                "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "u": u,
+            "tus": t["ts"].cast(pa.int64()).to_numpy(),
+            "eid": t["event_id"].to_numpy().astype(np.int64),
+            "x": cents(t["value"]).to_numpy().astype(np.int64),
+            "ub": (u % 32).astype("int32"),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64", "r1_q": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0:
+            return empty
+        g = g.sort_values(["u", "tus", "eid"], kind="stable").reset_index(drop=True)
+        u = g["u"].to_numpy()
+        x = g["x"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = u[:-1] == u[1:]
+        same[-1] = False
+        prod = np.where(same, x * np.roll(x, -1), 0)
+        df = pd.DataFrame({"u": u, "x": x, "xx": x * x, "p": prod})
+        gb = df.groupby("u", sort=False)
+        agg = gb.agg(n=("x", "size"), sx=("x", "sum"), q=("xx", "sum"),
+                     p=("p", "sum"), xh=("x", "first"), xt=("x", "last"))
+        out_u, out_n, out_r = [], [], []
+        for uid, row in agg.iterrows():
+            n = int(row["n"])
+            if n < 3:
+                continue
+            S, Q, P = int(row["sx"]), int(row["q"]), int(row["p"])
+            xh, xt = int(row["xh"]), int(row["xt"])
+            den = n * n * Q - n * S * S
+            if den <= 0:
+                continue
+            num = 1024 * (n * n * P - n * S * (2 * S - xh - xt)
+                          + (n - 1) * S * S)
+            q_ = abs(num) // den
+            out_u.append(int(uid))
+            out_n.append(n)
+            out_r.append(q_ if num >= 0 else -q_)
+        return pd.DataFrame({"user_id": pd.Series(out_u, dtype="int64"),
+                             "n_events": pd.Series(out_n, dtype="int64"),
+                             "r1_q": pd.Series(out_r, dtype="int64")})
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -74,3 +74,71 @@ def test_disjunctive_revenue_equals_bruteforce(ray_session):
     assert int(out["n_lines"].iloc[0]) == int(keep.sum())
     assert int(out["revenue_cents"].iloc[0]) == int(rev[keep].sum())
     assert int(keep.sum()) > 0  # clauses must hit on the testdata
+
+
+def test_interval_coverage_equals_sequential_merge(ray_session):
+    from crawler_ray.queries import interval_coverage
+
+    out = interval_coverage(SF).to_pandas()
+
+    ev = _t("events", ["user_id", "ts", "event_id"])
+    s = ev["ts"].astype("int64").to_numpy()
+    dur = (1 + ev["event_id"].to_numpy().astype(np.int64) % 7) * 60_000_000
+    df = pd.DataFrame({"u": ev["user_id"].to_numpy().astype(np.int64),
+                       "s": s, "e": s + dur})
+    ref = {}
+    for u, g in df.groupby("u"):
+        ivs = sorted(zip(g["s"], g["e"]))
+        merged = []
+        for a, b in ivs:  # sequential merge oracle
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        ref[int(u)] = (len(merged), sum(b - a for a, b in merged))
+    got = {int(r["user_id"]): (int(r["n_islands"]), int(r["covered_us"]))
+           for _, r in out.iterrows()}
+    assert got == ref
+    # non-vacuous: some user must actually merge intervals
+    assert any(n < len(df[df["u"] == u]) for u, (n, _) in ref.items())
+
+
+def test_gini_concentration_equals_bruteforce(ray_session):
+    from crawler_ray.queries import gini_concentration
+
+    out = gini_concentration(SF)
+    ev = _t("events", ["user_id"])
+    cnt = np.sort(ev.groupby("user_id").size().to_numpy().astype(np.int64))
+    n = len(cnt)
+    s0 = int(cnt.sum())
+    s1 = int((np.arange(1, n + 1, dtype=np.int64) * cnt).sum())
+    assert int(out["n_users"].iloc[0]) == n
+    assert int(out["total_events"].iloc[0]) == s0
+    assert int(out["gini_q"].iloc[0]) == (1_000_000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+    # sanity: float Gini agrees to quantization
+    gflt = (2 * s1 - (n + 1) * s0) / (n * s0)
+    assert abs(int(out["gini_q"].iloc[0]) / 1e6 - gflt) < 1e-5
+
+
+def test_lag1_autocorr_equals_float_reference(ray_session):
+    from crawler_ray.queries import lag1_autocorr
+
+    out = lag1_autocorr(SF).to_pandas()
+    ev = _t("events", ["user_id", "ts", "event_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    got = {int(r["user_id"]): (int(r["n_events"]), int(r["r1_q"]))
+           for _, r in out.iterrows()}
+    checked = 0
+    for u, g in ev.groupby("user_id"):
+        x = _cents(g["value"]).astype(np.float64)
+        n = len(x)
+        if n < 3 or np.var(x) == 0:
+            assert int(u) not in got
+            continue
+        mu = x.mean()
+        r1 = ((x[:-1] - mu) * (x[1:] - mu)).sum() / ((x - mu) ** 2).sum()
+        nn, r1_q = got[int(u)]
+        assert nn == n
+        assert abs(r1_q / 1024 - r1) < 2e-3  # quantization + truncation
+        checked += 1
+    assert checked >= 5
