@@ -171,7 +171,7 @@ _CERTIFY_FIRST = [
     "per_source_cap",       # new in r5 session 9, never certified
     "graph_bfs_layers",     # new in r5 session 9, never certified
     "weighted_sample_topk", # new in r5 session 9, never certified
-    "kcore_decomposition",  # new in r5 session 9 (rows-only: no SQL)
+    "kcore_decomposition",  # oracle added r5 s18 (recursive-CTE h-index)
     "triangle_count",       # new in r5 session 8, never certified
     "warc_roundtrip_stats", # new in r5 session 7, never certified
     "bigram_lm_score",      # new in r5 session 6, never certified
