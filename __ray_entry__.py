@@ -76,6 +76,10 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "product_profit",          # new in r5 session 18, never certified
+    "excess_stock_suppliers",  # new in r5 session 18, never certified
+    "min_cost_supplier",       # new in r5 session 18, never certified
+    "kcore_decomposition",     # oracle added r5 s18 (recursive-CTE h-index)
     "interval_coverage",       # new in r5 session 18, never certified
     "gini_concentration",      # new in r5 session 18, never certified
     "lag1_autocorr",           # new in r5 session 18, never certified
@@ -171,7 +175,6 @@ _CERTIFY_FIRST = [
     "per_source_cap",       # new in r5 session 9, never certified
     "graph_bfs_layers",     # new in r5 session 9, never certified
     "weighted_sample_topk", # new in r5 session 9, never certified
-    "kcore_decomposition",  # oracle added r5 s18 (recursive-CTE h-index)
     "triangle_count",       # new in r5 session 8, never certified
     "warc_roundtrip_stats", # new in r5 session 7, never certified
     "bigram_lm_score",      # new in r5 session 6, never certified

@@ -18725,3 +18725,325 @@ def lag1_autocorr(sf_dir: str):
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+# =====================================================================
+# Session 18 — TPC-H Q9/Q20/Q2 shapes over a DERIVED partsupp bridge
+# (the testdata has no partsupp table; ps rows are generated
+# deterministically: part pk supplies via sk_j = (pk*13 + j*29) % NS
+# for j in 0..3, availqty = (pk*7 + sk*11) % 1000, supplycost cents =
+# 100 + (pk*37 + sk*61) % 99901 — every derivation mirrored in SQL)
+# =====================================================================
+
+
+def _supplier_count(sf_dir: str) -> int:
+    return pq.read_metadata(_pq(sf_dir, "supplier")).num_rows
+
+
+@register(
+    "product_profit",
+    """
+    WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+    j AS (
+      SELECT n.n_name AS nation,
+             year(l.l_shipdate) AS o_year,
+             CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                  AS BIGINT)
+             - (100 + (l.l_partkey*37 + l.l_suppkey*61) % 99901)
+               * CAST(floor(l.l_quantity) AS BIGINT) AS profit_c
+      FROM lineitem l
+      JOIN fp ON fp.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           CAST(sum(profit_c) AS BIGINT) AS profit_cents
+    FROM j GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9-shape product-type profit: per (supplier nation, "
+    "ship year), revenue minus supply cost x quantity for parts whose "
+    "name contains 'red'.  Supply cost is the derived-partsupp "
+    "formula evaluated at the line item's own (partkey, suppkey) — "
+    "pure key arithmetic, so the classic 6-way join collapses to "
+    "TWO dim broadcasts.  Distributed shape: the name-filtered "
+    "partkey set (~1/8 of part) and the supplier→nation int array "
+    "are ray.put once; each lineitem batch filters by searchsorted "
+    "membership, computes exact profit cents, and pre-aggregates to "
+    "(nation, year) partials (<=25 nations x years rows per batch); "
+    "a tiny groupby finishes.  No fact-to-fact shuffle at all; the "
+    "nation-name join happens driver-side on the bounded final "
+    "frame.",
+)
+def product_profit(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = pq.read_table(_pq(sf_dir, "part"),
+                       columns=["p_partkey", "p_name"]).to_pandas()
+    red = np.sort(pt.loc[pt["p_name"].str.contains("red"), "p_partkey"]
+                  .to_numpy().astype(np.int64))
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    natmap = np.zeros(int(sup["s_suppkey"].max()) + 1, dtype=np.int64)
+    natmap[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    ref = ray.put((red, natmap))
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"nk": "int64", "o_year": "int64", "profit_c": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        red_, nm = ray.get(ref)
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(red_, pk)
+        pos[pos >= len(red_)] = 0
+        keep = (red_[pos] == pk) if len(red_) else np.zeros(len(pk), bool)
+        if not keep.any():
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pa.array(keep))
+        pk = pk[keep]
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        qty = np.floor(t["l_quantity"].to_numpy()).astype(np.int64)
+        rev = cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))
+                    ).to_numpy().astype(np.int64)
+        cost = 100 + (pk * 37 + sk * 61) % 99901
+        prof = rev - cost * qty
+        yr = pd.DatetimeIndex(t["l_shipdate"].to_pandas()).year.to_numpy().astype(np.int64)
+        df = pd.DataFrame({"nk": nm[sk], "o_year": yr, "profit_c": prof})
+        return df.groupby(["nk", "o_year"], as_index=False, sort=False)["profit_c"].sum()
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(["nk", "o_year"])
+        .aggregate(Sum("profit_c", alias_name="profit_cents"))
+        .to_pandas()
+    )
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    m = parts.merge(nat, left_on="nk", right_on="n_nationkey")
+    return pd.DataFrame({"nation": m["n_name"].to_numpy(dtype=object),
+                         "o_year": m["o_year"].to_numpy().astype(np.int64),
+                         "profit_cents": m["profit_cents"].to_numpy().astype(np.int64)})
+
+
+@register(
+    "excess_stock_suppliers",
+    """
+    WITH ns AS (SELECT count(*) AS c FROM supplier),
+    fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+    ps AS (
+      SELECT p_partkey AS pk,
+             (p_partkey*13 + j*29) % (SELECT c FROM ns) AS sk,
+             (p_partkey*7
+              + ((p_partkey*13 + j*29) % (SELECT c FROM ns))*11) % 1000
+               AS avail
+      FROM fp, unnest(generate_series(0, 3)) AS t(j)),
+    q AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             sum(CAST(floor(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2),
+    x AS (
+      SELECT ps.sk, count(*) AS n_excess
+      FROM ps LEFT JOIN q ON q.pk = ps.pk AND q.sk = ps.sk
+      WHERE ps.avail > 0 AND 2*ps.avail > coalesce(q.qty, 0)
+      GROUP BY ps.sk)
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           CAST(x.n_excess AS BIGINT) AS n_excess
+    FROM x JOIN supplier s ON s.s_suppkey = x.sk
+    """,
+    doc="TPC-H Q20-shape excess-stock audit: per supplier, how many "
+    "'blue' (pk, sk) stock positions exceed half the year's shipped "
+    "quantity (avail > 0 guards the no-shipment case; a COUNT "
+    "rather than Q20's bare EXISTS so the hash certifies "
+    "discriminative per-supplier values — membership alone is "
+    "near-vacuous on this data).  The partsupp bridge "
+    "is GENERATED, not stored: the name-filtered part stream "
+    "explodes to 4 (pk, sk, avail) rows per part inside map_batches "
+    "(derivation is per-row key arithmetic, so generation is "
+    "embarrassingly parallel and never materializes the bridge).  "
+    "Distributed shape: lineitem pre-filters the ship-year at the "
+    "scan and combiner-aggregates quantity per (pk, sk) via "
+    "bucketed_agg; generated partsupp and the quantity sums meet in "
+    "ONE pk%64 tagged-union co-shuffle; the in-bucket left merge "
+    "applies the half-stock predicate and emits surviving suppkeys; "
+    "a distinct + the bounded supplier-dim name fetch finish "
+    "driver-side.  Mirrors the reference's correlated NOT-EXISTS "
+    "dissolve into bucket locality.",
+)
+def excess_stock_suppliers(sf_dir: str, lo: str = "1997-01-01",
+                           hi: str = "1998-01-01"):
+    from .stages.relational import bucketed_agg
+
+    NS = _supplier_count(sf_dir)
+    LO, HI = pd.Timestamp(lo), pd.Timestamp(hi)
+
+    def explode_ps(t: pa.Table) -> pd.DataFrame:
+        cols = {"pk": "int64", "sk": "int64", "avail": "int64", "pb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        name = t["p_name"].to_pandas()
+        t = t.filter(pa.array(name.str.contains("blue").to_numpy()))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        pk = np.repeat(t["p_partkey"].to_numpy().astype(np.int64), 4)
+        j = np.tile(np.arange(4, dtype=np.int64), t.num_rows)
+        sk = (pk * 13 + j * 29) % NS
+        avail = (pk * 7 + sk * 11) % 1000
+        return pd.DataFrame({"pk": pk, "sk": sk, "avail": avail,
+                             "pb": (pk % 64).astype("int32")})
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"pk": "int64", "sk": "int64", "qty": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(LO)),
+                             pc.less(t["l_shipdate"], pa.scalar(HI))))
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return pd.DataFrame({
+            "pk": t["l_partkey"].to_numpy().astype(np.int64),
+            "sk": t["l_suppkey"].to_numpy().astype(np.int64),
+            "qty": np.floor(t["l_quantity"].to_numpy()).astype(np.int64),
+        })
+
+    qsum = bucketed_agg(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+              ).map_batches(li_prep, batch_format="pyarrow"),
+        keys=["pk", "sk"], sum_cols={"qty": "qty"},
+    ).map_batches(
+        lambda df: df.assign(pb=(df["pk"].to_numpy() % 64).astype("int32"),
+                             side="q") if len(df) else df.assign(
+                                 pb=pd.Series([], dtype="int32"),
+                                 side=pd.Series([], dtype=object)),
+        batch_format="pandas")
+
+    psds = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        explode_ps, batch_format="pyarrow").map_batches(
+        lambda df: df.assign(side="p"), batch_format="pandas")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.shape[1] == 0 or len(g) == 0 or "side" not in g.columns:
+            return pd.DataFrame({"sk": pd.Series([], dtype="int64")})
+        ps = g[g["side"] == "p"]
+        if len(ps) == 0:
+            return pd.DataFrame({"sk": pd.Series([], dtype="int64")})
+        q = g[g["side"] == "q"]
+        m = ps[["pk", "sk", "avail"]].merge(q[["pk", "sk", "qty"]],
+                                            on=["pk", "sk"], how="left")
+        qty = m["qty"].fillna(0).to_numpy().astype(np.int64)
+        av = m["avail"].to_numpy().astype(np.int64)
+        win = m.loc[(av > 0) & (2 * av > qty), "sk"]
+        cnt = win.value_counts().sort_index()
+        return pd.DataFrame({"sk": cnt.index.to_numpy().astype(np.int64),
+                             "n": cnt.to_numpy().astype(np.int64)})
+
+    sks = (
+        psds.union(qsum).groupby("pb")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(sks) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "n_excess": pd.Series([], dtype="int64")})
+    per_sk = sks.groupby("sk", as_index=False)["n"].sum()
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = per_sk.merge(sup, left_on="sk", right_on="s_suppkey").sort_values("sk")
+    return pd.DataFrame({"s_suppkey": out["s_suppkey"].to_numpy().astype(np.int64),
+                         "s_name": out["s_name"].to_numpy(dtype=object),
+                         "n_excess": out["n"].to_numpy().astype(np.int64)})
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH ns AS (SELECT count(*) AS c FROM supplier),
+    rs AS (
+      SELECT s.s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'),
+    ps AS (
+      SELECT p.p_partkey AS pk,
+             (p.p_partkey*13 + j*29) % (SELECT c FROM ns) AS sk
+      FROM part p, unnest(generate_series(0, 3)) AS t(j)
+      WHERE p.p_size % 10 = 5),
+    pcost AS (
+      SELECT ps.pk, ps.sk,
+             100 + (ps.pk*37 + ps.sk*61) % 99901 AS cost_c
+      FROM ps JOIN rs ON rs.s_suppkey = ps.sk),
+    mn AS (SELECT pk, min(cost_c) AS mc FROM pcost GROUP BY 1)
+    SELECT CAST(mn.pk AS BIGINT) AS p_partkey,
+           CAST(min(pcost.sk) AS BIGINT) AS s_suppkey,
+           CAST(mn.mc AS BIGINT) AS cost_cents
+    FROM mn JOIN pcost ON pcost.pk = mn.pk AND pcost.cost_c = mn.mc
+    GROUP BY mn.pk, mn.mc
+    """,
+    doc="TPC-H Q2-shape minimum-cost supplier: for each size-filtered "
+    "part, the cheapest ASIA-region supplier among its 4 derived "
+    "partsupp suppliers (tie broken by smallest suppkey — the "
+    "correlated MIN subquery of Q2).  Distributed shape: the "
+    "region's supplier membership is a broadcast boolean array "
+    "(region x nation x supplier dims resolved driver-side, bounded "
+    "by the supplier dim); each part batch explodes its own 4 "
+    "candidate (sk, cost) columns and takes a vectorized masked "
+    "argmin per row via a (cost << 20 | sk) combined key — the "
+    "bridge rows for a part never leave the batch that generated "
+    "them, so the whole query is ZERO-shuffle and emits one row per "
+    "qualifying part.",
+)
+def min_cost_supplier(sf_dir: str, region: str = "ASIA"):
+    import ray
+
+    NS = _supplier_count(sf_dir)
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    rks = set(reg.loc[reg["r_name"] == region, "r_regionkey"].tolist())
+    nks = set(nat.loc[nat["n_regionkey"].isin(rks), "n_nationkey"].tolist())
+    mask = np.zeros(NS, dtype=bool)
+    insk = sup.loc[sup["s_nationkey"].isin(nks), "s_suppkey"].to_numpy()
+    mask[insk] = True
+    mref = ray.put(mask)
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        cols = {"p_partkey": "int64", "s_suppkey": "int64",
+                "cost_cents": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if t.num_rows == 0:
+            return empty
+        sz = t["p_size"].to_numpy().astype(np.int64)
+        t = t.filter(pa.array(sz % 10 == 5))
+        if t.num_rows == 0:
+            return empty
+        m = ray.get(mref)
+        pk = t["p_partkey"].to_numpy().astype(np.int64)
+        j = np.arange(4, dtype=np.int64)[None, :]
+        sk = (pk[:, None] * 13 + j * 29) % NS
+        cost = 100 + (pk[:, None] * 37 + sk * 61) % 99901
+        key = (cost << 20) | sk
+        SENT = np.int64(1) << 62
+        key = np.where(m[sk], key, SENT)
+        best = key.min(axis=1)
+        ok = best < SENT
+        if not ok.any():
+            return empty
+        best = best[ok]
+        return pd.DataFrame({"p_partkey": pk[ok],
+                             "s_suppkey": best & ((1 << 20) - 1),
+                             "cost_cents": best >> 20})
+
+    return (
+        _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+        .map_batches(per_batch, batch_format="pyarrow")
+    )

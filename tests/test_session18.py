@@ -142,3 +142,92 @@ def test_lag1_autocorr_equals_float_reference(ray_session):
         assert abs(r1_q / 1024 - r1) < 2e-3  # quantization + truncation
         checked += 1
     assert checked >= 5
+
+
+def test_derived_partsupp_pairs_unique():
+    # (pk, sk_j) must be distinct within a part at every sf's supplier
+    # count, else Q20's per-pair avail would double-count
+    for sf in ["0.001", "0.01", "0.1"]:
+        ns = pq.read_metadata(f"/root/testdata/sf{sf}/supplier.parquet").num_rows
+        offs = (np.arange(4, dtype=np.int64) * 29) % ns
+        assert len(np.unique(offs)) == 4, (sf, ns, offs)
+
+
+def test_product_profit_equals_bruteforce(ray_session):
+    from crawler_ray.queries import product_profit
+
+    out = product_profit(SF)
+    part = _t("part", ["p_partkey", "p_name"])
+    red = set(part.loc[part["p_name"].str.contains("red"), "p_partkey"])
+    sup = _t("supplier", ["s_suppkey", "s_nationkey"])
+    nat = _t("nation", ["n_nationkey", "n_name"])
+    li = _t("lineitem")
+    li = li[li["l_partkey"].isin(red)]
+    pk = li["l_partkey"].to_numpy().astype(np.int64)
+    sk = li["l_suppkey"].to_numpy().astype(np.int64)
+    cost = 100 + (pk * 37 + sk * 61) % 99901
+    qty = np.floor(li["l_quantity"].to_numpy()).astype(np.int64)
+    rev = _cents(li["l_extendedprice"].to_numpy()
+                 * (1.0 - li["l_discount"].to_numpy()))
+    prof = rev - cost * qty
+    nk = li["l_suppkey"].map(sup.set_index("s_suppkey")["s_nationkey"]).to_numpy()
+    yr = pd.DatetimeIndex(li["l_shipdate"]).year.to_numpy()
+    ref = pd.DataFrame({"nk": nk, "yr": yr, "p": prof}).groupby(
+        ["nk", "yr"])["p"].sum()
+    nname = nat.set_index("n_nationkey")["n_name"]
+    got = {(r["nation"], int(r["o_year"])): int(r["profit_cents"])
+           for _, r in out.iterrows()}
+    assert got == {(nname[k[0]], int(k[1])): int(v) for k, v in ref.items()}
+    assert len(got) >= 10
+
+
+def test_excess_stock_equals_bruteforce(ray_session):
+    from crawler_ray.queries import excess_stock_suppliers
+
+    out = excess_stock_suppliers(SF)
+    ns = pq.read_metadata(f"{SF}/supplier.parquet").num_rows
+    part = _t("part", ["p_partkey", "p_name"])
+    blue = part.loc[part["p_name"].str.contains("blue"), "p_partkey"].to_numpy(np.int64)
+    pk = np.repeat(blue, 4)
+    j = np.tile(np.arange(4, dtype=np.int64), len(blue))
+    sk = (pk * 13 + j * 29) % ns
+    avail = (pk * 7 + sk * 11) % 1000
+    li = _t("lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+    w = li[(li["l_shipdate"] >= "1997-01-01") & (li["l_shipdate"] < "1998-01-01")]
+    qty = w.assign(q=np.floor(w["l_quantity"].to_numpy()).astype(np.int64)).groupby(
+        ["l_partkey", "l_suppkey"])["q"].sum()
+    qv = np.array([int(qty.get((int(p), int(s)), 0)) for p, s in zip(pk, sk)])
+    excess = (avail > 0) & (2 * avail > qv)
+    ref = pd.Series(sk[excess]).value_counts().sort_index()
+    got = dict(zip(out["s_suppkey"].astype(int), out["n_excess"].astype(int)))
+    assert got == {int(k): int(v) for k, v in ref.items()}
+    # discriminative: counts must vary across suppliers
+    assert len(set(got.values())) > 1
+
+
+def test_min_cost_supplier_equals_bruteforce(ray_session):
+    from crawler_ray.queries import min_cost_supplier
+
+    out = min_cost_supplier(SF).to_pandas()
+    ns = pq.read_metadata(f"{SF}/supplier.parquet").num_rows
+    sup = _t("supplier", ["s_suppkey", "s_nationkey"])
+    nat = _t("nation", ["n_nationkey", "n_regionkey"])
+    reg = _t("region")
+    rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+    asia = set(sup.loc[sup["s_nationkey"].isin(nk), "s_suppkey"])
+    part = _t("part", ["p_partkey", "p_size"])
+    got = {int(r["p_partkey"]): (int(r["s_suppkey"]), int(r["cost_cents"]))
+           for _, r in out.iterrows()}
+    ref = {}
+    for p in part.loc[part["p_size"] % 10 == 5, "p_partkey"]:
+        cands = []
+        for j in range(4):
+            s = (int(p) * 13 + j * 29) % ns
+            if s in asia:
+                cands.append((100 + (int(p) * 37 + s * 61) % 99901, s))
+        if cands:
+            c, s = min(cands)
+            ref[int(p)] = (s, c)
+    assert got == ref
+    assert len(ref) > 0
