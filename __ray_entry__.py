@@ -76,6 +76,12 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "salted_hot_key_agg",      # new in r5 session 18, never certified
+    "benford_digits",          # new in r5 session 18, never certified
+    "mad_outliers",            # new in r5 session 18, never certified
+    "katz_centrality",         # new in r5 session 18, never certified
+    "rfm_segments",            # new in r5 session 18, never certified
+    "user_first_seen_curve",   # new in r5 session 18, never certified
     "product_profit",          # new in r5 session 18, never certified
     "excess_stock_suppliers",  # new in r5 session 18, never certified
     "min_cost_supplier",       # new in r5 session 18, never certified

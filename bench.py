@@ -155,6 +155,20 @@ BENCH_QUERIES = [
     "ks_length_drift",
     "market_share",
     "power_iteration_embed",
+    "shipmode_priority",
+    "disjunctive_revenue",
+    "interval_coverage",
+    "gini_concentration",
+    "lag1_autocorr",
+    "product_profit",
+    "excess_stock_suppliers",
+    "min_cost_supplier",
+    "benford_digits",
+    "mad_outliers",
+    "katz_centrality",
+    "rfm_segments",
+    "user_first_seen_curve",
+    "salted_hot_key_agg",
 ]
 
 

@@ -19047,3 +19047,505 @@ def min_cost_supplier(sf_dir: str, region: str = "ASIA"):
         _read(sf_dir, "part", columns=["p_partkey", "p_size"])
         .map_batches(per_batch, batch_format="pyarrow")
     )
+
+
+# =====================================================================
+# Session 18 — forensic / robust-stats / spectral-graph primitives
+# =====================================================================
+
+
+@register(
+    "benford_digits",
+    """
+    WITH c AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS v
+               FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM c),
+    t AS (SELECT count(*) AS tot FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           CAST((1000*count(*)) // (SELECT tot FROM t) AS BIGINT)
+             AS permille
+    FROM d GROUP BY 1
+    """,
+    doc="Benford first-significant-digit audit over order totals (the "
+    "classic fraud/synthetic-data forensic: natural multiplicative "
+    "amounts follow log10(1+1/d), fabricated ones don't) — on this "
+    "testdata the distribution visibly BREAKS Benford (uniform-ish "
+    "1-4, cliff at 5+), which is exactly the signal the audit "
+    "exists to surface.  Distributed shape: each batch folds to "
+    "<=9 (digit, count) partial rows (digit extracted from exact "
+    "integer cents via decimal string head — no float log10 "
+    "boundary risk); one 9-key groupby merges partials; permille "
+    "shares are computed driver-side on the 9-row final.",
+)
+def benford_digits(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"digit": "int64", "n": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        tp = t["o_totalprice"].to_numpy()
+        v = cents(t["o_totalprice"]).to_numpy().astype(np.int64)[tp > 0]
+        if len(v) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        first = pd.Series(v).astype(str).str[0].astype(np.int64)
+        cnt = first.value_counts().sort_index()
+        return pd.DataFrame({"digit": cnt.index.to_numpy().astype(np.int64),
+                             "n": cnt.to_numpy().astype(np.int64)})
+
+    per = (
+        _read(sf_dir, "orders", columns=["o_totalprice"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = int(per["n"].sum())
+    per = per.sort_values("digit").reset_index(drop=True)
+    return pd.DataFrame({
+        "digit": per["digit"].to_numpy().astype(np.int64),
+        "n": per["n"].to_numpy().astype(np.int64),
+        "permille": np.array([(1000 * int(x)) // tot for x in per["n"]],
+                             dtype=np.int64),
+    })
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH x AS (SELECT event_type,
+                      CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+               FROM events),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM x),
+    med AS (SELECT event_type, v AS med FROM r WHERE rn = (n-1)//2 + 1),
+    a AS (SELECT x.event_type, abs(x.v - med.med) AS av
+          FROM x JOIN med USING (event_type)),
+    r2 AS (SELECT event_type, av,
+                  row_number() OVER (PARTITION BY event_type ORDER BY av)
+                    AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM a),
+    mad AS (SELECT event_type, av AS mad FROM r2 WHERE rn = (n-1)//2 + 1)
+    SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(med.med AS BIGINT) AS med_cents,
+           CAST(mad.mad AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN a.av > 3*mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM a JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY 1, med.med, mad.mad
+    """,
+    doc="Robust outlier census per event type: exact LOW-median and "
+    "median-absolute-deviation over integer cents (median = "
+    "sorted[(n-1)//2], deterministic for even n — no averaging, so "
+    "the statistic is hash-exact), outlier = |x - med| > 3*MAD — "
+    "the heavy-tail-safe alternative to z-scores (winsorized_stats' "
+    "sibling; MAD ignores outliers that would inflate a stddev "
+    "threshold).  Distributed shape: ONE event-type shuffle (5 "
+    "keys); each group computes median, re-centered absolute "
+    "deviations, their median, and the outlier count in a single "
+    "vectorized numpy pass.  The two-level median makes this "
+    "genuinely non-combinable — the per-group sort is the "
+    "documented cost, bounded by the largest type's row count "
+    "(salt the shuffle if one type dominates at scale).",
+)
+def mad_outliers(sf_dir: str):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"event_type": "object", "v": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "v": cents(t["value"]).to_numpy().astype(np.int64),
+        })
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": "object", "n_events": "int64",
+                "med_cents": "int64", "mad_cents": "int64",
+                "n_outliers": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = []
+        for et, gg in g.groupby("event_type", sort=False):
+            v = np.sort(gg["v"].to_numpy())
+            n = len(v)
+            med = int(v[(n - 1) // 2])
+            av = np.sort(np.abs(v - med))
+            mad = int(av[(n - 1) // 2])
+            out.append((et, n, med, mad, int((av > 3 * mad).sum())))
+        return pd.DataFrame({
+            "event_type": pd.Series([r[0] for r in out], dtype=object),
+            "n_events": pd.Series([r[1] for r in out], dtype="int64"),
+            "med_cents": pd.Series([r[2] for r in out], dtype="int64"),
+            "mad_cents": pd.Series([r[3] for r in out], dtype="int64"),
+            "n_outliers": pd.Series([r[4] for r in out], dtype="int64"),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )
+
+
+@register(
+    "katz_centrality",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM n) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 5 = 0),
+    eu AS (
+      SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+      FROM l WHERE src <> target),
+    edges AS (SELECT a AS src, b AS dst FROM eu
+              UNION ALL SELECT b, a FROM eu),
+    d1 AS (SELECT src AS node, CAST(count(*) AS HUGEINT) AS w
+           FROM edges GROUP BY 1),
+    d2 AS (SELECT e.src AS node, sum(d1.w) AS w
+           FROM edges e JOIN d1 ON d1.node = e.dst GROUP BY 1),
+    d3 AS (SELECT e.src AS node, sum(d2.w) AS w
+           FROM edges e JOIN d2 ON d2.node = e.dst GROUP BY 1)
+    SELECT CAST(d1.node AS BIGINT) AS node,
+           CAST(64 + 16*d1.w + 4*d2.w + d3.w AS BIGINT) AS katz
+    FROM d1 JOIN d2 ON d2.node = d1.node JOIN d3 ON d3.node = d1.node
+    ORDER BY katz DESC, node LIMIT 20
+    """,
+    doc="Katz-style walk-count centrality over the triangle-test "
+    "graph: katz(v) = sum over walk lengths 0..3 of (1/4)^len walks "
+    "from v, scaled by 4^3 = 64 so every term is an EXACT integer "
+    "(64 + 16*A1 + 4*A^2 1 + A^3 1) — the truncated Katz/attenuated "
+    "path count, top-20 nodes with (katz desc, node) total-order "
+    "tie-break.  Distributed shape: the same derived edge Dataset "
+    "as kcore/triangle_count; two matvec rounds in the broadcast "
+    "regime (value vector ray.put once per round, edges stream "
+    "against it, per-batch bincount partials merged by a bounded "
+    "node-keyed groupby — the kcore sub-cap posture; past the cap "
+    "the kcore dataset-regime bucketed join applies verbatim).  "
+    "The final argsort runs driver-side on the bounded value "
+    "vector.",
+)
+def katz_centrality(sf_dir: str, k: int = 20):
+    import ray
+    from ray.data.aggregate import Sum
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    from .stages.relational import bucketed_agg
+
+    dist = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        return pa.table(
+            {"src": np.concatenate((a, b)), "dst": np.concatenate((b, a))}
+        )
+
+    edges = dist.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def deg_fold(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        cnt = np.bincount(t["src"].to_numpy(), minlength=n)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"node": nz.astype(np.int64),
+                             "w": cnt[nz].astype(np.int64)})
+
+    def vecify(df: pd.DataFrame) -> np.ndarray:
+        v = np.zeros(n, dtype=np.int64)
+        if len(df):
+            v[df["node"].to_numpy(dtype=np.int64)] = df["w"].to_numpy(dtype=np.int64)
+        return v
+
+    w1 = vecify(
+        edges.map_batches(deg_fold, batch_format="pyarrow")
+        .groupby("node").aggregate(Sum("w", alias_name="w")).to_pandas()
+    )
+
+    def matvec(w: np.ndarray) -> np.ndarray:
+        wref = ray.put(w)
+
+        def fold(t: pa.Table) -> pd.DataFrame:
+            if t.num_rows == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "w": pd.Series([], dtype="int64")})
+            ww = ray.get(wref)
+            acc = np.bincount(t["src"].to_numpy(),
+                              weights=ww[t["dst"].to_numpy()].astype(np.float64),
+                              minlength=n)
+            # bincount weights go through float64; exact below 2^53 —
+            # assert the headroom rather than assume it
+            assert acc.max() < 2**53
+            nz = np.nonzero(acc)[0]
+            return pd.DataFrame({"node": nz.astype(np.int64),
+                                 "w": acc[nz].astype(np.int64)})
+
+        return vecify(
+            edges.map_batches(fold, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("w", alias_name="w")).to_pandas()
+        )
+
+    w2 = matvec(w1)
+    w3 = matvec(w2)
+    katz = 64 + 16 * w1 + 4 * w2 + w3
+    order = np.lexsort((np.arange(n), -katz))[:k]
+    return pd.DataFrame({"node": order.astype(np.int64),
+                         "katz": katz[order].astype(np.int64)})
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+    c AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS f,
+            sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS m,
+            max(o_orderdate) AS last
+          FROM orders GROUP BY 1),
+    n AS (SELECT count(*) AS cnt FROM c),
+    r AS (SELECT ck, f, m,
+            epoch_us((SELECT mx FROM ref)) - epoch_us(last) AS rec
+          FROM c),
+    t AS (SELECT ck,
+            ((row_number() OVER (ORDER BY rec, ck) - 1) * 4)
+              // (SELECT cnt FROM n) AS rt,
+            ((row_number() OVER (ORDER BY f, ck) - 1) * 4)
+              // (SELECT cnt FROM n) AS ft,
+            ((row_number() OVER (ORDER BY m, ck) - 1) * 4)
+              // (SELECT cnt FROM n) AS mt
+          FROM r)
+    SELECT CAST(rt*100 + ft*10 + mt AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM t GROUP BY 1
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartiles -> 4x4x4 segment histogram — the classic cohorting "
+    "operator).  Quartile = exact rank arithmetic tile = "
+    "(rank-1)*4 // n over a (metric, custkey) total order (NOT SQL "
+    "ntile, whose uneven-remainder block sizes differ — the same "
+    "closed form runs on both sides), recency measured from the "
+    "global max order date so the result is deterministic.  "
+    "Distributed shape: per-customer (f, m, last) via ONE combiner'd "
+    "custkey bucketed_agg; then THREE add_prefix_sum two-phase "
+    "rank scans over unique packed (metric << 21 | ck) int64 keys "
+    "(bound asserted), each a distributed sort + counting scan "
+    "adding one rank column in place — no driver materialization of "
+    "the customer table; tiles and the <=64-row segment histogram "
+    "fold per batch.",
+)
+def rfm_segments(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .stages.relational import add_prefix_sum
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"ck": "int64", "m": "int64", "last": "int64", "one": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return pd.DataFrame({
+            "ck": t["o_custkey"].to_numpy().astype(np.int64),
+            "m": cents(t["o_totalprice"]).to_numpy().astype(np.int64),
+            "last": t["o_orderdate"].cast(pa.int64()).to_numpy(),
+            "one": np.ones(t.num_rows, dtype=np.int64),
+        })
+
+    per_cust = (
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("one", alias_name="f"), Sum("m", alias_name="m"),
+                   Max("last", alias_name="last"))
+        .materialize()
+    )
+    n_cust = per_cust.count()
+    ref_us = int(per_cust.max("last"))
+
+    def keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("ck", "rkey", "fkey", "mkey", "one")})
+        ck = pc.cast(t["ck"], pa.int64()).to_numpy()
+        f = pc.cast(t["f"], pa.int64()).to_numpy()
+        m = pc.cast(t["m"], pa.int64()).to_numpy()
+        rec_us = ref_us - np.asarray(t["last"].to_numpy(), dtype=np.int64)
+        # order dates are day-granular, so ranking by whole DAYS equals
+        # the oracle's microsecond order while fitting the packed key;
+        # both the granularity and the headroom are asserted, not assumed
+        assert (rec_us % 86_400_000_000 == 0).all()
+        rec = rec_us // 86_400_000_000
+        assert ck.max(initial=0) < (1 << 21)
+        for v in (rec, f, m):
+            assert v.max(initial=0) < (1 << 41)
+        return pa.table({
+            "ck": pa.array(ck),
+            "rkey": pa.array((rec << 21) | ck),
+            "fkey": pa.array((f << 21) | ck),
+            "mkey": pa.array((m << 21) | ck),
+            "one": pa.array(np.ones(len(ck), dtype=np.int64)),
+        })
+
+    ds = per_cust.map_batches(keys, batch_format="pyarrow")
+    ds = add_prefix_sum(ds, col="one", out_col="r_rank", order_col="rkey")
+    ds = add_prefix_sum(ds, col="one", out_col="f_rank", order_col="fkey")
+    ds = add_prefix_sum(ds, col="one", out_col="m_rank", order_col="mkey")
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"segment": "int64", "n_customers": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        rt = t["r_rank"].to_numpy() * 4 // n_cust
+        ft = t["f_rank"].to_numpy() * 4 // n_cust
+        mt = t["m_rank"].to_numpy() * 4 // n_cust
+        seg = rt * 100 + ft * 10 + mt
+        cnt = pd.Series(seg).value_counts().sort_index()
+        return pd.DataFrame({"segment": cnt.index.to_numpy().astype(np.int64),
+                             "n_customers": cnt.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(_Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+@register(
+    "user_first_seen_curve",
+    """
+    WITH fs AS (SELECT user_id, min(ts) AS first_ts FROM events
+                GROUP BY 1),
+    d AS (SELECT epoch_us(first_ts) // 3600000000 AS hour,
+                 count(*) AS novel
+          FROM fs GROUP BY 1)
+    SELECT CAST(hour AS BIGINT) AS hour, CAST(novel AS BIGINT) AS n_new,
+           CAST(sum(novel) OVER (ORDER BY hour
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+    doc="First-touch user-growth curve: each user attributed to the "
+    "hour of their FIRST event (min ts per user), hourly new-user "
+    "counts plus the cumulative audience size — the acquisition "
+    "curve behind growth_accounting.  Distributed shape: ONE "
+    "combiner'd user groupby (Min aggregate) — the only shuffle; "
+    "hourly novel counts fold per batch into a bounded (<= hours "
+    "in the data span) frame and the cumulative sum runs driver-"
+    "side over that bounded curve, documented as the time-span "
+    "bound (an unbounded-span variant would reuse the "
+    "add_prefix_sum scan).",
+)
+def user_first_seen_curve(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    first = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(
+            lambda t: pd.DataFrame(
+                {"user_id": t["user_id"].to_numpy().astype(np.int64),
+                 "tus": t["ts"].cast(pa.int64()).to_numpy()}),
+            batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("tus", alias_name="first_tus"))
+    )
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"hour": "int64", "n_new": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        hr = np.asarray(t["first_tus"].to_numpy(), dtype=np.int64) // 3_600_000_000
+        cnt = pd.Series(hr).value_counts().sort_index()
+        return pd.DataFrame({"hour": cnt.index.to_numpy().astype(np.int64),
+                             "n_new": cnt.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    per_hour = (
+        first.map_batches(fold, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame({
+        "hour": per_hour["hour"].to_numpy().astype(np.int64),
+        "n_new": per_hour["n_new"].to_numpy().astype(np.int64),
+        "cum_users": per_hour["n_new"].to_numpy().astype(np.int64).cumsum(),
+    })
+
+
+@register(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase SALTED aggregation for pathologically hot keys — "
+    "the explicit form of the north rule's 'salt hot keys': the "
+    "events table has only ~5 event types over the whole stream, so "
+    "a naive groupby sends every row of a hot key to ONE reducer.  "
+    "Phase 1 groups by (key, salt) with salt = event_id % 16, "
+    "spreading each hot key over 16 reducers (after the per-batch "
+    "combiner has already collapsed batch-local duplicates); phase "
+    "2 merges the <= keys x 16 salted partials — a shuffle whose "
+    "width no longer depends on the key skew.  The oracle is the "
+    "PLAIN groupby: salting must be observationally invisible.  "
+    "The crawl frontier applies the same trick per hot HOST "
+    "(state/frontier.py hot_threshold salting); this entry pins the "
+    "algebra-level invariant.",
+)
+def salted_hot_key_agg(sf_dir: str, n_salt: int = 16):
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pd.DataFrame:
+        cols = {"event_type": "object", "salt": "int64", "n": "int64",
+                "sum_cents": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "salt": t["event_id"].to_numpy().astype(np.int64) % n_salt,
+            "sum_cents": cents(t["value"]).to_numpy().astype(np.int64),
+        })
+        out = df.groupby(["event_type", "salt"], as_index=False,
+                         sort=False).agg(n=("sum_cents", "size"),
+                                         sum_cents=("sum_cents", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out[["event_type", "salt", "n", "sum_cents"]]
+
+    salted = (
+        _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )
+    return (
+        salted.groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )

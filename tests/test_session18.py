@@ -231,3 +231,130 @@ def test_min_cost_supplier_equals_bruteforce(ray_session):
             ref[int(p)] = (s, c)
     assert got == ref
     assert len(ref) > 0
+
+
+def test_benford_digits_equals_bruteforce(ray_session):
+    from crawler_ray.queries import benford_digits
+
+    out = benford_digits(SF)
+    o = _t("orders", ["o_totalprice"])
+    v = _cents(o.loc[o["o_totalprice"] > 0, "o_totalprice"].to_numpy())
+    first = pd.Series(v).astype(str).str[0].astype(int)
+    ref = first.value_counts().sort_index()
+    tot = int(ref.sum())
+    got = {int(r["digit"]): (int(r["n"]), int(r["permille"]))
+           for _, r in out.iterrows()}
+    assert got == {int(d): (int(c), (1000 * int(c)) // tot)
+                   for d, c in ref.items()}
+    assert sum(c for c, _ in got.values()) == tot
+
+
+def test_mad_outliers_equals_bruteforce(ray_session):
+    from crawler_ray.queries import mad_outliers
+
+    out = mad_outliers(SF).to_pandas()
+    ev = _t("events", ["event_type", "value"])
+    got = {r["event_type"]: (int(r["n_events"]), int(r["med_cents"]),
+                             int(r["mad_cents"]), int(r["n_outliers"]))
+           for _, r in out.iterrows()}
+    ref = {}
+    for et, g in ev.groupby("event_type"):
+        v = np.sort(_cents(g["value"]))
+        n = len(v)
+        med = int(v[(n - 1) // 2])
+        av = np.sort(np.abs(v - med))
+        mad = int(av[(n - 1) // 2])
+        ref[et] = (n, med, mad, int((av > 3 * mad).sum()))
+    assert got == ref
+    assert all(r[3] > 0 for r in ref.values())  # outliers exist per type
+
+
+def test_katz_centrality_equals_adjacency_power(ray_session):
+    from crawler_ray.queries import katz_centrality
+
+    out = katz_centrality(SF)
+    # brute force: dense adjacency powers
+    ids = _t("documents", ["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    k = ids % 5 + 3
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a_all = np.concatenate((src, ids, e2, e5))
+    b_all = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    a = np.minimum(a_all, b_all)
+    b = np.maximum(a_all, b_all)
+    m = a != b
+    keys = np.unique(a[m] * n + b[m])
+    A = np.zeros((n, n), dtype=np.int64)
+    A[keys // n, keys % n] = 1
+    A[keys % n, keys // n] = 1
+    one = np.ones(n, dtype=np.int64)
+    w1 = A @ one
+    w2 = A @ w1
+    w3 = A @ w2
+    katz = 64 + 16 * w1 + 4 * w2 + w3
+    order = np.lexsort((np.arange(n), -katz))[:20]
+    assert out["node"].tolist() == order.tolist()
+    assert out["katz"].tolist() == katz[order].tolist()
+    assert len(set(out["katz"])) > 1  # discriminative
+
+
+def test_rfm_segments_equals_bruteforce(ray_session):
+    from crawler_ray.queries import rfm_segments
+
+    out = rfm_segments(SF).to_pandas()
+    o = _t("orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+    g = o.assign(m=_cents(o["o_totalprice"]),
+                 tus=o["o_orderdate"].astype("int64")).groupby(
+        "o_custkey").agg(f=("m", "size"), m=("m", "sum"), last=("tus", "max"))
+    n = len(g)
+    ref_us = int(g["last"].max())
+    g["rec"] = ref_us - g["last"]
+
+    def tiles(series):
+        order = sorted(zip(series.to_numpy(), series.index.to_numpy()))
+        rank = {ck: i for i, (_, ck) in enumerate(order)}
+        return {ck: rank[ck] * 4 // n for ck in series.index}
+
+    rt, ft, mt = tiles(g["rec"]), tiles(g["f"]), tiles(g["m"])
+    seg = pd.Series({ck: rt[ck] * 100 + ft[ck] * 10 + mt[ck]
+                     for ck in g.index})
+    ref = seg.value_counts().sort_index()
+    got = dict(zip(out["segment"].astype(int), out["n_customers"].astype(int)))
+    assert got == {int(k): int(v) for k, v in ref.items()}
+    assert len(got) > 10  # discriminative segmentation
+
+
+def test_user_first_seen_curve_equals_bruteforce(ray_session):
+    from crawler_ray.queries import user_first_seen_curve
+
+    out = user_first_seen_curve(SF)
+    ev = _t("events", ["user_id", "ts"])
+    first = ev.assign(tus=ev["ts"].astype("int64")).groupby(
+        "user_id")["tus"].min()
+    hours = (first // 3_600_000_000).value_counts().sort_index()
+    assert out["hour"].tolist() == [int(h) for h in hours.index]
+    assert out["n_new"].tolist() == [int(v) for v in hours.values]
+    assert out["cum_users"].tolist() == list(np.cumsum(hours.values))
+    assert int(out["cum_users"].iloc[-1]) == ev["user_id"].nunique()
+
+
+def test_salted_hot_key_agg_equals_plain_groupby(ray_session):
+    from crawler_ray.queries import salted_hot_key_agg
+
+    out = salted_hot_key_agg(SF).to_pandas()
+    ev = _t("events", ["event_type", "value"])
+    ref = ev.assign(c=_cents(ev["value"])).groupby("event_type")["c"].agg(
+        ["size", "sum"])
+    got = {r["event_type"]: (int(r["n"]), int(r["sum_cents"]))
+           for _, r in out.iterrows()}
+    assert got == {k: (int(v["size"]), int(v["sum"]))
+                   for k, v in ref.iterrows()}
+    # salting must also be invariant to the salt width
+    out4 = salted_hot_key_agg(SF, n_salt=4).to_pandas()
+    got4 = {r["event_type"]: (int(r["n"]), int(r["sum_cents"]))
+            for _, r in out4.iterrows()}
+    assert got4 == got
