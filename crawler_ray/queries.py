@@ -19241,7 +19241,6 @@ def mad_outliers(sf_dir: str):
 )
 def katz_centrality(sf_dir: str, k: int = 20):
     import ray
-    from ray.data.aggregate import Sum
 
     n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
 
@@ -19262,6 +19261,19 @@ def katz_centrality(sf_dir: str, k: int = 20):
 
     edges = dist.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
+    def vec_fold(partials) -> np.ndarray:
+        # per-batch bincount partials (node, w) merge into the bounded
+        # broadcast-regime vector DRIVER-side — the same n-sized driver
+        # state the final argsort already holds; this replaces three
+        # flat-overhead Ray sort-groupbys with np.add.at over tiny
+        # partial frames
+        v = np.zeros(n, dtype=np.int64)
+        df = partials.to_pandas()
+        if len(df):
+            np.add.at(v, df["node"].to_numpy(dtype=np.int64),
+                      df["w"].to_numpy(dtype=np.int64))
+        return v
+
     def deg_fold(t: pa.Table) -> pd.DataFrame:
         if t.num_rows == 0:
             return pd.DataFrame({"node": pd.Series([], dtype="int64"),
@@ -19271,16 +19283,7 @@ def katz_centrality(sf_dir: str, k: int = 20):
         return pd.DataFrame({"node": nz.astype(np.int64),
                              "w": cnt[nz].astype(np.int64)})
 
-    def vecify(df: pd.DataFrame) -> np.ndarray:
-        v = np.zeros(n, dtype=np.int64)
-        if len(df):
-            v[df["node"].to_numpy(dtype=np.int64)] = df["w"].to_numpy(dtype=np.int64)
-        return v
-
-    w1 = vecify(
-        edges.map_batches(deg_fold, batch_format="pyarrow")
-        .groupby("node").aggregate(Sum("w", alias_name="w")).to_pandas()
-    )
+    w1 = vec_fold(edges.map_batches(deg_fold, batch_format="pyarrow"))
 
     def matvec(w: np.ndarray) -> np.ndarray:
         wref = ray.put(w)
@@ -19300,10 +19303,7 @@ def katz_centrality(sf_dir: str, k: int = 20):
             return pd.DataFrame({"node": nz.astype(np.int64),
                                  "w": acc[nz].astype(np.int64)})
 
-        return vecify(
-            edges.map_batches(fold, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("w", alias_name="w")).to_pandas()
-        )
+        return vec_fold(edges.map_batches(fold, batch_format="pyarrow"))
 
     w2 = matvec(w1)
     w3 = matvec(w2)
@@ -19353,28 +19353,41 @@ def katz_centrality(sf_dir: str, k: int = 20):
     "fold per batch.",
 )
 def rfm_segments(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Sum
-
     from .stages.relational import add_prefix_sum
 
     def prep(t: pa.Table) -> pd.DataFrame:
-        cols = {"ck": "int64", "m": "int64", "last": "int64", "one": "int64"}
+        cols = {"ck": "int64", "f": "int64", "m": "int64", "last": "int64",
+                "cb": "int32"}
         if t.num_rows == 0:
             return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
-        return pd.DataFrame({
+        df = pd.DataFrame({
             "ck": t["o_custkey"].to_numpy().astype(np.int64),
             "m": cents(t["o_totalprice"]).to_numpy().astype(np.int64),
             "last": t["o_orderdate"].cast(pa.int64()).to_numpy(),
-            "one": np.ones(t.num_rows, dtype=np.int64),
         })
+        # per-batch combiner + coarse-bucket shuffle (bucketed_agg
+        # posture; Ray's sort groupby costs flat seconds)
+        out = df.groupby("ck", as_index=False, sort=False).agg(
+            f=("m", "size"), m=("m", "sum"), last=("last", "max"))
+        out["f"] = out["f"].astype(np.int64)
+        out["cb"] = (out["ck"].to_numpy() % 32).astype("int32")
+        return out[["ck", "f", "m", "last", "cb"]]
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"ck": "int64", "f": "int64", "m": "int64", "last": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = g.groupby("ck", as_index=False, sort=False).agg(
+            f=("f", "sum"), m=("m", "sum"), last=("last", "max"))
+        out["f"] = out["f"].astype(np.int64)
+        return out
 
     per_cust = (
         _read(sf_dir, "orders",
               columns=["o_custkey", "o_totalprice", "o_orderdate"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("ck")
-        .aggregate(Sum("one", alias_name="f"), Sum("m", alias_name="m"),
-                   Max("last", alias_name="last"))
+        .groupby("cb")
+        .map_groups(bucket_merge, batch_format="pandas")
         .materialize()
     )
     n_cust = per_cust.count()
@@ -19421,13 +19434,15 @@ def rfm_segments(sf_dir: str):
         return pd.DataFrame({"segment": cnt.index.to_numpy().astype(np.int64),
                              "n_customers": cnt.to_numpy().astype(np.int64)})
 
-    from ray.data.aggregate import Sum as _Sum
-
-    return (
+    # <=64 segments x blocks partial rows — fold driver-side
+    out = (
         ds.map_batches(fold, batch_format="pyarrow")
-        .groupby("segment")
-        .aggregate(_Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+        .groupby("segment", as_index=False)["n_customers"].sum()
     )
+    out["segment"] = out["segment"].astype(np.int64)
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out
 
 
 @register(
@@ -19456,17 +19471,31 @@ def rfm_segments(sf_dir: str):
     "add_prefix_sum scan).",
 )
 def user_first_seen_curve(sf_dir: str):
-    from ray.data.aggregate import Min
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"user_id": "int64", "tus": "int64", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy().astype(np.int64),
+                           "tus": t["ts"].cast(pa.int64()).to_numpy()})
+        # per-batch combiner, then ONE coarse-bucket shuffle (Ray's
+        # sort-based groupby().aggregate() costs seconds of flat
+        # overhead at any size — the repo-wide bucketed_agg posture)
+        df = df.groupby("user_id", as_index=False, sort=False)["tus"].min()
+        df["ub"] = (df["user_id"].to_numpy() % 32).astype("int32")
+        return df
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "first_tus": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out = g.groupby("user_id", as_index=False, sort=False)["tus"].min()
+        return out.rename(columns={"tus": "first_tus"})
 
     first = (
         _read(sf_dir, "events", columns=["user_id", "ts"])
-        .map_batches(
-            lambda t: pd.DataFrame(
-                {"user_id": t["user_id"].to_numpy().astype(np.int64),
-                 "tus": t["ts"].cast(pa.int64()).to_numpy()}),
-            batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("tus", alias_name="first_tus"))
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_min, batch_format="pandas")
     )
 
     def fold(t: pa.Table) -> pd.DataFrame:
@@ -19478,13 +19507,12 @@ def user_first_seen_curve(sf_dir: str):
         return pd.DataFrame({"hour": cnt.index.to_numpy().astype(np.int64),
                              "n_new": cnt.to_numpy().astype(np.int64)})
 
-    from ray.data.aggregate import Sum
-
+    # hourly partials are bounded by the data time span — fold the
+    # (<= span-hours x blocks) partial rows driver-side
     per_hour = (
         first.map_batches(fold, batch_format="pyarrow")
-        .groupby("hour")
-        .aggregate(Sum("n_new", alias_name="n_new"))
         .to_pandas()
+        .groupby("hour", as_index=False)["n_new"].sum()
         .sort_values("hour")
         .reset_index(drop=True)
     )

@@ -305,7 +305,7 @@ def test_katz_centrality_equals_adjacency_power(ray_session):
 def test_rfm_segments_equals_bruteforce(ray_session):
     from crawler_ray.queries import rfm_segments
 
-    out = rfm_segments(SF).to_pandas()
+    out = rfm_segments(SF)  # now returns a bounded pandas frame
     o = _t("orders", ["o_custkey", "o_totalprice", "o_orderdate"])
     g = o.assign(m=_cents(o["o_totalprice"]),
                  tus=o["o_orderdate"].astype("int64")).groupby(
