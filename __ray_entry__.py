@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "important_stock",         # new in r5 session 18, never certified
     "salted_hot_key_agg",      # new in r5 session 18, never certified
     "benford_digits",          # new in r5 session 18, never certified
     "mad_outliers",            # new in r5 session 18, never certified

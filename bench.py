@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "rfm_segments",
     "user_first_seen_curve",
     "salted_hot_key_agg",
+    "important_stock",
 ]
 
 

@@ -19577,3 +19577,86 @@ def salted_hot_key_agg(sf_dir: str, n_salt: int = 16):
         .aggregate(Sum("n", alias_name="n"),
                    Sum("sum_cents", alias_name="sum_cents"))
     )
+
+
+@register(
+    "important_stock",
+    """
+    WITH ns AS (SELECT count(*) AS c FROM supplier),
+    rs AS (
+      SELECT s.s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    ps AS (
+      SELECT p.p_partkey AS pk,
+             (p.p_partkey*13 + j*29) % (SELECT c FROM ns) AS sk
+      FROM part p, unnest(generate_series(0, 3)) AS t(j)),
+    v AS (
+      SELECT ps.pk,
+             sum((100 + (ps.pk*37 + ps.sk*61) % 99901)
+                 * ((ps.pk*7 + ps.sk*11) % 1000)) AS val
+      FROM ps JOIN rs ON rs.s_suppkey = ps.sk
+      GROUP BY 1),
+    tot AS (SELECT sum(val) AS t FROM v)
+    SELECT CAST(pk AS BIGINT) AS p_partkey, CAST(val AS BIGINT) AS value_c
+    FROM v WHERE val * 1000 > (SELECT t FROM tot)
+    """,
+    doc="TPC-H Q11-shape important stock: parts whose EUROPE-held "
+    "inventory value (derived-partsupp cost x availqty summed over "
+    "the part's in-region suppliers) exceeds 1/1000 of the total — "
+    "the correlated scalar-subquery HAVING of Q11.  With this entry "
+    "the registry covers ALL 22 TPC-H query shapes.  Distributed "
+    "shape: region supplier membership broadcast as a boolean "
+    "array; each part batch computes its own bridge rows' masked "
+    "value sum batch-locally (zero shuffle — same locality as "
+    "min_cost_supplier); the global threshold is ONE scalar "
+    "aggregate over the per-part values Dataset (materialized once, "
+    "reused for the filter pass), and the filter streams.",
+)
+def important_stock(sf_dir: str, region: str = "EUROPE", frac_den: int = 1000):
+    import ray
+
+    NS = _supplier_count(sf_dir)
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    rks = set(reg.loc[reg["r_name"] == region, "r_regionkey"].tolist())
+    nks = set(nat.loc[nat["n_regionkey"].isin(rks), "n_nationkey"].tolist())
+    mask = np.zeros(NS, dtype=bool)
+    mask[sup.loc[sup["s_nationkey"].isin(nks), "s_suppkey"].to_numpy()] = True
+    mref = ray.put(mask)
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        cols = {"p_partkey": "int64", "value_c": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        m = ray.get(mref)
+        pk = t["p_partkey"].to_numpy().astype(np.int64)
+        j = np.arange(4, dtype=np.int64)[None, :]
+        sk = (pk[:, None] * 13 + j * 29) % NS
+        cost = 100 + (pk[:, None] * 37 + sk * 61) % 99901
+        avail = (pk[:, None] * 7 + sk * 11) % 1000
+        val = np.where(m[sk], cost * avail, 0).sum(axis=1)
+        keep = val > 0
+        return pd.DataFrame({"p_partkey": pk[keep],
+                             "value_c": val[keep].astype(np.int64)})
+
+    vals = (
+        _read(sf_dir, "part", columns=["p_partkey"])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    total = int(vals.sum("value_c"))
+
+    def flt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.greater(
+            pc.multiply(t["value_c"], pa.scalar(frac_den, type=pa.int64())),
+            pa.scalar(total, type=pa.int64())))
+
+    return vals.map_batches(flt, batch_format="pyarrow")

@@ -358,3 +358,31 @@ def test_salted_hot_key_agg_equals_plain_groupby(ray_session):
     got4 = {r["event_type"]: (int(r["n"]), int(r["sum_cents"]))
             for _, r in out4.iterrows()}
     assert got4 == got
+
+
+def test_important_stock_equals_bruteforce(ray_session):
+    from crawler_ray.queries import important_stock
+
+    out = important_stock(SF).to_pandas()
+    ns = pq.read_metadata(f"{SF}/supplier.parquet").num_rows
+    sup = _t("supplier", ["s_suppkey", "s_nationkey"])
+    nat = _t("nation", ["n_nationkey", "n_regionkey"])
+    reg = _t("region")
+    rk = set(reg.loc[reg["r_name"] == "EUROPE", "r_regionkey"])
+    nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+    europe = set(sup.loc[sup["s_nationkey"].isin(nk), "s_suppkey"])
+    part = _t("part", ["p_partkey"])
+    vals = {}
+    for p in part["p_partkey"].astype(int):
+        v = 0
+        for j in range(4):
+            s = (p * 13 + j * 29) % ns
+            if s in europe:
+                v += (100 + (p * 37 + s * 61) % 99901) * ((p * 7 + s * 11) % 1000)
+        if v > 0:
+            vals[p] = v
+    total = sum(vals.values())
+    ref = {p: v for p, v in vals.items() if v * 1000 > total}
+    got = dict(zip(out["p_partkey"].astype(int), out["value_c"].astype(int)))
+    assert got == ref
+    assert 0 < len(ref) < len(vals)  # threshold must actually select
