@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "user_first_seen_curve",
     "salted_hot_key_agg",
     "important_stock",
+    "hourly_active_users",
+    "sorted_neighborhood_neardup",
 ]
 
 

@@ -19660,3 +19660,156 @@ def important_stock(sf_dir: str, region: str = "EUROPE", frac_den: int = 1000):
             pa.scalar(total, type=pa.int64())))
 
     return vals.map_batches(flt, batch_format="pyarrow")
+
+
+@register(
+    "hourly_active_users",
+    """
+    WITH hu AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour,
+                                user_id
+                FROM events),
+    r AS (SELECT a.hour,
+                 CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS ret
+          FROM hu a LEFT JOIN hu b
+            ON b.user_id = a.user_id AND b.hour = a.hour - 1)
+    SELECT CAST(hour AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(ret) AS BIGINT) AS n_returning
+    FROM r GROUP BY 1
+    """,
+    doc="Hourly active users with hour-over-hour retention: distinct "
+    "users per hour plus how many of them were also active the "
+    "PREVIOUS hour — the HAU/DAU + returning-user split every "
+    "engagement dashboard starts from.  Distributed shape: per-batch "
+    "(hour, user) dedup combiner, then ONE user-bucket shuffle so "
+    "each user's full hour set is co-resident; per bucket a single "
+    "vectorized pass over (user, hour)-sorted uniques marks "
+    "returning hours via the adjacent-diff == 1 trick (no isin "
+    "probes), folds to (hour, n_active, n_returning) partials; the "
+    "final merge is driver-side over the time-span-bounded hour "
+    "grid (documented bound — an unbounded-span variant would "
+    "finish with a bounded groupby instead).",
+)
+def hourly_active_users(sf_dir: str):
+    HOUR_US = 3_600_000_000
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"u": "int64", "h": "int64", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy().astype(np.int64),
+            "h": t["ts"].cast(pa.int64()).to_numpy() // HOUR_US,
+        }).drop_duplicates()
+        df["ub"] = (df["u"].to_numpy() % 32).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"hour": "int64", "n_active": "int64", "n_returning": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g[["u", "h"]].drop_duplicates().sort_values(["u", "h"],
+                                                        kind="stable")
+        u = g["u"].to_numpy()
+        h = g["h"].to_numpy()
+        ret = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            ret[1:] = ((u[1:] == u[:-1]) & (h[1:] - h[:-1] == 1)).astype(np.int64)
+        df = pd.DataFrame({"hour": h, "ret": ret})
+        out = df.groupby("hour", as_index=False).agg(
+            n_active=("ret", "size"), n_returning=("ret", "sum"))
+        out["n_active"] = out["n_active"].astype(np.int64)
+        out["n_returning"] = out["n_returning"].astype(np.int64)
+        return out
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame({"hour": pd.Series([], dtype="int64"),
+                             "n_active": pd.Series([], dtype="int64"),
+                             "n_returning": pd.Series([], dtype="int64")})
+    out = parts.groupby("hour", as_index=False)[["n_active", "n_returning"]].sum()
+    return out.astype({"hour": np.int64, "n_active": np.int64,
+                       "n_returning": np.int64})
+
+
+@register(
+    "sorted_neighborhood_neardup",
+    """
+    WITH k AS (SELECT doc_id, substr(text, 1, 16) AS pfx, n_chars
+               FROM documents),
+    r AS (SELECT doc_id, pfx, n_chars,
+                 row_number() OVER (PARTITION BY pfx ORDER BY doc_id)
+                   AS rk
+          FROM k)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM r a JOIN r b
+      ON b.pfx = a.pfx AND b.rk - a.rk BETWEEN 1 AND 4
+    WHERE abs(a.n_chars - b.n_chars)*10 <= least(a.n_chars, b.n_chars)
+    """,
+    doc="Sorted-neighborhood near-duplicate candidates (Hernandez & "
+    "Stolfo's SNM — the classic record-linkage alternative to LSH "
+    "blocking): records sorted by a 16-char prefix key, candidate "
+    "pairs limited to a sliding window of 5 in sort order, verified "
+    "by a cheap length-ratio predicate (within 10%).  Because equal "
+    "prefixes are CONTIGUOUS under (prefix, doc_id) order, "
+    "global-window equal-prefix pairs equal per-prefix-run windows — "
+    "which makes the operator shuffle-local: ONE prefix-hash bucket "
+    "shuffle co-locates each run, an in-bucket sort + four "
+    "vectorized shifted compares emit the window pairs, and no "
+    "cross-bucket boundary replication is needed (the documented "
+    "contrast with a raw rank-window SNM, which would replicate w-1 "
+    "boundary rows per block).  Complements the LSH / simhash / "
+    "ngram / embedding dedup family with the sort-based classic.",
+)
+def sorted_neighborhood_neardup(sf_dir: str, window: int = 5):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "pfx": "object", "n_chars": "int64",
+                "pb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        txt = t["text"].to_pandas()
+        pfx = txt.str.slice(0, 16)
+        h = pd.util.hash_pandas_object(pfx, index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+            "pfx": pfx.to_numpy(dtype=object),
+            "n_chars": t["n_chars"].to_numpy().astype(np.int64),
+            "pb": (h % 32).astype("int32"),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_a": "int64", "doc_b": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        if g.shape[1] == 0 or len(g) == 0:
+            return empty
+        g = g.sort_values(["pfx", "doc_id"], kind="stable").reset_index(drop=True)
+        pfx = g["pfx"].to_numpy(dtype=object)
+        did = g["doc_id"].to_numpy()
+        ln = g["n_chars"].to_numpy()
+        out_a, out_b = [], []
+        for d in range(1, window):
+            if d >= len(g):
+                break
+            same = pfx[:-d] == pfx[d:]
+            la, lb = ln[:-d], ln[d:]
+            okl = np.abs(la - lb) * 10 <= np.minimum(la, lb)
+            m = same & okl
+            out_a.append(did[:-d][m])
+            out_b.append(did[d:][m])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                             "doc_b": np.concatenate(out_b).astype(np.int64)})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -386,3 +386,41 @@ def test_important_stock_equals_bruteforce(ray_session):
     got = dict(zip(out["p_partkey"].astype(int), out["value_c"].astype(int)))
     assert got == ref
     assert 0 < len(ref) < len(vals)  # threshold must actually select
+
+
+def test_hourly_active_users_equals_bruteforce(ray_session):
+    from crawler_ray.queries import hourly_active_users
+
+    out = hourly_active_users(SF)
+    ev = _t("events", ["user_id", "ts"])
+    hu = set(zip(ev["user_id"].astype(int),
+                 ev["ts"].astype("int64") // 3_600_000_000))
+    from collections import defaultdict
+    act = defaultdict(int)
+    ret = defaultdict(int)
+    for u, h in hu:
+        act[h] += 1
+        if (u, h - 1) in hu:
+            ret[h] += 1
+    got = {int(r["hour"]): (int(r["n_active"]), int(r["n_returning"]))
+           for _, r in out.iterrows()}
+    assert got == {h: (act[h], ret.get(h, 0)) for h in act}
+    assert sum(v for _, v in ret.items()) > 0  # retention non-vacuous
+
+
+def test_sorted_neighborhood_equals_bruteforce(ray_session):
+    from crawler_ray.queries import sorted_neighborhood_neardup
+
+    out = sorted_neighborhood_neardup(SF).to_pandas()
+    docs = _t("documents", ["doc_id", "text", "n_chars"])
+    rows = sorted(zip(docs["text"].str[:16], docs["doc_id"].astype(int),
+                      docs["n_chars"].astype(int)))
+    ref = set()
+    for i, (pa_, a, la) in enumerate(rows):
+        for j in range(i + 1, min(i + 5, len(rows))):
+            pb, b, lb = rows[j]
+            if pa_ == pb and abs(la - lb) * 10 <= min(la, lb):
+                ref.add((a, b))
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert got == ref
+    assert len(ref) > 0
