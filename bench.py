@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "important_stock",
     "hourly_active_users",
     "sorted_neighborhood_neardup",
+    "graph_transitivity",
+    "ab_test_chi2",
 ]
 
 

@@ -19813,3 +19813,166 @@ def sorted_neighborhood_neardup(sf_dir: str, window: int = 5):
         .groupby("pb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+@register(
+    "graph_transitivity",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM n) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 5 = 0),
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l WHERE src <> target),
+    deg AS (SELECT v, count(*) AS d FROM
+              (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    w AS (SELECT sum(d*(d-1)//2) AS wedges FROM deg),
+    tri AS (SELECT count(*) AS t
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST((SELECT wedges FROM w) AS BIGINT) AS wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
+           CAST((1024 * 3 * (SELECT t FROM tri))
+                // (SELECT wedges FROM w) AS BIGINT) AS transitivity_q
+    """,
+    doc="Global graph transitivity (Newman's global clustering "
+    "coefficient: 3 x triangles / wedges, x1024 quantized) over the "
+    "triangle-test graph — the one-number density-of-closure summary "
+    "next to the per-node clustering_coefficient histogram.  "
+    "Distributed shape: wedges = sum d(d-1)/2 from the node-degree "
+    "bucketed_agg (per-batch integer partials, driver scalar fold); "
+    "the triangle total REUSES the registered triangle_count "
+    "pipeline's per-node histogram (sum t*n = 3T — each triangle is "
+    "counted once per corner), so the expensive closure join is "
+    "computed once and shared between the two registered views of "
+    "the same statistic.",
+)
+def graph_transitivity(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        return pa.table({"node": np.concatenate((key // n, key % n))})
+
+    degs = bucketed_agg(
+        dist.map_batches(endpoints, batch_format="pyarrow"),
+        keys=["node"], sum_cols={"__count__": "d"},
+    )
+
+    def wedge_fold(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype="int64")})
+        d = t["d"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())]})
+
+    wparts = degs.map_batches(wedge_fold, batch_format="pyarrow").to_pandas()
+    wedges = int(wparts["w"].sum())
+
+    hist = triangle_count(sf_dir)
+    if hasattr(hist, "to_pandas"):
+        hist = hist.to_pandas()
+    incidences = int((hist["triangles"].to_numpy().astype(np.int64)
+                      * hist["n_nodes"].to_numpy().astype(np.int64)).sum())
+    assert incidences % 3 == 0
+    tri = incidences // 3
+    return pd.DataFrame({"wedges": [np.int64(wedges)],
+                         "triangles": [np.int64(tri)],
+                         "transitivity_q": [np.int64((1024 * 3 * tri) // wedges)]})
+
+
+@register(
+    "ab_test_chi2",
+    """
+    WITH conv AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS c
+      FROM events GROUP BY 1),
+    ct AS (SELECT
+            sum(CASE WHEN grp=0 AND c=1 THEN 1 ELSE 0 END) AS a,
+            sum(CASE WHEN grp=0 AND c=0 THEN 1 ELSE 0 END) AS b,
+            sum(CASE WHEN grp=1 AND c=1 THEN 1 ELSE 0 END) AS c2,
+            sum(CASE WHEN grp=1 AND c=0 THEN 1 ELSE 0 END) AS d
+           FROM conv)
+    SELECT CAST(a AS BIGINT) AS conv_ctrl, CAST(b AS BIGINT) AS nonconv_ctrl,
+           CAST(c2 AS BIGINT) AS conv_test, CAST(d AS BIGINT) AS nonconv_test,
+           CAST((1000000 * (a+b+c2+d) * (a*d - b*c2) * (a*d - b*c2))
+                // (CAST((a+b) AS HUGEINT)*(c2+d)*(a+c2)*(b+d))
+                AS BIGINT) AS chi2_ppm
+    FROM ct
+    """,
+    doc="A/B experiment contingency + exact-integer Pearson chi-square "
+    "(x1e6): users split by id parity, 'converted' = >= 14 purchase "
+    "events (the per-user median on this data, non-degenerate at "
+    "every sf); chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) computed "
+    "in exact Python ints (the numerator exceeds int64; HUGEINT in "
+    "the oracle) — the experiment-analysis primitive with no float "
+    "in the pipeline, so the statistic is hash-stable.  Distributed "
+    "shape: per-batch (user, purchase-count) combiner, ONE "
+    "user-bucket shuffle completing per-user counts, per-bucket "
+    "fold to 2x2 contingency partials, 4-integer driver fold + one "
+    "quotient.",
+)
+def ab_test_chi2(sf_dir: str, thresh: int = 14):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"u": "int64", "p": "int64", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = t["user_id"].to_numpy().astype(np.int64)
+        isp = (t["event_type"].to_numpy(zero_copy_only=False)
+               == "purchase").astype(np.int64)
+        df = pd.DataFrame({"u": u, "p": isp}).groupby(
+            "u", as_index=False, sort=False)["p"].sum()
+        df["ub"] = (df["u"].to_numpy() % 32).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": "int64", "b": "int64", "c": "int64", "d": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        per = g.groupby("u", as_index=False, sort=False)["p"].sum()
+        grp = per["u"].to_numpy() % 2
+        conv = (per["p"].to_numpy() >= thresh)
+        return pd.DataFrame({
+            "a": [int(((grp == 0) & conv).sum())],
+            "b": [int(((grp == 0) & ~conv).sum())],
+            "c": [int(((grp == 1) & conv).sum())],
+            "d": [int(((grp == 1) & ~conv).sum())],
+        })
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    a = int(parts["a"].sum())
+    b = int(parts["b"].sum())
+    c = int(parts["c"].sum())
+    d = int(parts["d"].sum())
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    num = 1_000_000 * (a + b + c + d) * (a * d - b * c) ** 2
+    chi2 = num // den if den else 0
+    return pd.DataFrame({"conv_ctrl": [np.int64(a)],
+                         "nonconv_ctrl": [np.int64(b)],
+                         "conv_test": [np.int64(c)],
+                         "nonconv_test": [np.int64(d)],
+                         "chi2_ppm": [np.int64(chi2)]})

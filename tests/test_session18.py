@@ -424,3 +424,55 @@ def test_sorted_neighborhood_equals_bruteforce(ray_session):
     got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
     assert got == ref
     assert len(ref) > 0
+
+
+def test_graph_transitivity_equals_dense_bruteforce(ray_session):
+    from crawler_ray.queries import graph_transitivity
+
+    out = graph_transitivity(SF)
+    ids = _t("documents", ["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    k = ids % 5 + 3
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a = np.concatenate((src, ids, e2, e5))
+    b = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keys = np.unique(lo[lo != hi] * n + hi[lo != hi])
+    A = np.zeros((n, n), dtype=np.int64)
+    A[keys // n, keys % n] = 1
+    A[keys % n, keys // n] = 1
+    deg = A.sum(axis=1)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    tri = int(np.trace(A @ A @ A) // 6)
+    assert int(out["wedges"].iloc[0]) == wedges
+    assert int(out["triangles"].iloc[0]) == tri
+    assert int(out["transitivity_q"].iloc[0]) == (1024 * 3 * tri) // wedges
+    assert tri > 0
+
+
+def test_ab_test_chi2_equals_scipy_free_reference(ray_session):
+    from crawler_ray.queries import ab_test_chi2
+
+    out = ab_test_chi2(SF)
+    ev = _t("events", ["user_id", "event_type"])
+    per = (ev["event_type"] == "purchase").groupby(
+        ev["user_id"]).sum()
+    conv = per >= 14
+    grp = per.index.to_numpy() % 2
+    a = int((conv & (grp == 0)).sum())
+    b = int((~conv & (grp == 0)).sum())
+    c = int((conv & (grp == 1)).sum())
+    d = int((~conv & (grp == 1)).sum())
+    assert (int(out["conv_ctrl"].iloc[0]), int(out["nonconv_ctrl"].iloc[0]),
+            int(out["conv_test"].iloc[0]), int(out["nonconv_test"].iloc[0])) \
+        == (a, b, c, d)
+    # float chi2 agreement to quantization
+    ntot = a + b + c + d
+    num = ntot * (a * d - b * c) ** 2
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    assert abs(int(out["chi2_ppm"].iloc[0]) / 1e6 - num / den) < 1e-5
+    assert min(a + b, c + d) > 0
