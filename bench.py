@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "sorted_neighborhood_neardup",
     "graph_transitivity",
     "ab_test_chi2",
+    "sssp_distances",
 ]
 
 

@@ -19976,3 +19976,109 @@ def ab_test_chi2(sf_dir: str, thresh: int = 14):
                          "conv_test": [np.int64(c)],
                          "nonconv_test": [np.int64(d)],
                          "chi2_ppm": [np.int64(chi2)]})
+
+
+@register(
+    "sssp_distances",
+    """
+    WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM n) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 5 = 0),
+    eu AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+           FROM l WHERE src <> target),
+    edges2 AS (
+      SELECT a AS src, b AS dst, 1 + (a + b) % 7 AS w FROM eu
+      UNION ALL SELECT b, a, 1 + (a + b) % 7 FROM eu
+      UNION ALL SELECT doc_id, doc_id, 0 FROM documents),
+    d AS (
+      SELECT 0 AS it, CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      UNION ALL
+      SELECT it + 1 AS it, node, dist FROM (
+        SELECT d.it AS it, e.dst AS node, min(d.dist + e.w) AS dist
+        FROM d JOIN edges2 e ON e.src = d.node
+        WHERE d.it < 16
+        GROUP BY 1, 2))
+    SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d WHERE it = 16 GROUP BY 1
+    """,
+    doc="Weighted single-source shortest paths (Bellman-Ford rounds of "
+    "min-plus relaxation from node 0 over the triangle-test graph "
+    "with integer edge weights 1 + (a+b)%7), reported as the "
+    "distance histogram.  The oracle unrolls 16 iterations in a "
+    "recursive CTE — the single-reference restriction on recursive "
+    "terms is sidestepped by adding weight-0 SELF-LOOPS to the edge "
+    "relation, which makes carry-forward a special case of "
+    "relaxation (measured convergence: 8 rounds at 500 nodes, 10 at "
+    "5000; stationary past the fixpoint).  Distributed shape: the "
+    "kcore/katz broadcast posture — the distance vector is ray.put "
+    "per round, edge batches emit per-batch min-relaxation partials "
+    "via np.minimum.at, the driver folds mins into the bounded "
+    "vector, and convergence is DETECTED (round cap raises rather "
+    "than returning a non-fixpoint); past the node cap the kcore "
+    "dataset-regime bucketed join applies verbatim.",
+)
+def sssp_distances(sf_dir: str, source: int = 0, max_rounds: int = 64):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist_keys = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def both_dirs_w(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        w = 1 + (a + b) % 7
+        return pa.table({"src": np.concatenate((a, b)),
+                         "dst": np.concatenate((b, a)),
+                         "w": np.concatenate((w, w))})
+
+    edges = dist_keys.map_batches(both_dirs_w, batch_format="pyarrow").materialize()
+
+    INF = np.int64(1) << 40
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[source] = 0
+    for _ in range(max_rounds):
+        dref = ray.put(dist)
+
+        def relax(t: pa.Table) -> pd.DataFrame:
+            if t.num_rows == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "d": pd.Series([], dtype="int64")})
+            dd = ray.get(dref)
+            src = t["src"].to_numpy()
+            cand = dd[src] + t["w"].to_numpy()
+            vec = np.full(n, INF, dtype=np.int64)
+            np.minimum.at(vec, t["dst"].to_numpy(), cand)
+            nz = np.nonzero(vec < INF)[0]
+            return pd.DataFrame({"node": nz.astype(np.int64),
+                                 "d": vec[nz]})
+
+        parts = edges.map_batches(relax, batch_format="pyarrow").to_pandas()
+        new = dist.copy()
+        if len(parts):
+            np.minimum.at(new, parts["node"].to_numpy(dtype=np.int64),
+                          parts["d"].to_numpy(dtype=np.int64))
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    else:
+        raise RuntimeError("sssp: relaxation fixpoint not reached")
+    reach = dist[dist < INF]
+    vals, cnts = np.unique(reach, return_counts=True)
+    return pd.DataFrame({"dist": vals.astype(np.int64),
+                         "n_nodes": cnts.astype(np.int64)})

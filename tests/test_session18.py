@@ -476,3 +476,41 @@ def test_ab_test_chi2_equals_scipy_free_reference(ray_session):
     den = (a + b) * (c + d) * (a + c) * (b + d)
     assert abs(int(out["chi2_ppm"].iloc[0]) / 1e6 - num / den) < 1e-5
     assert min(a + b, c + d) > 0
+
+
+def test_sssp_equals_sequential_bellman_ford(ray_session):
+    from crawler_ray.queries import sssp_distances
+
+    out = sssp_distances(SF)
+    ids = _t("documents", ["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    k = ids % 5 + 3
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a = np.concatenate((src, ids, e2, e5))
+    b = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi
+    keys = np.unique(lo[m] * n + hi[m])
+    A, B = keys // n, keys % n
+    S = np.concatenate((A, B))
+    D = np.concatenate((B, A))
+    W = 1 + (S + D) % 7
+    INF = np.int64(1) << 40
+    dist = np.full(n, INF)
+    dist[0] = 0
+    # classic sequential Bellman-Ford (n-1 full passes is the textbook
+    # bound; early-exit when stable)
+    for _ in range(n):
+        nd = dist.copy()
+        np.minimum.at(nd, D, dist[S] + W)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    vals, cnts = np.unique(dist[dist < INF], return_counts=True)
+    assert out["dist"].tolist() == vals.tolist()
+    assert out["n_nodes"].tolist() == cnts.tolist()
+    assert len(vals) > 5  # non-trivial distance spread
