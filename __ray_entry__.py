@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "graph_modularity",        # new in r5 session 18, never certified
     "sssp_distances",          # new in r5 session 18, never certified
     "graph_transitivity",      # new in r5 session 18, never certified
     "ab_test_chi2",            # new in r5 session 18, never certified

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "graph_transitivity",
     "ab_test_chi2",
     "sssp_distances",
+    "graph_modularity",
 ]
 
 

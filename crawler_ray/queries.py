@@ -20082,3 +20082,84 @@ def sssp_distances(sf_dir: str, source: int = 0, max_rounds: int = 64):
     vals, cnts = np.unique(reach, return_counts=True)
     return pd.DataFrame({"dist": vals.astype(np.int64),
                          "n_nodes": cnts.astype(np.int64)})
+
+
+@register(
+    "graph_modularity",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM n) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 5 = 0),
+    e AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+          FROM l WHERE src <> target),
+    m AS (SELECT count(*) AS m FROM e),
+    ein AS (SELECT sum(CASE WHEN a*8//(SELECT c FROM n)
+                             = b*8//(SELECT c FROM n)
+                       THEN 1 ELSE 0 END) AS s FROM e),
+    deg AS (SELECT v*8//(SELECT c FROM n) AS comm, count(*) AS d FROM
+              (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    dc AS (SELECT sum(d*d) AS s2 FROM deg)
+    SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           CAST((SELECT s FROM ein) AS BIGINT) AS intra_edges,
+           CAST((1024 * (4*(SELECT m FROM m)*(SELECT s FROM ein)
+                         - (SELECT s2 FROM dc)))
+                // (4*(SELECT m FROM m)*(SELECT m FROM m)) AS BIGINT)
+             AS modularity_q
+    """,
+    doc="Newman modularity Q of a fixed 8-block contiguous partition "
+    "of the triangle-test graph (ring + skip edges make contiguous "
+    "blocks genuine communities: Q ~ +0.22 here vs the -1/16 "
+    "baseline of a hash partition — measured before registering; a "
+    "node%%16 partition has ZERO intra edges on this graph and was "
+    "rejected as degenerate).  Exact integer identity Q * 4m^2 = "
+    "4m*intra - sum_c deg_c^2, quantized x1024 — the community-"
+    "quality evaluation primitive behind Louvain-family methods.  "
+    "Distributed shape: ONE distinct-edge bucketed_agg; per-batch "
+    "partials for (edge count, intra count, per-community degree "
+    "sums — 8 communities, fixed width); driver folds three "
+    "integers + an 8-vector and computes the quotient in exact "
+    "Python ints.",
+)
+def graph_modularity(sf_dir: str, n_comm: int = 8):
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        cols = {"m": "int64", "intra": "int64",
+                **{f"d{i}": "int64" for i in range(n_comm)}}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        ca = a * n_comm // n
+        cb = b * n_comm // n
+        degs = np.bincount(np.concatenate((ca, cb)), minlength=n_comm)
+        row = {"m": [len(key)], "intra": [int((ca == cb).sum())]}
+        for i in range(n_comm):
+            row[f"d{i}"] = [int(degs[i])]
+        return pd.DataFrame(row)
+
+    parts = dist.map_batches(fold, batch_format="pyarrow").to_pandas()
+    m = int(parts["m"].sum())
+    intra = int(parts["intra"].sum())
+    s2 = sum(int(parts[f"d{i}"].sum()) ** 2 for i in range(n_comm))
+    q = (1024 * (4 * m * intra - s2)) // (4 * m * m)
+    return pd.DataFrame({"n_edges": [np.int64(m)],
+                         "intra_edges": [np.int64(intra)],
+                         "modularity_q": [np.int64(q)]})

@@ -514,3 +514,32 @@ def test_sssp_equals_sequential_bellman_ford(ray_session):
     assert out["dist"].tolist() == vals.tolist()
     assert out["n_nodes"].tolist() == cnts.tolist()
     assert len(vals) > 5  # non-trivial distance spread
+
+
+def test_graph_modularity_equals_float_reference(ray_session):
+    from crawler_ray.queries import graph_modularity
+
+    out = graph_modularity(SF)
+    ids = _t("documents", ["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    k = ids % 5 + 3
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a = np.concatenate((src, ids, e2, e5))
+    b = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    msk = lo != hi
+    keys = np.unique(lo[msk] * n + hi[msk])
+    A, B = keys // n, keys % n
+    m = len(keys)
+    ca, cb = A * 8 // n, B * 8 // n
+    intra = int((ca == cb).sum())
+    degs = np.bincount(np.concatenate((ca, cb)), minlength=8)
+    Q = intra / m - ((degs / (2 * m)) ** 2).sum()
+    assert int(out["n_edges"].iloc[0]) == m
+    assert int(out["intra_edges"].iloc[0]) == intra
+    assert abs(int(out["modularity_q"].iloc[0]) / 1024 - Q) < 2e-3
+    assert Q > 0.1  # contiguous blocks are real communities here
