@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "ab_test_chi2",
     "sssp_distances",
     "graph_modularity",
+    "minimum_spanning_tree",
 ]
 
 

@@ -20163,3 +20163,109 @@ def graph_modularity(sf_dir: str, n_comm: int = 8):
     return pd.DataFrame({"n_edges": [np.int64(m)],
                          "intra_edges": [np.int64(intra)],
                          "modularity_q": [np.int64(q)]})
+
+
+@register(
+    "minimum_spanning_tree",
+    None,  # Kruskal/Boruvka need union-find component merging — not
+           # SQL-expressible (the recursive-CTE tricks used for kcore/
+           # sssp carry per-NODE state; MST state is per-COMPONENT and
+           # merges non-monotonically).  The driver records rows-only;
+           # correctness is pinned by an exact sequential-Kruskal
+           # union-find replay test (unique edge weights make the MST
+           # unique, so total weight + edge count are deterministic).
+    doc="Minimum spanning tree via distributed BORUVKA rounds over the "
+    "triangle-test graph with UNIQUE integer edge weights (w = "
+    "((a*131 + b*17) %% 100003) * 2^33 + a*n + b — uniqueness makes "
+    "the MST unique and the statistic hash-stable): each round every "
+    "component picks its minimum outgoing edge (a per-batch masked "
+    "min partial per component over the streamed edge Dataset — the "
+    "kcore broadcast posture with the component-label vector "
+    "ray.put per round), the driver folds component minima, unions "
+    "the picked edges into the forest, and contracts components via "
+    "pointer jumping over the (bounded) label vector; O(log n) "
+    "rounds, convergence DETECTED when no outgoing edges remain.  "
+    "Returns one row: MST edge count, total weight, and rounds "
+    "taken (n-1 edges on this connected graph).",
+)
+def minimum_spanning_tree(sf_dir: str, max_rounds: int = 64):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def weighted(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        w = ((a * 131 + b * 17) % 100003).astype(np.int64) * (1 << 33) + key
+        return pa.table({"a": a, "b": b, "w": w})
+
+    edges = dist.map_batches(weighted, batch_format="pyarrow").materialize()
+
+    labels = np.arange(n, dtype=np.int64)
+    mst_keys: set[int] = set()
+    total_w = 0
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        lref = ray.put(labels)
+
+        def comp_min(t: pa.Table) -> pd.DataFrame:
+            cols = {"comp": "int64", "w": "int64", "a": "int64", "b": "int64"}
+            if t.num_rows == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            lab = ray.get(lref)
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            w = t["w"].to_numpy()
+            ca, cb = lab[a], lab[b]
+            m = ca != cb
+            if not m.any():
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            comp = np.concatenate((ca[m], cb[m]))
+            ww = np.concatenate((w[m], w[m]))
+            aa = np.concatenate((a[m], a[m]))
+            bb = np.concatenate((b[m], b[m]))
+            df = pd.DataFrame({"comp": comp, "w": ww, "a": aa, "b": bb})
+            idx = df.groupby("comp", sort=False)["w"].idxmin()
+            return df.loc[idx].reset_index(drop=True)
+
+        parts = edges.map_batches(comp_min, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0:
+            rounds -= 1
+            break
+        # driver fold: min edge per component, then union picked edges
+        idx = parts.groupby("comp", sort=False)["w"].idxmin()
+        picked = parts.loc[idx]
+        for a_, b_, w_ in picked[["a", "b", "w"]].itertuples(index=False):
+            key = int(a_) * n + int(b_)
+            if key not in mst_keys:
+                mst_keys.add(key)
+                total_w += int(w_)
+        # contract: point each component at the root of its picked edge's
+        # other side, then pointer-jump the (bounded) label vector
+        nxt = np.arange(n, dtype=np.int64)
+        for a_, b_ in picked[["a", "b"]].itertuples(index=False):
+            ca_, cb_ = labels[int(a_)], labels[int(b_)]
+            lo, hi = (ca_, cb_) if ca_ < cb_ else (cb_, ca_)
+            nxt[hi] = min(nxt[hi], lo)
+        # resolve pick chains (a->b picked and b->c picked) by jumping
+        for _ in range(40):
+            nn2 = nxt[nxt]
+            if np.array_equal(nn2, nxt):
+                break
+            nxt = nn2
+        labels = nxt[labels]
+    else:
+        raise RuntimeError("boruvka: did not converge in max_rounds")
+    return pd.DataFrame({
+        "n_mst_edges": [np.int64(len(mst_keys))],
+        "total_weight": [np.int64(total_w)],
+        "rounds": [np.int64(rounds)],
+    })

@@ -543,3 +543,44 @@ def test_graph_modularity_equals_float_reference(ray_session):
     assert int(out["intra_edges"].iloc[0]) == intra
     assert abs(int(out["modularity_q"].iloc[0]) / 1024 - Q) < 2e-3
     assert Q > 0.1  # contiguous blocks are real communities here
+
+
+def test_minimum_spanning_tree_equals_sequential_kruskal(ray_session):
+    from crawler_ray.queries import minimum_spanning_tree
+
+    out = minimum_spanning_tree(SF)
+    ids = _t("documents", ["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    k = ids % 5 + 3
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a = np.concatenate((src, ids, e2, e5))
+    b = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi
+    keys = np.unique(lo[m] * n + hi[m])
+    A, B = keys // n, keys % n
+    W = ((A * 131 + B * 17) % 100003).astype(np.int64) * (1 << 33) + keys
+    assert len(np.unique(W)) == len(W)  # weight uniqueness => unique MST
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    tot = 0
+    cnt = 0
+    for i in np.argsort(W):
+        ra, rb = find(int(A[i])), find(int(B[i]))
+        if ra != rb:
+            parent[ra] = rb
+            tot += int(W[i])
+            cnt += 1
+    assert int(out["n_mst_edges"].iloc[0]) == cnt == n - 1  # connected
+    assert int(out["total_weight"].iloc[0]) == tot
