@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "sssp_distances",
     "graph_modularity",
     "minimum_spanning_tree",
+    "vocab_growth_curve",
 ]
 
 

@@ -584,3 +584,31 @@ def test_minimum_spanning_tree_equals_sequential_kruskal(ray_session):
             cnt += 1
     assert int(out["n_mst_edges"].iloc[0]) == cnt == n - 1  # connected
     assert int(out["total_weight"].iloc[0]) == tot
+
+
+def test_vocab_growth_curve_equals_sequential(ray_session):
+    from crawler_ray.queries import vocab_growth_curve
+
+    out = vocab_growth_curve(SF)
+    docs = _t("documents", ["doc_id", "text"]).sort_values("doc_id")
+    n = len(docs)
+    seen = set()
+    ckN = {}
+    ckV = {}
+    for did, txt in zip(docs["doc_id"].astype(int), docs["text"]):
+        ck = did * 16 // n
+        ws = txt.split(" ")
+        ckN[ck] = ckN.get(ck, 0) + len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                ckV[ck] = ckV.get(ck, 0) + 1
+    cn = cv = 0
+    for i, row in out.iterrows():
+        cn += ckN.get(i, 0)
+        cv += ckV.get(i, 0)
+        assert int(row["cum_tokens"]) == cn
+        assert int(row["cum_vocab"]) == cv
+    assert int(out["cum_vocab"].iloc[-1]) == len(seen)
+    # the registered point: synthetic vocab saturates early
+    assert int(out["cum_vocab"].iloc[0]) == len(seen)
