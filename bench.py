@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "graph_modularity",
     "minimum_spanning_tree",
     "vocab_growth_curve",
+    "mann_whitney_u",
 ]
 
 

@@ -20366,3 +20366,65 @@ def vocab_growth_curve(sf_dir: str, n_ck: int = 16):
         "cum_tokens": np.array([r[1] for r in rows], dtype=np.int64),
         "cum_vocab": np.array([r[2] for r in rows], dtype=np.int64),
     })
+
+
+@register(
+    "mann_whitney_u",
+    """
+    WITH g AS (SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS grp,
+                      n_chars AS v FROM documents),
+    c AS (SELECT v, sum(CASE WHEN grp=0 THEN 1 ELSE 0 END) AS ca,
+                 count(*) AS ct FROM g GROUP BY 1),
+    w AS (SELECT v, ca, ct,
+                 coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+          FROM c),
+    s AS (SELECT sum(ca) AS na, sum(ct) - sum(ca) AS nb,
+                 sum(ca * (2*cum_lt + ct + 1)) AS s2 FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(s2 - na*(na+1) AS BIGINT) AS u2,
+           CAST((1000 * (s2 - na*(na+1))) // (2*na*nb) AS BIGINT)
+             AS auc_permille
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test between even- and odd-numbered "
+    "sources' document lengths, EXACT under ties: doubled midranks "
+    "keep every quantity integer (rank2(v) = 2*|{<v}| + |{=v}| + 1, "
+    "so u2 = 2*U and auc_permille = 1000*U/(na*nb) is the "
+    "probability-of-superiority / AUC up to quantization) — the "
+    "nonparametric two-sample location test next to ks_length_drift's "
+    "distribution-shape test.  Distributed shape: per-batch "
+    "(value, group) count partials -> ONE bucketed_agg on the "
+    "16-char-bounded length-value grid; the rank-sum folds "
+    "driver-side over the bounded distinct-value frame (same bound "
+    "as ks_length_drift's grid) in exact Python ints.",
+)
+def mann_whitney_u(sf_dir: str):
+    from .stages.relational import bucketed_agg
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"v": "int64", "ca": "int64", "ct": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        src = t["source"].to_pandas()
+        grp = src.str.slice(3).astype(np.int64) % 2
+        v = t["n_chars"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({"v": v, "ca": (grp == 0).astype(np.int64),
+                           "ct": np.ones(len(v), dtype=np.int64)})
+        return df.groupby("v", as_index=False)[["ca", "ct"]].sum()
+
+    counts = bucketed_agg(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]).map_batches(
+            prep, batch_format="pyarrow"),
+        keys=["v"], sum_cols={"ca": "ca", "ct": "ct"},
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    ca = counts["ca"].to_numpy().astype(np.int64)
+    ct = counts["ct"].to_numpy().astype(np.int64)
+    cum_lt = np.concatenate([[0], np.cumsum(ct)[:-1]])
+    na = int(ca.sum())
+    nb = int(ct.sum()) - na
+    s2 = int((ca * (2 * cum_lt + ct + 1)).sum())
+    u2 = s2 - na * (na + 1)
+    return pd.DataFrame({"n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+                         "u2": [np.int64(u2)],
+                         "auc_permille": [np.int64((1000 * u2) // (2 * na * nb))]})

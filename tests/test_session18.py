@@ -612,3 +612,21 @@ def test_vocab_growth_curve_equals_sequential(ray_session):
     assert int(out["cum_vocab"].iloc[-1]) == len(seen)
     # the registered point: synthetic vocab saturates early
     assert int(out["cum_vocab"].iloc[0]) == len(seen)
+
+
+def test_mann_whitney_u_equals_midrank_reference(ray_session):
+    from crawler_ray.queries import mann_whitney_u
+
+    out = mann_whitney_u(SF)
+    docs = _t("documents", ["source", "n_chars"])
+    grp = docs["source"].str[3:].astype(int) % 2
+    v = docs["n_chars"].to_numpy().astype(np.int64)
+    ranks = pd.Series(v).rank(method="average").to_numpy()  # midranks
+    na = int((grp == 0).sum())
+    nb = int((grp == 1).sum())
+    U1 = ranks[(grp == 0).to_numpy()].sum() - na * (na + 1) / 2
+    assert int(out["n_a"].iloc[0]) == na
+    assert int(out["n_b"].iloc[0]) == nb
+    assert int(out["u2"].iloc[0]) == int(round(2 * U1))
+    assert abs(int(out["auc_permille"].iloc[0]) / 1000
+               - U1 / (na * nb)) < 2e-3
