@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "maximal_independent_set", # new in r5 session 18, never certified
     "mann_whitney_u",          # new in r5 session 18, never certified
     "vocab_growth_curve",      # new in r5 session 18, never certified
     "minimum_spanning_tree",   # new in r5 s18 (rows-only: union-find not SQL)

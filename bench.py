@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "minimum_spanning_tree",
     "vocab_growth_curve",
     "mann_whitney_u",
+    "maximal_independent_set",
 ]
 
 

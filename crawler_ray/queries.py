@@ -20428,3 +20428,134 @@ def mann_whitney_u(sf_dir: str):
     return pd.DataFrame({"n_a": [np.int64(na)], "n_b": [np.int64(nb)],
                          "u2": [np.int64(u2)],
                          "auc_permille": [np.int64((1000 * u2) // (2 * na * nb))]})
+
+
+@register(
+    "maximal_independent_set",
+    """
+    WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+    l AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id*131 + j*37 + j*j*11 + 7) % (SELECT c FROM n) AS target
+      FROM documents d, unnest(generate_series(0, d.doc_id % 5 + 2)) AS t(j)
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % (SELECT c FROM n) FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % (SELECT c FROM n) FROM documents
+      WHERE doc_id % 5 = 0),
+    eu AS (SELECT DISTINCT least(src, target) AS a, greatest(src, target) AS b
+           FROM l WHERE src <> target),
+    edges2 AS (SELECT a AS src, b AS dst FROM eu
+               UNION ALL SELECT b, a FROM eu
+               UNION ALL SELECT doc_id, doc_id FROM documents),
+    d AS (
+      SELECT 0 AS it, doc_id AS node, CAST(0 AS BIGINT) AS st FROM documents
+      UNION ALL
+      SELECT it + 1 AS it, node,
+             CASE WHEN own_st <> 0 THEN own_st
+                  WHEN mis_nb > 0 THEN 2
+                  WHEN und_nb = 0 OR my_key < min_und_key THEN 1
+                  ELSE 0 END AS st
+      FROM (
+        SELECT d.it AS it, e.dst AS node,
+          max(CASE WHEN e.src = e.dst THEN d.st END) AS own_st,
+          max(CASE WHEN e.src <> e.dst AND d.st = 1 THEN 1 ELSE 0 END)
+            AS mis_nb,
+          sum(CASE WHEN e.src <> e.dst AND d.st = 0 THEN 1 ELSE 0 END)
+            AS und_nb,
+          min(CASE WHEN e.src <> e.dst AND d.st = 0
+               THEN ((e.src*2654435761) % 2147483647)
+                    * (SELECT c FROM n) + e.src END) AS min_und_key,
+          max(CASE WHEN e.src = e.dst
+               THEN ((e.src*2654435761) % 2147483647)
+                    * (SELECT c FROM n) + e.src END) AS my_key
+        FROM d JOIN edges2 e ON e.src = d.node
+        WHERE d.it < 12
+        GROUP BY 1, 2))
+    SELECT CAST(count(*) AS BIGINT) AS n_mis,
+           CAST(sum(node) AS BIGINT) AS sum_node_ids
+    FROM d WHERE it = 12 AND st = 1
+    """,
+    doc="Maximal independent set via DETERMINISTIC Luby rounds "
+    "(priority = Knuth-hash (v*2654435761) %% 2^31-1 with node-id "
+    "tie-break — unique keys make the randomized algorithm "
+    "deterministic and hash-stable): each round an undecided node "
+    "joins the MIS if its key beats every undecided neighbor's, and "
+    "MIS neighbors exclude; measured convergence 9 rounds at both "
+    "500 and 5000 nodes.  The oracle unrolls 12 iteration-tagged "
+    "recursive-CTE rounds where weight-free SELF-LOOPS let one "
+    "d-to-edges join gather own-state AND neighbor aggregates "
+    "(the sssp trick extended to three CASE aggregates).  "
+    "Distributed shape: the kcore broadcast posture — state vector "
+    "ray.put per round, edge batches emit per-batch (min undecided "
+    "neighbor key, has-MIS-neighbor) partials, driver folds and "
+    "transitions; convergence DETECTED.  Returns MIS size + the "
+    "node-id checksum; independence and per-node maximality are "
+    "asserted in the replay test.",
+)
+def maximal_independent_set(sf_dir: str, max_rounds: int = 64):
+    import ray
+
+    from .stages.relational import bucketed_agg
+
+    n = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    ekeys = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"key": _explode_edge_keys(t, n)}),
+        batch_format="pyarrow",
+    )
+    dist = bucketed_agg(ekeys, keys=["key"], sum_cols={"__count__": "c"})
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
+        a, b = key // n, key % n
+        return pa.table({"src": np.concatenate((a, b)),
+                         "dst": np.concatenate((b, a))})
+
+    edges = dist.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    pkey = ((np.arange(n, dtype=np.int64) * 2654435761) % 2147483647) * n \
+        + np.arange(n, dtype=np.int64)
+    INF = np.int64(1) << 62
+    st = np.zeros(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        if not (st == 0).any():
+            break
+        sref = ray.put(st)
+
+        def fold(t: pa.Table) -> pd.DataFrame:
+            cols = {"node": "int64", "mn": "int64", "misnb": "int64"}
+            if t.num_rows == 0:
+                return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+            ss = ray.get(sref)
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            mn = np.full(n, INF, dtype=np.int64)
+            und = ss[src] == 0
+            np.minimum.at(mn, dst[und], pkey[src[und]])
+            misnb = np.zeros(n, dtype=np.int64)
+            misnb[dst[ss[src] == 1]] = 1
+            nz = np.nonzero((mn < INF) | (misnb > 0))[0]
+            return pd.DataFrame({"node": nz.astype(np.int64),
+                                 "mn": mn[nz], "misnb": misnb[nz]})
+
+        parts = edges.map_batches(fold, batch_format="pyarrow").to_pandas()
+        mn = np.full(n, INF, dtype=np.int64)
+        misnb = np.zeros(n, dtype=bool)
+        if len(parts):
+            nodes = parts["node"].to_numpy(dtype=np.int64)
+            np.minimum.at(mn, nodes, parts["mn"].to_numpy(dtype=np.int64))
+            misnb[nodes[parts["misnb"].to_numpy(dtype=np.int64) > 0]] = True
+        und = st == 0
+        new = st.copy()
+        new[und & misnb] = 2
+        new[und & ~misnb & (pkey < mn)] = 1
+        if np.array_equal(new, st):
+            raise RuntimeError("mis: no progress before fixpoint")
+        st = new
+    else:
+        raise RuntimeError("mis: not converged in max_rounds")
+    mis = np.nonzero(st == 1)[0]
+    return pd.DataFrame({"n_mis": [np.int64(len(mis))],
+                         "sum_node_ids": [np.int64(mis.sum())]})

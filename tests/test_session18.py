@@ -630,3 +630,46 @@ def test_mann_whitney_u_equals_midrank_reference(ray_session):
     assert int(out["u2"].iloc[0]) == int(round(2 * U1))
     assert abs(int(out["auc_permille"].iloc[0]) / 1000
                - U1 / (na * nb)) < 2e-3
+
+
+def test_maximal_independent_set_properties(ray_session):
+    from crawler_ray.queries import maximal_independent_set
+
+    out = maximal_independent_set(SF)
+    ids = _t("documents", ["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    k = ids % 5 + 3
+    src = np.repeat(ids, k)
+    j = np.arange(len(src)) - np.repeat(np.cumsum(k) - k, k)
+    tgt = (src * 131 + j * 37 + j * j * 11 + 7) % n
+    e2 = ids[ids % 2 == 0]
+    e5 = ids[ids % 5 == 0]
+    a = np.concatenate((src, ids, e2, e5))
+    b = np.concatenate((tgt, (ids + 1) % n, (e2 + 2) % n, (e5 + 3) % n))
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    msk = lo != hi
+    keys = np.unique(lo[msk] * n + hi[msk])
+    A, B = keys // n, keys % n
+    S = np.concatenate((A, B))
+    D = np.concatenate((B, A))
+    pkey = ((np.arange(n, dtype=np.int64) * 2654435761) % 2147483647) * n \
+        + np.arange(n, dtype=np.int64)
+    st = np.zeros(n, dtype=np.int64)
+    while (st == 0).any():  # sequential Luby replay
+        INF = np.int64(1) << 62
+        mn = np.full(n, INF)
+        und = st[S] == 0
+        np.minimum.at(mn, D[und], pkey[S[und]])
+        misnb = np.zeros(n, dtype=bool)
+        misnb[D[st[S] == 1]] = True
+        u = st == 0
+        st[u & misnb] = 2
+        st[(st == 0) & ~misnb & (pkey < mn)] = 1
+    mis = set(np.nonzero(st == 1)[0].tolist())
+    # properties: independence + maximality
+    assert not any((int(x) in mis) and (int(y) in mis) for x, y in zip(A, B))
+    misnb = np.zeros(n, dtype=bool)
+    misnb[D[np.isin(S, list(mis))]] = True
+    assert all((v in mis) or misnb[v] for v in range(n))
+    assert int(out["n_mis"].iloc[0]) == len(mis)
+    assert int(out["sum_node_ids"].iloc[0]) == sum(mis)
