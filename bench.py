@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "vocab_growth_curve",
     "mann_whitney_u",
     "maximal_independent_set",
+    "span_redaction",
 ]
 
 

@@ -20559,3 +20559,124 @@ def maximal_independent_set(sf_dir: str, max_rounds: int = 64):
     mis = np.nonzero(st == 1)[0]
     return pd.DataFrame({"n_mis": [np.int64(len(mis))],
                          "sum_node_ids": [np.int64(mis.sum())]})
+
+
+@register(
+    "span_redaction",
+    """
+    WITH ts AS (
+      SELECT d.doc_id, d.n_chars, t.j
+      FROM documents d,
+           unnest(generate_series(0, (d.n_chars + 63) // 64 - 1)) AS t(j)),
+    sp AS (
+      SELECT doc_id, 'text' AS kind,
+             least(64, n_chars - j*64) AS tlen, j*64 AS off
+      FROM ts
+      UNION ALL
+      SELECT doc_id,
+             CASE (doc_id + j) % 3
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END,
+             0, least((j+1)*64, n_chars)
+      FROM ts WHERE (doc_id*31 + j) % 5 = 0),
+    w AS (SELECT doc_id, kind, tlen, off,
+            CASE WHEN kind = 'text' AND (doc_id + off//64) % 7 = 0
+                 THEN 1 ELSE 0 END AS rm
+          FROM sp),
+    sh AS (SELECT doc_id, kind, tlen, off, rm,
+            coalesce(sum(CASE WHEN rm = 1 THEN tlen ELSE 0 END) OVER
+              (PARTITION BY doc_id ORDER BY off
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS shift
+           FROM w)
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS spans_before,
+           CAST(sum(1 - rm) AS BIGINT) AS spans_after,
+           CAST(sum(rm * tlen) AS BIGINT) AS chars_removed,
+           CAST(sum(CASE WHEN rm = 0 THEN off - shift ELSE 0 END)
+                AS BIGINT) AS sum_new_offsets
+    FROM sh
+    """,
+    doc="Span redaction with offset rebasing over the input_hint "
+    "nested column: flagged text spans (tile hash (doc_id + "
+    "offset//64) %% 7 == 0 — the PII-tile stand-in) are REMOVED from "
+    "each document's spans list<struct> and every surviving span's "
+    "offset shifts left by the redacted character count strictly "
+    "before it (media spans at a removed tile's start do NOT shift "
+    "— strict-less semantics, RANGE window in the oracle).  The Ray "
+    "side performs the REAL nested rewrite: flatten the list column, "
+    "compute per-doc group-exclusive removal prefix sums, rebuild a "
+    "new list<struct> column with pa.ListArray.from_arrays, and "
+    "derive the certified aggregates FROM THE REBUILT COLUMN — so "
+    "the oracle certifies the transform's output, not a shortcut "
+    "computation.  Per-batch single-row partials, one tiny global "
+    "sum; a doc's spans never leave their row.",
+)
+def span_redaction(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def redact(t: pa.Table) -> pd.DataFrame:
+        cols = {"n_docs": "int64", "spans_before": "int64",
+                "spans_after": "int64", "chars_removed": "int64",
+                "sum_new_offsets": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        sc = t["spans"]
+        spans = sc.chunk(0) if sc.num_chunks == 1 else sc.combine_chunks()
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+        did = t["doc_id"].to_numpy().astype(np.int64)[parent]
+        kind = flat.field("kind").to_pandas().to_numpy(dtype=object)
+        tlen = pc.utf8_length(flat.field("text")).to_numpy().astype(np.int64)
+        off = flat.field("offset").to_numpy().astype(np.int64)
+        rm = (kind == "text") & ((did + off // 64) % 7 == 0)
+        # group-exclusive removal prefix per (doc, offset) group with
+        # strict-less semantics: removed lengths at the SAME offset do
+        # not shift their cohabitants
+        df = pd.DataFrame({"row": parent, "off": off,
+                           "val": np.where(rm, tlen, 0)})
+        order = np.lexsort((off, parent))
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        ds = df.iloc[order].reset_index(drop=True)
+        # group-exclusive running sum: per-row inclusive cumsum minus the
+        # within-(row, off)-group inclusive cumsum leaves exactly the
+        # removed mass at strictly smaller offsets of the same doc
+        incl = ds.groupby("row", sort=False)["val"].cumsum()
+        within = ds.groupby(["row", "off"], sort=False)["val"].cumsum()
+        shift = (incl - within).to_numpy()[inv]
+        keep = ~rm
+        new_off = (off - shift)[keep]
+        # rebuild the nested column for the kept spans
+        keep_idx = np.nonzero(keep)[0]
+        new_flat = pa.StructArray.from_arrays(
+            [flat.field("kind").take(pa.array(keep_idx)),
+             flat.field("text").take(pa.array(keep_idx)),
+             flat.field("media_ref").take(pa.array(keep_idx)),
+             pa.array(new_off.astype(np.int32), type=pa.int32())],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        counts = np.bincount(parent[keep], minlength=t.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), new_flat)
+        # certified aggregates FROM the rebuilt column
+        rflat = rebuilt.flatten()
+        return pd.DataFrame({
+            "n_docs": [int(t.num_rows)],
+            "spans_before": [int(len(flat))],
+            "spans_after": [int(len(rflat))],
+            "chars_removed": [int(tlen[rm].sum())],
+            "sum_new_offsets": [int(rflat.field("offset").to_numpy()
+                                    .astype(np.int64).sum())],
+        })
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .map_batches(_build_span_column, batch_format="pyarrow")
+        .map_batches(redact, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("spans_before", alias_name="spans_before"),
+                   Sum("spans_after", alias_name="spans_after"),
+                   Sum("chars_removed", alias_name="chars_removed"),
+                   Sum("sum_new_offsets", alias_name="sum_new_offsets"))
+    )

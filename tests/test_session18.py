@@ -673,3 +673,42 @@ def test_maximal_independent_set_properties(ray_session):
     assert all((v in mis) or misnb[v] for v in range(n))
     assert int(out["n_mis"].iloc[0]) == len(mis)
     assert int(out["sum_node_ids"].iloc[0]) == sum(mis)
+
+
+def test_span_redaction_sequential_replay(ray_session):
+    from crawler_ray.queries import span_redaction
+
+    out = span_redaction(SF).to_pandas()
+    docs = _t("documents", ["doc_id", "n_chars"])
+    n_docs = 0
+    before = after = removed = sum_off = 0
+    for did, nc in zip(docs["doc_id"].astype(int), docs["n_chars"].astype(int)):
+        spans = []
+        for j in range((nc + 63) // 64):
+            spans.append(("text", min(64, nc - j * 64), j * 64))
+            if (did * 31 + j) % 5 == 0:
+                spans.append(("media", 0, min((j + 1) * 64, nc)))
+        spans.sort(key=lambda s: s[2])
+        n_docs += 1
+        before += len(spans)
+        cum = 0
+        last_off = None
+        pend = 0
+        for kind, tlen, off in spans:
+            if last_off is not None and off > last_off:
+                cum += pend
+                pend = 0
+            last_off = off
+            rm = kind == "text" and (did + off // 64) % 7 == 0
+            if rm:
+                removed += tlen
+                pend += tlen
+            else:
+                after += 1
+                sum_off += off - cum
+    assert int(out["n_docs"].iloc[0]) == n_docs
+    assert int(out["spans_before"].iloc[0]) == before
+    assert int(out["spans_after"].iloc[0]) == after
+    assert int(out["chars_removed"].iloc[0]) == removed
+    assert int(out["sum_new_offsets"].iloc[0]) == sum_off
+    assert removed > 0 and after < before
