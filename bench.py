@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "mann_whitney_u",
     "maximal_independent_set",
     "span_redaction",
+    "consistent_hash_balance",
 ]
 
 

@@ -712,3 +712,26 @@ def test_span_redaction_sequential_replay(ray_session):
     assert int(out["chars_removed"].iloc[0]) == removed
     assert int(out["sum_new_offsets"].iloc[0]) == sum_off
     assert removed > 0 and after < before
+
+
+def test_consistent_hash_balance_equals_ring_walk(ray_session):
+    from crawler_ray.queries import consistent_hash_balance
+
+    out = consistent_hash_balance(SF).to_pandas()
+    ev = _t("events", ["user_id"])
+    users = sorted(set(ev["user_id"].astype(int)))
+    s = np.repeat(np.arange(8, dtype=np.int64), 16)
+    v = np.tile(np.arange(16, dtype=np.int64), 8)
+    p = (((s * 1000 + v) * 2654435761) % 2147483647) * 128 + s * 16 + v
+    ring = sorted(zip(p.tolist(), s.tolist()))
+    from collections import Counter
+    cnt = Counter()
+    M = 2147483647 * 128
+    for u in users:
+        h = ((u * 2654435761) % 2147483647) * 128
+        # clockwise successor by explicit wraparound-distance argmin
+        best = min(ring, key=lambda rs: (rs[0] - h) % M)
+        cnt[best[1]] += 1
+    got = dict(zip(out["shard"].astype(int), out["n_keys"].astype(int)))
+    assert got == dict(cnt)
+    assert sum(got.values()) == len(users)
