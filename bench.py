@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "maximal_independent_set",
     "span_redaction",
     "consistent_hash_balance",
+    "spatial_grid_join",
 ]
 
 

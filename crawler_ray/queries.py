@@ -20759,3 +20759,103 @@ def consistent_hash_balance(sf_dir: str, n_shards: int = 8, n_vnodes: int = 16):
         .groupby("shard")
         .aggregate(Sum("n_keys", alias_name="n_keys"))
     )
+
+
+@register(
+    "spatial_grid_join",
+    """
+    WITH p AS (
+      SELECT vec_id,
+             CAST(floor((embedding[1] + 1.0) * 1024) AS BIGINT) AS x,
+             CAST(floor((embedding[2] + 1.0) * 1024) AS BIGINT) AS y
+      FROM embeddings),
+    c AS (SELECT vec_id, x, y, x // 32 AS cx, y // 32 AS cy FROM p),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM c a JOIN c b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.vec_id < b.vec_id
+      WHERE abs(a.x - b.x) < 32 AND abs(a.y - b.y) < 32)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(va + vb), 0) AS BIGINT) AS id_checksum
+    FROM pairs
+    """,
+    doc="Spatial grid epsilon-join (the classic grid-partitioned "
+    "similarity join, here Chebyshev distance < 32 on integer-"
+    "quantized 2-D embedding projections; +1.0 shift keeps "
+    "coordinates positive so // floor-vs-truncate semantics can't "
+    "diverge between numpy and DuckDB).  Distributed shape: each "
+    "point shuffles to its home grid cell and GHOST-replicates to "
+    "the 8 neighbor cells (bounded 9x blowup of (id, x, y) triples "
+    "— vectors never move); per cell a vectorized home x all "
+    "candidate cross generates each pair EXACTLY ONCE via the "
+    "'home endpoint has the smaller id' ownership rule, then the "
+    "exact distance filter; single-row (count, checksum) partials "
+    "fold globally.  The oracle mirrors with a 3x3 cell-range "
+    "self-join.",
+)
+def spatial_grid_join(sf_dir: str, eps: int = 32):
+    from ray.data.aggregate import Sum
+
+    CELL = eps  # cell width = eps => neighbors live within one cell ring
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"vec_id": "int64", "x": "int64", "y": "int64",
+                "cell": "int64", "home": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        emb = list_col_to_matrix(t["embedding"])
+        x = np.floor((emb[:, 0].astype(np.float64) + 1.0) * 1024).astype(np.int64)
+        y = np.floor((emb[:, 1].astype(np.float64) + 1.0) * 1024).astype(np.int64)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        cx, cy = x // CELL, y // CELL
+        frames = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                frames.append(pd.DataFrame({
+                    "vec_id": vid, "x": x, "y": y,
+                    "cell": (cx + dx) * 4096 + (cy + dy),
+                    "home": np.full(len(vid), 1 if (dx == 0 and dy == 0)
+                                    else 0, dtype=np.int64),
+                }))
+        return pd.concat(frames, ignore_index=True)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_pairs": "int64", "id_checksum": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        out_n = 0
+        out_s = 0
+        for _, cg in g.groupby("cell", sort=False):
+            home = cg[cg["home"] == 1]
+            if len(home) == 0:
+                continue
+            hv = home["vec_id"].to_numpy()
+            hx = home["x"].to_numpy()
+            hy = home["y"].to_numpy()
+            av = cg["vec_id"].to_numpy()
+            ax = cg["x"].to_numpy()
+            ay = cg["y"].to_numpy()
+            na, nh = len(av), len(hv)
+            ia = np.repeat(np.arange(nh), na)
+            ib = np.tile(np.arange(na), nh)
+            m = ((hv[ia] < av[ib])
+                 & (np.abs(hx[ia] - ax[ib]) < eps)
+                 & (np.abs(hy[ia] - ay[ib]) < eps))
+            out_n += int(m.sum())
+            out_s += int((hv[ia][m] + av[ib][m]).sum())
+        return pd.DataFrame({"n_pairs": [out_n], "id_checksum": [out_s]})
+
+    res = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pandas")
+        .groupby(None)
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                   Sum("id_checksum", alias_name="id_checksum"))
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_pairs": [np.int64(res["n_pairs"].iloc[0])],
+                         "id_checksum": [np.int64(res["id_checksum"].iloc[0])]})

@@ -735,3 +735,24 @@ def test_consistent_hash_balance_equals_ring_walk(ray_session):
     got = dict(zip(out["shard"].astype(int), out["n_keys"].astype(int)))
     assert got == dict(cnt)
     assert sum(got.values()) == len(users)
+
+
+def test_spatial_grid_join_equals_bruteforce(ray_session):
+    from crawler_ray.queries import spatial_grid_join
+
+    out = spatial_grid_join(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vid = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(emb["embedding"].to_numpy())
+    x = np.floor((mat[:, 0].astype(np.float64) + 1.0) * 1024).astype(np.int64)
+    y = np.floor((mat[:, 1].astype(np.float64) + 1.0) * 1024).astype(np.int64)
+    n = len(vid)
+    cnt = 0
+    chk = 0
+    for i in range(n):  # O(n^2) brute force over all pairs, no grid
+        close = (np.abs(x - x[i]) < 32) & (np.abs(y - y[i]) < 32) & (vid > vid[i])
+        cnt += int(close.sum())
+        chk += int((vid[i] + vid[close]).sum())
+    assert int(out["n_pairs"].iloc[0]) == cnt
+    assert int(out["id_checksum"].iloc[0]) == chk
+    assert cnt > 0
