@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "span_redaction",
     "consistent_hash_balance",
     "spatial_grid_join",
+    "column_dict_audit",
 ]
 
 

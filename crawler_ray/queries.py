@@ -20859,3 +20859,95 @@ def spatial_grid_join(sf_dir: str, eps: int = 32):
     )
     return pd.DataFrame({"n_pairs": [np.int64(res["n_pairs"].iloc[0])],
                          "id_checksum": [np.int64(res["id_checksum"].iloc[0])]})
+
+
+@register(
+    "column_dict_audit",
+    """
+    WITH cols AS (
+      SELECT 'lang' AS col, lang AS v FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'text', text FROM documents),
+    s AS (SELECT col, count(*) AS n, count(DISTINCT v) AS d,
+                 sum(length(v)) AS raw_chars
+          FROM cols GROUP BY col),
+    du AS (SELECT col, sum(length(v)) AS dict_chars
+           FROM (SELECT DISTINCT col, v FROM cols) GROUP BY col)
+    SELECT s.col, CAST(s.n AS BIGINT) AS n_rows,
+           CAST(s.d AS BIGINT) AS n_distinct,
+           CAST(s.raw_chars AS BIGINT) AS raw_chars,
+           CAST(du.dict_chars
+                + (s.n * length(bin(s.d - 1)) + 7) // 8 AS BIGINT)
+             AS dict_est_bytes
+    FROM s JOIN du USING (col)
+    """,
+    doc="Columnar dictionary-encoding audit — the storage-layout "
+    "planning pass a 100 TB corpus needs before choosing encodings: "
+    "per string column, row count, exact distinct count, raw "
+    "character mass, and the estimated dictionary-encoded size "
+    "(distinct-value chars + n rows x ceil-bits codes, bits = "
+    "decimal bin() length of d-1 so the d=1 edge mirrors DuckDB's "
+    "bin(0)='0').  On this corpus it shows lang/source compress "
+    "5-11x while text (all-distinct) gains nothing — exactly the "
+    "split Parquet/Lance writers must know.  Distributed shape: "
+    "per-batch (col, value) dedup + per-batch (n, chars) counters; "
+    "ONE value-hash bucket shuffle completes global distincts and "
+    "dictionary mass (values cross the wire once, deduped); "
+    "3-row driver fold.",
+)
+def column_dict_audit(sf_dir: str):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"col": "object", "v": "object", "n": "int64",
+                "chars": "int64", "vb": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        frames = []
+        for col in ("lang", "source", "text"):
+            s = t[col].to_pandas()
+            per = pd.DataFrame({"v": s}).groupby("v", as_index=False).size()
+            ln = per["v"].str.len().to_numpy().astype(np.int64)
+            h = pd.util.hash_pandas_object(per["v"], index=False).to_numpy()
+            frames.append(pd.DataFrame({
+                "col": col, "v": per["v"].to_numpy(dtype=object),
+                "n": per["size"].to_numpy().astype(np.int64),
+                "chars": ln * per["size"].to_numpy(),
+                "vb": (h % 32).astype("int32"),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"col": "object", "n": "int64", "d": "int64",
+                "raw": "int64", "dict_chars": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        per_v = g.groupby(["col", "v"], as_index=False).agg(
+            n=("n", "sum"), chars=("chars", "sum"))
+        per_v["vlen"] = per_v["v"].str.len().astype(np.int64)
+        out = per_v.groupby("col", as_index=False).agg(
+            n=("n", "sum"), d=("v", "size"), raw=("chars", "sum"),
+            dict_chars=("vlen", "sum"))
+        for c in ("n", "d", "raw", "dict_chars"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = (
+        _read(sf_dir, "documents", columns=["lang", "source", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("col", as_index=False).sum(numeric_only=True)
+    rows = []
+    for _, r in agg.iterrows():
+        n, d = int(r["n"]), int(r["d"])
+        bits = len(bin(d - 1)) - 2 if d > 1 else 1  # matches bin() varchar length
+        rows.append((r["col"], n, d, int(r["raw"]),
+                     int(r["dict_chars"]) + (n * bits + 7) // 8))
+    return pd.DataFrame({
+        "col": pd.Series([x[0] for x in rows], dtype=object),
+        "n_rows": np.array([x[1] for x in rows], dtype=np.int64),
+        "n_distinct": np.array([x[2] for x in rows], dtype=np.int64),
+        "raw_chars": np.array([x[3] for x in rows], dtype=np.int64),
+        "dict_est_bytes": np.array([x[4] for x in rows], dtype=np.int64),
+    })

@@ -756,3 +756,25 @@ def test_spatial_grid_join_equals_bruteforce(ray_session):
     assert int(out["n_pairs"].iloc[0]) == cnt
     assert int(out["id_checksum"].iloc[0]) == chk
     assert cnt > 0
+
+
+def test_column_dict_audit_equals_bruteforce(ray_session):
+    from crawler_ray.queries import column_dict_audit
+
+    out = column_dict_audit(SF)
+    docs = _t("documents", ["lang", "source", "text"])
+    got = {r["col"]: (int(r["n_rows"]), int(r["n_distinct"]),
+                      int(r["raw_chars"]), int(r["dict_est_bytes"]))
+           for _, r in out.iterrows()}
+    for col in ("lang", "source", "text"):
+        s = docs[col]
+        n = len(s)
+        d = s.nunique()
+        raw = int(s.str.len().sum())
+        dict_chars = int(s.drop_duplicates().str.len().sum())
+        bits = max(1, (d - 1).bit_length()) if d > 1 else 1
+        est = dict_chars + (n * bits + 7) // 8
+        assert got[col] == (n, d, raw, est)
+    # the audit's point: metadata columns compress, text doesn't
+    assert got["lang"][3] * 3 < got["lang"][2]
+    assert got["text"][3] >= got["text"][2]
