@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "consistent_hash_balance",
     "spatial_grid_join",
     "column_dict_audit",
+    "tail_gap_p99",
 ]
 
 

@@ -20951,3 +20951,77 @@ def column_dict_audit(sf_dir: str):
         "raw_chars": np.array([x[3] for x in rows], dtype=np.int64),
         "dict_est_bytes": np.array([x[4] for x in rows], dtype=np.int64),
     })
+
+
+@register(
+    "tail_gap_p99",
+    """
+    WITH g AS (SELECT user_id,
+                 (epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)))
+                   // 1000000 AS d
+               FROM events),
+    v AS (SELECT user_id, d FROM g WHERE d IS NOT NULL),
+    r AS (SELECT user_id, d,
+                 row_number() OVER (PARTITION BY user_id ORDER BY d) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM v)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(d AS BIGINT) AS p99_gap_s
+    FROM r WHERE n >= 20 AND rk = (n - 1) * 99 // 100 + 1
+    """,
+    doc="Per-user p99 inter-event gap (whole seconds) — the canonical "
+    "tail-latency SLO statistic, as an EXACT discrete order statistic "
+    "sorted[(n-1)*99//100] (no interpolation, so hash-stable; the "
+    "same low-rank convention as mad_outliers' medians), hosts with "
+    "fewer than 20 gaps excluded.  Distributed shape: ONE coarse "
+    "user-bucket shuffle of (user, ts, id) triples; per bucket a "
+    "single vectorized sort + segmented diff (host_burstiness' "
+    "kernel) followed by a per-user partitioned sort of gaps and "
+    "direct order-statistic indexing — one row per qualifying user "
+    "leaves the bucket.  The oracle mirrors with lag + row_number "
+    "windows.",
+)
+def tail_gap_p99(sf_dir: str, min_gaps: int = 20, pct: int = 99):
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"u": "int64", "tus": "int64", "eid": "int64", "ub": "int32"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        u = t["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "u": u, "tus": t["ts"].cast(pa.int64()).to_numpy(),
+            "eid": t["event_id"].to_numpy().astype(np.int64),
+            "ub": (u % 32).astype("int32"),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_gaps": "int64", "p99_gap_s": "int64"}
+        if g.shape[1] == 0 or len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["u", "tus", "eid"], kind="stable")
+        u = g["u"].to_numpy()
+        tus = g["tus"].to_numpy()
+        d = np.empty(len(g), dtype=np.int64)
+        d[0] = -1
+        d[1:] = np.where(u[1:] == u[:-1], (tus[1:] - tus[:-1]) // 1_000_000, -1)
+        m = d >= 0
+        df = pd.DataFrame({"u": u[m], "d": d[m]}).sort_values(
+            ["u", "d"], kind="stable").reset_index(drop=True)
+        uu = df["u"].to_numpy()
+        starts = np.nonzero(np.concatenate([[True], uu[1:] != uu[:-1]]))[0]
+        counts = np.diff(np.concatenate([starts, [len(uu)]]))
+        keep = counts >= min_gaps
+        idx = starts[keep] + (counts[keep] - 1) * pct // 100
+        return pd.DataFrame({
+            "user_id": uu[starts[keep]].astype(np.int64),
+            "n_gaps": counts[keep].astype(np.int64),
+            "p99_gap_s": df["d"].to_numpy()[idx].astype(np.int64),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

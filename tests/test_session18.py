@@ -778,3 +778,21 @@ def test_column_dict_audit_equals_bruteforce(ray_session):
     # the audit's point: metadata columns compress, text doesn't
     assert got["lang"][3] * 3 < got["lang"][2]
     assert got["text"][3] >= got["text"][2]
+
+
+def test_tail_gap_p99_equals_bruteforce(ray_session):
+    from crawler_ray.queries import tail_gap_p99
+
+    out = tail_gap_p99(SF).to_pandas()
+    ev = _t("events", ["user_id", "ts", "event_id"]).sort_values(
+        ["user_id", "ts", "event_id"], kind="stable")
+    got = {int(r["user_id"]): (int(r["n_gaps"]), int(r["p99_gap_s"]))
+           for _, r in out.iterrows()}
+    ref = {}
+    for u, g in ev.groupby("user_id"):
+        t = g["ts"].astype("int64").to_numpy()
+        d = np.sort((t[1:] - t[:-1]) // 1_000_000)
+        if len(d) >= 20:
+            ref[int(u)] = (len(d), int(d[(len(d) - 1) * 99 // 100]))
+    assert got == ref
+    assert len(ref) >= 5
