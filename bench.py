@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "spatial_grid_join",
     "column_dict_audit",
     "tail_gap_p99",
+    "lpt_shard_plan",
 ]
 
 

@@ -21025,3 +21025,75 @@ def tail_gap_p99(sf_dir: str, min_gaps: int = 20, pct: int = 99):
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+@register(
+    "lpt_shard_plan",
+    """
+    WITH RECURSIVE w AS (SELECT source, sum(n_chars) AS wt
+                         FROM documents GROUP BY 1),
+    r AS (SELECT source, wt,
+                 row_number() OVER (ORDER BY wt DESC, source) AS rk
+          FROM w),
+    ass AS (
+      SELECT 0 AS step,
+             CAST(0 AS BIGINT) AS l0, CAST(0 AS BIGINT) AS l1,
+             CAST(0 AS BIGINT) AS l2, CAST(0 AS BIGINT) AS l3,
+             CAST(NULL AS VARCHAR) AS src, CAST(NULL AS BIGINT) AS shard,
+             CAST(0 AS BIGINT) AS wt
+      UNION ALL
+      SELECT step + 1,
+             l0 + CASE WHEN pick = 0 THEN wt ELSE 0 END,
+             l1 + CASE WHEN pick = 1 THEN wt ELSE 0 END,
+             l2 + CASE WHEN pick = 2 THEN wt ELSE 0 END,
+             l3 + CASE WHEN pick = 3 THEN wt ELSE 0 END,
+             source, pick, wt
+      FROM (
+        SELECT a.step, a.l0, a.l1, a.l2, a.l3, r.source, r.wt,
+               CASE WHEN a.l0 <= a.l1 AND a.l0 <= a.l2 AND a.l0 <= a.l3
+                    THEN 0
+                    WHEN a.l1 <= a.l2 AND a.l1 <= a.l3 THEN 1
+                    WHEN a.l2 <= a.l3 THEN 2 ELSE 3 END AS pick
+        FROM ass a JOIN r ON r.rk = a.step + 1) t)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(wt) AS BIGINT) AS load_chars
+    FROM ass WHERE shard IS NOT NULL GROUP BY 1
+    """,
+    doc="Graham's LPT (longest-processing-time) shard plan: sources "
+    "sorted by total character mass descending, each greedily "
+    "assigned to the least-loaded of 4 shards (lowest-id tie-break) "
+    "— the 4/3-approximation load balancer a repartition planner "
+    "runs on per-key weights before a skewed shuffle.  The greedy "
+    "recurrence is SEQUENTIAL, yet oracle-able: a recursive CTE "
+    "carries the four shard loads AS COLUMNS and a rank-joined item "
+    "per iteration (the kcore/sssp iteration-tag family extended to "
+    "accumulator state).  Distributed shape: per-source weights via "
+    "ONE combiner'd bucketed_agg over the document stream — the "
+    "corpus-scale work; the plan itself folds driver-side over the "
+    "BOUNDED source list (the nations-style dim bound, documented), "
+    "mirroring how a real planner treats per-key statistics.",
+)
+def lpt_shard_plan(sf_dir: str, n_shards: int = 4):
+    from .stages.relational import bucketed_agg
+
+    weights = bucketed_agg(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]).map_batches(
+            lambda t: pd.DataFrame(
+                {"source": t["source"].to_numpy(zero_copy_only=False),
+                 "wt": t["n_chars"].to_numpy().astype(np.int64)}),
+            batch_format="pyarrow"),
+        keys=["source"], sum_cols={"wt": "wt"},
+        key_dtypes={"source": "object"},
+    ).to_pandas()
+    weights = weights.sort_values(["wt", "source"],
+                                  ascending=[False, True], kind="stable")
+    loads = np.zeros(n_shards, dtype=np.int64)
+    n_items = np.zeros(n_shards, dtype=np.int64)
+    for wt in weights["wt"].astype(np.int64):
+        pick = int(np.argmin(loads))  # lowest index on ties, matching SQL
+        loads[pick] += int(wt)
+        n_items[pick] += 1
+    return pd.DataFrame({"shard": np.arange(n_shards, dtype=np.int64),
+                         "n_sources": n_items,
+                         "load_chars": loads})

@@ -796,3 +796,23 @@ def test_tail_gap_p99_equals_bruteforce(ray_session):
             ref[int(u)] = (len(d), int(d[(len(d) - 1) * 99 // 100]))
     assert got == ref
     assert len(ref) >= 5
+
+
+def test_lpt_shard_plan_equals_sequential_greedy(ray_session):
+    from crawler_ray.queries import lpt_shard_plan
+
+    out = lpt_shard_plan(SF)
+    docs = _t("documents", ["source", "n_chars"])
+    w = docs.groupby("source")["n_chars"].sum().reset_index()
+    w = w.sort_values(["n_chars", "source"], ascending=[False, True])
+    loads = [0, 0, 0, 0]
+    items = [0, 0, 0, 0]
+    for wt in w["n_chars"].astype(int):
+        pick = loads.index(min(loads))
+        loads[pick] += wt
+        items[pick] += 1
+    assert out["load_chars"].tolist() == loads
+    assert out["n_sources"].tolist() == items
+    # LPT guarantee sanity: makespan <= 4/3 * ideal + largest/4-ish;
+    # here just assert balance is tight on this data
+    assert max(loads) - min(loads) <= max(w["n_chars"])
