@@ -76,6 +76,7 @@ def entry() -> Any:
 # anything newly registered.  The r4-certified 50 follow in registry
 # order.
 _CERTIFY_FIRST = [
+    "theil_sen_trend",         # new in r5 session 18, never certified
     "lpt_shard_plan",          # new in r5 session 18, never certified
     "tail_gap_p99",            # new in r5 session 18, never certified
     "column_dict_audit",       # new in r5 session 18, never certified

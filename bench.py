@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "column_dict_audit",
     "tail_gap_p99",
     "lpt_shard_plan",
+    "theil_sen_trend",
 ]
 
 

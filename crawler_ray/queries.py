@@ -21097,3 +21097,65 @@ def lpt_shard_plan(sf_dir: str, n_shards: int = 4):
     return pd.DataFrame({"shard": np.arange(n_shards, dtype=np.int64),
                          "n_sources": n_items,
                          "load_chars": loads})
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    p AS (SELECT CAST(1024 * (b.cnt - a.cnt) AS BIGINT) AS num,
+                 CAST(b.day - a.day AS BIGINT) AS den
+          FROM d a JOIN d b ON b.day > a.day),
+    q AS (SELECT CASE WHEN num >= 0 THEN num // den
+                 ELSE -((-num) // den) END AS s FROM p),
+    r AS (SELECT s, row_number() OVER (ORDER BY s) AS rk,
+                 count(*) OVER () AS m
+          FROM q)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           CAST(m AS BIGINT) AS n_pairs, CAST(s AS BIGINT) AS slope_q
+    FROM r WHERE rk = (m - 1) // 2 + 1
+    """,
+    doc="Theil-Sen robust trend of daily event volume (the median of "
+    "all pairwise slopes x1024, LOW median, truncation-toward-zero "
+    "per pair — the breakdown-point-0.29 alternative to least "
+    "squares that one outlier day cannot move).  Distributed shape: "
+    "daily counts are per-batch (day, count) partials merged by a "
+    "bounded groupby — the corpus-scale pass; the pairwise-slope "
+    "median then folds driver-side over the TIME-SPAN-BOUNDED day "
+    "grid (O(days^2) pairs, 435 at 30 days — the same documented "
+    "bound as ks_length_drift's grid sweep).  Oracle mirrors with a "
+    "self-join + signed-truncation CASE.",
+)
+def theil_sen_trend(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        cols = {"day": "int64", "cnt": "int64"}
+        if t.num_rows == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        day = t["ts"].cast(pa.int64()).to_numpy() // 86_400_000_000
+        c = pd.Series(day).value_counts().sort_index()
+        return pd.DataFrame({"day": c.index.to_numpy().astype(np.int64),
+                             "cnt": c.to_numpy().astype(np.int64)})
+
+    days = (
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d = days["day"].to_numpy().astype(np.int64)
+    c = days["cnt"].to_numpy().astype(np.int64)
+    n = len(d)
+    i, j = np.triu_indices(n, k=1)
+    num = 1024 * (c[j] - c[i])
+    den = d[j] - d[i]
+    s = np.where(num >= 0, num // den, -((-num) // den))
+    s.sort()
+    m = len(s)
+    return pd.DataFrame({"n_days": [np.int64(n)], "n_pairs": [np.int64(m)],
+                         "slope_q": [np.int64(s[(m - 1) // 2])]})

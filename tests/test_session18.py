@@ -816,3 +816,23 @@ def test_lpt_shard_plan_equals_sequential_greedy(ray_session):
     # LPT guarantee sanity: makespan <= 4/3 * ideal + largest/4-ish;
     # here just assert balance is tight on this data
     assert max(loads) - min(loads) <= max(w["n_chars"])
+
+
+def test_theil_sen_trend_equals_bruteforce(ray_session):
+    from crawler_ray.queries import theil_sen_trend
+
+    out = theil_sen_trend(SF)
+    ev = _t("events", ["ts"])
+    days = (ev["ts"].astype("int64") // 86_400_000_000).value_counts().sort_index()
+    d = days.index.to_numpy().astype(np.int64)
+    c = days.to_numpy().astype(np.int64)
+    slopes = []
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            num = 1024 * int(c[j] - c[i])
+            den = int(d[j] - d[i])
+            slopes.append(num // den if num >= 0 else -((-num) // den))
+    slopes.sort()
+    assert int(out["n_days"].iloc[0]) == len(d)
+    assert int(out["n_pairs"].iloc[0]) == len(slopes)
+    assert int(out["slope_q"].iloc[0]) == slopes[(len(slopes) - 1) // 2]
